@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The actual implementations live in ``slacken_spark.plans.catalog`` (+
+``catalog_docs`` / ``catalog_genomic``); this module only exposes the
+registry in the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +16,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing the catalog modules populates the registry.
+from slacken_spark.plans import catalog as _catalog
+from slacken_spark.plans import catalog_docs as _catalog_docs  # noqa: F401
+
+try:  # genomic queries need the minimizer kernels; keep entrypoint robust
+    from slacken_spark.plans import catalog_genomic as _catalog_genomic  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the classification-join shape (SURVEY §2.4 J1) —
+    multi-key left join + sentinel decode + aggregation — on sf0.001."""
+    fn, _ = _catalog.QUERIES["classification_join"]
+    return fn(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _catalog.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _catalog.QUERIES.items() if sql is not None
+    }

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the catalog's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with a noop-format write (full plan executes,
+nothing is collected to the driver, no column pruning shortcut like
+count() would take).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from slacken_spark.plans import catalog, catalog_docs  # noqa: F401
+
+    try:
+        from slacken_spark.plans import catalog_genomic  # noqa: F401
+    except ImportError:
+        pass
+    from slacken_spark.session import get_spark
+
+    spark = get_spark("slacken_spark_bench")
+
+    # warm up the JVM/session so the first measured query isn't charged
+    # session-startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, (fn, _sql) in catalog.QUERIES.items():
+        start = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = time.perf_counter() - start
+        except Exception as e:  # record failures as negative sentinel
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            elapsed = -1.0
+        timings[name] = round(elapsed, 3)
+        if elapsed > 0:
+            total += elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (100 TB design):
+- Exact dedup is a hash-groupBy: one shuffle on a 128-bit digest; with
+  AQE the reducer count adapts. Never `distinct()` on wide rows — hash
+  first, dedup on the digest, then rejoin if the full row is needed.
+- MinHash+LSH: signature computation is embarrassingly parallel
+  (map-only, codegen'd); candidate generation shuffles once on
+  (band_id, band_hash) — the classic Broder scheme. The band join's key
+  cardinality grows with corpus size, so skew is bounded by band width.
+- SimHash: map-only signature + self-join on rotated prefixes.
+All hashes derive from md5 so any engine (DuckDB oracle included) can
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slacken_spark.functions.text import int_range, token_hash64, tokens, word_ngrams
+
+
+def content_digest(col: Column) -> Column:
+    """Stable 128-bit content digest (md5 hex) for exact dedup."""
+    return F.md5(col)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content digest.
+
+    Returns (digest, keep_id, n_copies). One shuffle on the digest.
+    """
+    return (
+        df.select(content_digest(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_values(shingles: Column, perm: int) -> Column:
+    """Per-permutation hash values for a shingle array.
+
+    Permutation ``perm`` is simulated by salting the md5 input — the
+    standard portable construction (no seeded xxhash, so oracles match).
+    """
+    return F.transform(
+        shingles, lambda s: token_hash64(F.concat(F.lit(f"p{perm}:"), s))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, shingle_words: int = 3
+) -> DataFrame:
+    """MinHash signature: (id, sig_0 … sig_{n-1}) — map-only, codegen'd.
+
+    Shingles are ``shingle_words``-word n-grams. Empty shingle sets get
+    NULL minima (docs shorter than the shingle width).
+    """
+    toks = tokens(F.col(text_col))
+    sh = F.array_distinct(word_ngrams(toks, shingle_words))
+    cols = [F.col(id_col)]
+    for p in range(n_hashes):
+        cols.append(F.array_min(minhash_values(sh, p)).alias(f"sig_{p}"))
+    return df.select(*cols)
+
+
+def minhash_band_pairs(
+    sig: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the signature.
+
+    Explodes each signature into ``bands`` (band_id, band_key) rows and
+    self-joins per band — ONE shuffle keyed on (band_id, band_key), which
+    is how this stays tractable at corpus scale (no all-pairs join).
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.coalesce(
+                            F.col(f"sig_{b * rows_per_band + i}").cast("string"),
+                            F.lit("null"),
+                        )
+                        for i in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_id", "band.band_key"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_similarity(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(F.array_union(set_a, set_b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash over a precomputed array<long> of token hashes: for each
+    bit, sum +1/-1 votes across tokens; set the bit when the vote is
+    positive. ``bits`` is a static Python int so the bit masks unroll to
+    literals (pure codegen'd expressions, no shifts by columns)."""
+    def bit_vote(mask: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1).otherwise(-1),
+        )
+
+    result = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = 1 << b
+        result = result + F.when(bit_vote(mask) > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return result
+
+
+def simhash64(toks: Column, bits: int = 16) -> Column:
+    """SimHash of a token array (see simhash_from_hashes)."""
+    return simhash_from_hashes(F.transform(toks, token_hash64), bits)
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long-encoded bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))

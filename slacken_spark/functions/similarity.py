@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: a broadcast nested-loop
+of Q query vectors against the corpus — at 100 TB the corpus side stays
+partition-parallel and only the (tiny) query set broadcasts, so the scan
+is map-only with a final per-query top-k (partial top-k per partition via
+AQE + window). The scale path is LSH bucketing (random hyperplanes):
+signature is map-only; the candidate join shuffles once on the bucket key.
+
+All arithmetic uses double-precision ``F.aggregate``/``F.zip_with``
+(JVM codegen — no Python in the loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two numeric arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast(queries) × corpus, window top-k.
+
+    Ties break on ascending corpus id (deterministic). ``round_digits``
+    rounds the similarity BEFORE ranking so results are reproducible
+    across engines/accumulation orders.
+    """
+    sim = cosine(F.col(q_vec), F.col(c_vec))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    joined = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, sim.alias("sim"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "sim", "rnk")
+    )
+
+
+def lsh_hyperplane_buckets(
+    df: DataFrame, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (one bit per plane, sign of dot).
+
+    ``planes`` is a small driver-side list (broadcast as literals).
+    Map-only; join candidates on ``bucket`` for the scale path.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn("bucket", bucket)
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    Centroids are literals (tiny, driver-side — in production they come
+    from a sampled k-means). The ANN query path then probes only matching
+    centroid partitions: the candidate join is an equi-join on
+    ``centroid_id`` instead of a cross join.
+    """
+    best_id = F.lit(-1)
+    best_sim = F.lit(float("-inf"))
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        s = cosine(F.col(vec_col), cvec)
+        better = s > best_sim
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_sim = F.when(better, s).otherwise(best_sim)
+    return df.withColumn("centroid_id", best_id)

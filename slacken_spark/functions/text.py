@@ -1,0 +1,133 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+All functions are pure ``pyspark.sql.functions`` compositions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs in the hot path. They generalize
+the reference engine's k-mer/minimizer machinery to text: shingling is
+k-mer extraction, winnowing fingerprints are minimizers over hash
+priorities (reference: kmers/minimizer/MinSplitter.scala,
+PosRankWindow.scala — re-expressed declaratively here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal language marker sets for the n-gram/stopword language-ID
+# heuristic. Deterministic and tiny by design: language ID at 100 TB must
+# be a broadcast-free, codegen-able CASE expression.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "fr": ("le", "la", "de", "et", "un", "une", "les"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "nicht"),
+}
+
+STOPWORDS_EN: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "was", "are",
+)
+
+
+def int_range(start: Column | int, stop: Column) -> Column:
+    """``sequence(start, stop)`` that is EMPTY when stop < start.
+
+    Spark's ``sequence`` auto-reverses (``sequence(1, 0) == [1, 0]``),
+    which silently corrupts n-gram extraction on short strings — guard it.
+    """
+    start = F.lit(start) if isinstance(start, int) else start
+    return F.when(stop >= start, F.sequence(start, stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization. ``split(trim(s), '\\s+')``."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """All character n-grams of a string as an array (k-mer extraction on text)."""
+    return F.transform(
+        int_range(1, F.length(col) - (n - 1)),
+        lambda i: col.substr(i, F.lit(n)),
+    )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams (shingles) from a token array, joined with single spaces."""
+    return F.transform(
+        int_range(0, F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are stopwords (classic quality signal)."""
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_token_len(toks: Column) -> Column:
+    """Average token length — a cheap fluency proxy."""
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_score(toks: Column, lang: str) -> Column:
+    """Count of language-marker tokens for ``lang``."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+
+
+def lang_id(toks: Column, langs: tuple[str, ...] = ("en", "es", "fr", "de")) -> Column:
+    """Argmax language by marker-token count; ties and zero scores → 'und'.
+
+    Deterministic tie-break: higher score wins, then earlier language in
+    ``langs``. Pure CASE/filter expression — runs fully in codegen.
+    """
+    scores = [lang_score(toks, lg) for lg in langs]
+    best = F.greatest(*scores)
+    expr = F.lit("und")
+    # build reversed so earlier langs take precedence on ties
+    for lg, sc in reversed(list(zip(langs, scores))):
+        expr = F.when((best > 0) & (sc == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def token_hash64(col: Column) -> Column:
+    """Portable 60-bit hash of a string: first 15 hex chars of md5 → bigint.
+
+    Used instead of Spark's xxhash64 so that DuckDB/other engines can
+    reproduce results exactly (md5 is standardized; xxhash seeds are not).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
+
+    Character k-gram rolling hashes; keep the minimum hash of every
+    ``window`` consecutive k-grams; return the distinct fingerprint set.
+    This is exactly the minimizer scheme the reference applies to DNA
+    (PosRankWindow.scala sliding-window minimum) re-expressed as a
+    declarative array program.
+    """
+    grams = char_ngrams(col, k)
+    hashes = F.transform(grams, token_hash64)
+    mins = F.transform(
+        int_range(0, F.size(hashes) - window),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))

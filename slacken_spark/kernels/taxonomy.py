@@ -1,0 +1,343 @@
+"""Taxonomy tree kernel: dense-int-id tree over numpy parent arrays.
+
+Re-derives the semantics of the reference's driver-side taxonomy
+(reference: slacken/Taxonomy.scala:149-320, LowestCommonAncestor.scala:33-146)
+as vectorized numpy. The tree lives on the driver and is broadcast to
+executors; all per-row operations (LCA folds, depth lookups, resolve_tree)
+run as array programs over Arrow batches, never per-row Python.
+
+Sentinels (slacken/package.scala:28-31, Taxonomy.scala:30-31):
+  NONE = 0 (unclassified / missing), ROOT = 1,
+  AMBIGUOUS_SPAN = -1, MATE_PAIR_BORDER = -2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+NONE = 0
+ROOT = 1
+AMBIGUOUS_SPAN = -1
+MATE_PAIR_BORDER = -2
+
+# Standardised rank depths (Taxonomy.scala rank model; FIXTURES.md §1):
+RANKS = (
+    "root",
+    "superkingdom",
+    "kingdom",
+    "phylum",
+    "class",
+    "order",
+    "family",
+    "genus",
+    "species",
+)
+RANK_DEPTH = {r: i for i, r in enumerate(RANKS)}
+NO_RANK = -1
+
+
+@dataclass
+class Taxonomy:
+    """Array-of-parents taxonomy tree.
+
+    parents[t] is the parent of t; parents[ROOT] == NONE; undefined ids
+    have parents[t] == NONE and are considered "not in the tree"
+    (is_defined == False) except ROOT itself.
+    """
+
+    parents: np.ndarray  # int32, parent id per taxon id
+    rank_depths: np.ndarray | None = None  # int8 standard depth or NO_RANK
+    names: list[str] | None = None
+    primary: np.ndarray | None = None  # merged.dmp old→new redirect (identity default)
+    _sdepth: np.ndarray = field(default=None, repr=False)  # structural depth cache
+    _children: list[list[int]] | None = field(default=None, repr=False)
+
+    # ---------------- constructors ----------------
+
+    @classmethod
+    def from_edges(
+        cls,
+        ids: np.ndarray | list[int],
+        parent_ids: np.ndarray | list[int],
+        ranks: list[str] | None = None,
+        names: dict[int, str] | None = None,
+        merged: dict[int, int] | None = None,
+    ) -> "Taxonomy":
+        ids = np.asarray(ids, dtype=np.int64)
+        parent_ids = np.asarray(parent_ids, dtype=np.int64)
+        n = int(max(ids.max(initial=ROOT), parent_ids.max(initial=ROOT))) + 1
+        parents = np.zeros(n, dtype=np.int32)
+        parents[ids] = parent_ids
+        parents[ROOT] = NONE  # nodes.dmp has 1|1; normalize to NONE (Taxonomy.scala:158)
+        rank_depths = np.full(n, NO_RANK, dtype=np.int8)
+        if ranks is not None:
+            for t, r in zip(ids, ranks):
+                rank_depths[t] = RANK_DEPTH.get(r, NO_RANK)
+        rank_depths[ROOT] = 0
+        name_arr = None
+        if names:
+            name_arr = [""] * n
+            for t, nm in names.items():
+                name_arr[t] = nm
+        primary = np.arange(n, dtype=np.int64)
+        if merged:
+            for old, new in merged.items():
+                if old < n:
+                    primary[old] = new
+        return cls(parents, rank_depths, name_arr, primary)
+
+    @classmethod
+    def load(cls, nodes_dmp: str, names_dmp: str | None = None, merged_dmp: str | None = None) -> "Taxonomy":
+        """Parse NCBI dmp files (pipe-delimited '\\t|\\t'); driver-side.
+
+        Matches Taxonomy.load (Taxonomy.scala:116-137): nodes give
+        (id, parent, rank); names keep only 'scientific name' rows;
+        merged gives old→new redirects.
+        """
+        ids, parents, ranks = [], [], []
+        with open(nodes_dmp) as f:
+            for line in f:
+                parts = [p.strip() for p in line.split("|")]
+                ids.append(int(parts[0]))
+                parents.append(int(parts[1]))
+                ranks.append(parts[2])
+        names = {}
+        if names_dmp:
+            with open(names_dmp) as f:
+                for line in f:
+                    parts = [p.strip() for p in line.split("|")]
+                    if len(parts) > 3 and parts[3] == "scientific name":
+                        names[int(parts[0])] = parts[1]
+        merged = {}
+        if merged_dmp:
+            with open(merged_dmp) as f:
+                for line in f:
+                    parts = [p.strip() for p in line.split("|")]
+                    merged[int(parts[0])] = int(parts[1])
+        return cls.from_edges(ids, parents, ranks, names, merged)
+
+    # ---------------- basic structure ----------------
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.parents)
+
+    def is_defined(self, t: int) -> bool:
+        return t == ROOT or (0 < t < self.n_nodes and self.parents[t] != NONE)
+
+    @property
+    def sdepth(self) -> np.ndarray:
+        """Structural depth: NONE=0, ROOT=1, child = parent + 1.
+
+        Computed once by pointer-jumping (O(n log d)), used to vectorize LCA.
+        """
+        if self._sdepth is None:
+            n = self.n_nodes
+            d = np.zeros(n, dtype=np.int32)
+            cur = self.parents.astype(np.int64).copy()
+            alive = np.arange(n, dtype=np.int64)
+            # every node at index>0 with a parent chain terminating at NONE
+            d[1:] = 1
+            d[0] = 0
+            while True:
+                nz = cur[alive] != NONE
+                alive = alive[nz]
+                if len(alive) == 0:
+                    break
+                d[alive] += 1
+                cur[alive] = self.parents[cur[alive]]
+            self._sdepth = d
+        return self._sdepth
+
+    @property
+    def children(self) -> list[list[int]]:
+        if self._children is None:
+            ch: list[list[int]] = [[] for _ in range(self.n_nodes)]
+            for t in range(2, self.n_nodes):
+                p = int(self.parents[t])
+                if p != NONE:
+                    ch[p].append(t)
+            self._children = ch
+        return self._children
+
+    def path_to_root(self, t: int) -> list[int]:
+        """All steps to ROOT including t itself (Taxonomy.scala:204-215)."""
+        out = []
+        while t != NONE:
+            out.append(t)
+            t = int(self.parents[t])
+        return out
+
+    def depth(self, t: int) -> int:
+        """Standardised rank depth: nearest ranked ancestor's depth
+        (Taxonomy.scala:222-228). NONE → -1."""
+        while t != NONE:
+            if self.rank_depths is not None and self.rank_depths[t] != NO_RANK:
+                return int(self.rank_depths[t])
+            t = int(self.parents[t])
+        return -1
+
+    def has_ancestor(self, t: int, ancestor: int) -> bool:
+        while t != NONE:
+            if t == ancestor:
+                return True
+            t = int(self.parents[t])
+        return False
+
+    def ancestor_at_level(self, t: int, rank_depth: int) -> int:
+        """First node in path-to-root whose standardised depth equals
+        rank_depth; NONE if absent (Taxonomy.scala:269-275)."""
+        while t != NONE:
+            if self.depth(t) == rank_depth:
+                return t
+            t = int(self.parents[t])
+        return NONE
+
+    def taxa_with_ancestors(self, taxa) -> set[int]:
+        out: set[int] = set()
+        for t in taxa:
+            while t != NONE and t not in out:
+                out.add(t)
+                t = int(self.parents[t])
+        return out
+
+    def taxa_with_descendants(self, taxa) -> set[int]:
+        out = set(taxa)
+        stack = list(taxa)
+        ch = self.children
+        while stack:
+            t = stack.pop()
+            for c in ch[t]:
+                if c not in out:
+                    out.add(c)
+                    stack.append(c)
+        return out
+
+    # ---------------- LCA ----------------
+
+    def lca(self, a: int, b: int) -> int:
+        """Pairwise LCA; NONE acts as identity; unrelated taxa → ROOT
+        (LowestCommonAncestor.scala:50-78 semantics)."""
+        return int(self.lca_vec(np.asarray([a]), np.asarray([b]))[0])
+
+    def lca_vec(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Vectorized pairwise LCA over aligned arrays.
+
+        Depth-equalize then lift in lockstep — O(max_depth) vector steps
+        for the whole batch instead of O(path²) per pair.
+        """
+        a = np.asarray(a, dtype=np.int64).copy()
+        b = np.asarray(b, dtype=np.int64).copy()
+        par = self.parents
+        sd = self.sdepth
+        a_none = a == NONE
+        b_none = b == NONE
+        # clamp out-of-range ids to NONE semantics (undefined → path [t])
+        out = np.where(a_none, b, np.where(b_none, a, NONE)).astype(np.int64)
+        active = ~(a_none | b_none)
+        if active.any():
+            aa = a[active]
+            bb = b[active]
+            da = sd[aa]
+            db = sd[bb]
+            # lift deeper side to equal depth
+            while True:
+                lift_a = da > db
+                lift_b = db > da
+                if not (lift_a.any() or lift_b.any()):
+                    break
+                aa = np.where(lift_a, par[aa], aa)
+                bb = np.where(lift_b, par[bb], bb)
+                da = np.where(lift_a, da - 1, da)
+                db = np.where(lift_b, db - 1, db)
+            # lockstep lift until equal
+            while True:
+                ne = aa != bb
+                if not ne.any():
+                    break
+                aa = np.where(ne, par[aa], aa)
+                bb = np.where(ne, par[bb], bb)
+            res = aa
+            # disjoint trees met at NONE → ROOT (reference returns ROOT)
+            res = np.where(res == NONE, ROOT, res)
+            out[active] = res
+        return out
+
+    def lca_fold(self, taxa: np.ndarray) -> int:
+        """Fold LCA over a set of taxa (the index-build aggregation,
+        KeyValueIndex.scala:85-93). NONE is the identity (zero)."""
+        arr = np.asarray(taxa, dtype=np.int64)
+        arr = arr[arr != NONE]
+        if len(arr) == 0:
+            return NONE
+        while len(arr) > 1:
+            half = len(arr) // 2
+            merged = self.lca_vec(arr[:half], arr[half : 2 * half])
+            arr = np.concatenate([merged, arr[2 * half :]])
+        return int(arr[0])
+
+    def segment_lca(self, segment_ids: np.ndarray, taxa: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """LCA fold per segment, fully vectorized across segments.
+
+        ``segment_ids`` must be sorted (rows of equal id adjacent).
+        Returns (unique_segment_ids, lca_per_segment). Each round merges
+        adjacent pairs within every segment simultaneously, so the number
+        of vector rounds is ceil(log2(max segment size)).
+        """
+        seg = np.asarray(segment_ids)
+        tx = np.asarray(taxa, dtype=np.int64)
+        while True:
+            same_as_prev = np.zeros(len(seg), dtype=bool)
+            same_as_prev[1:] = seg[1:] == seg[:-1]
+            if not same_as_prev.any():
+                return seg, tx
+            # pair each row with its predecessor when same segment, taking
+            # every other such row to avoid chaining within one round
+            idx = np.flatnonzero(same_as_prev)
+            # Overlapping merges (consecutive idx) must not chain within one
+            # round: keep alternate positions within each consecutive run.
+            starts = np.ones(len(idx), dtype=bool)
+            starts[1:] = np.diff(idx) != 1
+            run_first = np.maximum.accumulate(np.where(starts, np.arange(len(idx)), 0))
+            idx = idx[(np.arange(len(idx)) - run_first) % 2 == 0]
+            merged = self.lca_vec(tx[idx - 1], tx[idx])
+            tx[idx - 1] = merged
+            mask = np.ones(len(seg), dtype=bool)
+            mask[idx] = False
+            seg = seg[mask]
+            tx = tx[mask]
+
+    # ---------------- resolve_tree (Kraken 2 classify) ----------------
+
+    def resolve_tree(self, hit_counts: dict[int, int], required_score: float) -> int:
+        """Kraken 2 read classification (LowestCommonAncestor.scala:101-146).
+
+        Score each hit taxon by summing hit counts along its root path;
+        the max-scoring taxon wins, ties resolve to their LCA. Then lift
+        the winner toward ROOT until its clade's hit count reaches
+        ``required_score`` (may run off the tree → NONE).
+        """
+        max_taxon = 0
+        max_score = 0
+        for taxon in hit_counts:
+            node = taxon
+            score = 0
+            while node != NONE:
+                score += hit_counts.get(node, 0)
+                node = int(self.parents[node])
+            if score > max_score:
+                max_taxon, max_score = taxon, score
+            elif score == max_score:
+                max_taxon = self.lca(max_taxon, taxon)
+        max_score = hit_counts.get(max_taxon, 0)
+        while max_taxon != NONE and max_score < required_score:
+            max_score = 0
+            for taxon, cnt in hit_counts.items():
+                if self.has_ancestor(taxon, max_taxon):
+                    max_score += cnt
+            if max_score >= required_score:
+                return max_taxon
+            max_taxon = int(self.parents[max_taxon])
+        return max_taxon

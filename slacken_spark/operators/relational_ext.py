@@ -1,0 +1,104 @@
+"""Relational operators Spark lacks natively: as-of join, sessionization,
+range-bucket join. Declarative compositions only — Catalyst plans them,
+AQE sizes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (direction='backward') sharing the ``on`` key.
+
+    Implementation: union-tag + window last_value, the scale-safe plan —
+    ONE shuffle on the key (no range cross-product). Right-side ties on
+    (ts) break by the last of ``right_cols`` ordering (we order by ts,
+    then monotonic tag), matching `pd.merge_asof` semantics closely
+    enough for pipeline use; exact tie policy: latest ts wins, among
+    equal ts the max of the first right col wins (deterministic).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of supported")
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+    )
+    lt = lt.withColumn("_rrow", F.lit(None).cast(rt.schema["_rrow"].dataType))
+    rt = rt.withColumn("_lrow", F.lit(None).cast(lt.schema["_lrow"].dataType))
+    both = lt.unionByName(rt.select(lt.columns))
+    # right rows sort before left rows at equal ts (_side desc → right=1 first)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_rrow").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = both.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
+    out = filled.where(F.col("_side") == 0).select("_lrow.*", "_match.*")
+    return out
+
+
+def sessionize(
+    df: DataFrame, user_col: str, ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``.
+
+    lag + conditional cumsum — one shuffle on the user key.
+    Adds ``session_id`` (0-based per user).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range join (left.val BETWEEN right.lo AND right.hi) via bucketization.
+
+    Each right interval explodes into the buckets it covers; the join is
+    then an equi-join on the bucket id plus a residual filter — turning a
+    nested-loop range join into one shuffle. Bucket width should match
+    the typical interval width.
+    """
+    lb = left.withColumn("_bucket", (F.col(left_val) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / bucket_width).cast("long"),
+                (F.col(right_hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return lb.join(rb, "_bucket").where(
+        (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
+    ).drop("_bucket")

@@ -1,0 +1,802 @@
+"""Query catalog: SURVEY §2's operator inventory re-expressed over the
+driver's test tables, each query paired with a DuckDB oracle.
+
+Every entry is registered as ``QUERIES[name] = (fn, oracle_sql | None)``
+where ``fn(spark, sf_dir) -> DataFrame``. Output columns are aliased
+identically on both sides, and every value is hash-stable across engines:
+integers, strings, raw (unarithmetic'd) doubles, or money summed as exact
+integer cents (``round(x*100)::bigint``) — never order-dependent float
+accumulations.
+
+Operator coverage notes reference SURVEY.md §2 ids (J1, A1, W1, …) and the
+reference implementation file:line they re-express.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from slacken_spark.kernels.taxonomy import Taxonomy
+from slacken_spark.operators.relational_ext import asof_join, sessionize
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver test table.
+
+    The ``events`` table is written with parquet TIMESTAMP(NANOS), which
+    Spark only reads via the nanosAsLong legacy conf — read it as int64
+    nanos and convert to a microsecond timestamp column (lossy below 1 µs,
+    which no catalog query observes: they floor to seconds or compare
+    against µs-precision values).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def cents(col) -> F.Column:
+    """Exact integer cents of a 2-decimal money double (portable)."""
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5) — TPC-H Q1 shape (A3/A8 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT)                             AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+                                                                       AS sum_disc_cents,
+           sum(l_quantity) / count(*)                                  AS avg_qty,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / projection pushdown (S-series, P-series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND l_quantity < 10
+    """,
+)
+def scan_filter_project(spark, sf_dir):
+    """Projection + predicate pushdown to parquet (P1/P4; verify with
+    .explain → PushedFilters). Raw column values only — no arithmetic."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# J1: multi-column-key LEFT join + sentinel decode (P2) — the
+# classification-join shape (Classifier.scala:79-90, KeyValueIndex.scala:176-185)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classification_join",
+    """
+    WITH records AS (
+        SELECT l_partkey AS r_partkey, l_suppkey AS r_suppkey,
+               min(l_orderkey) AS taxon
+        FROM lineitem WHERE l_quantity >= 45
+        GROUP BY l_partkey, l_suppkey
+    ),
+    spans AS (SELECT * FROM lineitem),
+    hits AS (
+        SELECT CASE WHEN s.l_returnflag = 'R' THEN -1
+                    WHEN r.taxon IS NULL THEN 0
+                    ELSE r.taxon END AS taxon
+        FROM spans s LEFT JOIN records r
+          ON s.l_partkey = r.r_partkey AND s.l_suppkey = r.r_suppkey
+    )
+    SELECT taxon, count(*) AS n FROM hits GROUP BY taxon
+    """,
+)
+def classification_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    records = (
+        li.where(F.col("l_quantity") >= 45)
+        .groupBy(
+            F.col("l_partkey").alias("r_partkey"), F.col("l_suppkey").alias("r_suppkey")
+        )
+        .agg(F.min("l_orderkey").alias("taxon"))
+    )
+    joined = li.join(
+        records,
+        (li.l_partkey == records.r_partkey) & (li.l_suppkey == records.r_suppkey),
+        "left",
+    )
+    decoded = joined.select(
+        F.when(F.col("l_returnflag") == "R", F.lit(-1).cast("long"))
+        .when(F.col("taxon").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.col("taxon"))
+        .alias("taxon")
+    )
+    return decoded.groupBy("taxon").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# J2: star-schema broadcast joins (GenomeLibrary.scala:50-57 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "star_broadcast_join",
+    """
+    SELECT r_name, p_brand,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, p_brand
+    """,
+)
+def star_broadcast_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    out = (
+        li.join(F.broadcast(t(spark, sf_dir, "part")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(t(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J6: null-safe join (MinimizerMigration.scala:44-47  <=>)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nullsafe_join",
+    """
+    WITH a AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n_cust
+               FROM customer GROUP BY 1),
+         b AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+                      CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+               FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+    SELECT a.seg AS seg, a.n_cust, b.bal_cents
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def nullsafe_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    a = cust.groupBy(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    b = (
+        cust.where(F.col("c_acctbal") > 0)
+        .groupBy(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"))
+        .agg(F.sum(cents(F.col("c_acctbal"))).alias("bal_cents"))
+    )
+    return a.join(b, a.seg.eqNullSafe(b.seg)).select(
+        a.seg.alias("seg"), "n_cust", "bal_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (SURVEY §2.4 note: idiomatic substitute for BitSet algebra)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS tag, c_nationkey, count(*) AS n
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'no_orders' AS tag, c_nationkey, count(*) AS n
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def semi_anti_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("tag"), "c_nationkey", "n")
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("no_orders").alias("tag"), "c_nationkey", "n")
+    )
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# J4: aggregate-then-rejoin on a composite key (BrackenWeights.scala:335-348)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_rejoin",
+    """
+    WITH per_order AS (
+        SELECT l_orderkey, count(*) AS n_items,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(coalesce(n_items, 0)) AS BIGINT) AS n_items,
+           CAST(sum(coalesce(total_qty, 0)) AS BIGINT) AS total_qty,
+           CAST(sum(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+    FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def order_rejoin(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce(F.col("n_items"), F.lit(0))).cast("long").alias("n_items"),
+            F.sum(F.coalesce(F.col("total_qty"), F.lit(0))).cast("long").alias("total_qty"),
+            F.sum(F.when(F.col("n_items").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_empty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: the LCA fold — custom aggregation over a broadcast tree
+# (KeyValueIndex.scala:85-93, LowestCommonAncestor.scala:149-170).
+# Tree: root(1) ← region(+2) ← nation(+100) ← customer(+10000);
+# groups = order days; the oracle reproduces the fold with conditional
+# aggregation over the 3-level hierarchy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lca_fold",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS grp,
+           CAST(CASE WHEN count(DISTINCT c_custkey)   = 1 THEN min(c_custkey) + 10000
+                     WHEN count(DISTINCT c_nationkey) = 1 THEN min(c_nationkey) + 100
+                     WHEN count(DISTINCT n_regionkey) = 1 THEN min(n_regionkey) + 2
+                     ELSE 1 END AS BIGINT) AS lca_taxon,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def lca_fold(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    # Driver-side tree over the (small, dimension-sized) hierarchy — the
+    # same broadcast pattern the reference uses for the NCBI taxonomy.
+    ids: list[int] = []
+    parents: list[int] = []
+    for (rk,) in region.select("r_regionkey").collect():
+        ids.append(rk + 2)
+        parents.append(1)
+    for nk, rk in nation.select("n_nationkey", "n_regionkey").collect():
+        ids.append(nk + 100)
+        parents.append(rk + 2)
+    for ck, nk in cust.select("c_custkey", "c_nationkey").collect():
+        ids.append(ck + 10000)
+        parents.append(nk + 100)
+    tax = Taxonomy.from_edges(ids, parents)
+
+    def lca_agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "lca_taxon": [int(tax.lca_fold(pdf["node"].to_numpy()))],
+                "n_orders": [len(pdf)],
+            }
+        )
+
+    df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("grp"),
+        (F.col("c_custkey") + 10000).cast("long").alias("node"),
+    )
+    return df.groupBy("grp").applyInPandas(
+        lca_agg, "grp string, lca_taxon long, n_orders long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: collect_list regroup + count_if (Classifier.scala:92-95) — hit lists
+# rendered as deterministic sorted strings so any engine hashes identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hit_regroup",
+    """
+    SELECT l_orderkey,
+           string_agg(l_linenumber || ':' || l_partkey, ' ' ORDER BY l_linenumber || ':' || l_partkey)
+             AS hits,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS distinct_hits
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def hit_regroup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    hit = F.concat_ws(":", F.col("l_linenumber"), F.col("l_partkey"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list(hit)), " ").alias("hits"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("distinct_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: two-level aggregation (Classifier.scala:267-291 SQL classifier shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "two_level_agg",
+    """
+    WITH l1 AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           count(*) AS n_types,
+           string_agg(event_type || '=' || n, ',' ORDER BY event_type) AS breakdown
+    FROM l1 GROUP BY user_id
+    """,
+)
+def two_level_agg(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    l1 = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return l1.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("total_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws("=", F.col("event_type"), F.col("n")))),
+            ",",
+        ).alias("breakdown"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: multi-column count_distinct (KeyValueIndex.scala:220-234)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_distinct_multi",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey || '_' || l_suppkey) AS n_part_supp,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_multi(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(
+            F.concat_ws("_", F.col("l_partkey"), F.col("l_suppkey"))
+        ).alias("n_part_supp"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: multi-stat per key (Dynamic.scala:152-180)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multi_stat_per_user",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n_events,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM events GROUP BY user_id
+    """,
+)
+def multi_stat_per_user(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").cast("long").alias("first_event"),
+        F.max("event_id").cast("long").alias("last_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: histogram + ordered output (KeyValueIndex.scala:308-336)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "size_histogram",
+    """
+    SELECT p_size, count(*) AS n, count(DISTINCT p_brand) AS n_brands
+    FROM part GROUP BY p_size
+    """,
+)
+def size_histogram(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_size")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("p_brand").alias("n_brands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: grouped weights + rejoin (BrackenWeights.scala:353-387)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weights_rollup",
+    """
+    WITH pairs AS (
+        SELECT event_type AS dest, user_id % 10 AS source, count(*) AS n
+        FROM events GROUP BY event_type, user_id % 10
+    ),
+    totals AS (SELECT source, CAST(sum(n) AS BIGINT) AS source_total FROM pairs GROUP BY source)
+    SELECT dest, p.source AS source, n, source_total, n / source_total AS frac
+    FROM pairs p JOIN totals t ON p.source = t.source
+    """,
+)
+def weights_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    pairs = ev.groupBy(
+        F.col("event_type").alias("dest"), (F.col("user_id") % 10).alias("source")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("source").agg(F.sum("n").cast("long").alias("source_total"))
+    return (
+        pairs.join(totals, "source")
+        .select(
+            "dest",
+            "source",
+            "n",
+            "source_total",
+            (F.col("n") / F.col("source_total")).alias("frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: the FASTQ 4-line window trick (FileInputs.scala:196-209) — sliding
+# frame collect over ordered rows, keeping every 4th.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fastq_window",
+    """
+    WITH w AS (
+        SELECT user_id, event_id,
+               string_agg(event_type, ',') OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS record,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id AS start_event, record
+    FROM w WHERE (rn - 1) % 4 = 0
+    """,
+)
+def fastq_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    frame = w.rowsBetween(0, 3)
+    out = ev.select(
+        "user_id",
+        F.col("event_id").alias("start_event"),
+        F.array_join(F.collect_list("event_type").over(frame), ",").alias("record"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return out.where((F.col("rn") - 1) % 4 == 0).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (§2.7 sorts/limits; deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_per_group",
+    """
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+        FROM events
+    )
+    SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8): distinct / union / intersect / except
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_nations",
+    """
+    SELECT 'both' AS tag, n_nationkey FROM
+      (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+       INTERSECT SELECT DISTINCT s_nationkey FROM supplier) x
+    UNION ALL
+    SELECT 'customer_only' AS tag, n_nationkey FROM
+      (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+       EXCEPT SELECT DISTINCT s_nationkey FROM supplier) y
+    """,
+)
+def set_ops_nations(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "n_nationkey")
+    conly = cust.exceptAll(supp).select(
+        F.lit("customer_only").alias("tag"), "n_nationkey"
+    )
+    return both.unionByName(conly)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (§2.9): regexp_extract, concat_ws, substring,
+# conditional, floor/mod arithmetic (Classifier.scala:299 sample-id regex)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_funcs",
+    """
+    SELECT event_id,
+           CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT) AS k_prop,
+           concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS tag,
+           substr(event_type, 1, 2) AS prefix,
+           CAST(floor(value / 7) AS BIGINT) AS value_bucket,
+           CAST(event_id % 10 AS BIGINT) AS ring,
+           CASE WHEN value >= 50 THEN 'hi' WHEN value >= 10 THEN 'mid' ELSE 'lo' END AS band
+    FROM events
+    """,
+)
+def scalar_funcs(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+        .cast("int")
+        .alias("k_prop"),
+        F.concat_ws("|", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "tag"
+        ),
+        F.substring("event_type", 1, 2).alias("prefix"),
+        F.floor(F.col("value") / 7).cast("long").alias("value_bucket"),
+        (F.col("event_id") % 10).cast("long").alias("ring"),
+        F.when(F.col("value") >= 50, "hi")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("lo")
+        .alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7: deterministic sampling via portable hash (InputReader.scala:60-101's
+# sample() made reproducible for oracle comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(l_orderkey || '_' || l_linenumber), 1, 1) IN ('0', '1')
+    """,
+)
+def deterministic_sample(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")))
+    return li.where(F.substring(h, 1, 1).isin("0", "1")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (streaming-adjacent batch op; gap-based session ids)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH s AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", 1800)
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (backward): each event matched to the user's latest order at
+# or before the event time. Union+window plan — one shuffle, no range blowup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_event_order",
+    """
+    SELECT e.event_id,
+           coalesce((SELECT o_orderkey FROM orders
+                     WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+                     ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1),
+                    -1) AS order_key
+    FROM events e
+    """,
+)
+def asof_event_order(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate", "o_orderkey"],
+    )
+    return out.select(
+        "event_id", F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("order_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join via bucketization (range_bucket_join operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_bucket_join",
+    """
+    WITH sizes AS (SELECT DISTINCT p_size FROM part)
+    SELECT p_size, count(*) AS n_in_range,
+           CAST(sum(l_quantity) AS BIGINT) AS qty_in_range
+    FROM sizes JOIN lineitem
+      ON l_quantity >= p_size AND l_quantity <= p_size + 5
+    GROUP BY p_size
+    """,
+)
+def range_bucket_join_q(spark, sf_dir):
+    from slacken_spark.operators.relational_ext import range_bucket_join
+
+    sizes = t(spark, sf_dir, "part").select("p_size").distinct()
+    sizes = sizes.withColumn("lo", F.col("p_size").cast("double")).withColumn(
+        "hi", (F.col("p_size") + 5).cast("double")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_quantity")
+    joined = range_bucket_join(li, sizes, "l_quantity", "lo", "hi", bucket_width=5)
+    return joined.groupBy("p_size").agg(
+        F.count(F.lit(1)).alias("n_in_range"),
+        F.sum("l_quantity").cast("long").alias("qty_in_range"),
+    )

@@ -1,0 +1,386 @@
+"""Query catalog, part 2: training-data pipeline operators over the
+``documents`` and ``embeddings`` tables — dedup, similarity search, text
+analysis, fingerprinting. Registered into the same QUERIES registry.
+
+Portability contract: every hash derives from md5 (`token_hash64` =
+first 15 hex chars → bigint), so the DuckDB oracle reproduces Spark's
+values bit-for-bit; every ratio is a single int/int division (exact same
+IEEE double on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from slacken_spark.functions import dedup as D
+from slacken_spark.functions import similarity as SIM
+from slacken_spark.functions import text as X
+from slacken_spark.plans.catalog import register, t
+
+# DuckDB equivalents of the portable building blocks -----------------------
+
+# token_hash64(s): first 15 md5 hex chars as bigint
+SQL_H64 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+# whitespace tokens of trimmed text
+SQL_TOKENS = "string_split_regex(trim({expr}), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token stats, quality, language id
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks, text FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_token_len
+    FROM d
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        X.mean_token_len(toks).alias("mean_token_len"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH d AS (SELECT doc_id, text, {SQL_TOKENS.format(expr='text')} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> lower(x) IN ({_STOP_SQL}))) AS BIGINT)
+             * 1.0 / greatest(len(toks), 1) AS stopword_ratio,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS punct_ratio,
+           CASE WHEN len(toks) >= 50 THEN 'long' WHEN len(toks) >= 20 THEN 'mid'
+                ELSE 'short' END AS length_bucket
+    FROM d
+    """,
+)
+def doc_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        X.stopword_ratio(toks).alias("stopword_ratio"),
+        X.punct_ratio(F.col("text")).alias("punct_ratio"),
+        F.when(n >= 50, "long").when(n >= 20, "mid").otherwise("short").alias(
+            "length_bucket"
+        ),
+    )
+
+
+def _lang_sql_score(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> lower(x) IN ({markers})))"
+
+
+@register(
+    "doc_langid",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_lang_sql_score('en')} AS s_en, {_lang_sql_score('es')} AS s_es,
+                 {_lang_sql_score('fr')} AS s_fr, {_lang_sql_score('de')} AS s_de
+          FROM d)
+    SELECT doc_id, lang AS meta_lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM s
+    """,
+)
+def doc_langid(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("meta_lang"),
+        X.lang_id(toks).alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact, MinHash signatures, LSH candidate pairs, n-gram Jaccard,
+# SimHash, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_cte(n_hashes: int = 8, shingle_words: int = 3) -> str:
+    """WITH-clause producing CTE ``sig`` = (doc_id, sig_0..sig_{n-1})."""
+    sig_cols = ",\n           ".join(
+        "list_min(list_transform(shingles, s -> "
+        + SQL_H64.format(expr=f"'p{p}:' || s")
+        + f")) AS sig_{p}"
+        for p in range(n_hashes)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(0, greatest(len(toks) - {shingle_words - 1}, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+{shingle_words} AS INT)]
+                  )) AS shingles
+           FROM d),
+    sig AS (SELECT doc_id,
+           {sig_cols}
+    FROM sh)
+    """
+
+
+@register("minhash_signatures", _minhash_cte() + "\n    SELECT * FROM sig")
+def minhash_signatures(spark, sf_dir):
+    return D.minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_cte()
+    + """
+    , banded AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                 WHEN 0 THEN coalesce(CAST(sig_0 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_1 AS VARCHAR),'null')
+                 WHEN 1 THEN coalesce(CAST(sig_2 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_3 AS VARCHAR),'null')
+                 WHEN 2 THEN coalesce(CAST(sig_4 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_5 AS VARCHAR),'null')
+                 ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
+               END AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    sig = D.minhash_signature(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+    return D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+
+
+@register(
+    "ngram_jaccard_adjacent",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(0, greatest(len(toks) - 2, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]
+                  )) AS shingles
+           FROM d)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 1.0
+             / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_adjacent(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(X.word_ngrams(X.tokens(F.col("text")), 3)).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    return joined.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        D.jaccard_similarity(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, x -> {SQL_H64.format(expr='x')}) AS hashes FROM d)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {bits}), b ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                     CASE WHEN (h & (CAST(1 AS BIGINT) << CAST(b AS INT))) != 0 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+    """
+
+
+@register("simhash_docs", _simhash_sql())
+def simhash_docs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(X.tokens(F.col("text")), X.token_hash64).alias("hashes"),
+    )
+    return hashed.select(
+        "doc_id", D.simhash_from_hashes(F.col("hashes"), bits=16).alias("simhash")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH g AS (SELECT doc_id,
+                      list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                                     i -> {SQL_H64.format(expr='substr(text, CAST(i AS INT), 8)')}) AS hashes
+               FROM documents),
+    m AS (SELECT doc_id,
+                 list_sort(list_distinct(list_transform(
+                     range(0, greatest(len(hashes) - 3, 0)),
+                     i -> list_min(hashes[CAST(i+1 AS INT):CAST(i+4 AS INT)])
+                 ))) AS fps
+          FROM g)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           fps[1] AS min_fp,
+           fps[len(fps)] AS max_fp
+    FROM m
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints as an exploded window-min plan.
+
+    The array-expression form (X.winnow_fingerprints) re-evaluates the
+    k-gram hash array once per window position inside the lambda —
+    O(n²) md5 calls. The scale plan explodes grams to rows (hash
+    computed exactly once per gram, codegen'd) and takes a 4-row sliding
+    minimum with a window function; one shuffle on doc_id.
+    """
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(X.char_ngrams(F.col("text"), 8)).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id", "pos", X.token_hash64(F.col("gram")).alias("h")
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    w_all = Window.partitionBy("doc_id")
+    mins = (
+        hashed.withColumn("fp", F.min("h").over(w_min))
+        .withColumn("n_grams", F.count(F.lit(1)).over(w_all))
+        .where(F.col("pos") <= F.col("n_grams") - 4)  # full windows only
+    )
+    agg = mins.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_fingerprints"), F.lit(0)).cast("long").alias(
+                "n_fingerprints"
+            ),
+            "min_fp",
+            "max_fp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               round(
+                 list_sum(list_transform(range(1, len(q.q_vec)+1),
+                   i -> CAST(q.q_vec[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                 4) AS sim
+        FROM q CROSS JOIN embeddings c
+        WHERE q.q_id != c.vec_id
+    ),
+    r AS (SELECT q_id, c_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+          FROM sims)
+    SELECT q_id, c_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = SIM.cosine_topk(queries, corpus, k=3, round_digits=4)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def _planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from integer arithmetic
+    (identical literals are embedded in the oracle SQL — no libm calls)."""
+    out = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            v = ((i * dim + j) * 2654435761 + 104729) % 2000
+            row.append((v - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def _lsh_sql() -> str:
+    planes = _planes()
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (ARRAY[{lits}])[CAST(i AS INT)])) >= 0 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    SELECT {bucket} AS bucket, count(*) AS n_vecs
+    FROM embeddings
+    GROUP BY 1
+    """
+
+
+@register("embedding_lsh_buckets", _lsh_sql())
+def embedding_lsh_buckets(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    bucketed = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes())
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))

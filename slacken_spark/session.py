@@ -1,0 +1,78 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror the knobs the reference exposes
+(``--partitions`` → ``spark.sql.shuffle.partitions``,
+reference: kmers/SparkTool.scala:80-88) while adding the modern AQE
+settings a 1000-executor deployment would want. On a real cluster the
+same builder is used; only ``master`` and memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "slacken_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    Notes on scale: AQE handles runtime partition coalescing and skew
+    joins; ``spark.sql.session.timeZone=UTC`` pins timestamp semantics
+    so results are reproducible across drivers/oracles; Arrow is enabled
+    because every Python-side kernel in this engine is Arrow-batched.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        b = b.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        b = b.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the driver test tables as temp views; return dict of DataFrames."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    from slacken_spark.plans.catalog import t
+
+    out = {}
+    for n in names:
+        df = t(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,43 @@
+"""Differential test: every catalog query vs its DuckDB oracle, mirroring
+the driver's correctness gate (see __spark_entry__ docstring)."""
+
+import pytest
+
+from tests.oracle_harness import compare, duckdb_conn
+
+
+def _load_registry():
+    from slacken_spark.plans import catalog, catalog_docs  # noqa: F401
+
+    try:
+        from slacken_spark.plans import catalog_genomic  # noqa: F401
+    except ImportError:
+        pass
+    return catalog.QUERIES
+
+
+REGISTRY = _load_registry()
+ORACLE_CASES = [n for n, (_f, sql) in REGISTRY.items() if sql is not None]
+ROWS_ONLY_CASES = [n for n, (_f, sql) in REGISTRY.items() if sql is None]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(name, spark, sf_dir, con):
+    fn, sql = REGISTRY[name]
+    df = fn(spark, sf_dir)
+    issues = compare(df, con, sql, name)
+    assert not issues, "\n".join(issues)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_runs(name, spark, sf_dir):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
