@@ -37,8 +37,15 @@ def main() -> None:
     spark = get_spark("slacken_spark_bench")
 
     # warm up the JVM/session so the first measured query isn't charged
-    # session-startup cost
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # session-startup cost: codegen, Arrow init, and Python UDF worker
+    # pool spin-up (~8 s one-time on local[32])
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+
+    warm_df = spark.range(1_000_000).select(_warm(col("id")).alias("x"))
+    warm_df.selectExpr("sum(x)").collect()
+    spark.range(10).toPandas()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -60,12 +60,21 @@ def minhash_signature(
     Shingles are ``shingle_words``-word n-grams. Empty shingle sets get
     NULL minima (docs shorter than the shingle width).
     """
-    toks = tokens(F.col(text_col))
-    sh = F.array_distinct(word_ngrams(toks, shingle_words))
+    # Materialize the shingle array once: Catalyst does not CSE the
+    # tokenize+ngram expression across the n_hashes signature columns, so
+    # inlining it would re-shingle every document n_hashes times.
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            word_ngrams(tokens(F.col(text_col)), shingle_words)
+        ).alias("_shingles"),
+    )
     cols = [F.col(id_col)]
     for p in range(n_hashes):
-        cols.append(F.array_min(minhash_values(sh, p)).alias(f"sig_{p}"))
-    return df.select(*cols)
+        cols.append(
+            F.array_min(minhash_values(F.col("_shingles"), p)).alias(f"sig_{p}")
+        )
+    return shingled.select(*cols)
 
 
 def minhash_band_pairs(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
+import pandas as pd
 
 NONE = 0
 ROOT = 1
@@ -308,6 +309,38 @@ class Taxonomy:
             mask[idx] = False
             seg = seg[mask]
             tx = tx[mask]
+
+    # ---------------- Spark integration ----------------
+
+    def lca_list_udf(self, spark):
+        """Pandas UDF ``array<long> -> long``: LCA fold of each row's taxon
+        list. One Python call per Arrow batch (not per group): flatten the
+        batch's lists into one array + segment ids, run the vectorized
+        segment_lca, and scatter results back. This is the scale path for
+        the index-build aggregation (KeyValueIndex.scala:85-93) —
+        ``groupBy(keys).agg(collect_list(taxon))`` then this UDF.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        bc = spark.sparkContext.broadcast(self)
+
+        @pandas_udf("long")
+        def lca_of_list(lists: pd.Series) -> pd.Series:
+            tax = bc.value
+            lens = lists.map(len).to_numpy()
+            if lens.sum() == 0:
+                return pd.Series(np.zeros(len(lists), dtype=np.int64))
+            flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+            seg = np.repeat(np.arange(len(lists)), lens)
+            keep = flat != NONE
+            seg_k, flat_k = seg[keep], flat[keep]
+            out = np.full(len(lists), NONE, dtype=np.int64)
+            if len(flat_k):
+                useg, lcas = tax.segment_lca(seg_k, flat_k)
+                out[useg] = lcas
+            return pd.Series(out)
+
+        return lca_of_list
 
     # ---------------- resolve_tree (Kraken 2 classify) ----------------
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -348,34 +347,37 @@ def lca_fold(spark, sf_dir):
     region = t(spark, sf_dir, "region")
     # Driver-side tree over the (small, dimension-sized) hierarchy — the
     # same broadcast pattern the reference uses for the NCBI taxonomy.
-    ids: list[int] = []
-    parents: list[int] = []
-    for (rk,) in region.select("r_regionkey").collect():
-        ids.append(rk + 2)
-        parents.append(1)
-    for nk, rk in nation.select("n_nationkey", "n_regionkey").collect():
-        ids.append(nk + 100)
-        parents.append(rk + 2)
-    for ck, nk in cust.select("c_custkey", "c_nationkey").collect():
-        ids.append(ck + 10000)
-        parents.append(nk + 100)
-    tax = Taxonomy.from_edges(ids, parents)
-
-    def lca_agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "grp": [key[0]],
-                "lca_taxon": [int(tax.lca_fold(pdf["node"].to_numpy()))],
-                "n_orders": [len(pdf)],
-            }
+    # One union job collects all three levels (vs three cold scans).
+    edges = (
+        region.select((F.col("r_regionkey") + 2).alias("id"), F.lit(1).alias("parent"))
+        .unionByName(
+            nation.select(
+                (F.col("n_nationkey") + 100).alias("id"),
+                (F.col("n_regionkey") + 2).alias("parent"),
+            )
         )
+        .unionByName(
+            cust.select(
+                (F.col("c_custkey") + 10000).alias("id"),
+                (F.col("c_nationkey") + 100).alias("parent"),
+            )
+        )
+        .toPandas()
+    )
+    tax = Taxonomy.from_edges(edges["id"].to_numpy(), edges["parent"].to_numpy())
 
     df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("grp"),
         (F.col("c_custkey") + 10000).cast("long").alias("node"),
     )
-    return df.groupBy("grp").applyInPandas(
-        lca_agg, "grp string, lca_taxon long, n_orders long"
+    # collect_list + one Arrow-batched UDF call per batch (not per group):
+    # the vectorized segment_lca kernel folds every group simultaneously.
+    lca_of_list = tax.lca_list_udf(spark)
+    grouped = df.groupBy("grp").agg(
+        F.collect_list("node").alias("nodes"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return grouped.select(
+        "grp", lca_of_list(F.col("nodes")).alias("lca_taxon"), "n_orders"
     )
 
 

@@ -44,8 +44,13 @@ SQL_TOKENS = "string_split_regex(trim({expr}), '\\s+')"
     """,
 )
 def doc_token_stats(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
+    # Materialize toks in a prior projection: Catalyst does not CSE the
+    # repeated split(), and re-tokenizing per output column is the
+    # difference between one and four passes over every document.
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", X.tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -73,8 +78,10 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
     """,
 )
 def doc_quality(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", X.tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     return docs.select(
         "doc_id",
@@ -109,8 +116,10 @@ def _lang_sql_score(lang: str) -> str:
     """,
 )
 def doc_langid(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     return docs.select(
         "doc_id",
         F.col("lang").alias("meta_lang"),
