@@ -1,0 +1,341 @@
+"""Minimizer scanning kernels: m-mer priorities, sliding-window minimum,
+super-mer grouping, ambiguity splitting — numpy-vectorized.
+
+Re-derives (not translates) the reference's scanner pipeline:
+  - ShiftScanner.allMatches (kmers/minimizer/ShiftScanner.scala:90-159):
+    single pass producing the m-mer priority at every position;
+  - PosRankWindow (kmers/minimizer/PosRankWindow.scala:33-97): O(n)
+    sliding-window minimum → minimizer per k-window;
+  - MinSplitter.superkmerPositions (kmers/minimizer/MinSplitter.scala:98-216):
+    group consecutive k-mers sharing a minimizer into super-mers;
+  - Supermers.splitByAmbiguity (slacken/Supermers.scala:49-66,135-189):
+    maximal valid segments; ambiguous spans; the `distinct` flag rule
+    (Supermers.scala:70-97).
+
+Priority orders (kmers/minimizer/MinimizerPriorities.scala):
+  - RandomXOR (:144-179): priority = m-mer ⊕ toggle mask (Kraken 2
+    default mask 0xe37e28c4271b5a2d), optionally over the canonical
+    orientation;
+  - SpacedSeed (:282-321): zero out ``s`` 2-bit positions (every other
+    position from the right) before comparison.
+
+All functions operate on whole sequences (numpy) and are called from
+Arrow-batched Spark boundaries (mapInPandas) — never per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from slacken_spark.kernels import bitseq
+
+DEFAULT_XOR_MASK = 0xE37E28C4271B5A2D  # minimizer/package.scala:32
+
+# span flags (slacken/package.scala:36-62)
+FLAG_SEQUENCE = 1
+FLAG_AMBIGUOUS = 2
+FLAG_MATE_PAIR_BORDER = 3
+
+
+def spaced_seed_mask(m: int, spaces: int) -> int:
+    """AND-mask zeroing ``spaces`` 2-bit positions, every other position
+    starting second-from-right (MinimizerPriorities.scala:282-321:
+    TTCTGTGGG, s=3 → TTCAGAGAG — positions 1,3,5 from the right)."""
+    mask = (1 << (2 * m)) - 1
+    for i in range(spaces):
+        pos = 2 * i + 1
+        if pos >= m:
+            break
+        mask &= ~(0b11 << (2 * pos))
+    return mask
+
+
+@dataclass(frozen=True)
+class MinimizerConfig:
+    """Splitter parameters (mirrors the reference's IndexParams core)."""
+
+    k: int = 35
+    m: int = 31
+    spaces: int = 7
+    xor_mask: int = DEFAULT_XOR_MASK
+    canonical: bool = True
+
+    def __post_init__(self):
+        if not (0 < self.m <= 31):
+            raise ValueError("m must be in 1..31 (single-long minimizers)")
+        if self.k < self.m:
+            raise ValueError("k must be >= m")
+
+    @property
+    def window(self) -> int:
+        """Number of m-mer positions per k-window."""
+        return self.k - self.m + 1
+
+    @property
+    def mask_2m(self) -> int:
+        return (1 << (2 * self.m)) - 1
+
+    @property
+    def seed_mask(self) -> int:
+        return spaced_seed_mask(self.m, self.spaces)
+
+    def to_dict(self) -> dict:
+        return {
+            "k": self.k,
+            "m": self.m,
+            "spaces": self.spaces,
+            "xor_mask": self.xor_mask,
+            "canonical": self.canonical,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "MinimizerConfig":
+        return cls(
+            k=int(d["k"]),
+            m=int(d["m"]),
+            spaces=int(d["spaces"]),
+            xor_mask=int(d["xor_mask"]),
+            canonical=bool(d["canonical"]),
+        )
+
+
+def mmer_priorities(codes: np.ndarray, cfg: MinimizerConfig) -> np.ndarray:
+    """Priority (rank) of the m-mer starting at every position.
+
+    Lower rank = higher priority (the minimizer is the min-rank m-mer).
+    Caller guarantees codes are all valid (0-3).
+    """
+    mmers = bitseq.pack_kmers(codes, cfg.m)
+    if cfg.canonical:
+        mmers = bitseq.canonical_packed(mmers, cfg.m)
+    ranks = mmers ^ (np.uint64(cfg.xor_mask) & np.uint64(cfg.mask_2m))
+    if cfg.spaces > 0:
+        ranks = ranks & np.uint64(cfg.seed_mask)
+    return ranks
+
+
+def window_minimizers(ranks: np.ndarray, window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sliding-window minimum over m-mer ranks.
+
+    Returns (min_rank_per_window, argmin_position_per_window); argmin is
+    the LEFTMOST minimal position (PosRankWindow keeps the earliest
+    minimum). Vectorized via a sliding view — window counts are small
+    (k−m+1, e.g. 5 for k=35/m=31), so O(n·w) SIMD beats a Python
+    monotonic queue by orders of magnitude.
+    """
+    n = len(ranks) - window + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    wv = np.lib.stride_tricks.sliding_window_view(ranks, window)
+    arg = wv.argmin(axis=1)  # first occurrence = leftmost
+    pos = np.arange(n, dtype=np.int64) + arg
+    return ranks[pos], pos
+
+
+@dataclass
+class Supermer:
+    """One super-k-mer: consecutive k-mers sharing a minimizer."""
+
+    minimizer: int  # packed canonical m-mer (uint64 value)
+    rank: int  # its priority
+    start: int  # offset of the first k-mer in the segment
+    kmers: int  # number of consecutive k-mers
+    nucleotides: str  # the super-mer's sequence (kmers + k - 1 bases)
+
+
+def supermers_of_codes(
+    codes: np.ndarray, cfg: MinimizerConfig, seq: str | None = None
+) -> list[Supermer]:
+    """Split a fully-valid code array into super-mers.
+
+    Groups consecutive k-positions whose window minimizer position is
+    identical (MinSplitter.scala:98-216 semantics: a new super-mer starts
+    exactly when the minimizer *position* changes).
+    """
+    n_k = len(codes) - cfg.k + 1
+    if n_k <= 0:
+        return []
+    ranks = mmer_priorities(codes, cfg)
+    mmers = bitseq.pack_kmers(codes, cfg.m)
+    if cfg.canonical:
+        mmers = bitseq.canonical_packed(mmers, cfg.m)
+    min_ranks, min_pos = window_minimizers(ranks, cfg.window)
+    # boundaries where the minimizer position changes
+    change = np.empty(n_k, dtype=bool)
+    change[0] = True
+    change[1:] = min_pos[1:] != min_pos[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n_k)  # exclusive, in k-mer positions
+    out = []
+    if seq is None:
+        seq = bitseq.decode_codes(codes)
+    for s, e in zip(starts, ends):
+        p = min_pos[s]
+        out.append(
+            Supermer(
+                minimizer=int(mmers[p]),
+                rank=int(min_ranks[s]),
+                start=int(s),
+                kmers=int(e - s),
+                nucleotides=seq[s : e + cfg.k - 1],
+            )
+        )
+    return out
+
+
+def split_by_ambiguity(
+    codes: np.ndarray, k: int
+) -> list[tuple[int, int, bool]]:
+    """Maximal alternating valid/ambiguous runs as (start, end, is_valid).
+
+    Matches Supermers.splitByAmbiguity (Supermers.scala:135-189): valid
+    runs shorter than k are flagged ambiguous (they cannot produce a
+    k-mer); adjacent ambiguous runs stay separate segments.
+    """
+    n = len(codes)
+    if n == 0:
+        return []
+    valid = codes <= 3
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = valid[1:] != valid[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return [
+        (int(s), int(e), bool(valid[s]) and (e - s) >= k)
+        for s, e in zip(starts, ends)
+    ]
+
+
+def valid_segments(codes: np.ndarray, min_len: int) -> list[tuple[int, int]]:
+    """Maximal runs of valid (0-3) codes with length ≥ min_len."""
+    return [
+        (s, e) for s, e, is_valid in split_by_ambiguity(codes, min_len) if is_valid
+    ]
+
+
+@dataclass
+class OrdinalSpan:
+    """A span of a read: super-mer hit group or ambiguous/border marker
+    (slacken/package.scala:36-62)."""
+
+    minimizer: int  # packed m-mer; random for ambiguous spans
+    distinct: bool  # first span with this minimizer in the read
+    kmers: int  # number of k-mers (or ambiguous pseudo-k-mer count)
+    flag: int  # FLAG_SEQUENCE / FLAG_AMBIGUOUS / FLAG_MATE_PAIR_BORDER
+    ordinal: int  # position of the span within the read
+
+
+def read_spans(
+    seq: str,
+    cfg: MinimizerConfig,
+    seq2: str | None = None,
+    rng: np.random.Generator | None = None,
+) -> list[OrdinalSpan]:
+    """Split a read (or mate pair) into ordered spans.
+
+    Implements the reference's span pipeline (Supermers.scala:49-97,
+    113-125):
+    - segments < k bases are dropped entirely (splitFragment's
+      ``if ntseq.length >= k`` guard);
+    - ambiguous segments (invalid chars, or valid runs < k) count
+      ``len − (k−1)`` pseudo-k-mers and get random minimizers so their
+      rows spread evenly across shuffle partitions (Supermers.scala:34-42);
+    - a MATE_PAIR_BORDER pseudo-span separates R1 and R2;
+    - ``distinct`` marks a valid span whose minimizer differs from the
+      PREVIOUS valid span's (consecutive-duplicate suppression → hit
+      groups, Supermers.scala:79-91).
+    """
+    if rng is None:
+        rng = np.random.default_rng(0x5EED)
+    spans: list[OrdinalSpan] = []
+    last_valid_minimizer: int | None = None
+
+    def one_read(s: str) -> None:
+        nonlocal last_valid_minimizer
+        codes = bitseq.encode_codes(s)
+        for st, en, is_valid in split_by_ambiguity(codes, cfg.k):
+            if en - st < cfg.k:
+                continue
+            if not is_valid:
+                spans.append(
+                    OrdinalSpan(
+                        minimizer=int(rng.integers(0, 1 << 62)),
+                        distinct=False,
+                        kmers=(en - st) - (cfg.k - 1),
+                        flag=FLAG_AMBIGUOUS,
+                        ordinal=0,
+                    )
+                )
+                continue
+            for sm in supermers_of_codes(codes[st:en], cfg, s[st:en]):
+                spans.append(
+                    OrdinalSpan(
+                        minimizer=sm.minimizer,
+                        distinct=sm.minimizer != last_valid_minimizer,
+                        kmers=sm.kmers,
+                        flag=FLAG_SEQUENCE,
+                        ordinal=0,
+                    )
+                )
+                last_valid_minimizer = sm.minimizer
+
+    one_read(seq)
+    if seq2 is not None:
+        spans.append(
+            OrdinalSpan(
+                minimizer=int(rng.integers(0, 1 << 62)),
+                distinct=False,
+                kmers=0,
+                flag=FLAG_MATE_PAIR_BORDER,
+                ordinal=0,
+            )
+        )
+        one_read(seq2)
+    for i, sp in enumerate(spans):
+        sp.ordinal = i
+    return spans
+
+
+def genome_minimizers(seq: str, cfg: MinimizerConfig) -> np.ndarray:
+    """All (non-distinct-filtered) super-mer minimizers of a genome —
+    the index-build extraction (Minimizers.find, Minimizers.scala:43-76).
+    Returns one packed minimizer per super-mer."""
+    codes = bitseq.encode_codes(seq)
+    out = []
+    for st, en in valid_segments(codes, cfg.k):
+        for sm in supermers_of_codes(codes[st:en], cfg, seq[st:en]):
+            out.append(sm.minimizer)
+    return np.asarray(out, dtype=np.uint64)
+
+
+def naive_minimizer_positions(seq: str, cfg: MinimizerConfig) -> list[int]:
+    """Obviously-correct reference model for property tests: for each
+    k-window, scan its m-mers linearly and take the leftmost min-rank
+    position. O(n·w·m) — test-only."""
+    codes = bitseq.encode_codes(seq)
+    if (codes > 3).any() or len(codes) < cfg.k:
+        raise ValueError("naive model expects a fully-valid sequence ≥ k")
+    ranks = []
+    for i in range(len(codes) - cfg.m + 1):
+        v = 0
+        for c in codes[i : i + cfg.m]:
+            v = (v << 2) | int(c)
+        if cfg.canonical:
+            rc = 0
+            for c in codes[i : i + cfg.m][::-1]:
+                rc = (rc << 2) | (3 - int(c))
+            v = min(v, rc)
+        r = v ^ (cfg.xor_mask & cfg.mask_2m)
+        if cfg.spaces > 0:
+            r &= cfg.seed_mask
+        ranks.append(r)
+    out = []
+    w = cfg.window
+    for i in range(len(codes) - cfg.k + 1):
+        win = ranks[i : i + w]
+        best = min(win)
+        out.append(i + win.index(best))
+    return out

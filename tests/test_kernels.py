@@ -1,0 +1,218 @@
+"""Property + model-based tests for the sequence kernels, mirroring the
+reference's test pillars (SURVEY §5: NTBitArrayProps, MinSplitterProps,
+ShiftScannerProps semantics) with hypothesis."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from slacken_spark.kernels import bitseq
+from slacken_spark.kernels.minimizers import (
+    FLAG_AMBIGUOUS,
+    FLAG_MATE_PAIR_BORDER,
+    FLAG_SEQUENCE,
+    MinimizerConfig,
+    genome_minimizers,
+    naive_minimizer_positions,
+    read_spans,
+    split_by_ambiguity,
+    supermers_of_codes,
+    window_minimizers,
+)
+
+dna = st.text(alphabet="ACGT", min_size=0, max_size=300)
+dna_with_n = st.text(alphabet="ACGTN", min_size=0, max_size=300)
+small_cfgs = st.integers(4, 31).flatmap(
+    lambda m: st.builds(
+        MinimizerConfig,
+        k=st.integers(m, 40),
+        m=st.just(m),
+        spaces=st.integers(0, 7),
+        canonical=st.booleans(),
+    )
+)
+
+
+# ---------------- bitseq ----------------
+
+
+@given(dna)
+def test_encode_decode_roundtrip(s):
+    codes = bitseq.encode_codes(s)
+    assert bitseq.decode_codes(codes) == s
+
+
+@given(dna.filter(lambda s: len(s) > 0))
+def test_revcomp_involution(s):
+    assert bitseq.revcomp_str(bitseq.revcomp_str(s)) == s
+
+
+@given(dna, st.integers(1, 32))
+def test_pack_kmers_matches_substrings(s, k):
+    if len(s) < k:
+        assert len(bitseq.pack_kmers(bitseq.encode_codes(s), k)) == 0
+        return
+    packed = bitseq.pack_kmers(bitseq.encode_codes(s), k)
+    assert len(packed) == len(s) - k + 1
+    for i, p in enumerate(packed):
+        assert bitseq.unpack_kmer(int(p), k) == s[i : i + k]
+
+
+@given(dna.filter(lambda s: len(s) >= 1), st.integers(1, 32))
+def test_revcomp_packed_matches_string(s, m):
+    if len(s) < m:
+        return
+    packed = bitseq.pack_kmers(bitseq.encode_codes(s), m)
+    rc = bitseq.revcomp_packed(packed, m)
+    for i, p in enumerate(rc):
+        assert bitseq.unpack_kmer(int(p), m) == bitseq.revcomp_str(s[i : i + m])
+
+
+@given(dna.filter(lambda s: len(s) >= 4))
+def test_canonical_is_orientation_invariant(s):
+    m = min(len(s), 16)
+    fwd = bitseq.canonical_packed(bitseq.pack_kmers(bitseq.encode_codes(s), m), m)
+    rc_s = bitseq.revcomp_str(s)
+    rev = bitseq.canonical_packed(bitseq.pack_kmers(bitseq.encode_codes(rc_s), m), m)
+    assert set(fwd.tolist()) == set(rev.tolist())
+
+
+# ---------------- minimizer scanner ----------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(dna.filter(lambda s: len(s) >= 45), small_cfgs)
+def test_window_minimizers_match_naive_model(s, cfg):
+    if len(s) < cfg.k:
+        return
+    codes = bitseq.encode_codes(s)
+    from slacken_spark.kernels.minimizers import mmer_priorities
+
+    ranks = mmer_priorities(codes, cfg)
+    _, pos = window_minimizers(ranks, cfg.window)
+    assert pos.tolist() == naive_minimizer_positions(s, cfg)
+
+
+@settings(max_examples=50, deadline=None)
+@given(dna.filter(lambda s: len(s) >= 45), small_cfgs)
+def test_supermers_preserve_all_data(s, cfg):
+    """MinSplitterProps 'splitting preserves all data': concatenating
+    super-mers with (k-1)-overlap removed reconstructs the sequence, and
+    k-mer counts sum to len(s)-k+1."""
+    if len(s) < cfg.k:
+        return
+    sms = supermers_of_codes(bitseq.encode_codes(s), cfg, s)
+    assert sum(sm.kmers for sm in sms) == len(s) - cfg.k + 1
+    recon = sms[0].nucleotides + "".join(
+        sm.nucleotides[cfg.k - 1 :] for sm in sms[1:]
+    )
+    assert recon == s
+    for sm in sms:
+        assert len(sm.nucleotides) == sm.kmers + cfg.k - 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(dna.filter(lambda s: len(s) >= 45), small_cfgs)
+def test_adjacent_supermers_differ(s, cfg):
+    """MinSplitterProps 'adjacent minimizers are not identical'."""
+    if len(s) < cfg.k:
+        return
+    sms = supermers_of_codes(bitseq.encode_codes(s), cfg, s)
+    for a, b in zip(sms, sms[1:]):
+        # positions differ by construction; values may rarely collide only
+        # via distinct-position equal-value m-mers, which canonical XOR
+        # ordering allows — assert on position via rank change OR value
+        assert (a.minimizer, a.start) != (b.minimizer, b.start)
+
+
+@settings(max_examples=30, deadline=None)
+@given(dna.filter(lambda s: len(s) >= 60))
+def test_supermers_invariant_under_revcomp(s):
+    """Canonical minimizer sets are orientation-invariant
+    (MinSplitterProps 'super-mers invariant under reverse complement')."""
+    cfg = MinimizerConfig(k=21, m=11, spaces=0, canonical=True)
+    a = set(genome_minimizers(s, cfg).tolist())
+    b = set(genome_minimizers(bitseq.revcomp_str(s), cfg).tolist())
+    assert a == b
+
+
+# ---------------- ambiguity splitting / spans ----------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(dna_with_n, st.integers(4, 20))
+def test_split_by_ambiguity_partitions(s, k):
+    segs = split_by_ambiguity(bitseq.encode_codes(s), k)
+    # segments tile the sequence exactly
+    assert sum(e - st_ for st_, e, _ in segs) == len(s)
+    pos = 0
+    for st_, e, is_valid in segs:
+        assert st_ == pos
+        pos = e
+        seg = s[st_:e]
+        if is_valid:
+            assert "N" not in seg and len(seg) >= k
+        else:
+            assert "N" in seg or len(seg) < k
+
+
+@settings(max_examples=50, deadline=None)
+@given(dna_with_n)
+def test_read_spans_kmer_accounting(s):
+    cfg = MinimizerConfig(k=12, m=7, spaces=0)
+    spans = read_spans(s, cfg)
+    # every span ≥1 kmer; ordinals sequential; distinct only on SEQUENCE
+    for i, sp in enumerate(spans):
+        assert sp.ordinal == i
+        assert sp.kmers >= 1
+        if sp.flag != FLAG_SEQUENCE:
+            assert not sp.distinct
+    # valid spans' kmers == per-valid-segment k-mer counts
+    total_valid = sum(sp.kmers for sp in spans if sp.flag == FLAG_SEQUENCE)
+    codes = bitseq.encode_codes(s)
+    expect = sum(
+        (e - st_) - cfg.k + 1
+        for st_, e, v in split_by_ambiguity(codes, cfg.k)
+        if v
+    )
+    assert total_valid == expect
+
+
+def test_read_spans_mate_pair_border():
+    cfg = MinimizerConfig(k=8, m=5, spaces=0)
+    r1 = "ACGTACGTACGT"
+    r2 = "TTTTACGTACGT"
+    spans = read_spans(r1, cfg, seq2=r2)
+    flags = [sp.flag for sp in spans]
+    assert FLAG_MATE_PAIR_BORDER in flags
+    b = flags.index(FLAG_MATE_PAIR_BORDER)
+    assert all(f != FLAG_MATE_PAIR_BORDER for f in flags[b + 1 :][flags[b + 1 :].index(FLAG_SEQUENCE) + 1 :] if f == FLAG_MATE_PAIR_BORDER)
+
+
+def test_distinct_flag_consecutive_suppression():
+    """A read whose every window shares one minimizer yields one distinct
+    span; repeating the same minimizer non-consecutively re-flags."""
+    cfg = MinimizerConfig(k=8, m=5, spaces=0)
+    s = "ACGTACGTACGTACGTACGT"
+    spans = [sp for sp in read_spans(s, cfg) if sp.flag == FLAG_SEQUENCE]
+    assert spans[0].distinct
+    for a, b in zip(spans, spans[1:]):
+        if a.minimizer == b.minimizer:
+            assert not b.distinct
+        else:
+            assert b.distinct
+
+
+def test_spaced_seed_mask_example():
+    """MinimizerPriorities.scala:282-321 doc example: s=3 zeroes every
+    other 2-bit position starting second-from-right."""
+    from slacken_spark.kernels.minimizers import spaced_seed_mask
+
+    m = 9
+    mask = spaced_seed_mask(m, 3)
+    # TTCTGTGGG with positions 1,3,5 (from right) zeroed → TTCAGAGAG
+    seq = "TTCTGTGGG"
+    packed = int(bitseq.pack_kmers(bitseq.encode_codes(seq), m)[0])
+    masked = packed & mask
+    assert bitseq.unpack_kmer(masked, m) == "TTCAGAGAG"
