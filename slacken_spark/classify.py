@@ -1,0 +1,287 @@
+"""Read classification against a KeyValueIndex + Kraken-style reports.
+
+Spark-first re-expression of the reference's Classifier
+(reference: slacken/Classifier.scala:60-250, TaxonCounts.scala:31-121,
+KrakenReport.scala:26-115):
+
+  pipeline: fragments → spans (scanner kernel in mapInPandas) →
+  LEFT join bucketed records (only the spans side shuffles) →
+  groupBy(header) collect ordered hits → per-read resolve_tree kernel
+  (one Arrow batch per Python call) → per-read Kraken lines +
+  driver-side tree report.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slacken_spark.index import KeyValueIndex, extract_spans
+from slacken_spark.kernels.taxonomy import (
+    AMBIGUOUS_SPAN,
+    MATE_PAIR_BORDER,
+    NONE,
+    ROOT,
+    Taxonomy,
+)
+
+
+@dataclass
+class ClassifyParams:
+    """Classifier.scala:60-61 ClassifyParams."""
+
+    min_hit_groups: int = 2
+    with_unclassified: bool = True
+    thresholds: tuple[float, ...] = (0.0,)
+    sample_regex: str | None = None
+    per_read_output: bool = True
+
+
+def taxon_counts_from_hits(
+    taxa: np.ndarray, counts: np.ndarray
+) -> tuple[list[int], list[int]]:
+    """Merge consecutive equal taxa (TaxonCounts.fromHits,
+    TaxonCounts.scala:31-48)."""
+    out_t: list[int] = []
+    out_c: list[int] = []
+    for t, c in zip(taxa.tolist(), counts.tolist()):
+        if out_t and out_t[-1] == t:
+            out_c[-1] += c
+        else:
+            out_t.append(t)
+            out_c.append(c)
+    return out_t, out_c
+
+
+def pairs_in_order_string(taxa: list[int], counts: list[int]) -> str:
+    """Kraken hit-detail string 'taxid:count …' with 'A' for ambiguous
+    and '|:|' at the mate-pair border (TaxonCounts.scala:92-110)."""
+    parts = []
+    for t, c in zip(taxa, counts):
+        if t == MATE_PAIR_BORDER:
+            parts.append("|:|")
+        elif t == AMBIGUOUS_SPAN:
+            parts.append(f"A:{c}")
+        else:
+            parts.append(f"{t}:{c}")
+    return " ".join(parts)
+
+
+def length_string(taxa: list[int], counts: list[int], k: int) -> str:
+    """'len' or 'len1|len2' for mate pairs (TaxonCounts.scala:113-121)."""
+    if MATE_PAIR_BORDER in taxa:
+        b = taxa.index(MATE_PAIR_BORDER)
+        l1 = sum(counts[:b]) + (k - 1)
+        l2 = sum(counts[b + 1 :]) + (k - 1)
+        return f"{l1}|{l2}"
+    return str(sum(counts) + (k - 1))
+
+
+class Classifier:
+    def __init__(self, index: KeyValueIndex):
+        self.index = index
+
+    def grouped_hits(self, fragments: DataFrame) -> DataFrame:
+        """Fragments → (header, hits[], num_distinct)
+        (collectHitsBySequence, Classifier.scala:70-96). Hits are
+        array<struct<ordinal,taxon,count,distinct>> sorted by ordinal
+        (struct comparison is field-order lexicographic, so array_sort
+        replaces the kernel-side re-sort at Classifier.scala:136)."""
+        spans = extract_spans(fragments, self.index.cfg)
+        hits = self.index.span_hits(spans)
+        hit = F.struct(
+            F.col("ordinal"), F.col("taxon"), F.col("count"), F.col("distinct")
+        )
+        return (
+            hits.select("header", hit.alias("hit"))
+            .groupBy("header")
+            .agg(
+                F.array_sort(F.collect_list("hit")).alias("hits"),
+                F.count_if(
+                    F.col("hit.distinct") & (F.col("hit.taxon") != NONE)
+                ).alias("num_distinct"),
+            )
+        )
+
+    def classify(
+        self, fragments: DataFrame, cpar: ClassifyParams | None = None,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Per-read classification
+        → (sample_id, classified, header, taxon, length_string, hits_string).
+        """
+        cpar = cpar or ClassifyParams()
+        threshold = cpar.thresholds[0] if threshold is None else threshold
+        k = self.index.cfg.k
+        min_hit_groups = cpar.min_hit_groups
+        sample_regex = cpar.sample_regex
+        bc_tax = self.index.spark.sparkContext.broadcast(self.index.taxonomy)
+        grouped = self.grouped_hits(fragments)
+
+        def gen(batches):
+            tax: Taxonomy = bc_tax.value
+            sre = re.compile(sample_regex) if sample_regex else None
+            for pdf in batches:
+                out = {
+                    "sample_id": [],
+                    "classified": [],
+                    "header": [],
+                    "taxon": [],
+                    "length_string": [],
+                    "hits_string": [],
+                }
+                for row in pdf.itertuples(index=False):
+                    hits = row.hits  # ordinal-sorted array of structs
+                    taxa = np.array([h["taxon"] for h in hits], dtype=np.int64)
+                    counts = np.array([h["count"] for h in hits], dtype=np.int64)
+                    mt, mc = taxon_counts_from_hits(taxa, counts)
+                    total_kmers = sum(
+                        c for t, c in zip(mt, mc) if t != MATE_PAIR_BORDER
+                    )
+                    hit_counts: dict[int, int] = {}
+                    for t, c in zip(mt, mc):
+                        if t not in (AMBIGUOUS_SPAN, MATE_PAIR_BORDER):
+                            hit_counts[t] = hit_counts.get(t, 0) + c
+                    required = np.ceil(threshold * total_kmers)
+                    taxon = tax.resolve_tree(hit_counts, required)
+                    classified = (
+                        taxon != NONE and row.num_distinct >= min_hit_groups
+                    )
+                    sample = "all"
+                    if sre is not None:
+                        m = sre.search(row.header)
+                        sample = m.group(1) if m else "other"
+                    out["sample_id"].append(sample)
+                    out["classified"].append(bool(classified))
+                    out["header"].append(row.header)
+                    out["taxon"].append(int(taxon) if classified else NONE)
+                    out["length_string"].append(length_string(mt, mc, k))
+                    out["hits_string"].append(pairs_in_order_string(mt, mc))
+                yield pd.DataFrame(out)
+
+        return grouped.mapInPandas(
+            gen,
+            "sample_id string, classified boolean, header string, taxon int,"
+            " length_string string, hits_string string",
+        )
+
+    def output_lines(self, classified: DataFrame) -> DataFrame:
+        """Kraken 2 per-read line format 'C/U\\ttitle\\ttaxon\\tlen\\thits'
+        (ClassifiedRead.outputLine, Classifier.scala:29-45)."""
+        return classified.select(
+            F.concat_ws(
+                "\t",
+                F.when(F.col("classified"), "C").otherwise("U"),
+                F.col("header"),
+                F.col("taxon"),
+                F.col("length_string"),
+                F.col("hits_string"),
+            ).alias("classification"),
+            F.col("sample_id").alias("sample"),
+        )
+
+    def write_output(self, classified: DataFrame, location: str, cpar: ClassifyParams):
+        """Gzip text partitioned by sample (Classifier.scala:199-210)."""
+        keep = classified if cpar.with_unclassified else classified.where("classified")
+        (
+            self.output_lines(keep)
+            .coalesce(min(self.index.buckets, 1000))
+            .write.mode("overwrite")
+            .partitionBy("sample")
+            .option("compression", "gzip")
+            .text(location)
+        )
+
+    def taxon_read_counts(self, classified: DataFrame) -> list[tuple[int, int]]:
+        """Per-taxon read counts for the report (Classifier.scala:214-217)."""
+        rows = (
+            classified.groupBy("taxon")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return [(int(r["taxon"]), int(r["n"])) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Kraken report (driver-side tree rollup — KrakenReport.scala:26-115)
+# ---------------------------------------------------------------------------
+
+RANK_CODES = {
+    0: "R",  # root
+    1: "D",  # superkingdom/domain
+    2: "K",
+    3: "P",
+    4: "C",
+    5: "O",
+    6: "F",
+    7: "G",
+    8: "S",
+}
+
+
+@dataclass
+class KrakenReport:
+    """Clade-rollup tree report. ``counts`` are (taxon, read_count)."""
+
+    taxonomy: Taxonomy
+    counts: list[tuple[int, int]]
+    report_zeros: bool = False
+    clade_totals: dict[int, int] = field(init=False)
+    taxon_counts: dict[int, int] = field(init=False)
+
+    def __post_init__(self):
+        self.taxon_counts = {}
+        for t, c in self.counts:
+            self.taxon_counts[t] = self.taxon_counts.get(t, 0) + c
+        self.clade_totals = {}
+        for t, c in self.taxon_counts.items():
+            if t == NONE:
+                self.clade_totals[NONE] = self.clade_totals.get(NONE, 0) + c
+                continue
+            for p in self.taxonomy.path_to_root(t):
+                self.clade_totals[p] = self.clade_totals.get(p, 0) + c
+        self.total = sum(self.taxon_counts.values())
+
+    def _line(self, taxid: int, rank_code: str, rank_depth: int, depth: int) -> str:
+        clade = self.clade_totals.get(taxid, 0)
+        own = self.taxon_counts.get(taxid, 0)
+        pct = "%6.2f" % (100.0 * clade / self.total if self.total else 0.0)
+        ds = "" if rank_depth == 0 else str(rank_depth)
+        name = ""
+        if self.taxonomy.names is not None and taxid < len(self.taxonomy.names):
+            name = self.taxonomy.names[taxid]
+        indent = "  " * depth
+        return f"{pct}\t{clade}\t{own}\t{rank_code}{ds}\t{taxid}\t{indent}{name}"
+
+    def lines(self) -> list[str]:
+        out = []
+        unclassified = self.taxon_counts.get(NONE, 0)
+        if unclassified or self.report_zeros:
+            out.append(self._line(NONE, "U", 0, 0))
+        self._dfs(out, ROOT, "R", 0, 0)
+        return out
+
+    def _dfs(self, out: list[str], taxid: int, rank: str, rank_depth: int, depth: int):
+        rd = (
+            self.taxonomy.rank_depths[taxid]
+            if self.taxonomy.rank_depths is not None
+            and taxid < len(self.taxonomy.rank_depths)
+            else -1
+        )
+        if rd >= 0:
+            rank, rank_depth = RANK_CODES.get(int(rd), "-"), 0
+        else:
+            rank_depth += 1
+        out.append(self._line(taxid, rank, rank_depth, depth))
+        kids = [
+            (c, self.clade_totals.get(c, 0)) for c in self.taxonomy.children[taxid]
+        ]
+        kids.sort(key=lambda x: -x[1])
+        for child, cnt in kids:
+            if self.report_zeros or cnt > 0:
+                self._dfs(out, child, rank, rank_depth, depth + 1)

@@ -1,0 +1,268 @@
+"""Minimizer → LCA-taxon key-value index: build, persist, load, join.
+
+Spark-first re-expression of the reference's KeyValueIndex
+(reference: slacken/KeyValueIndex.scala:32-257):
+  - records table: one row per distinct minimizer → (id1 long, taxon int),
+    single-long minimizers (m ≤ 31; KeyValueIndex.scala:49-50 generalizes
+    to idN columns — this engine pins N=1, covering the default m=31);
+  - the index is persisted as a BUCKETED parquet table
+    (``bucketBy(buckets, "id1")`` + saveAsTable, KeyValueIndex.scala:125-139)
+    with a JSON params sidecar (IndexParams.scala:63-91), and reloaded by
+    re-registering the bucketed DDL (KeyValueIndex.scala:150-159) so the
+    classification join NEVER reshuffles the index side — only the spans
+    side shuffles into bucket alignment. Sessions classifying against an
+    index pin ``spark.sql.shuffle.partitions`` to the bucket count
+    (SparkTool.scala:54-58).
+  - the LCA fold aggregation (KeyValueIndex.scala:85-93,
+    LowestCommonAncestor.scala:149-170) runs as collect_list + one
+    Arrow-batched pandas UDF over the broadcast taxonomy
+    (Taxonomy.lca_list_udf) — LCA is associative/commutative, and
+    minimizer groups are small (the genomes sharing a minimizer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slacken_spark.kernels.minimizers import (
+    FLAG_AMBIGUOUS,
+    FLAG_MATE_PAIR_BORDER,
+    MinimizerConfig,
+    genome_minimizers,
+    read_spans,
+)
+from slacken_spark.kernels.taxonomy import (
+    AMBIGUOUS_SPAN,
+    MATE_PAIR_BORDER,
+    NONE,
+    Taxonomy,
+)
+
+SPANS_SCHEMA = (
+    "header string, id1 long, distinct boolean, kmers int, flag int, ordinal int"
+)
+
+
+def extract_spans(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
+    """Fragments → ordinal spans (getSpans, KeyValueIndex.scala:163-173).
+
+    mapInPandas over Arrow batches; per-fragment work is the vectorized
+    scanner kernel. Output: (header, id1, distinct, kmers, flag, ordinal).
+    """
+    cfg_dict = cfg.to_dict()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = MinimizerConfig.from_dict(cfg_dict)
+        rng = np.random.default_rng(0x5EED)
+        for pdf in batches:
+            headers, ids, dist, kmers, flags, ords = [], [], [], [], [], []
+            has_mate = "nucleotides2" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                seq2 = getattr(row, "nucleotides2", None) if has_mate else None
+                if seq2 is not None and not isinstance(seq2, str):
+                    seq2 = None
+                for sp in read_spans(row.nucleotides, c, seq2=seq2, rng=rng):
+                    headers.append(row.header)
+                    # packed minimizers are < 2^62 (m ≤ 31) — always a
+                    # valid signed long
+                    ids.append(sp.minimizer)
+                    dist.append(sp.distinct)
+                    kmers.append(sp.kmers)
+                    flags.append(sp.flag)
+                    ords.append(sp.ordinal)
+            yield pd.DataFrame(
+                {
+                    "header": headers,
+                    "id1": pd.array(ids, dtype="int64"),
+                    "distinct": dist,
+                    "kmers": pd.array(kmers, dtype="int32"),
+                    "flag": pd.array(flags, dtype="int32"),
+                    "ordinal": pd.array(ords, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, SPANS_SCHEMA)
+
+
+def extract_index_rows(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
+    """Labelled genome fragments → (id1, taxon) minimizer rows
+    (Minimizers.find, Minimizers.scala:43-76). Map-only; shuffles next
+    at the LCA groupBy."""
+    cfg_dict = cfg.to_dict()
+
+    def gen(batches):
+        import pandas as pd
+
+        c = MinimizerConfig.from_dict(cfg_dict)
+        for pdf in batches:
+            out_ids, out_tax = [], []
+            for row in pdf.itertuples(index=False):
+                mins = genome_minimizers(row.nucleotides, c)
+                if len(mins):
+                    out_ids.extend(mins.astype("int64").tolist())
+                    out_tax.extend([row.taxon] * len(mins))
+            yield pd.DataFrame(
+                {
+                    "id1": pd.array(out_ids, dtype="int64"),
+                    "taxon": pd.array(out_tax, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, "id1 long, taxon int")
+
+
+class KeyValueIndex:
+    """A loaded (or just-built) minimizer → LCA index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        records: DataFrame,
+        cfg: MinimizerConfig,
+        taxonomy: Taxonomy,
+        buckets: int,
+        location: str | None = None,
+    ):
+        self.spark = spark
+        self.records = records
+        self.cfg = cfg
+        self.taxonomy = taxonomy
+        self.buckets = buckets
+        self.location = location
+
+    # ---------------- build ----------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        genomes: DataFrame,
+        labels: DataFrame,
+        taxonomy: Taxonomy,
+        cfg: MinimizerConfig,
+        buckets: int = 32,
+    ) -> "KeyValueIndex":
+        """Genomes ⋈ labels → minimizer rows → LCA fold → records.
+
+        ``genomes``: (header, nucleotides); ``labels``: (header, taxon)
+        — the label side is small and broadcast (GenomeLibrary.scala:70-71).
+        Taxa undefined in the taxonomy are dropped (KeyValueIndex.scala:118-121).
+        """
+        defined = sorted(
+            t
+            for t in range(1, taxonomy.n_nodes)
+            if taxonomy.is_defined(t)
+        )
+        labelled = genomes.join(F.broadcast(labels), "header").where(
+            F.col("taxon").isin(defined)
+            if len(defined) <= 10000
+            else F.col("taxon").isNotNull()
+        )
+        rows = extract_index_rows(labelled, cfg)
+        lca_udf = taxonomy.lca_list_udf(spark)
+        records = (
+            rows.groupBy("id1")
+            .agg(F.collect_list("taxon").alias("taxa"))
+            .select("id1", lca_udf(F.col("taxa")).cast("int").alias("taxon"))
+        )
+        return cls(spark, records, cfg, taxonomy, buckets)
+
+    # ---------------- persist / load ----------------
+
+    def write(self, location: str, table_name: str | None = None) -> "KeyValueIndex":
+        """Persist as a bucketed parquet table + params sidecar.
+
+        bucketBy preserves the hash partitioning on disk so later
+        classification joins shuffle only the read side
+        (KeyValueIndex.scala:125-139).
+        """
+        table_name = table_name or "slacken_index_" + os.path.basename(
+            location.rstrip("/")
+        ).replace("-", "_").replace(".", "_")
+        self.spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        (
+            self.records.repartition(self.buckets, "id1")
+            .write.mode("overwrite")
+            .option("path", location)
+            .bucketBy(self.buckets, "id1")
+            .sortBy("id1")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+        params = {
+            "version": 1,
+            "buckets": self.buckets,
+            "splitter": self.cfg.to_dict(),
+        }
+        with open(os.path.join(location, "_index_params.json"), "w") as f:
+            json.dump(params, f, indent=2)
+        tax_dir = os.path.join(location, "_taxonomy")
+        os.makedirs(tax_dir, exist_ok=True)
+        self.taxonomy.save(tax_dir)
+        self.location = location
+        self.records = self.spark.table(table_name)
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "KeyValueIndex":
+        """Reload: params sidecar + bucketed-table DDL registration
+        (KeyValueIndex.scala:150-159, 407-427). Pins
+        spark.sql.shuffle.partitions to the bucket count."""
+        with open(os.path.join(location, "_index_params.json")) as f:
+            params = json.load(f)
+        cfg = MinimizerConfig.from_dict(params["splitter"])
+        buckets = int(params["buckets"])
+        taxonomy = Taxonomy.load_dir(os.path.join(location, "_taxonomy"))
+        name = "slacken_index_" + os.path.basename(location.rstrip("/")).replace(
+            "-", "_"
+        ).replace(".", "_")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} (id1 BIGINT, taxon INT) USING PARQUET"
+            f" CLUSTERED BY (id1) SORTED BY (id1) INTO {buckets} BUCKETS"
+            f" LOCATION '{location}'"
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
+        return cls(spark, spark.table(name), cfg, taxonomy, buckets, location)
+
+    # ---------------- stats (KeyValueIndex.scala:220-257) ----------------
+
+    def distinct_minimizers_per_taxon(self) -> DataFrame:
+        return self.records.groupBy("taxon").agg(
+            F.count_distinct("id1").alias("n_minimizers")
+        )
+
+    def stats(self) -> dict:
+        row = self.records.agg(
+            F.count(F.lit(1)).alias("records"),
+            F.count_distinct("taxon").alias("taxa"),
+        ).first()
+        return {"records": row["records"], "taxa": row["taxa"]}
+
+    # ---------------- classification join ----------------
+
+    def span_hits(self, spans: DataFrame) -> DataFrame:
+        """Classification join + sentinel decode (J1 + spanToHit,
+        Classifier.scala:79-90, KeyValueIndex.scala:176-185). LEFT join
+        keeps unmatched spans as NONE hits; ambiguous / mate-border spans
+        decode to their sentinel taxa."""
+        joined = spans.join(self.records, "id1", "left")
+        return joined.select(
+            "header",
+            "distinct",
+            "ordinal",
+            F.when(spans["flag"] == FLAG_AMBIGUOUS, F.lit(AMBIGUOUS_SPAN))
+            .when(spans["flag"] == FLAG_MATE_PAIR_BORDER, F.lit(MATE_PAIR_BORDER))
+            .when(F.col("taxon").isNotNull(), F.col("taxon"))
+            .otherwise(F.lit(NONE))
+            .cast("int")
+            .alias("taxon"),
+            F.col("kmers").alias("count"),
+        )

@@ -119,6 +119,45 @@ class Taxonomy:
                     merged[int(parts[0])] = int(parts[1])
         return cls.from_edges(ids, parents, ranks, names, merged)
 
+    # ---------------- persistence (index sidecar) ----------------
+
+    def save(self, dir_path: str) -> None:
+        """Persist next to an index (the reference copies the dmp files,
+        Taxonomy.scala:142-147; we store the parsed arrays directly)."""
+        import json
+        import os
+
+        np.savez_compressed(
+            os.path.join(dir_path, "taxonomy.npz"),
+            parents=self.parents,
+            rank_depths=(
+                self.rank_depths
+                if self.rank_depths is not None
+                else np.full(self.n_nodes, NO_RANK, dtype=np.int8)
+            ),
+            primary=(
+                self.primary
+                if self.primary is not None
+                else np.arange(self.n_nodes, dtype=np.int64)
+            ),
+        )
+        if self.names is not None:
+            with open(os.path.join(dir_path, "names.json"), "w") as f:
+                json.dump(self.names, f)
+
+    @classmethod
+    def load_dir(cls, dir_path: str) -> "Taxonomy":
+        import json
+        import os
+
+        z = np.load(os.path.join(dir_path, "taxonomy.npz"))
+        names = None
+        names_path = os.path.join(dir_path, "names.json")
+        if os.path.exists(names_path):
+            with open(names_path) as f:
+                names = json.load(f)
+        return cls(z["parents"], z["rank_depths"], names, z["primary"])
+
     # ---------------- basic structure ----------------
 
     @property
