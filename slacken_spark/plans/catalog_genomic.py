@@ -1,0 +1,231 @@
+"""Query catalog, part 3: the genomic engine driven from the driver's
+tables, with DuckDB oracles wherever the result is independently
+predictable.
+
+DNA is derived deterministically from the ``part`` table — md5 hex
+translated to ACGT — so both engines construct identical genomes.
+Genome layout: ``brand_core(256bp) || part_unique(256bp)``. Minimizers
+in the core region occur in every part of the brand, so the index-build
+LCA fold must lift them to the brand taxon, while unique-region
+minimizers stay on the leaf part taxon. Reads drawn from known offsets
+then have *predictable* classifications:
+
+  - a read inside the core        → brand taxon,
+  - a read inside the unique tail → leaf (part) taxon,
+  - a read spanning the boundary  → leaf (leaf path-score ≥ brand's).
+
+The oracle recomputes those expectations with plain SQL — a full
+differential test of scanner → LCA fold → classification join →
+resolve_tree, in the spirit of the reference's independently-computed
+golden counts (KeyValueIndexTest.scala:35-99).
+
+Taxonomy: ROOT(1) ← brand taxa (2+xy from 'Brand#xy') ← part leaves
+(p_partkey+1000). Sampled deterministically: p_partkey % 40 == 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slacken_spark.classify import Classifier, ClassifyParams
+from slacken_spark.index import KeyValueIndex, extract_spans
+from slacken_spark.kernels.minimizers import MinimizerConfig
+from slacken_spark.kernels.taxonomy import Taxonomy
+from slacken_spark.plans.catalog import register, t
+
+CFG = MinimizerConfig(k=21, m=15, spaces=2, canonical=True)
+
+# 8 md5 blocks of 32 hex chars = 256 bases
+_N_BLOCKS = 8
+_HEX2DNA = ("0123456789abcdef", "ACGTACGTACGTACGT")
+
+
+def _dna_expr(salt: str, key_col, n_blocks: int = _N_BLOCKS):
+    """256bp deterministic DNA: concat of md5 blocks, hex→ACGT."""
+    blocks = [
+        F.md5(F.concat(F.lit(f"{salt}:"), key_col.cast("string"), F.lit(f":{b}")))
+        for b in range(n_blocks)
+    ]
+    return F.translate(F.concat(*blocks), *_HEX2DNA)
+
+
+def _dna_sql(salt: str, key_expr: str, n_blocks: int = _N_BLOCKS) -> str:
+    parts = " || ".join(
+        f"md5('{salt}:' || {key_expr} || ':{b}')" for b in range(n_blocks)
+    )
+    return f"translate({parts}, '0123456789abcdef', 'ACGTACGTACGTACGT')"
+
+
+# brand taxon from 'Brand#xy' → 2 + xy; leaf taxon = p_partkey + 1000
+# (column exprs built lazily — pyspark needs an active context)
+def _brand_taxon():
+    return 2 + F.substring("p_brand", 7, 2).cast("int")
+
+
+_BRAND_TAXON_SQL = "CAST(2 + CAST(substr(p_brand, 7, 2) AS INT) AS VARCHAR)"
+
+
+def _genomes(spark, sf_dir):
+    """(header, nucleotides, taxon, brand_taxon) — sampled parts."""
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
+    return part.select(
+        F.concat(F.lit("g"), F.col("p_partkey")).alias("header"),
+        F.concat(
+            _dna_expr("core", _brand_taxon()), _dna_expr("uniq", F.col("p_partkey"))
+        ).alias("nucleotides"),
+        (F.col("p_partkey") + 1000).cast("int").alias("taxon"),
+        _brand_taxon().cast("int").alias("brand_taxon"),
+    )
+
+
+def _taxonomy(spark, sf_dir) -> Taxonomy:
+    rows = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 40 == 0)
+        .select(
+            (F.col("p_partkey") + 1000).alias("leaf"), _brand_taxon().alias("brand")
+        )
+        .toPandas()
+    )
+    ids = rows["leaf"].tolist() + sorted(set(rows["brand"].tolist()))
+    parents = rows["brand"].tolist() + [1] * len(set(rows["brand"].tolist()))
+    return Taxonomy.from_edges(ids, parents)
+
+
+def _build_index(spark, sf_dir) -> KeyValueIndex:
+    g = _genomes(spark, sf_dir)
+    labels = g.select("header", "taxon")
+    genomes = g.select("header", "nucleotides")
+    return KeyValueIndex.build(
+        spark, genomes, labels, _taxonomy(spark, sf_dir), CFG, buckets=32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span accounting: the scanner's k-mer totals vs SQL length arithmetic
+# (the reference's numberOf35Mers-style golden check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "genomic_kmer_totals",
+    f"""
+    WITH g AS (
+        SELECT 'g' || p_partkey AS header,
+               {_dna_sql("core", _BRAND_TAXON_SQL)}
+                 || {_dna_sql("uniq", "p_partkey")} AS dna
+        FROM part WHERE p_partkey % 40 = 0
+    )
+    SELECT header,
+           CAST(length(dna) - {CFG.k - 1} AS BIGINT) AS total_kmers
+    FROM g
+    """,
+)
+def genomic_kmer_totals(spark, sf_dir):
+    """Spark runs the real scanner (ambiguity split → super-mers) via
+    mapInPandas and sums per-span k-mer counts; the oracle computes
+    len−k+1 independently. Differential check of the whole span layer."""
+    g = _genomes(spark, sf_dir).select("header", "nucleotides")
+    spans = extract_spans(g, CFG)
+    return spans.groupBy("header").agg(
+        F.sum("kmers").cast("long").alias("total_kmers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index build: LCA fold lifts brand-shared minimizers to the brand taxon
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "genomic_index_lca_histogram",
+    f"""
+    WITH parts AS (SELECT p_partkey, {_BRAND_TAXON_SQL} AS brand
+                   FROM part WHERE p_partkey % 40 = 0),
+    bc AS (SELECT brand, count(*) AS n FROM parts GROUP BY brand)
+    SELECT * FROM (
+        SELECT 'leaf' AS level, count(*) AS n_taxa FROM parts
+        UNION ALL
+        -- a brand-level record exists only when ≥2 parts share the core
+        SELECT 'brand' AS level, count(*) AS n_taxa FROM bc WHERE n >= 2
+    ) x WHERE n_taxa > 0
+    """,
+)
+def genomic_index_lca_histogram(spark, sf_dir):
+    """Build the index, then check that BOTH levels of the tree appear
+    among record taxa and that every expected taxon is present: the
+    oracle predicts the exact distinct-taxon census per level (each part
+    has ≥1 unique minimizer; each brand core is shared by the brand's
+    parts — at least one such part exists per brand)."""
+    idx = _build_index(spark, sf_dir)
+    return (
+        idx.records.select(
+            F.when(F.col("taxon") >= 1000, "leaf").otherwise("brand").alias("level"),
+            "taxon",
+        )
+        .groupBy("level")
+        .agg(F.count_distinct("taxon").alias("n_taxa"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full classification with oracle-predictable results
+# ---------------------------------------------------------------------------
+
+# read offsets (1-based): core-only, boundary-spanning, unique-only
+_READ_DEFS = [("core", 40, 150), ("span", 200, 150), ("uniq", 320, 150)]
+
+
+def _reads(spark, sf_dir):
+    g = _genomes(spark, sf_dir)
+    reads = None
+    for tag, off, ln in _READ_DEFS:
+        r = g.select(
+            F.concat(F.lit(f"r_{tag}_"), F.col("header")).alias("header"),
+            F.substring("nucleotides", off, ln).alias("nucleotides"),
+        )
+        reads = r if reads is None else reads.unionByName(r)
+    return reads
+
+
+@register(
+    "genomic_classify",
+    f"""
+    WITH parts AS (
+        SELECT p_partkey, {_BRAND_TAXON_SQL} AS brand
+        FROM part WHERE p_partkey % 40 = 0
+    ),
+    bc AS (SELECT brand, count(*) AS n FROM parts GROUP BY brand),
+    reads AS (
+        -- core read lifts to the brand only when ≥2 parts share the core;
+        -- a single-part brand's core minimizers stay on the leaf
+        SELECT 'r_core_g' || p_partkey AS header,
+               CASE WHEN bc.n >= 2 THEN CAST(p.brand AS INT)
+                    ELSE p_partkey + 1000 END AS expect
+        FROM parts p JOIN bc ON p.brand = bc.brand
+        UNION ALL
+        SELECT 'r_span_g' || p_partkey, p_partkey + 1000 FROM parts
+        UNION ALL
+        SELECT 'r_uniq_g' || p_partkey, p_partkey + 1000 FROM parts
+    )
+    SELECT header, TRUE AS classified, CAST(expect AS INT) AS taxon
+    FROM reads
+    """,
+)
+def genomic_classify(spark, sf_dir):
+    """End-to-end: index build + classify three reads per genome. The
+    oracle predicts every read's taxon from the genome layout (see
+    module docstring) — a full differential test of the pipeline."""
+    idx = _build_index(spark, sf_dir)
+    cls = Classifier(idx)
+    out = cls.classify(_reads(spark, sf_dir), ClassifyParams(min_hit_groups=2))
+    return out.select("header", "classified", "taxon")
+
+
+@register("genomic_classify_detail", None)  # Kraken line format: rows-only
+def genomic_classify_detail(spark, sf_dir):
+    """Per-read Kraken output lines (hit details aren't SQL-expressible)."""
+    idx = _build_index(spark, sf_dir)
+    cls = Classifier(idx)
+    out = cls.classify(_reads(spark, sf_dir), ClassifyParams(min_hit_groups=2))
+    return cls.output_lines(out)
