@@ -18,12 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Importing the catalog modules populates the registry.
 from slacken_spark.plans import catalog as _catalog
-from slacken_spark.plans import catalog_docs as _catalog_docs  # noqa: F401
+from slacken_spark.plans import load_all as _load_all
 
-try:  # genomic queries need the minimizer kernels; keep entrypoint robust
-    from slacken_spark.plans import catalog_genomic as _catalog_genomic  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+_load_all()
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 

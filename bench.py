@@ -26,12 +26,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    from slacken_spark.plans import catalog, catalog_docs  # noqa: F401
+    from slacken_spark.plans import catalog, load_all
 
-    try:
-        from slacken_spark.plans import catalog_genomic  # noqa: F401
-    except ImportError:
-        pass
+    load_all()
     from slacken_spark.session import get_spark
 
     spark = get_spark("slacken_spark_bench")

@@ -1,0 +1,103 @@
+"""Query catalog, part 4: Structured Streaming over the events table,
+run to completion (availableNow) so each result is deterministic and
+oracle-comparable against batch SQL. This proves the streaming plans
+(watermark + windowed agg, session windows) compute the same answers
+the batch engine would — the micro-batch boundary changes nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from slacken_spark.plans.catalog import register, t
+from slacken_spark.streaming import ops
+
+# events.parquet stores TIMESTAMP(NANOS); the streaming source reads it
+# as int64 (legacy conf, same as catalog.t) and converts to µs.
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _event_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source wants a directory; glob-filter to events
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .format("parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           user_id % 10 AS user_ring,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window counts computed BY A REAL STREAM
+    (availableNow run), compared against batch SQL over the same data."""
+    stream = _event_stream(spark, sf_dir).select(
+        "ts",
+        (F.col("user_id") % 10).alias("user_ring"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_ring")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_ring",
+            "n",
+            "value_cents",
+        )
+    )
+    return ops.run_to_completion(agg, output_mode="complete")
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH s AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def streaming_session_windows(spark, sf_dir):
+    """session_window aggregation in a real stream; the oracle recomputes
+    sessions with the batch lag+cumsum formulation (same 30-min gap)."""
+    stream = _event_stream(spark, sf_dir).select("user_id", "ts")
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    done = ops.run_to_completion(sess, output_mode="complete")
+    return done.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )

@@ -1,0 +1,149 @@
+"""Structured Streaming operators.
+
+The reference engine is batch-only (SURVEY §1.3), but a 100 TB
+training-data platform ingests continuously; this module provides the
+streaming half of the engine as thin, testable compositions of
+Structured Streaming primitives:
+
+  - tumbling/sliding windowed aggregation with watermarked late-data
+    handling (``F.window`` + ``withWatermark``);
+  - gap-based session windows (``F.session_window`` — the streaming
+    equivalent of operators/relational_ext.sessionize);
+  - a custom stateful per-key operator via ``applyInPandasWithState``
+    (running per-user counters), the pattern any bespoke streaming
+    kernel (e.g. an online minimizer sketch) would follow;
+  - a deterministic run-to-completion helper (``availableNow`` trigger +
+    memory sink) so streaming plans are testable and oracle-comparable
+    batch-for-batch.
+
+Scale notes: watermarks bound state; session/window aggs shuffle once on
+(key, window); state-store size is per-key-bounded, so the same plan
+runs continuously on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked (sliding) window counts per key.
+
+    Late rows beyond ``watermark`` are dropped; output schema:
+    (window_start, window_end, key, n, value_sum).
+    """
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation (streaming sessionize)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def running_user_totals(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator: per-key running totals maintained in the
+    state store across micro-batches via applyInPandasWithState.
+
+    Emits one row per key per micro-batch in which the key appears:
+    (key, n_events_total, value_total). This is the template for any
+    bespoke streaming kernel the SQL surface can't express.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events_total long, value_total double"
+    state_schema = "n long, v double"
+
+    def update(key, pdfs, state):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events_total": [n], "value_total": [v]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(
+    result: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame with the availableNow trigger into a
+    memory sink and return the final table — deterministic, so streaming
+    plans are testable against batch oracles."""
+    name = name or ("s_" + uuid.uuid4().hex[:12])
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a file directory (the batch tables' streaming twin)."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.format(fmt).load(path)

@@ -7,13 +7,9 @@ from tests.oracle_harness import compare, duckdb_conn
 
 
 def _load_registry():
-    from slacken_spark.plans import catalog, catalog_docs  # noqa: F401
+    from slacken_spark.plans import load_all
 
-    try:
-        from slacken_spark.plans import catalog_genomic  # noqa: F401
-    except ImportError:
-        pass
-    return catalog.QUERIES
+    return load_all()
 
 
 REGISTRY = _load_registry()

@@ -1,0 +1,155 @@
+"""Streaming ops tests: batch-vs-stream equivalence, watermark late-data
+drops, stateful running totals across micro-batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from slacken_spark.streaming import ops
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _write_batch(spark, path, rows):
+    _df(spark, rows).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    d = str(tmp_path / "stream_in")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:20:00", 2.0),
+        (2, "2024-01-01 10:05:00", 3.0),
+        (1, "2024-01-01 12:00:00", 4.0),
+        (2, "2024-01-01 12:30:00", 5.0),
+    ]
+    _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_windowed_counts_match_batch(spark, stream_dir):
+    stream = ops.file_stream(spark, stream_dir, SCHEMA)
+    out = ops.run_to_completion(
+        ops.windowed_counts(stream, "ts", "user_id", window="1 hour"),
+        output_mode="complete",
+    )
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "user_id",
+            "n",
+            "value_sum",
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_sliding_windows(spark, stream_dir):
+    stream = ops.file_stream(spark, stream_dir, SCHEMA)
+    out = ops.run_to_completion(
+        ops.windowed_counts(
+            stream, "ts", "user_id", window="1 hour", slide="30 minutes"
+        ),
+        output_mode="complete",
+    ).collect()
+    # the 10:20 event of user 1 appears in two overlapping windows
+    hits = [
+        r
+        for r in out
+        if r["user_id"] == 1
+        and str(r["window_start"]).endswith(("09:30:00", "10:00:00"))
+        and r["n"] >= 1
+    ]
+    assert len(hits) == 2
+
+
+def test_session_windows(spark, stream_dir):
+    stream = ops.file_stream(spark, stream_dir, SCHEMA)
+    out = ops.run_to_completion(
+        ops.session_windows(stream, "ts", "user_id", gap="30 minutes"),
+        output_mode="complete",
+    ).collect()
+    # user 1: 10:00 + 10:20 chain into one session; 12:00 starts a second
+    u1 = sorted(
+        [r for r in out if r["user_id"] == 1], key=lambda r: r["session_start"]
+    )
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2 and u1[0]["value_sum"] == 3.0
+    assert u1[1]["n_events"] == 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windows close as the watermark advances; a row arriving
+    after its window's watermark horizon is dropped, never re-opening the
+    emitted window."""
+    d = str(tmp_path / "late_in")
+    ck = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    _write_batch(spark, d, [(1, "2024-01-01 10:00:00", 1.0)])
+    _write_batch(spark, d, [(1, "2024-01-01 20:00:00", 1.0)])
+    stream = ops.file_stream(spark, d, SCHEMA, max_files_per_trigger=1)
+    agg = ops.windowed_counts(
+        stream, "ts", "user_id", window="1 hour", watermark="1 hour"
+    )
+
+    def run_once():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # late row: 10:30 is far behind the persisted watermark (19:00) → dropped
+    _write_batch(spark, d, [(1, "2024-01-01 10:30:00", 99.0)])
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    w10 = [r for r in rows if str(r["window_start"]).endswith("10:00:00")]
+    assert len(w10) == 1 and w10[0]["n"] == 1  # closed once, late row dropped
+    assert not any(r["value_sum"] == 99.0 for r in rows)
+
+
+def test_running_user_totals_accumulate(spark, tmp_path):
+    d = str(tmp_path / "state_in")
+    ck = str(tmp_path / "ckpt")
+    _write_batch(
+        spark,
+        d,
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 10:00:00", 2.0)],
+    )
+    stream = ops.file_stream(spark, d, SCHEMA, max_files_per_trigger=1)
+    out = ops.running_user_totals(stream)
+    emitted: list = []
+
+    def run_once():
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _id: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # second micro-batch adds more events for user 1; state must carry over
+    _write_batch(spark, d, [(1, "2024-01-01 11:00:00", 10.0)])
+    run_once()
+    u1 = [r for r in emitted if r["user_id"] == 1]
+    assert any(r["n_events_total"] == 2 and r["value_total"] == 11.0 for r in u1)
