@@ -1,0 +1,72 @@
+"""Multimodal plumbing tests: schema, batching, deterministic fake
+decoders, frame-sample planning, phash near-dup banding."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from slacken_spark.functions import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        payload = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+        rows.append((i, payload, {"width": 64, "height": 64}))
+    # row 6 duplicates row 0's payload exactly (near-dup hamming 0)
+    rows.append((6, rows[0][1], {"width": 64, "height": 64}))
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, meta struct<width int, height int>"
+    )
+
+
+def test_image_features_schema_and_determinism(spark, images):
+    out1 = {r["media_id"]: r for r in M.image_features(images).collect()}
+    out2 = {r["media_id"]: r for r in M.image_features(images).collect()}
+    assert len(out1) == 7
+    for mid, r in out1.items():
+        assert r["n_bytes"] == 4096
+        assert 0 <= r["mean_luma"] <= 255
+        assert r["phash"] == out2[mid]["phash"]  # deterministic
+    assert out1[0]["phash"] == out1[6]["phash"]  # identical payloads
+
+
+def test_real_decoder_is_gated(spark, images):
+    if M.decoder_available():
+        pytest.skip("Pillow present; real path active")
+    with pytest.raises(Exception) as ei:
+        M.image_features(images, use_real=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_audio_features(spark):
+    # 1 kHz square-ish wave in PCM16: alternating +/- every 4 samples
+    sig = np.tile(np.array([1000] * 4 + [-1000] * 4, dtype=np.int16), 100)
+    df = spark.createDataFrame(
+        [(1, sig.tobytes(), {"sample_rate": 8000})],
+        "media_id long, payload binary, meta struct<sample_rate int>",
+    )
+    r = M.audio_features(df).first()
+    assert r["n_samples"] == 800
+    assert abs(r["rms"] - 1000.0) < 1e-9
+    assert r["zero_crossings"] == 199
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 30.0, 2.5), (2, 24.0, 0.4)], "video_id long, fps double, duration_s double"
+    )
+    out = M.frame_sample_plan(df, every_s=1.0).collect()
+    v1 = [r for r in out if r["video_id"] == 1]
+    assert [r["frame_idx"] for r in v1] == [0, 1]
+    assert [r["frame_no"] for r in v1] == [0, 30]
+    assert not any(r["video_id"] == 2 for r in out)  # too short → no frames
+
+
+def test_phash_near_dup_banding(spark, images):
+    feats = M.image_features(images)
+    pairs = M.phash_near_dup_pairs(feats, max_hamming=0).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 6)}
+    assert pairs[0]["hamming"] == 0
