@@ -117,11 +117,28 @@ class Classifier:
         """
         cpar = cpar or ClassifyParams()
         threshold = cpar.thresholds[0] if threshold is None else threshold
+        return self._classify_grouped(self.grouped_hits(fragments), cpar, threshold)
+
+    def classify_multi(
+        self, fragments: DataFrame, cpar: ClassifyParams
+    ) -> dict[float, DataFrame]:
+        """Classify at several confidence thresholds, caching the grouped
+        hits across thresholds (Classifier.scala:156-170). Caller should
+        unpersist via the returned frames' lineage when done."""
+        grouped = self.grouped_hits(fragments)
+        if len(cpar.thresholds) > 1:
+            grouped = grouped.persist()
+        out = {}
+        for thr in cpar.thresholds:
+            out[thr] = self._classify_grouped(grouped, cpar, thr)
+        return out
+
+    def _classify_grouped(self, grouped, cpar, threshold):
+        """Internal: classification kernel over pre-grouped hits."""
         k = self.index.cfg.k
         min_hit_groups = cpar.min_hit_groups
         sample_regex = cpar.sample_regex
         bc_tax = self.index.spark.sparkContext.broadcast(self.index.taxonomy)
-        grouped = self.grouped_hits(fragments)
 
         def gen(batches):
             tax: Taxonomy = bc_tax.value
@@ -136,7 +153,7 @@ class Classifier:
                     "hits_string": [],
                 }
                 for row in pdf.itertuples(index=False):
-                    hits = row.hits  # ordinal-sorted array of structs
+                    hits = row.hits
                     taxa = np.array([h["taxon"] for h in hits], dtype=np.int64)
                     counts = np.array([h["count"] for h in hits], dtype=np.int64)
                     mt, mc = taxon_counts_from_hits(taxa, counts)
@@ -205,6 +222,80 @@ class Classifier:
             .collect()
         )
         return [(int(r["taxon"]), int(r["n"])) for r in rows]
+
+
+class SQLClassifier:
+    """The reports-only classification path (``--no-detailed``):
+    arrays-of-primitives aggregation instead of per-read struct lists
+    (SQLClassifier, Classifier.scala:259-367). Cheaper Arrow transfer —
+    the shape recommended for the 100 TB path (SURVEY §4 perf note).
+    """
+
+    def __init__(self, index: KeyValueIndex):
+        self.index = index
+
+    def grouped_hits(self, fragments: DataFrame) -> DataFrame:
+        """(header, num_distinct, total_count, taxa[], counts[]) — two-level
+        aggregation (Classifier.scala:267-291); hit ordering is lost,
+        which per-read-output doesn't need."""
+        spans = extract_spans(fragments, self.index.cfg)
+        hits = self.index.span_hits(spans)
+        lvl1 = hits.groupBy("header", "taxon").agg(
+            F.sum("count").cast("int").alias("count"),
+            F.count_if(F.col("distinct") & (F.col("taxon") != NONE))
+            .cast("int")
+            .alias("num_distinct"),
+        )
+        keep = F.col("taxon") != MATE_PAIR_BORDER
+        keep_tax = keep & (F.col("taxon") != AMBIGUOUS_SPAN)
+        return lvl1.groupBy("header").agg(
+            F.sum("num_distinct").cast("int").alias("num_distinct"),
+            F.sum(F.when(keep, F.col("count"))).cast("int").alias("total_count"),
+            F.collect_list(F.when(keep_tax, F.col("taxon"))).alias("taxa"),
+            F.collect_list(F.when(keep_tax, F.col("count"))).alias("counts"),
+        )
+
+    def classify(
+        self,
+        fragments: DataFrame,
+        cpar: ClassifyParams | None = None,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """→ (sample_id, classified, taxon). classifySimple semantics:
+        min-hit-groups gate in SQL, resolve_tree in one Arrow-batched UDF."""
+        cpar = cpar or ClassifyParams(per_read_output=False)
+        threshold = cpar.thresholds[0] if threshold is None else threshold
+        bc_tax = self.index.spark.sparkContext.broadcast(self.index.taxonomy)
+        min_hit_groups = cpar.min_hit_groups
+        sample_regex = cpar.sample_regex
+        grouped = self.grouped_hits(fragments)
+
+        def gen(batches):
+            tax: Taxonomy = bc_tax.value
+            sre = re.compile(sample_regex) if sample_regex else None
+            for pdf in batches:
+                out = {"sample_id": [], "classified": [], "taxon": []}
+                for row in pdf.itertuples(index=False):
+                    if row.num_distinct >= min_hit_groups:
+                        hit_counts: dict[int, int] = {}
+                        for t, c in zip(row.taxa, row.counts):
+                            hit_counts[int(t)] = hit_counts.get(int(t), 0) + int(c)
+                        required = np.ceil(threshold * (row.total_count or 0))
+                        taxon = tax.resolve_tree(hit_counts, required)
+                    else:
+                        taxon = NONE
+                    sample = "all"
+                    if sre is not None:
+                        m = sre.search(row.header)
+                        sample = m.group(1) if m else "other"
+                    out["sample_id"].append(sample)
+                    out["classified"].append(taxon != NONE)
+                    out["taxon"].append(int(taxon))
+                yield pd.DataFrame(out)
+
+        return grouped.mapInPandas(
+            gen, "sample_id string, classified boolean, taxon int"
+        )
 
 
 # ---------------------------------------------------------------------------

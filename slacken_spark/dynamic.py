@@ -1,0 +1,192 @@
+"""Two-step (dynamic) classification: detect a taxon set in the sample,
+build a restricted index for it, re-classify.
+
+Re-expresses the reference's Dynamic pipeline
+(reference: slacken/Dynamic.scala:31-380):
+  step 1: count minimizer/read evidence per taxon (criteria
+    MinimizerTotalCount / MinimizerDistinctCount / ClassifiedReadCount),
+    clade-rollup the counts (TreeAggregator) and keep taxa at/below the
+    reclassify rank whose clade total meets the threshold (CountFilter),
+    expand with all descendants;
+  step 2: rebuild records restricted to the detected set
+    (base.makeRecords(…, taxonSet)) and classify against the dynamic
+    index.
+
+Gold-set evaluation (readGoldSet / precision-recall) is included for
+parity with Dynamic.scala:265-312.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slacken_spark.classify import Classifier, ClassifyParams
+from slacken_spark.index import KeyValueIndex, extract_spans
+from slacken_spark.kernels.taxonomy import (
+    AMBIGUOUS_SPAN,
+    MATE_PAIR_BORDER,
+    Taxonomy,
+)
+
+
+@dataclass(frozen=True)
+class MinimizerTotalCount:
+    threshold: int
+
+
+@dataclass(frozen=True)
+class MinimizerDistinctCount:
+    threshold: int
+
+
+@dataclass(frozen=True)
+class ClassifiedReadCount:
+    threshold: int
+    confidence: float = 0.15
+
+
+def clade_totals(taxonomy: Taxonomy, counts: list[tuple[int, int]]) -> dict[int, int]:
+    """TreeAggregator: add each taxon's count to every ancestor
+    (KrakenReport.scala:26-41)."""
+    out: dict[int, int] = {}
+    for t, c in counts:
+        if t <= 0:
+            continue
+        for p in taxonomy.path_to_root(t):
+            out[p] = out.get(p, 0) + c
+    return out
+
+
+class Dynamic:
+    def __init__(
+        self,
+        base: KeyValueIndex,
+        genomes: DataFrame,
+        labels: DataFrame,
+        criterion,
+        reclassify_rank_depth: int = 8,  # species
+        cpar: ClassifyParams | None = None,
+    ):
+        self.base = base
+        self.genomes = genomes
+        self.labels = labels
+        self.criterion = criterion
+        self.rank_depth = reclassify_rank_depth
+        self.cpar = cpar or ClassifyParams()
+
+    @property
+    def taxonomy(self) -> Taxonomy:
+        return self.base.taxonomy
+
+    # ---------------- step-1 counting (Dynamic.scala:95-142) ----------------
+
+    def _minimizers_in_subjects(self, reads: DataFrame) -> DataFrame:
+        """(taxon, minimizer) hits at/below the reclassify rank."""
+        spans = extract_spans(reads, self.base.cfg)
+        hits = self.base.span_hits_with_minimizer(spans)
+        tax = self.taxonomy
+        ok = [
+            int(t)
+            for t in range(tax.n_nodes)
+            if tax.is_defined(t) and tax.depth(t) >= self.rank_depth
+        ]
+        return hits.where(
+            (F.col("taxon") != AMBIGUOUS_SPAN)
+            & (F.col("taxon") != MATE_PAIR_BORDER)
+            & F.col("taxon").isin(ok)
+        ).select("taxon", F.col("id1").alias("minimizer"))
+
+    def total_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
+        rows = (
+            self._minimizers_in_subjects(reads)
+            .groupBy("taxon")
+            .agg(F.count("minimizer").alias("count"))
+            .collect()
+        )
+        return [(r["taxon"], r["count"]) for r in rows]
+
+    def distinct_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
+        rows = (
+            self._minimizers_in_subjects(reads)
+            .groupBy("taxon")
+            .agg(F.count_distinct("minimizer").alias("count"))
+            .collect()
+        )
+        return [(r["taxon"], r["count"]) for r in rows]
+
+    def classified_reads_per_taxon(
+        self, reads: DataFrame, confidence: float
+    ) -> list[tuple[int, int]]:
+        cls = Classifier(self.base)
+        out = cls.classify(reads, self.cpar, threshold=confidence)
+        rows = (
+            out.where("classified")
+            .groupBy("taxon")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .collect()
+        )
+        return [(r["taxon"], r["count"]) for r in rows]
+
+    # ---------------- CountFilter + set detection (Dynamic.scala:191-280) ----
+
+    def count_filter(self, counts: list[tuple[int, int]], threshold: int) -> set[int]:
+        tax = self.taxonomy
+        rollup = clade_totals(tax, counts)
+        return {
+            t
+            for t in rollup
+            if tax.depth(t) >= self.rank_depth and rollup[t] >= threshold
+        }
+
+    def find_taxon_set(self, reads: DataFrame) -> set[int]:
+        c = self.criterion
+        if isinstance(c, MinimizerTotalCount):
+            counts = self.total_minimizers_per_taxon(reads)
+        elif isinstance(c, MinimizerDistinctCount):
+            counts = self.distinct_minimizers_per_taxon(reads)
+        elif isinstance(c, ClassifiedReadCount):
+            counts = self.classified_reads_per_taxon(reads, c.confidence)
+        else:
+            raise ValueError(f"unknown criterion {c!r}")
+        keep = self.count_filter(counts, c.threshold)
+        return self.taxonomy.taxa_with_descendants(keep)
+
+    def gold_set_metrics(
+        self, detected: set[int], gold: set[int]
+    ) -> dict[str, float]:
+        """Precision/recall vs a gold taxon set (Dynamic.scala:265-274)."""
+        tp = len(detected & gold)
+        fp = len(detected - gold)
+        fn = len(gold - detected)
+        return {
+            "tp": tp,
+            "fp": fp,
+            "fn": fn,
+            "precision": tp / (tp + fp) if tp + fp else 0.0,
+            "recall": tp / len(gold) if gold else 0.0,
+        }
+
+    # ---------------- step 2 (Dynamic.scala:320-374) ----------------
+
+    def build_dynamic_index(self, taxon_set: set[int]) -> KeyValueIndex:
+        return KeyValueIndex.build(
+            self.base.spark,
+            self.genomes,
+            self.labels,
+            self.taxonomy,
+            self.base.cfg,
+            buckets=self.base.buckets,
+            taxon_filter=taxon_set,
+        )
+
+    def two_step_classify(self, reads: DataFrame) -> tuple[DataFrame, set[int]]:
+        """Detect set → dynamic index → re-classify. Returns
+        (classifications, detected taxon set)."""
+        taxon_set = self.find_taxon_set(reads)
+        dyn = self.build_dynamic_index(taxon_set)
+        dyn.records = dyn.records.persist()
+        cls = Classifier(dyn)
+        return cls.classify(reads, self.cpar), taxon_set

@@ -148,21 +148,25 @@ class KeyValueIndex:
         taxonomy: Taxonomy,
         cfg: MinimizerConfig,
         buckets: int = 32,
+        taxon_filter: set[int] | None = None,
     ) -> "KeyValueIndex":
         """Genomes ⋈ labels → minimizer rows → LCA fold → records.
 
         ``genomes``: (header, nucleotides); ``labels``: (header, taxon)
         — the label side is small and broadcast (GenomeLibrary.scala:70-71).
-        Taxa undefined in the taxonomy are dropped (KeyValueIndex.scala:118-121).
-        """
+        Taxa undefined in the taxonomy are dropped (KeyValueIndex.scala:118-121);
+        ``taxon_filter`` restricts to a detected taxon set (the dynamic
+        second-step build, KeyValueIndex.scala:102-113)."""
         defined = sorted(
             t
             for t in range(1, taxonomy.n_nodes)
             if taxonomy.is_defined(t)
         )
+        if taxon_filter is not None:
+            defined = sorted(set(defined) & set(taxon_filter))
         labelled = genomes.join(F.broadcast(labels), "header").where(
             F.col("taxon").isin(defined)
-            if len(defined) <= 10000
+            if len(defined) <= 100000
             else F.col("taxon").isNotNull()
         )
         rows = extract_index_rows(labelled, cfg)
@@ -247,6 +251,31 @@ class KeyValueIndex:
         return {"records": row["records"], "taxa": row["taxa"]}
 
     # ---------------- classification join ----------------
+
+    def with_records(self, records: DataFrame) -> "KeyValueIndex":
+        """Same params/taxonomy over different records (the dynamic index;
+        KeyValueIndex.withRecords)."""
+        return KeyValueIndex(
+            self.spark, records, self.cfg, self.taxonomy, self.buckets
+        )
+
+    def span_hits_with_minimizer(self, spans: DataFrame) -> DataFrame:
+        """span_hits keeping the minimizer column
+        (findHitsWithMinimizers, KeyValueIndex.scala:205-217)."""
+        joined = spans.join(self.records, "id1", "left")
+        return joined.select(
+            "header",
+            "id1",
+            "distinct",
+            "ordinal",
+            F.when(spans["flag"] == FLAG_AMBIGUOUS, F.lit(AMBIGUOUS_SPAN))
+            .when(spans["flag"] == FLAG_MATE_PAIR_BORDER, F.lit(MATE_PAIR_BORDER))
+            .when(F.col("taxon").isNotNull(), F.col("taxon"))
+            .otherwise(F.lit(NONE))
+            .cast("int")
+            .alias("taxon"),
+            F.col("kmers").alias("count"),
+        )
 
     def span_hits(self, spans: DataFrame) -> DataFrame:
         """Classification join + sentinel decode (J1 + spanToHit,
