@@ -41,40 +41,49 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_values(shingles: Column, perm: int) -> Column:
-    """Per-permutation hash values for a shingle array.
+# Universal-hash permutation family over a Mersenne prime. One md5 per
+# shingle (portable base hash), then cheap affine rehashes per
+# permutation — integer-exact in any engine, 8× fewer digest calls than
+# salted-md5-per-permutation, and small enough to never overflow int64
+# ((P-1)*A + B < 2^62).
+MINHASH_P = (1 << 31) - 1
 
-    Permutation ``perm`` is simulated by salting the md5 input — the
-    standard portable construction (no seeded xxhash, so oracles match).
-    """
-    return F.transform(
-        shingles, lambda s: token_hash64(F.concat(F.lit(f"p{perm}:"), s))
-    )
+
+def minhash_perm_constants(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A, B) pairs, A ∈ [1, P)."""
+    out = []
+    for p in range(n_hashes):
+        a = (2654435761 * (p + 1) + 104729) % MINHASH_P
+        b = (40503 * (p + 7) + 7919) % MINHASH_P
+        out.append((a or 1, b))
+    return out
 
 
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, shingle_words: int = 3
 ) -> DataFrame:
-    """MinHash signature: (id, sig_0 … sig_{n-1}) — map-only, codegen'd.
+    """MinHash signature: (id, sig_0 … sig_{n-1}).
 
-    Shingles are ``shingle_words``-word n-grams. Empty shingle sets get
-    NULL minima (docs shorter than the shingle width).
+    Scale plan: shingles as codegen'd rows (text.shingle_rows), hash each
+    ONCE (md5-derived base hash), derive the n permutations as affine
+    rehashes, and take per-doc minima with a codegen'd partial-aggregated
+    groupBy — no per-row array lambdas (Spark's higher-order functions
+    run interpreted), one shuffle on the doc id. Docs with no shingles
+    (shorter than the shingle width) keep NULL signatures via left join.
     """
-    # Materialize the shingle array once: Catalyst does not CSE the
-    # tokenize+ngram expression across the n_hashes signature columns, so
-    # inlining it would re-shingle every document n_hashes times.
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            word_ngrams(tokens(F.col(text_col)), shingle_words)
-        ).alias("_shingles"),
+    from slacken_spark.functions.text import shingle_rows
+
+    shingled = shingle_rows(df, text_col, id_col, n=shingle_words).withColumnRenamed(
+        "shingle", "_shingle"
     )
-    cols = [F.col(id_col)]
-    for p in range(n_hashes):
-        cols.append(
-            F.array_min(minhash_values(F.col("_shingles"), p)).alias(f"sig_{p}")
-        )
-    return shingled.select(*cols)
+    h = (token_hash64(F.col("_shingle")) % MINHASH_P).alias("_h")
+    hashed = shingled.select(id_col, h)
+    aggs = [
+        F.min((F.col("_h") * A + B) % MINHASH_P).alias(f"sig_{p}")
+        for p, (A, B) in enumerate(minhash_perm_constants(n_hashes))
+    ]
+    sigs = hashed.groupBy(id_col).agg(*aggs)
+    return df.select(id_col).join(sigs, id_col, "left")
 
 
 def minhash_band_pairs(

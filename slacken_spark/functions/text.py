@@ -67,6 +67,33 @@ def word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def shingle_rows(df, text_col: str, id_col: str, n: int = 3, distinct: bool = True):
+    """Word n-gram shingles as ROWS: (id, shingle) — the scale path.
+
+    posexplode tokens → window lead(n−1) → concat: fully codegen'd, one
+    shuffle on the id. Spark's array higher-order functions
+    (transform/filter) evaluate interpreted per element, so building
+    shingles inside an array lambda is ~5× slower on the same data and
+    falls off a cliff at corpus scale; use this for anything big.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    sh = (
+        toks.select(id_col, "pos", "tok", *leads)
+        .where(F.col(f"t{n-1}").isNotNull())
+        .select(
+            id_col,
+            F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("shingle"),
+        )
+    )
+    return sh.distinct() if distinct else sh
+
+
 def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Fraction of tokens that are stopwords (classic quality signal)."""
     hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))

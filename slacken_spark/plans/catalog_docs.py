@@ -147,13 +147,16 @@ def dedup_exact(spark, sf_dir):
 
 
 def _minhash_cte(n_hashes: int = 8, shingle_words: int = 3) -> str:
-    """WITH-clause producing CTE ``sig`` = (doc_id, sig_0..sig_{n-1})."""
+    """WITH-clause producing CTE ``sig`` = (doc_id, sig_0..sig_{n-1}),
+    mirroring the engine's explode + hash-once + affine-permutation plan
+    (see functions.dedup.minhash_signature)."""
+    from slacken_spark.functions.dedup import MINHASH_P, minhash_perm_constants
+
     sig_cols = ",\n           ".join(
-        "list_min(list_transform(shingles, s -> "
-        + SQL_H64.format(expr=f"'p{p}:' || s")
-        + f")) AS sig_{p}"
-        for p in range(n_hashes)
+        f"min((h * {A} + {B}) % {MINHASH_P}) AS sig_{p}"
+        for p, (A, B) in enumerate(minhash_perm_constants(n_hashes))
     )
+    base_h = SQL_H64.format(expr="s")
     return f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
     sh AS (SELECT doc_id,
@@ -162,9 +165,13 @@ def _minhash_cte(n_hashes: int = 8, shingle_words: int = 3) -> str:
                       i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+{shingle_words} AS INT)]
                   )) AS shingles
            FROM d),
-    sig AS (SELECT doc_id,
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hh AS (SELECT doc_id, {base_h} % {MINHASH_P} AS h FROM e),
+    sig0 AS (SELECT doc_id,
            {sig_cols}
-    FROM sh)
+    FROM hh GROUP BY doc_id),
+    sig AS (SELECT d2.doc_id, sig0.* EXCLUDE (doc_id)
+            FROM documents d2 LEFT JOIN sig0 ON d2.doc_id = sig0.doc_id)
     """
 
 
@@ -218,18 +225,47 @@ def minhash_lsh_pairs(spark, sf_dir):
     """,
 )
 def ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact n-gram Jaccard of adjacent doc pairs via exploded shingle
+    rows and a codegen'd equi-join — the scale plan (array-lambda
+    intersect/union runs interpreted per element and dies at corpus
+    scale; this shape shuffles once on the shingle and once on the pair).
+    """
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(X.word_ngrams(X.tokens(F.col("text")), 3)).alias("shingles"),
+    sh = X.shingle_rows(docs, "text", "doc_id", n=3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-    return joined.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        D.jaccard_similarity(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("y.doc_id") == F.col("x.doc_id") + 1)
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    return (
+        pairs.join(inter, "id_a", "left")
+        .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a", "left")
+        .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0))
+                / F.greatest(
+                    F.coalesce(F.col("n_a"), F.lit(0))
+                    + F.coalesce(F.col("n_b"), F.lit(0))
+                    - F.coalesce(F.col("inter"), F.lit(0)),
+                    F.lit(1),
+                )
+            ).alias("jaccard"),
+        )
     )
 
 
