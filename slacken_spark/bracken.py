@@ -1,0 +1,334 @@
+"""Bracken weight generation: simulate every length-L read of every
+genome, classify it against the index, count (source → dest) pairs, and
+write a Bracken-compatible ``kmer_distrib`` file.
+
+Re-derives the reference's BrackenWeights pipeline
+(reference: slacken/BrackenWeights.scala:30-430):
+
+  fragments (≤1 MiB, read-length−1 overlap so every simulated read
+  appears exactly once) → per-fragment distinct minimizers → LEFT join
+  index records (preserving no-minimizer fragments) → collect LCA lists
+  per fragment → re-join fragments → classify every window → counts.
+
+The per-window classification (FragmentWindow, BrackenWeights.scala:35-137
+— an O(1)-per-step sliding multiset) is NOT ported imperatively: every
+minimizer LCA in a fragment is an ancestor-or-self of the fragment's
+source taxon (the LCA fold includes the source genome), so all hit taxa
+lie on ONE root path and resolve_tree at confidence 0 reduces to "the
+deepest taxon present in the window" (the reference notes the same:
+"all the taxa that we hit should be in the same clade",
+BrackenWeights.scala:271-273). That makes the whole scan vectorizable:
+
+  - per-position taxon array via np.repeat(taxa, counts);
+  - per-window deepest taxon = sliding-window max over structural depth;
+  - hit-group gate (min 2 distinct groups) via a difference array +
+    cumulative sum.
+
+One numpy pass per fragment instead of a Python loop per read position.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slacken_spark.index import KeyValueIndex
+from slacken_spark.kernels import bitseq
+from slacken_spark.kernels.minimizers import (
+    MinimizerConfig,
+    split_by_ambiguity,
+    supermers_of_codes,
+)
+from slacken_spark.kernels.taxonomy import NONE, Taxonomy
+
+FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:300-303
+
+
+def split_fragments(df: DataFrame, read_len: int, max_len: int = FRAGMENT_MAX) -> DataFrame:
+    """Split (taxon, nucleotides, header, location) rows into ≤max_len
+    subfragments overlapping by read_len−1 so every simulated read occurs
+    exactly once (TaxonFragment.splitToMaxLength, BrackenWeights.scala:152-165)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                nts = r.nucleotides
+                if len(nts) <= max_len:
+                    out.append((r.taxon, nts, r.header, r.location))
+                else:
+                    step = max_len - (read_len - 1)
+                    for start in range(0, len(nts) - read_len + 1, step):
+                        out.append(
+                            (
+                                r.taxon,
+                                nts[start : start + max_len],
+                                r.header,
+                                r.location + start,
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["taxon", "nucleotides", "header", "location"]
+            )
+
+    return df.mapInPandas(
+        gen, "taxon int, nucleotides string, header string, location long"
+    )
+
+
+def fragment_hits(
+    nts: str, cfg: MinimizerConfig, lca_lookup: dict[int, int]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All TaxonHits of a fragment as parallel arrays
+    (distinct, abs_position, taxon, count) — TaxonFragment.taxonHits
+    (BrackenWeights.scala:192-241). Hit spans tile the fragment length
+    contiguously (ambiguous/tail slots included as NONE)."""
+    codes = bitseq.encode_codes(nts)
+    dist, pos, tax, cnt = [], [], [], []
+    first = True
+    last_min = None
+    for st, en, is_valid in split_by_ambiguity(codes, cfg.k):
+        if not is_valid:
+            dist.append(False)
+            pos.append(st)
+            tax.append(NONE)
+            cnt.append(en - st)
+            continue
+        for sm in supermers_of_codes(codes[st:en], cfg, nts[st:en]):
+            d = first or sm.minimizer != last_min
+            first = False
+            last_min = sm.minimizer
+            dist.append(d)
+            pos.append(st + sm.start)
+            tax.append(lca_lookup.get(sm.minimizer, NONE))
+            cnt.append(sm.kmers)
+        # invalid k-mer slots running into the next segment / past the end
+        dist.append(False)
+        pos.append(st + (en - st) - (cfg.k - 1))
+        tax.append(NONE)
+        cnt.append(cfg.k - 1)
+    return (
+        np.asarray(dist, dtype=bool),
+        np.asarray(pos, dtype=np.int64),
+        np.asarray(tax, dtype=np.int64),
+        np.asarray(cnt, dtype=np.int64),
+    )
+
+
+def classify_all_reads(
+    nts: str,
+    cfg: MinimizerConfig,
+    lca_lookup: dict[int, int],
+    taxonomy: Taxonomy,
+    read_len: int,
+    min_hit_groups: int = 2,
+) -> np.ndarray:
+    """Destination taxon of every simulated read (one per window start);
+    vectorized FragmentWindow (see module docstring)."""
+    L = len(nts)
+    n_windows = L - read_len + 1
+    if n_windows <= 0:
+        return np.empty(0, dtype=np.int64)
+    dist, pos, tax, cnt = fragment_hits(nts, cfg, lca_lookup)
+    W = read_len - cfg.k + 1  # k-mers per window
+    # per-k-mer-position taxon (spans tile [0, L))
+    tax_at = np.repeat(tax, cnt)[: L - cfg.k + 1 + (cfg.k - 1)]
+    # deepest-taxon-per-window: order positions by structural depth
+    sd = taxonomy.sdepth
+    depth_at = np.where(
+        (tax_at > 0) & (tax_at < len(sd)), sd[np.clip(tax_at, 0, len(sd) - 1)], 0
+    )
+    # encode (depth, taxon) into one sortable key; one taxon per depth in
+    # a lineage, but keep the taxon to decode the argmax directly
+    key = depth_at.astype(np.int64) * (1 << 32) + tax_at
+    kv = np.lib.stride_tricks.sliding_window_view(key[: n_windows + W - 1], W)
+    best = kv.max(axis=1)
+    dest = best & ((1 << 32) - 1)
+    # hit-group gate: count distinct-flagged non-NONE hits overlapping
+    # each window via difference array
+    groups = np.zeros(n_windows + 1, dtype=np.int64)
+    sel = dist & (tax != NONE)
+    s = pos[sel]
+    e = pos[sel] + cnt[sel]
+    lo = np.clip(s - W + 1, 0, n_windows - 1)
+    hi = np.clip(e, 0, n_windows)
+    np.add.at(groups, lo, 1)
+    np.add.at(groups, hi, -1)
+    n_groups = np.cumsum(groups[:-1])
+    dest = np.where(n_groups >= min_hit_groups, dest, NONE)
+    return dest.astype(np.int64)
+
+
+class BrackenWeights:
+    def __init__(self, index: KeyValueIndex, read_len: int):
+        self.index = index
+        self.read_len = read_len
+
+    def fragment_minimizers(self, fragments: DataFrame) -> DataFrame:
+        """(header, location, id1) distinct minimizer rows per fragment;
+        fragments with no valid minimizer emit the sentinel id1=0 so the
+        later left join preserves them (BrackenWeights.scala:333-336)."""
+        cfg_dict = self.index.cfg.to_dict()
+
+        def gen(batches):
+            cfg = MinimizerConfig.from_dict(cfg_dict)
+            for pdf in batches:
+                h, loc, ids = [], [], []
+                for r in pdf.itertuples(index=False):
+                    codes = bitseq.encode_codes(r.nucleotides)
+                    mins = set()
+                    for st, en, ok in split_by_ambiguity(codes, cfg.k):
+                        if ok:
+                            for sm in supermers_of_codes(
+                                codes[st:en], cfg, r.nucleotides[st:en]
+                            ):
+                                mins.add(sm.minimizer)
+                    if not mins:
+                        mins = {0}
+                    for m in mins:
+                        h.append(r.header)
+                        loc.append(r.location)
+                        ids.append(m)
+                yield pd.DataFrame(
+                    {
+                        "header": h,
+                        "location": pd.array(loc, dtype="int64"),
+                        "id1": pd.array(ids, dtype="int64"),
+                    }
+                )
+
+        return fragments.mapInPandas(gen, "header string, location long, id1 long")
+
+    def build_weights(
+        self,
+        genomes: DataFrame,
+        labels: DataFrame,
+        taxa: set[int] | None = None,
+        max_len: int = FRAGMENT_MAX,
+    ) -> DataFrame:
+        """→ (dest, source, count): every simulated read of every genome
+        classified against the index (buildWeights, BrackenWeights.scala:311-353)."""
+        read_len = self.read_len
+        frags0 = genomes.join(F.broadcast(labels), "header").select(
+            F.col("taxon"),
+            F.regexp_replace("nucleotides", r"\s+", "").alias("nucleotides"),
+            "header",
+            F.coalesce(F.col("location"), F.lit(0)).alias("location")
+            if "location" in genomes.columns
+            else F.lit(0).cast("long").alias("location"),
+        )
+        if taxa is not None:
+            frags0 = frags0.where(F.col("taxon").isin(sorted(taxa)))
+        fragments = split_fragments(frags0, read_len, max_len)
+
+        id_mins = self.fragment_minimizers(fragments)
+        joined = (
+            id_mins.join(self.index.records, "id1", "left")
+            .groupBy("header", "location")
+            .agg(
+                F.collect_list("id1").alias("minimizers"),
+                F.collect_list(F.coalesce(F.col("taxon"), F.lit(NONE))).alias("taxa"),
+            )
+        )
+        with_frags = joined.join(fragments, ["header", "location"]).select(
+            "header", "location", "taxon", "nucleotides", "minimizers", "taxa"
+        )
+
+        cfg_dict = self.index.cfg.to_dict()
+        bc_tax = self.index.spark.sparkContext.broadcast(self.index.taxonomy)
+
+        def gen(batches):
+            cfg = MinimizerConfig.from_dict(cfg_dict)
+            tax: Taxonomy = bc_tax.value
+            for pdf in batches:
+                src, dst = [], []
+                for r in pdf.itertuples(index=False):
+                    lookup = {
+                        int(m): int(t) for m, t in zip(r.minimizers, r.taxa) if m != 0
+                    }
+                    dests = classify_all_reads(
+                        r.nucleotides, cfg, lookup, tax, read_len
+                    )
+                    src.extend([r.taxon] * len(dests))
+                    dst.extend(dests.tolist())
+                yield pd.DataFrame(
+                    {
+                        "source": pd.array(src, dtype="int32"),
+                        "dest": pd.array(dst, dtype="int32"),
+                    }
+                )
+
+        pairs = with_frags.mapInPandas(gen, "source int, dest int")
+        return pairs.groupBy("dest", "source").agg(F.count(F.lit(1)).alias("count"))
+
+    def build_weights_gradually(
+        self,
+        genomes: DataFrame,
+        labels: DataFrame,
+        taxa: set[int],
+        temp_location: str,
+        chunks: int = 5,
+    ) -> DataFrame:
+        """Fault-tolerant batched build: append per-chunk results to a
+        temp parquet so an interrupted node costs one chunk, not the job
+        (BrackenWeights.scala:359-374)."""
+        ts = sorted(taxa)
+        step = max(len(ts) // chunks, 1)
+        for i in range(0, len(ts), step):
+            chunk = set(ts[i : i + step])
+            self.build_weights(genomes, labels, chunk).write.mode("append").parquet(
+                temp_location
+            )
+        return self.index.spark.read.parquet(temp_location)
+
+    def group_data(self, source_dest_counts: DataFrame) -> DataFrame:
+        """(dest, sources[], counts[], totals[]) (BrackenWeights.scala:377-387)."""
+        by_source = source_dest_counts.groupBy("source").agg(
+            F.sum("count").alias("totalReads")
+        )
+        return (
+            source_dest_counts.join(by_source, "source")
+            .groupBy("dest")
+            .agg(
+                F.collect_list("source").alias("sources"),
+                F.collect_list("count").alias("counts"),
+                F.collect_list("totalReads").alias("totals"),
+            )
+        )
+
+    def kmer_distrib_lines(self, grouped: DataFrame) -> list[str]:
+        """Bracken kmer_distrib rows (BrackenWeights.scala:413-430)."""
+        line = F.concat_ws(
+            "\t",
+            F.col("dest"),
+            F.array_join(
+                F.transform(
+                    F.arrays_zip("sources", "counts", "totals"),
+                    lambda z: F.concat_ws(
+                        ":", z["sources"], z["counts"], z["totals"]
+                    ),
+                ),
+                " ",
+            ),
+        )
+        rows = grouped.select(line.alias("l")).collect()
+        return ["mapped_taxid\tgenome_taxids:kmers_mapped:total_genome_kmers"] + [
+            r["l"] for r in rows
+        ]
+
+    def build_and_write(
+        self,
+        genomes: DataFrame,
+        labels: DataFrame,
+        taxa: set[int],
+        output_location: str,
+    ) -> None:
+        weights = self.build_weights(genomes, labels, taxa).persist()
+        try:
+            lines = self.kmer_distrib_lines(self.group_data(weights))
+            with open(output_location, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        finally:
+            weights.unpersist()

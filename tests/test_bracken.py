@@ -1,0 +1,171 @@
+"""Bracken weight tests: total-read accounting, an independent k-mer-level
+naive model of the window classification (the reference gates this layer
+on a hand-verified golden table, BrackenWeightsTest.scala:31-46 — here
+the model plays that role), fragment splitting, and output format."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from slacken_spark.bracken import BrackenWeights, classify_all_reads, split_fragments
+from slacken_spark.index import KeyValueIndex
+from slacken_spark.kernels import bitseq
+from slacken_spark.kernels.minimizers import (
+    MinimizerConfig,
+    genome_minimizers,
+    mmer_priorities,
+    window_minimizers,
+)
+from slacken_spark.kernels.taxonomy import NONE, ROOT, Taxonomy
+
+CFG = MinimizerConfig(k=15, m=9, spaces=0, canonical=True)
+RNG = np.random.default_rng(4242)
+READ_LEN = 60
+
+
+def _genome(n):
+    return "".join("ACGT"[i] for i in RNG.integers(0, 4, n))
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    # lineage: ROOT ← brand 5 ← leaves 101, 102 (shared core || unique)
+    ids = [5, 101, 102]
+    parents = [ROOT, 5, 5]
+    tax = Taxonomy.from_edges(ids, parents)
+    core = _genome(300)
+    genomes = {t: core + _genome(300) for t in (101, 102)}
+    genomes_df = spark.createDataFrame(
+        [(f"g{t}", s) for t, s in genomes.items()], "header string, nucleotides string"
+    )
+    labels_df = spark.createDataFrame(
+        [(f"g{t}", t) for t in genomes], "header string, taxon int"
+    )
+    idx = KeyValueIndex.build(spark, genomes_df, labels_df, tax, CFG, buckets=4)
+    idx.records = idx.records.persist()
+    return dict(
+        tax=tax, genomes=genomes, idx=idx, gdf=genomes_df, ldf=labels_df, spark=spark
+    )
+
+
+def _naive_dests(seq: str, lookup: dict[int, int], tax: Taxonomy) -> list[int]:
+    """Independent k-mer-level model: per k-mer minimizer → LCA; window
+    dest = deepest taxon present; require ≥2 minimizer runs in window."""
+    codes = bitseq.encode_codes(seq)
+    ranks = mmer_priorities(codes, CFG)
+    _, pos = window_minimizers(ranks, CFG.window)
+    mmers = bitseq.pack_kmers(codes, CFG.m)
+    mmers = bitseq.canonical_packed(mmers, CFG.m)
+    M = mmers[pos]  # minimizer per k-mer position
+    lca = np.array([lookup.get(int(m), NONE) for m in M])
+    # run ids (consecutive equal minimizers)
+    run_id = np.zeros(len(M), dtype=int)
+    run_id[1:] = np.cumsum(M[1:] != M[:-1])
+    W = READ_LEN - CFG.k + 1
+    sd = tax.sdepth
+    out = []
+    for w in range(len(seq) - READ_LEN + 1):
+        seg = slice(w, w + W)
+        groups = len(set(run_id[seg].tolist()))
+        taxa = [t for t in lca[seg] if t != NONE]
+        if groups < 2 or not taxa:
+            out.append(NONE)
+            continue
+        out.append(int(max(taxa, key=lambda t: sd[t])))
+    return out
+
+
+def test_vectorized_window_matches_naive_model(world):
+    tax = world["tax"]
+    records = {r["id1"]: r["taxon"] for r in world["idx"].records.collect()}
+    for t, seq in world["genomes"].items():
+        dests = classify_all_reads(seq, CFG, records, tax, READ_LEN)
+        naive = _naive_dests(seq, records, tax)
+        assert dests.tolist() == naive
+
+
+def test_core_windows_lift_to_brand(world):
+    tax = world["tax"]
+    records = {r["id1"]: r["taxon"] for r in world["idx"].records.collect()}
+    seq = world["genomes"][101]
+    dests = classify_all_reads(seq, CFG, records, tax, READ_LEN)
+    # windows fully inside the shared 300bp core must classify to brand 5;
+    # windows containing unique-region k-mers to leaf 101
+    core_only = dests[: 300 - READ_LEN - CFG.k]
+    assert set(core_only.tolist()) <= {5, NONE}
+    assert (core_only == 5).mean() > 0.9
+    tail = dests[300:]
+    assert set(tail.tolist()) <= {101, NONE}
+    assert (tail == 101).mean() > 0.9
+
+
+def test_build_weights_accounts_every_read(world):
+    bw = BrackenWeights(world["idx"], READ_LEN)
+    weights = bw.build_weights(world["gdf"], world["ldf"]).collect()
+    per_source = {}
+    for r in weights:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + r["count"]
+    expect = len(world["genomes"][101]) - READ_LEN + 1
+    assert per_source == {101: expect, 102: expect}
+
+
+def test_fragment_splitting_preserves_reads(world):
+    spark = world["spark"]
+    bw = BrackenWeights(world["idx"], READ_LEN)
+    direct = {
+        (r["dest"], r["source"]): r["count"]
+        for r in bw.build_weights(world["gdf"], world["ldf"]).collect()
+    }
+    split = {
+        (r["dest"], r["source"]): r["count"]
+        for r in bw.build_weights(world["gdf"], world["ldf"], max_len=150).collect()
+    }
+    assert direct == split
+
+
+def test_split_fragments_overlap(world):
+    spark = world["spark"]
+    df = spark.createDataFrame(
+        [(1, "A" * 100, "h", 0)], "taxon int, nucleotides string, header string, location long"
+    )
+    rows = sorted(
+        split_fragments(df, read_len=20, max_len=50).collect(),
+        key=lambda r: r["location"],
+    )
+    # stride = max_len - (read_len - 1) = 31; range(0, 100-20+1, 31)
+    assert [r["location"] for r in rows] == [0, 31, 62]
+    # window starts across fragments tile 0..80 exactly once
+    starts = []
+    for r in rows:
+        starts.extend(
+            range(r["location"], r["location"] + len(r["nucleotides"]) - 20 + 1)
+        )
+    assert starts == list(range(0, 81))
+
+
+def test_kmer_distrib_output(world, tmp_path):
+    bw = BrackenWeights(world["idx"], READ_LEN)
+    out = tmp_path / "database60mers.kmer_distrib"
+    bw.build_and_write(world["gdf"], world["ldf"], {101, 102}, str(out))
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "mapped_taxid\tgenome_taxids:kmers_mapped:total_genome_kmers"
+    for line in lines[1:]:
+        dest, rest = line.split("\t")
+        for trip in rest.split(" "):
+            s, c, tot = trip.split(":")
+            assert int(tot) >= int(c) > 0
+
+
+def test_gradual_build_matches_direct(world, tmp_path):
+    bw = BrackenWeights(world["idx"], READ_LEN)
+    direct = {
+        (r["dest"], r["source"]): r["count"]
+        for r in bw.build_weights(world["gdf"], world["ldf"]).collect()
+    }
+    grad = {
+        (r["dest"], r["source"]): r["count"]
+        for r in bw.build_weights_gradually(
+            world["gdf"], world["ldf"], {101, 102}, str(tmp_path / "tmp_tbl"), chunks=2
+        ).collect()
+    }
+    assert direct == grad
