@@ -1,0 +1,221 @@
+"""Analysis tooling: classification comparison metrics, UniFrac distance,
+index statistics.
+
+Re-expresses the reference's analysis layer:
+  - MappingComparison (analysis/MappingComparison.scala:140-332):
+    per-read hit categories (TruePos/VaguePos/FalsePos/FalseNeg) against
+    a reference mapping, per-taxon precision/recall at a rank;
+  - UniFrac (analysis/UniFrac.scala:26-50): unweighted UniFrac distance
+    between two taxon sets over the taxonomy tree;
+  - IndexStatistics (IndexStatistics.scala:55-111): per-taxon leaf
+    coverage fraction, depth histograms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from slacken_spark.index import KeyValueIndex, extract_index_rows
+from slacken_spark.kernels.taxonomy import NONE, ROOT, Taxonomy
+
+# ---------------------------------------------------------------------------
+# Kraken-format read-back (S12, Classifier.scala:244-251)
+# ---------------------------------------------------------------------------
+
+
+def read_kraken_format(spark, path: str) -> DataFrame:
+    """Parse written Kraken classification lines → (id, taxon)."""
+    return (
+        spark.read.option("sep", "\t")
+        .csv(path)
+        .select(F.col("_c1").alias("id"), F.col("_c2").cast("int").alias("taxon"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-read hit categories (MappingComparison.scala:313-331)
+# ---------------------------------------------------------------------------
+
+
+def hit_category(
+    tax: Taxonomy, ref: int, test: int, rank_depth: int | None
+) -> str:
+    if test == NONE:
+        return "FalseNeg"
+    ref_ancestor = (
+        tax.ancestor_at_level(ref, rank_depth) if rank_depth is not None else ref
+    ) or ref
+    if ref == test:
+        return "TruePos"
+    if ref_ancestor != ROOT and ref_ancestor != NONE and tax.has_ancestor(
+        test, ref_ancestor
+    ):
+        return "TruePos"
+    if ref_ancestor in (ROOT, NONE) or tax.has_ancestor(ref, test):
+        return "VaguePos"
+    if test == ROOT:
+        return "VaguePos"
+    return "FalsePos"
+
+
+def per_read_comparison(
+    spark,
+    cmp_df: DataFrame,
+    ref_df: DataFrame,
+    taxonomy: Taxonomy,
+    rank_depth: int | None = None,
+) -> dict:
+    """Join test vs reference classifications on read id and compute
+    sensitivity/PPV from hit categories (MappingComparison.scala:212-290).
+
+    cmp_df: (id, taxon); ref_df: (id, ref_taxon).
+    """
+    bc = spark.sparkContext.broadcast(taxonomy)
+    joint = ref_df.join(cmp_df, "id").select(
+        F.col("ref_taxon"), F.col("taxon").alias("test_taxon")
+    )
+
+    def gen(batches):
+        tax = bc.value
+        for pdf in batches:
+            cats = [
+                hit_category(tax, int(r), int(t), rank_depth)
+                for r, t in zip(pdf["ref_taxon"], pdf["test_taxon"])
+            ]
+            yield pd.DataFrame({"category": cats})
+
+    cats = joint.mapInPandas(gen, "category string")
+    counts = {
+        r["category"]: r["n"]
+        for r in cats.groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tp = counts.get("TruePos", 0)
+    fp = counts.get("FalsePos", 0)
+    vp = counts.get("VaguePos", 0)
+    fn = counts.get("FalseNeg", 0)
+    total = tp + fp + vp + fn
+    classified = tp + fp + vp
+    return {
+        "total_reads": total,
+        "classified": classified,
+        "tp": tp,
+        "fp": fp,
+        "vp": vp,
+        "fn": fn,
+        "sensitivity": tp / total if total else 0.0,
+        "ppv": tp / (tp + fp) if tp + fp else 0.0,
+    }
+
+
+def per_taxon_comparison(
+    spark,
+    cmp_df: DataFrame,
+    ref_df: DataFrame,
+    taxonomy: Taxonomy,
+    rank_depth: int,
+    min_count: int = 1,
+) -> dict:
+    """Taxon-level precision/recall at a rank
+    (MappingComparison.scala:170-210)."""
+    bc = spark.sparkContext.broadcast(taxonomy)
+
+    def to_level(col_df, col):
+        def gen(batches):
+            tax = bc.value
+            for pdf in batches:
+                lvl = [
+                    tax.ancestor_at_level(int(t), rank_depth)
+                    for t in pdf[col]
+                ]
+                yield pd.DataFrame({"taxon": lvl})
+
+        return col_df.mapInPandas(gen, "taxon long").where(F.col("taxon") != NONE)
+
+    ref_taxa = {
+        r["taxon"]
+        for r in to_level(ref_df.select(F.col("ref_taxon").alias("t")), "t")
+        .distinct()
+        .collect()
+    }
+    cmp_counts = (
+        to_level(cmp_df.select(F.col("taxon").alias("t")), "t")
+        .groupBy("taxon")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .collect()
+    )
+    cmp_taxa = {r["taxon"] for r in cmp_counts}
+    vague = taxonomy.taxa_with_ancestors(ref_taxa) - ref_taxa
+    tp = len(ref_taxa & cmp_taxa)
+    fp = len((cmp_taxa - ref_taxa) - vague)
+    vp = len(cmp_taxa & vague)
+    fn = len(ref_taxa - cmp_taxa)
+    denom = len(cmp_taxa - vague)
+    return {
+        "tp": tp,
+        "fp": fp,
+        "vp": vp,
+        "fn": fn,
+        "precision": tp / denom if denom else 0.0,
+        "recall": tp / len(ref_taxa) if ref_taxa else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# UniFrac (analysis/UniFrac.scala:26-50)
+# ---------------------------------------------------------------------------
+
+
+def unifrac_distance(tax: Taxonomy, sample1: set[int], sample2: set[int]) -> float:
+    """Unweighted UniFrac: unique-path length over total path length of
+    the two samples' ancestor closures (ROOT excluded)."""
+    tree1 = tax.taxa_with_ancestors(sample1) - {ROOT}
+    tree2 = tax.taxa_with_ancestors(sample2) - {ROOT}
+    shared = tree1 & tree2
+    both = tax.taxa_with_ancestors(sample1 | sample2) - {ROOT}
+    unique = len(tree1 - shared) + len(tree2 - shared)
+    return unique / len(both) if both else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Index statistics (IndexStatistics.scala:55-111, KeyValueIndex.scala:308-336)
+# ---------------------------------------------------------------------------
+
+
+def taxon_coverage_stats(
+    index: KeyValueIndex, genomes: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per input taxon: fraction of its minimizer occurrences whose index
+    record resolves to the SAME (leaf) taxon rather than an ancestor —
+    how identifiable each genome is (showTaxonCoverageStats)."""
+    labelled = genomes.join(F.broadcast(labels), "header")
+    mins = extract_index_rows(labelled, index.cfg)
+    agg = mins.groupBy("id1", "taxon").agg(F.count(F.lit(1)).alias("count_all"))
+    rec = index.records.withColumnRenamed("taxon", "idx_taxon")
+    joint = agg.join(rec, "id1", "left").withColumn(
+        "count_leaf",
+        F.when(F.col("idx_taxon") == F.col("taxon"), F.col("count_all")).otherwise(
+            F.lit(0)
+        ),
+    )
+    return joint.groupBy("taxon").agg(
+        (F.sum("count_leaf") / F.sum("count_all")).alias("frac_leaf"),
+        F.sum("count_all").cast("long").alias("total"),
+    )
+
+
+def depth_histogram(index: KeyValueIndex) -> DataFrame:
+    """Records per taxon structural depth (KeyValueIndex.scala:308-336)."""
+    tax = index.taxonomy
+    sd = tax.sdepth
+    pairs = [(int(t), int(sd[t])) for t in range(tax.n_nodes)]
+    depth_df = index.spark.createDataFrame(pairs, "taxon int, depth int")
+    return (
+        index.records.join(F.broadcast(depth_df), "taxon", "left")
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("depth")
+    )

@@ -252,6 +252,36 @@ class KeyValueIndex:
 
     # ---------------- classification join ----------------
 
+    def respace(self, spaces: int) -> "KeyValueIndex":
+        """Project the index to a larger spaced-seed mask — a
+        dimensionality reduction (KeyValueIndex.respace,
+        KeyValueIndex.scala:347-383): zero the newly-masked 2-bit
+        positions of every stored minimizer, then re-fold LCAs of
+        now-colliding records. The resulting index stores MASKED ids;
+        its cfg.masked flag makes span extraction mask read minimizers
+        identically, so classification joins keep working."""
+        from dataclasses import replace
+
+        if spaces <= self.cfg.spaces:
+            raise ValueError(
+                f"respacing to <= current spaces is not meaningful"
+                f" (was {self.cfg.spaces}, requested {spaces})"
+            )
+        new_cfg = replace(self.cfg, spaces=spaces, masked=True)
+        mask = new_cfg.seed_mask
+        lca_udf = self.taxonomy.lca_list_udf(self.spark)
+        new_records = (
+            self.records.select(
+                F.col("id1").bitwiseAND(F.lit(mask)).alias("id1"), "taxon"
+            )
+            .groupBy("id1")
+            .agg(F.collect_list("taxon").alias("taxa"))
+            .select("id1", lca_udf(F.col("taxa")).cast("int").alias("taxon"))
+        )
+        return KeyValueIndex(
+            self.spark, new_records, new_cfg, self.taxonomy, self.buckets
+        )
+
     def with_records(self, records: DataFrame) -> "KeyValueIndex":
         """Same params/taxonomy over different records (the dynamic index;
         KeyValueIndex.withRecords)."""

@@ -61,6 +61,11 @@ class MinimizerConfig:
     spaces: int = 7
     xor_mask: int = DEFAULT_XOR_MASK
     canonical: bool = True
+    # When True, emitted minimizer ids are masked with the spaced-seed
+    # mask (rank space modulo the XOR bijection) — the reference's
+    # SpacedSeed storage semantics, required for respace projections
+    # (KeyValueIndex.scala:347-383). Default False stores exact m-mers.
+    masked: bool = False
 
     def __post_init__(self):
         if not (0 < self.m <= 31):
@@ -88,6 +93,7 @@ class MinimizerConfig:
             "spaces": self.spaces,
             "xor_mask": self.xor_mask,
             "canonical": self.canonical,
+            "masked": self.masked,
         }
 
     @classmethod
@@ -98,6 +104,7 @@ class MinimizerConfig:
             spaces=int(d["spaces"]),
             xor_mask=int(d["xor_mask"]),
             canonical=bool(d["canonical"]),
+            masked=bool(d.get("masked", False)),
         )
 
 
@@ -162,6 +169,8 @@ def supermers_of_codes(
     if cfg.canonical:
         mmers = bitseq.canonical_packed(mmers, cfg.m)
     min_ranks, min_pos = window_minimizers(ranks, cfg.window)
+    if cfg.masked and cfg.spaces > 0:
+        mmers = mmers & np.uint64(cfg.seed_mask)
     # boundaries where the minimizer position changes
     change = np.empty(n_k, dtype=bool)
     change[0] = True

@@ -1,0 +1,155 @@
+"""Tests for respace, analysis metrics, UniFrac, index statistics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from slacken_spark.analysis import (
+    depth_histogram,
+    hit_category,
+    per_read_comparison,
+    per_taxon_comparison,
+    taxon_coverage_stats,
+    unifrac_distance,
+)
+from slacken_spark.classify import Classifier, ClassifyParams
+from slacken_spark.index import KeyValueIndex
+from slacken_spark.kernels.minimizers import MinimizerConfig
+from slacken_spark.kernels.taxonomy import NONE, ROOT, Taxonomy
+
+CFG = MinimizerConfig(k=21, m=15, spaces=2, canonical=True)
+RNG = np.random.default_rng(99)
+
+
+def _genome(n):
+    return "".join("ACGT"[i] for i in RNG.integers(0, 4, n))
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    ids, parents, ranks = [10, 101, 102, 20, 201], [ROOT, 10, 10, ROOT, 20], [
+        "genus",
+        "species",
+        "species",
+        "genus",
+        "species",
+    ]
+    tax = Taxonomy.from_edges(ids, parents, ranks)
+    genomes = {t: _genome(2000) for t in (101, 102, 201)}
+    gdf = spark.createDataFrame(
+        [(f"g{t}", s) for t, s in genomes.items()], "header string, nucleotides string"
+    )
+    ldf = spark.createDataFrame(
+        [(f"g{t}", t) for t in genomes], "header string, taxon int"
+    )
+    idx = KeyValueIndex.build(spark, gdf, ldf, tax, CFG, buckets=4)
+    idx.records = idx.records.persist()
+    return dict(tax=tax, genomes=genomes, idx=idx, gdf=gdf, ldf=ldf, spark=spark)
+
+
+# ---------------- respace ----------------
+
+
+def test_respace_shrinks_and_still_classifies(world):
+    idx = world["idx"]
+    tax = world["tax"]
+    re5 = idx.respace(5)
+    n0 = idx.records.count()
+    n5 = re5.records.count()
+    assert n5 <= n0
+    assert re5.cfg.spaces == 5 and re5.cfg.masked
+    # reads still classify to source or ancestor through the respaced index
+    spark = world["spark"]
+    t0, seq = 101, world["genomes"][101]
+    reads = spark.createDataFrame(
+        [(f"r{i}", seq[i * 37 : i * 37 + 150]) for i in range(10)],
+        "header string, nucleotides string",
+    )
+    out = Classifier(re5).classify(reads, ClassifyParams(min_hit_groups=2)).collect()
+    for r in out:
+        if r["classified"]:
+            assert tax.has_ancestor(t0, r["taxon"])
+
+
+def test_respace_smaller_raises(world):
+    with pytest.raises(ValueError):
+        world["idx"].respace(1)
+
+
+# ---------------- hit categories ----------------
+
+
+def test_hit_categories(world):
+    tax = world["tax"]
+    assert hit_category(tax, 101, NONE, None) == "FalseNeg"
+    assert hit_category(tax, 101, 101, None) == "TruePos"
+    assert hit_category(tax, 101, 10, None) == "VaguePos"  # ancestor of ref
+    assert hit_category(tax, 101, 201, None) == "FalsePos"
+    assert hit_category(tax, 101, ROOT, None) == "VaguePos"
+    # at genus rank (depth 7): sibling species under same genus = TruePos
+    assert hit_category(tax, 101, 102, 7) == "TruePos"
+    assert hit_category(tax, 101, 201, 7) == "FalsePos"
+
+
+def test_per_read_comparison(world):
+    spark = world["spark"]
+    ref = spark.createDataFrame(
+        [("r1", 101), ("r2", 101), ("r3", 201), ("r4", 101)], "id string, ref_taxon int"
+    )
+    cmp = spark.createDataFrame(
+        [("r1", 101), ("r2", 10), ("r3", NONE), ("r4", 201), ("r9", 101)],
+        "id string, taxon int",
+    )
+    m = per_read_comparison(spark, cmp, ref, world["tax"])
+    assert m["total_reads"] == 4  # r9 not in reference → dropped
+    assert m["tp"] == 1 and m["vp"] == 1 and m["fn"] == 1 and m["fp"] == 1
+    assert m["sensitivity"] == 0.25
+    assert m["ppv"] == 0.5
+
+
+def test_per_taxon_comparison(world):
+    spark = world["spark"]
+    ref = spark.createDataFrame(
+        [("r1", 101), ("r2", 201)], "id string, ref_taxon int"
+    )
+    cmp = spark.createDataFrame(
+        [("r1", 101), ("r2", 102), ("r3", 102)], "id string, taxon int"
+    )
+    m = per_taxon_comparison(spark, cmp, ref, world["tax"], rank_depth=8)
+    # species level: ref {101, 201}; cmp {101, 102}
+    assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
+    assert m["precision"] == 0.5 and m["recall"] == 0.5
+
+
+# ---------------- UniFrac ----------------
+
+
+def test_unifrac(world):
+    tax = world["tax"]
+    assert unifrac_distance(tax, {101}, {101}) == 0.0
+    # {101} tree: {101,10}; {102} tree: {102,10}; shared {10}; both {101,102,10}
+    assert unifrac_distance(tax, {101}, {102}) == 2 / 3
+    # disjoint genera: fully distinct paths
+    assert unifrac_distance(tax, {101}, {201}) == 1.0
+
+
+# ---------------- index stats ----------------
+
+
+def test_taxon_coverage_stats(world):
+    rows = {
+        r["taxon"]: r
+        for r in taxon_coverage_stats(world["idx"], world["gdf"], world["ldf"]).collect()
+    }
+    assert set(rows) == {101, 102, 201}
+    # 201 shares no genomes → its minimizers nearly all resolve to itself
+    assert rows[201]["frac_leaf"] > 0.99
+    for r in rows.values():
+        assert 0.0 <= r["frac_leaf"] <= 1.0 and r["total"] > 0
+
+
+def test_depth_histogram(world):
+    rows = {r["depth"]: r["n_records"] for r in depth_histogram(world["idx"]).collect()}
+    # species depth 3 (ROOT=1, genus=2, species=3); some LCAs may sit at genus
+    assert rows.get(3, 0) > 0
+    assert sum(rows.values()) == world["idx"].records.count()
