@@ -165,6 +165,33 @@ def per_taxon_comparison(
 
 
 # ---------------------------------------------------------------------------
+# Index-vs-index comparison (analysis/MinimizerMigration.scala:44-72)
+# ---------------------------------------------------------------------------
+
+
+def compare_indexes(a: KeyValueIndex, b: KeyValueIndex) -> DataFrame:
+    """Full-outer null-safe alignment of two record sets → migration
+    categories per minimizer: 'same' (LCA unchanged), 'moved' (different
+    taxon), 'only_a', 'only_b'. One shuffle on id1."""
+    ra = a.records.select(
+        F.col("id1").alias("id_a"), F.col("taxon").alias("taxon_a")
+    )
+    rb = b.records.select(
+        F.col("id1").alias("id_b"), F.col("taxon").alias("taxon_b")
+    )
+    joined = ra.join(rb, F.col("id_a").eqNullSafe(F.col("id_b")), "full_outer")
+    cat = (
+        F.when(F.col("id_a").isNull(), "only_b")
+        .when(F.col("id_b").isNull(), "only_a")
+        .when(F.col("taxon_a") == F.col("taxon_b"), "same")
+        .otherwise("moved")
+    )
+    return joined.select(cat.alias("category")).groupBy("category").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # UniFrac (analysis/UniFrac.scala:26-50)
 # ---------------------------------------------------------------------------
 

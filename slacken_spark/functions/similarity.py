@@ -85,6 +85,45 @@ def lsh_hyperplane_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization (nprobe=1).
+
+    Both sides are assigned to their nearest centroid; candidates are the
+    corpus vectors sharing the query's centroid — an EQUI-join on
+    centroid_id instead of a cross join, which is what survives a
+    billion-vector corpus. Recall < 1 by construction (vectors straddling
+    centroid boundaries are missed); raise nprobe by unioning the
+    next-nearest assignments when needed.
+    """
+    qa = ivf_assign(queries, q_vec, centroids)
+    ca = ivf_assign(corpus, c_vec, centroids)
+    sim = cosine(F.col(q_vec), F.col(c_vec))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    joined = (
+        F.broadcast(qa)
+        .join(ca, "centroid_id")
+        .where(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, sim.alias("sim"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "sim", "rnk")
+    )
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:

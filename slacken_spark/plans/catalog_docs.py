@@ -393,6 +393,80 @@ def embedding_cosine_topk(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def _centroids(n: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish centroids (integer-derived
+    literals embedded identically in the oracle SQL)."""
+    out = []
+    for i in range(n):
+        row = []
+        for j in range(dim):
+            v = ((i * dim + j) * 1103515245 + 12345) % 2000
+            row.append((v - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def _cos_sql(vec_expr: str, lits: list[float]) -> str:
+    arr = ", ".join(repr(x) for x in lits)
+    nrm = sum(x * x for x in lits) ** 0.5
+    return (
+        f"(list_sum(list_transform(range(1, 65), i ->"
+        f" CAST({vec_expr}[CAST(i AS INT)] AS DOUBLE) * (ARRAY[{arr}])[CAST(i AS INT)]))"
+        f" / (sqrt(list_sum(list_transform({vec_expr}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(ARRAY[{arr}], x -> x*x)))))"
+    )
+
+
+def _ivf_assign_sql(vec_expr: str) -> str:
+    """Sequential strict-> argmax over the centroid literals, matching
+    similarity.ivf_assign's fold order exactly."""
+    cents = _centroids()
+    sims = [_cos_sql(vec_expr, c) for c in cents]
+    return (
+        f"CASE WHEN {sims[3]} > greatest({sims[0]}, {sims[1]}, {sims[2]}) THEN 3"
+        f" WHEN {sims[2]} > greatest({sims[0]}, {sims[1]}) THEN 2"
+        f" WHEN {sims[1]} > {sims[0]} THEN 1 ELSE 0 END"
+    )
+
+
+@register(
+    "embedding_ivf_topk",
+    f"""
+    WITH assigned AS (
+        SELECT vec_id, embedding, {_ivf_assign_sql("embedding")} AS centroid_id
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, centroid_id FROM assigned WHERE vec_id < 10),
+    sims AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               round(
+                 list_sum(list_transform(range(1, len(q.q_vec)+1),
+                   i -> CAST(q.q_vec[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                 4) AS sim
+        FROM q JOIN assigned c ON q.centroid_id = c.centroid_id
+        WHERE q.q_id != c.vec_id
+    ),
+    r AS (SELECT q_id, c_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+          FROM sims)
+    SELECT q_id, c_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """,
+)
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF (nprobe=1) approximate top-k: centroid equi-join instead of a
+    cross join — the billion-vector scale path. The oracle reproduces the
+    coarse quantization and candidate ranking exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = SIM.ivf_topk(queries, corpus, _centroids(), k=3, round_digits=4)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def _planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from integer arithmetic
     (identical literals are embedded in the oracle SQL — no libm calls)."""

@@ -229,3 +229,44 @@ def genomic_classify_detail(spark, sf_dir):
     cls = Classifier(idx)
     out = cls.classify(_reads(spark, sf_dir), ClassifyParams(min_hit_groups=2))
     return cls.output_lines(out)
+
+
+# ---------------------------------------------------------------------------
+# Bracken weights with predictable self-classification
+# ---------------------------------------------------------------------------
+
+_BRACKEN_READ_LEN = 100
+
+
+@register(
+    "bracken_weights",
+    f"""
+    SELECT CAST(p_partkey + 1000 AS INT) AS dest,
+           CAST(p_partkey + 1000 AS INT) AS source,
+           CAST(256 - {_BRACKEN_READ_LEN} + 1 AS BIGINT) AS count
+    FROM part WHERE p_partkey % 40 = 0
+    """,
+)
+def bracken_weights(spark, sf_dir):
+    """Self-classify every simulated read of fully-unique genomes: each
+    genome's minimizers fold to its own leaf, so every one of the
+    len−L+1 reads must land on the source taxon — the oracle enumerates
+    the exact (dest, source, count) table. Exercises fragment splitting,
+    the distinct-minimizer left join, and the vectorized FragmentWindow
+    end-to-end."""
+    from slacken_spark.bracken import BrackenWeights
+
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
+    genomes = part.select(
+        F.concat(F.lit("bk"), F.col("p_partkey")).alias("header"),
+        _dna_expr("bkuniq", F.col("p_partkey")).alias("nucleotides"),
+    )
+    labels = part.select(
+        F.concat(F.lit("bk"), F.col("p_partkey")).alias("header"),
+        (F.col("p_partkey") + 1000).cast("int").alias("taxon"),
+    )
+    idx = KeyValueIndex.build(
+        spark, genomes, labels, _taxonomy(spark, sf_dir), CFG, buckets=32
+    )
+    bw = BrackenWeights(idx, _BRACKEN_READ_LEN)
+    return bw.build_weights(genomes, labels)

@@ -121,6 +121,30 @@ def test_per_taxon_comparison(world):
     assert m["precision"] == 0.5 and m["recall"] == 0.5
 
 
+# ---------------- index comparison ----------------
+
+
+def test_compare_indexes(world):
+    from slacken_spark.analysis import compare_indexes
+
+    idx = world["idx"]
+    sub = KeyValueIndex.build(
+        world["spark"],
+        world["gdf"],
+        world["ldf"],
+        world["tax"],
+        CFG,
+        buckets=4,
+        taxon_filter={101, 102},
+    )
+    cats = {r["category"]: r["n"] for r in compare_indexes(idx, sub).collect()}
+    assert "only_a" in cats and cats["only_a"] > 0  # 201's unique minimizers
+    assert cats.get("only_b", 0) == 0  # sub is a strict subset
+    assert cats.get("same", 0) > 0
+    total_b = sub.records.count()
+    assert cats.get("same", 0) + cats.get("moved", 0) == total_b
+
+
 # ---------------- UniFrac ----------------
 
 
