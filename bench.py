@@ -34,15 +34,30 @@ def main() -> None:
     spark = get_spark("slacken_spark_bench")
 
     # warm up the JVM/session so the first measured query isn't charged
-    # session-startup cost: codegen, Arrow init, and Python UDF worker
-    # pool spin-up (~8 s one-time on local[32])
-    from pyspark.sql.functions import col, pandas_udf
+    # session-startup cost: codegen, Arrow init, Python UDF worker pool
+    # spin-up, parquet reader, shuffle machinery, broadcast exchange
+    # (~20 s of one-time costs on local[32])
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
 
     _warm = pandas_udf(lambda s: s, "long")
-
-    warm_df = spark.range(1_000_000).select(_warm(col("id")).alias("x"))
-    warm_df.selectExpr("sum(x)").collect()
+    base = spark.range(1_000_000).select(
+        (F.col("id") % 100).alias("k"), _warm(F.col("id")).alias("x")
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("y"))
+    (
+        base.join(F.broadcast(small), "k")
+        .groupBy("k")
+        .agg(F.collect_list("x").alias("xs"), F.sum("x").alias("s"))
+        .select(_warm(F.element_at("xs", 1)).alias("h"), "s")
+        .selectExpr("sum(h+s)")
+        .collect()
+    )
     spark.range(10).toPandas()
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     total = 0.0

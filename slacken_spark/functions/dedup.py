@@ -141,6 +141,41 @@ def jaccard_similarity(set_a: Column, set_b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def simhash_rows(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash via exploded token rows — the scale path.
+
+    One hash per token row, then ``bits`` conditional sums in a single
+    codegen'd partial-aggregated groupBy (votes>0 → set bit). The array
+    formulation (simhash_from_hashes) walks the token array once per bit
+    through interpreted lambda evaluation — 16× the passes, none of them
+    codegen'd. Returns (id, simhash).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    hashed = toks.select(id_col, token_hash64(F.col("_tok")).alias("_h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("_h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    out = agg.select(id_col, sig.alias("simhash"))
+    # docs with zero tokens: empty-token split yields one '' token, so
+    # every doc appears; no left-join backfill needed
+    return out
+
+
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     """SimHash over a precomputed array<long> of token hashes: for each
     bit, sum +1/-1 votes across tokens; set the bit when the vote is

@@ -78,18 +78,28 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
     """,
 )
 def doc_quality(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "text", X.tokens(F.col("text")).alias("toks")
+    """Quality signals via exploded tokens + one codegen'd aggregation
+    (the array filter-with-isin lambda runs interpreted per token)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
     )
-    toks = F.col("toks")
-    n = F.size(toks)
-    return docs.select(
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.lower(F.col("tok")).isin(*X.STOPWORDS_EN), 1).otherwise(0)
+        ).alias("stop_hits"),
+    )
+    return docs.join(stats, "doc_id").select(
         "doc_id",
-        X.stopword_ratio(toks).alias("stopword_ratio"),
-        X.punct_ratio(F.col("text")).alias("punct_ratio"),
-        F.when(n >= 50, "long").when(n >= 20, "mid").otherwise("short").alias(
-            "length_bucket"
+        (F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))).alias(
+            "stopword_ratio"
         ),
+        X.punct_ratio(F.col("text")).alias("punct_ratio"),
+        F.when(F.col("n_tokens") >= 50, "long")
+        .when(F.col("n_tokens") >= 20, "mid")
+        .otherwise("short")
+        .alias("length_bucket"),
     )
 
 
@@ -284,14 +294,9 @@ def _simhash_sql(bits: int = 16) -> str:
 
 @register("simhash_docs", _simhash_sql())
 def simhash_docs(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        F.transform(X.tokens(F.col("text")), X.token_hash64).alias("hashes"),
-    )
-    return hashed.select(
-        "doc_id", D.simhash_from_hashes(F.col("hashes"), bits=16).alias("simhash")
-    )
+    """Exploded-row simhash (codegen'd conditional sums; see
+    dedup.simhash_rows for why the array-lambda form is avoided)."""
+    return D.simhash_rows(t(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
 
 
 @register(
