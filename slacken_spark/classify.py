@@ -46,16 +46,15 @@ def taxon_counts_from_hits(
     taxa: np.ndarray, counts: np.ndarray
 ) -> tuple[list[int], list[int]]:
     """Merge consecutive equal taxa (TaxonCounts.fromHits,
-    TaxonCounts.scala:31-48)."""
-    out_t: list[int] = []
-    out_c: list[int] = []
-    for t, c in zip(taxa.tolist(), counts.tolist()):
-        if out_t and out_t[-1] == t:
-            out_c[-1] += c
-        else:
-            out_t.append(t)
-            out_c.append(c)
-    return out_t, out_c
+    TaxonCounts.scala:31-48) — run-length reduction via reduceat."""
+    if len(taxa) == 0:
+        return [], []
+    starts = np.empty(len(taxa), dtype=bool)
+    starts[0] = True
+    np.not_equal(taxa[1:], taxa[:-1], out=starts[1:])
+    idx = np.flatnonzero(starts)
+    merged = np.add.reduceat(counts, idx)
+    return taxa[idx].tolist(), merged.tolist()
 
 
 def pairs_in_order_string(taxa: list[int], counts: list[int]) -> str:
@@ -97,7 +96,7 @@ class Classifier:
         hit = F.struct(
             F.col("ordinal"), F.col("taxon"), F.col("count"), F.col("distinct")
         )
-        return (
+        grouped = (
             hits.select("header", hit.alias("hit"))
             .groupBy("header")
             .agg(
@@ -106,6 +105,15 @@ class Classifier:
                     F.col("hit.distinct") & (F.col("hit.taxon") != NONE)
                 ).alias("num_distinct"),
             )
+        )
+        # project the ordered struct array to aligned primitive arrays:
+        # Arrow hands primitive arrays to pandas as numpy (zero dict
+        # boxing), which is what keeps the per-read kernel cheap
+        return grouped.select(
+            "header",
+            "num_distinct",
+            F.transform("hits", lambda h: h["taxon"]).alias("taxa"),
+            F.transform("hits", lambda h: h["count"]).alias("counts"),
         )
 
     def classify(
@@ -153,9 +161,8 @@ class Classifier:
                     "hits_string": [],
                 }
                 for row in pdf.itertuples(index=False):
-                    hits = row.hits
-                    taxa = np.array([h["taxon"] for h in hits], dtype=np.int64)
-                    counts = np.array([h["count"] for h in hits], dtype=np.int64)
+                    taxa = np.asarray(row.taxa, dtype=np.int64)
+                    counts = np.asarray(row.counts, dtype=np.int64)
                     mt, mc = taxon_counts_from_hits(taxa, counts)
                     total_kmers = sum(
                         c for t, c in zip(mt, mc) if t != MATE_PAIR_BORDER
