@@ -147,3 +147,30 @@ def file_stream(
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.format(fmt).load(path)
+
+
+def classify_stream(index, read_stream: DataFrame, sink):
+    """Streaming read classification: a continuously-arriving stream of
+    (header, nucleotides) fragments classified against a STATIC bucketed
+    minimizer-LCA index — a capability the (batch-only) reference lacks.
+
+    Each read is complete within its micro-batch (the per-read groupBy
+    never needs cross-batch state), so the right shape is foreachBatch
+    running the full batch pipeline per micro-batch: span extraction →
+    stream-static LEFT join against the index → regroup → resolve. No
+    state store, no watermark, bounded memory; the static side is the
+    same bucketed table batch classification uses, so each micro-batch
+    shuffles only its own spans.
+
+    ``sink(classified_df, epoch_id)`` receives each batch's results.
+    Returns the DataStreamWriter (caller adds trigger/checkpoint and
+    calls .start()).
+    """
+    from slacken_spark.classify import Classifier
+
+    cls = Classifier(index)
+
+    def process(batch_df, epoch_id):
+        sink(cls.classify(batch_df), epoch_id)
+
+    return read_stream.writeStream.foreachBatch(process)

@@ -1,0 +1,87 @@
+"""Physical-plan assertions (pushdown, pruning, broadcast) and the
+classification write → read-back → report round trip."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from slacken_spark.plans import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    fn, _ = REGISTRY["scan_filter_project"]
+    df = fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+    # projection pruning: the scan must not read all 16 lineitem columns
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "l_comment" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    fn, _ = REGISTRY["star_broadcast_join"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # all four dims broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_use_semi_join_operators(spark, sf_dir):
+    fn, _ = REGISTRY["semi_anti_join"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_classification_write_and_report(spark, tmp_path):
+    from slacken_spark.analysis import read_kraken_format
+    from slacken_spark.classify import Classifier, ClassifyParams, KrakenReport
+    from slacken_spark.index import KeyValueIndex
+    from slacken_spark.kernels.minimizers import MinimizerConfig
+    from slacken_spark.kernels.taxonomy import ROOT, Taxonomy
+
+    cfg = MinimizerConfig(k=21, m=15, spaces=2)
+    rng = np.random.default_rng(5)
+    tax = Taxonomy.from_edges([10, 101], [ROOT, 10])
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 2000))
+    gdf = spark.createDataFrame([("g", seq)], "header string, nucleotides string")
+    ldf = spark.createDataFrame([("g", 101)], "header string, taxon int")
+    idx = KeyValueIndex.build(spark, gdf, ldf, tax, cfg, buckets=2)
+    reads = spark.createDataFrame(
+        [(f"sampleA.read{i}", seq[i * 50 : i * 50 + 150]) for i in range(8)]
+        + [(f"sampleB.read{i}", seq[i * 60 : i * 60 + 150]) for i in range(5)],
+        "header string, nucleotides string",
+    )
+    cls = Classifier(idx)
+    cpar = ClassifyParams(min_hit_groups=2, sample_regex=r"^(sample[AB])\.")
+    out = cls.classify(reads, cpar)
+    loc = str(tmp_path / "cls_out")
+    cls.write_output(out, loc, cpar)
+    # per-sample partition dirs with gzip text
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(loc, "sample=*"))
+    )
+    assert dirs == ["sample=sampleA", "sample=sampleB"]
+    assert glob.glob(os.path.join(loc, "sample=sampleA", "*.gz"))
+    # read-back (S12) and per-taxon report
+    back = read_kraken_format(spark, os.path.join(loc, "sample=sampleA"))
+    counts = [
+        (r["taxon"], r["n"])
+        for r in back.groupBy("taxon").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    rep = KrakenReport(tax, counts)
+    lines = rep.lines()
+    assert any("\t101\t" in l for l in lines)
+    # clade rollup: root clade total == classified reads of sample A
+    root_line = [l for l in lines if l.split("\t")[4] == "1"][0]
+    assert int(root_line.split("\t")[1]) == sum(
+        c for t, c in counts if t != 0
+    )
