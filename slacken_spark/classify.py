@@ -142,7 +142,13 @@ class Classifier:
         return out
 
     def _classify_grouped(self, grouped, cpar, threshold):
-        """Internal: classification kernel over pre-grouped hits."""
+        """Internal: classification kernel over pre-grouped hits.
+
+        resolve_tree runs BATCHED: all reads in an Arrow batch are
+        resolved in one set of vectorized passes
+        (Taxonomy.resolve_tree_batch) — no per-read Python resolution.
+        Only the Kraken output strings are built row-by-row.
+        """
         k = self.index.cfg.k
         min_hit_groups = cpar.min_hit_groups
         sample_regex = cpar.sample_regex
@@ -152,6 +158,49 @@ class Classifier:
             tax: Taxonomy = bc_tax.value
             sre = re.compile(sample_regex) if sample_regex else None
             for pdf in batches:
+                n = len(pdf)
+                merged = []
+                seg_l, tax_l, cnt_l = [], [], []
+                required = np.zeros(n, dtype=np.float64)
+                for i, row in enumerate(pdf.itertuples(index=False)):
+                    taxa = np.asarray(row.taxa, dtype=np.int64)
+                    counts = np.asarray(row.counts, dtype=np.int64)
+                    mt, mc = taxon_counts_from_hits(taxa, counts)
+                    merged.append((mt, mc))
+                    total_kmers = sum(
+                        c for t, c in zip(mt, mc) if t != MATE_PAIR_BORDER
+                    )
+                    required[i] = np.ceil(threshold * total_kmers)
+                    for t, c in zip(mt, mc):
+                        if t not in (AMBIGUOUS_SPAN, MATE_PAIR_BORDER):
+                            seg_l.append(i)
+                            tax_l.append(t)
+                            cnt_l.append(c)
+                winners = np.zeros(n, dtype=np.int64)
+                if seg_l:
+                    seg_a = np.asarray(seg_l, dtype=np.int64)
+                    tax_a = np.asarray(tax_l, dtype=np.int64)
+                    cnt_a = np.asarray(cnt_l, dtype=np.int64)
+                    # merge duplicate (read, taxon) keys (resolve expects
+                    # one entry per key)
+                    key = seg_a * (np.int64(1) << np.int64(32)) + tax_a
+                    order = np.argsort(key, kind="stable")
+                    key, seg_a, tax_a, cnt_a = (
+                        key[order],
+                        seg_a[order],
+                        tax_a[order],
+                        cnt_a[order],
+                    )
+                    first = np.empty(len(key), dtype=bool)
+                    first[0] = True
+                    np.not_equal(key[1:], key[:-1], out=first[1:])
+                    idx = np.flatnonzero(first)
+                    seg_a, tax_a = seg_a[idx], tax_a[idx]
+                    cnt_a = np.add.reduceat(cnt_a, idx)
+                    usegs, w = tax.resolve_tree_batch(
+                        seg_a, tax_a, cnt_a, required[np.unique(seg_a)]
+                    )
+                    winners[usegs] = w
                 out = {
                     "sample_id": [],
                     "classified": [],
@@ -160,19 +209,9 @@ class Classifier:
                     "length_string": [],
                     "hits_string": [],
                 }
-                for row in pdf.itertuples(index=False):
-                    taxa = np.asarray(row.taxa, dtype=np.int64)
-                    counts = np.asarray(row.counts, dtype=np.int64)
-                    mt, mc = taxon_counts_from_hits(taxa, counts)
-                    total_kmers = sum(
-                        c for t, c in zip(mt, mc) if t != MATE_PAIR_BORDER
-                    )
-                    hit_counts: dict[int, int] = {}
-                    for t, c in zip(mt, mc):
-                        if t not in (AMBIGUOUS_SPAN, MATE_PAIR_BORDER):
-                            hit_counts[t] = hit_counts.get(t, 0) + c
-                    required = np.ceil(threshold * total_kmers)
-                    taxon = tax.resolve_tree(hit_counts, required)
+                for i, row in enumerate(pdf.itertuples(index=False)):
+                    mt, mc = merged[i]
+                    taxon = int(winners[i])
                     classified = (
                         taxon != NONE and row.num_distinct >= min_hit_groups
                     )
@@ -183,7 +222,7 @@ class Classifier:
                     out["sample_id"].append(sample)
                     out["classified"].append(bool(classified))
                     out["header"].append(row.header)
-                    out["taxon"].append(int(taxon) if classified else NONE)
+                    out["taxon"].append(taxon if classified else NONE)
                     out["length_string"].append(length_string(mt, mc, k))
                     out["hits_string"].append(pairs_in_order_string(mt, mc))
                 yield pd.DataFrame(out)
@@ -281,23 +320,52 @@ class SQLClassifier:
             tax: Taxonomy = bc_tax.value
             sre = re.compile(sample_regex) if sample_regex else None
             for pdf in batches:
+                n = len(pdf)
+                seg_l, tax_l, cnt_l = [], [], []
+                required = np.zeros(n, dtype=np.float64)
+                gate = np.zeros(n, dtype=bool)
+                for i, row in enumerate(pdf.itertuples(index=False)):
+                    gate[i] = row.num_distinct >= min_hit_groups
+                    if not gate[i]:
+                        continue
+                    required[i] = np.ceil(threshold * (row.total_count or 0))
+                    for t, c in zip(row.taxa, row.counts):
+                        seg_l.append(i)
+                        tax_l.append(int(t))
+                        cnt_l.append(int(c))
+                winners = np.zeros(n, dtype=np.int64)
+                if seg_l:
+                    seg_a = np.asarray(seg_l, dtype=np.int64)
+                    tax_a = np.asarray(tax_l, dtype=np.int64)
+                    cnt_a = np.asarray(cnt_l, dtype=np.int64)
+                    key = seg_a * (np.int64(1) << np.int64(32)) + tax_a
+                    order = np.argsort(key, kind="stable")
+                    key, seg_a, tax_a, cnt_a = (
+                        key[order],
+                        seg_a[order],
+                        tax_a[order],
+                        cnt_a[order],
+                    )
+                    first = np.empty(len(key), dtype=bool)
+                    first[0] = True
+                    np.not_equal(key[1:], key[:-1], out=first[1:])
+                    idx = np.flatnonzero(first)
+                    seg_a, tax_a = seg_a[idx], tax_a[idx]
+                    cnt_a = np.add.reduceat(cnt_a, idx)
+                    usegs, w = tax.resolve_tree_batch(
+                        seg_a, tax_a, cnt_a, required[np.unique(seg_a)]
+                    )
+                    winners[usegs] = w
+                winners[~gate] = NONE
                 out = {"sample_id": [], "classified": [], "taxon": []}
-                for row in pdf.itertuples(index=False):
-                    if row.num_distinct >= min_hit_groups:
-                        hit_counts: dict[int, int] = {}
-                        for t, c in zip(row.taxa, row.counts):
-                            hit_counts[int(t)] = hit_counts.get(int(t), 0) + int(c)
-                        required = np.ceil(threshold * (row.total_count or 0))
-                        taxon = tax.resolve_tree(hit_counts, required)
-                    else:
-                        taxon = NONE
+                for i, row in enumerate(pdf.itertuples(index=False)):
                     sample = "all"
                     if sre is not None:
                         m = sre.search(row.header)
                         sample = m.group(1) if m else "other"
                     out["sample_id"].append(sample)
-                    out["classified"].append(taxon != NONE)
-                    out["taxon"].append(int(taxon))
+                    out["classified"].append(bool(winners[i] != NONE))
+                    out["taxon"].append(int(winners[i]))
                 yield pd.DataFrame(out)
 
         return grouped.mapInPandas(

@@ -381,6 +381,97 @@ class Taxonomy:
 
         return lca_of_list
 
+    # ---------------- batch resolve_tree ----------------
+
+    def resolve_tree_batch(
+        self,
+        seg: np.ndarray,
+        taxa: np.ndarray,
+        counts: np.ndarray,
+        required: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized resolve_tree over many reads at once.
+
+        Inputs are hit entries sorted by ``seg`` (read id): for each
+        read, (taxon → count) pairs plus the read's required score.
+        ``required`` is aligned to the UNIQUE seg values (ascending).
+        Returns (unique_segs, winner_taxon_per_seg).
+
+        Same semantics as resolve_tree (argmax of root-path score,
+        ties → LCA, then lift until the clade score meets ``required``),
+        but O(depth) vector passes over the whole Arrow batch instead of
+        Python loops per read — the classification throughput path.
+        """
+        seg = np.asarray(seg, dtype=np.int64)
+        taxa = np.asarray(taxa, dtype=np.int64)
+        counts = np.asarray(counts, dtype=np.int64)
+        usegs, seg_start = np.unique(seg, return_index=True)
+        required = np.asarray(required, dtype=np.float64)
+        if len(usegs) == 0:
+            return usegs, np.empty(0, dtype=np.int64)
+        par = self.parents
+        sd = self.sdepth
+        M = np.int64(1) << np.int64(32)
+        keys = seg * M + taxa
+        order = np.argsort(keys, kind="stable")
+        Ks, Cs = keys[order], counts[order]
+
+        def count_of(seg_ids, nodes):
+            """counts.get((seg, node), 0) vectorized via searchsorted."""
+            k = seg_ids * M + nodes
+            p = np.searchsorted(Ks, k)
+            p_c = np.minimum(p, len(Ks) - 1)
+            return np.where(Ks[p_c] == k, Cs[p_c], 0)
+
+        # ---- path scores per entry ----
+        score = np.zeros(len(taxa), dtype=np.int64)
+        cur = taxa.copy()
+        active = cur != NONE
+        while active.any():
+            score[active] += count_of(seg[active], cur[active])
+            cur[active] = par[cur[active]]
+            active = cur != NONE
+
+        # ---- per-read argmax with LCA tie fold ----
+        seg_max = np.maximum.reduceat(score, seg_start)
+        is_max = score == np.repeat(seg_max, np.diff(np.append(seg_start, len(seg))))
+        w_seg, w_tax = self.segment_lca(seg[is_max], taxa[is_max])
+        winners = np.zeros(len(usegs), dtype=np.int64)
+        winners[np.searchsorted(usegs, w_seg)] = w_tax
+        # taxa with score 0 (only the NONE key) resolve to NONE — matches
+        # scalar (lca(0,0)=0)
+        winners[seg_max == 0] = NONE
+
+        # ---- confidence lift ----
+        max_score = count_of(usegs, winners)
+        lifting = (winners != NONE) & (max_score < required)
+        while lifting.any():
+            # clade score of each active read's winner: sum of counts of
+            # entries whose taxon lifts to the winner's depth as the winner
+            act_idx = np.flatnonzero(lifting)
+            entry_act = np.isin(seg, usegs[act_idx])
+            e_seg = seg[entry_act]
+            e_tax = taxa[entry_act]
+            e_cnt = counts[entry_act]
+            w_for_entry = winners[np.searchsorted(usegs, e_seg)]
+            target_d = sd[w_for_entry]
+            anc = e_tax.copy()
+            deeper = (anc != NONE) & (sd[anc] > target_d)
+            while deeper.any():
+                anc[deeper] = par[anc[deeper]]
+                deeper = (anc != NONE) & (sd[anc] > target_d)
+            match = (anc == w_for_entry) & (e_tax != NONE)
+            clade = np.zeros(len(usegs), dtype=np.int64)
+            np.add.at(clade, np.searchsorted(usegs, e_seg[match]), e_cnt[match])
+            met = lifting & (clade >= required)
+            # met reads keep their winner and stop lifting
+            lifting = lifting & ~met
+            # the rest move up (possibly off the tree → NONE, stop)
+            winners[lifting] = par[winners[lifting]]
+            ran_off = lifting & (winners == NONE)
+            lifting = lifting & ~ran_off
+        return usegs, winners
+
     # ---------------- resolve_tree (Kraken 2 classify) ----------------
 
     def resolve_tree(self, hit_counts: dict[int, int], required_score: float) -> int:
