@@ -39,7 +39,7 @@ from slacken_spark.kernels import bitseq
 from slacken_spark.kernels.minimizers import (
     MinimizerConfig,
     split_by_ambiguity,
-    supermers_of_codes,
+    supermer_arrays,
 )
 from slacken_spark.kernels.taxonomy import NONE, Taxonomy
 
@@ -96,14 +96,15 @@ def fragment_hits(
             tax.append(NONE)
             cnt.append(en - st)
             continue
-        for sm in supermers_of_codes(codes[st:en], cfg, nts[st:en]):
-            d = first or sm.minimizer != last_min
+        mins, starts, kmers = supermer_arrays(codes[st:en], cfg)
+        for mz, s0, km in zip(mins.tolist(), starts.tolist(), kmers.tolist()):
+            d = first or mz != last_min
             first = False
-            last_min = sm.minimizer
+            last_min = mz
             dist.append(d)
-            pos.append(st + sm.start)
-            tax.append(lca_lookup.get(sm.minimizer, NONE))
-            cnt.append(sm.kmers)
+            pos.append(st + s0)
+            tax.append(lca_lookup.get(mz, NONE))
+            cnt.append(km)
         # invalid k-mer slots running into the next segment / past the end
         dist.append(False)
         pos.append(st + (en - st) - (cfg.k - 1))
@@ -178,13 +179,11 @@ class BrackenWeights:
                 h, loc, ids = [], [], []
                 for r in pdf.itertuples(index=False):
                     codes = bitseq.encode_codes(r.nucleotides)
-                    mins = set()
+                    mins: set[int] = set()
                     for st, en, ok in split_by_ambiguity(codes, cfg.k):
                         if ok:
-                            for sm in supermers_of_codes(
-                                codes[st:en], cfg, r.nucleotides[st:en]
-                            ):
-                                mins.add(sm.minimizer)
+                            mz, _, _ = supermer_arrays(codes[st:en], cfg)
+                            mins.update(mz.tolist())
                     if not mins:
                         mins = {0}
                     for m in mins:

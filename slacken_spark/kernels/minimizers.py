@@ -141,6 +141,33 @@ def window_minimizers(ranks: np.ndarray, window: int) -> tuple[np.ndarray, np.nd
     return ranks[pos], pos
 
 
+def supermer_arrays(
+    codes: np.ndarray, cfg: MinimizerConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Array fast path of supermer splitting: returns
+    (minimizer, start, kmers) per super-mer, no Python objects or string
+    slicing — the index-build/classify hot path. Same boundary semantics
+    as supermers_of_codes."""
+    n_k = len(codes) - cfg.k + 1
+    empty = np.empty(0, dtype=np.int64)
+    if n_k <= 0:
+        return empty, empty, empty
+    ranks = mmer_priorities(codes, cfg)
+    mmers = bitseq.pack_kmers(codes, cfg.m)
+    if cfg.canonical:
+        mmers = bitseq.canonical_packed(mmers, cfg.m)
+    if cfg.masked and cfg.spaces > 0:
+        mmers = mmers & np.uint64(cfg.seed_mask)
+    _, min_pos = window_minimizers(ranks, cfg.window)
+    change = np.empty(n_k, dtype=bool)
+    change[0] = True
+    change[1:] = min_pos[1:] != min_pos[:-1]
+    starts = np.flatnonzero(change).astype(np.int64)
+    ends = np.append(starts[1:], n_k)
+    minimizers = mmers[min_pos[starts]].astype(np.int64)
+    return minimizers, starts, (ends - starts).astype(np.int64)
+
+
 @dataclass
 class Supermer:
     """One super-k-mer: consecutive k-mers sharing a minimizer."""
@@ -279,17 +306,18 @@ def read_spans(
                     )
                 )
                 continue
-            for sm in supermers_of_codes(codes[st:en], cfg, s[st:en]):
+            mins, _, kmers = supermer_arrays(codes[st:en], cfg)
+            for mz, km in zip(mins.tolist(), kmers.tolist()):
                 spans.append(
                     OrdinalSpan(
-                        minimizer=sm.minimizer,
-                        distinct=sm.minimizer != last_valid_minimizer,
-                        kmers=sm.kmers,
+                        minimizer=mz,
+                        distinct=mz != last_valid_minimizer,
+                        kmers=km,
                         flag=FLAG_SEQUENCE,
                         ordinal=0,
                     )
                 )
-                last_valid_minimizer = sm.minimizer
+                last_valid_minimizer = mz
 
     one_read(seq)
     if seq2 is not None:
@@ -315,9 +343,11 @@ def genome_minimizers(seq: str, cfg: MinimizerConfig) -> np.ndarray:
     codes = bitseq.encode_codes(seq)
     out = []
     for st, en in valid_segments(codes, cfg.k):
-        for sm in supermers_of_codes(codes[st:en], cfg, seq[st:en]):
-            out.append(sm.minimizer)
-    return np.asarray(out, dtype=np.uint64)
+        mins, _, _ = supermer_arrays(codes[st:en], cfg)
+        out.append(mins)
+    if not out:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(out).astype(np.uint64)
 
 
 def naive_minimizer_positions(seq: str, cfg: MinimizerConfig) -> list[int]:
