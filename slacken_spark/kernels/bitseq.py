@@ -56,19 +56,37 @@ def revcomp_str(seq: str) -> str:
 def pack_kmers(codes: np.ndarray, k: int) -> np.ndarray:
     """All k-mers of a code array packed into uint64 (k ≤ 32), MSB-first.
 
-    Windowed shift-add over a sliding view — one vectorized
-    multiply-accumulate, the numpy equivalent of the reference's rolling
-    ``shiftAddBP`` scan (ShiftScanner.scala:90-159). Caller guarantees
-    ``codes`` are all valid (0-3); positions containing invalid codes
-    must be masked out by the caller (see scanner.valid_kmer_mask).
+    Doubling construction (the numpy answer to the reference's rolling
+    ``shiftAddBP`` scan, ShiftScanner.scala:90-159): pack runs of
+    2,4,8,… bases by combining shifted halves, then assemble k from its
+    binary decomposition — O(n·log k) contiguous vector ops. (The naive
+    sliding-window × weights multiply materializes an (n,k) strided temp
+    and is ~100× slower at genome scale.) Caller guarantees codes are
+    valid (0-3); invalid positions are handled by segmenting upstream.
     """
     codes = np.asarray(codes, dtype=np.uint64)
-    n = len(codes) - k + 1
-    if n <= 0:
+    n_out = len(codes) - k + 1
+    if n_out <= 0:
         return np.empty(0, dtype=np.uint64)
-    wv = np.lib.stride_tricks.sliding_window_view(codes, k)
-    weights = (np.uint64(1) << (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)))
-    return (wv * weights).sum(axis=1, dtype=np.uint64)
+    # packs[j][i] = bases i..i+j-1 packed, for j = powers of two
+    packs: dict[int, np.ndarray] = {1: codes}
+    j = 1
+    while j * 2 <= k:
+        prev = packs[j]
+        packs[j * 2] = (prev[: len(prev) - j] << np.uint64(2 * j)) | prev[j:]
+        j *= 2
+    result: np.ndarray | None = None
+    consumed = 0
+    for size in sorted(packs, reverse=True):
+        if consumed + size > k:
+            continue
+        piece = packs[size][consumed : consumed + n_out]
+        if result is None:
+            result = piece.astype(np.uint64, copy=True)
+        else:
+            result = (result << np.uint64(2 * size)) | piece
+        consumed += size
+    return result
 
 
 def unpack_kmer(packed: int, k: int) -> str:

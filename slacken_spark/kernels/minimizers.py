@@ -108,11 +108,13 @@ class MinimizerConfig:
         )
 
 
-def mmer_priorities(codes: np.ndarray, cfg: MinimizerConfig) -> np.ndarray:
-    """Priority (rank) of the m-mer starting at every position.
+def scan_mmers(
+    codes: np.ndarray, cfg: MinimizerConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """One packing pass → (emit_mmers, ranks).
 
-    Lower rank = higher priority (the minimizer is the min-rank m-mer).
-    Caller guarantees codes are all valid (0-3).
+    emit_mmers are the values stored/joined (canonical, masked when
+    cfg.masked); ranks are the selection priorities (XOR ⊕ spaced mask).
     """
     mmers = bitseq.pack_kmers(codes, cfg.m)
     if cfg.canonical:
@@ -120,7 +122,19 @@ def mmer_priorities(codes: np.ndarray, cfg: MinimizerConfig) -> np.ndarray:
     ranks = mmers ^ (np.uint64(cfg.xor_mask) & np.uint64(cfg.mask_2m))
     if cfg.spaces > 0:
         ranks = ranks & np.uint64(cfg.seed_mask)
-    return ranks
+    emit = mmers
+    if cfg.masked and cfg.spaces > 0:
+        emit = emit & np.uint64(cfg.seed_mask)
+    return emit, ranks
+
+
+def mmer_priorities(codes: np.ndarray, cfg: MinimizerConfig) -> np.ndarray:
+    """Priority (rank) of the m-mer starting at every position.
+
+    Lower rank = higher priority (the minimizer is the min-rank m-mer).
+    Caller guarantees codes are all valid (0-3).
+    """
+    return scan_mmers(codes, cfg)[1]
 
 
 def window_minimizers(ranks: np.ndarray, window: int) -> tuple[np.ndarray, np.ndarray]:
@@ -152,12 +166,7 @@ def supermer_arrays(
     empty = np.empty(0, dtype=np.int64)
     if n_k <= 0:
         return empty, empty, empty
-    ranks = mmer_priorities(codes, cfg)
-    mmers = bitseq.pack_kmers(codes, cfg.m)
-    if cfg.canonical:
-        mmers = bitseq.canonical_packed(mmers, cfg.m)
-    if cfg.masked and cfg.spaces > 0:
-        mmers = mmers & np.uint64(cfg.seed_mask)
+    mmers, ranks = scan_mmers(codes, cfg)
     _, min_pos = window_minimizers(ranks, cfg.window)
     change = np.empty(n_k, dtype=bool)
     change[0] = True
@@ -191,13 +200,8 @@ def supermers_of_codes(
     n_k = len(codes) - cfg.k + 1
     if n_k <= 0:
         return []
-    ranks = mmer_priorities(codes, cfg)
-    mmers = bitseq.pack_kmers(codes, cfg.m)
-    if cfg.canonical:
-        mmers = bitseq.canonical_packed(mmers, cfg.m)
+    mmers, ranks = scan_mmers(codes, cfg)
     min_ranks, min_pos = window_minimizers(ranks, cfg.window)
-    if cfg.masked and cfg.spaces > 0:
-        mmers = mmers & np.uint64(cfg.seed_mask)
     # boundaries where the minimizer position changes
     change = np.empty(n_k, dtype=bool)
     change[0] = True
