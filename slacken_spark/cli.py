@@ -1,0 +1,348 @@
+"""Command-line interface mirroring the reference's command surface
+(reference: slacken/Slacken.scala:108-379 subcommands: build, respace,
+classify, classify2, bracken-build, stats, inspect, compare-index,
+compare, input-check).
+
+Usage: ``python -m slacken_spark <subcommand> …`` — see ``--help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_splitter_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-k", type=int, default=35, help="k-mer length")
+    p.add_argument("-m", "--minimizer-width", type=int, default=31)
+    p.add_argument("-s", "--spaces", type=int, default=7)
+    p.add_argument("--no-canonical", action="store_true")
+
+
+def _splitter(args):
+    from slacken_spark.kernels.minimizers import MinimizerConfig
+
+    return MinimizerConfig(
+        k=args.k,
+        m=args.minimizer_width,
+        spaces=args.spaces,
+        canonical=not args.no_canonical,
+    )
+
+
+def _spark(args):
+    from slacken_spark.session import get_spark
+
+    return get_spark("slacken_spark_cli", shuffle_partitions=args.partitions)
+
+
+def _load_library(spark, args):
+    from slacken_spark.sources.fasta import read_sequences, read_taxon_labels
+
+    genomes = read_sequences(spark, args.library)
+    labels = read_taxon_labels(spark, args.labels)
+    return genomes.select("header", "nucleotides"), labels
+
+
+def _load_taxonomy(args):
+    import os
+
+    from slacken_spark.kernels.taxonomy import Taxonomy
+
+    d = args.taxonomy
+    return Taxonomy.load(
+        os.path.join(d, "nodes.dmp"),
+        names_dmp=(
+            os.path.join(d, "names.dmp")
+            if os.path.exists(os.path.join(d, "names.dmp"))
+            else None
+        ),
+        merged_dmp=(
+            os.path.join(d, "merged.dmp")
+            if os.path.exists(os.path.join(d, "merged.dmp"))
+            else None
+        ),
+    )
+
+
+def cmd_build(args) -> int:
+    from slacken_spark.index import KeyValueIndex
+
+    spark = _spark(args)
+    genomes, labels = _load_library(spark, args)
+    tax = _load_taxonomy(args)
+    idx = KeyValueIndex.build(
+        spark, genomes, labels, tax, _splitter(args), buckets=args.partitions
+    )
+    idx.write(args.output)
+    print(json.dumps(idx.stats()))
+    return 0
+
+
+def cmd_respace(args) -> int:
+    from slacken_spark.index import KeyValueIndex
+
+    spark = _spark(args)
+    idx = KeyValueIndex.load(spark, args.index)
+    idx.respace(args.spaces).write(args.output)
+    return 0
+
+
+def cmd_classify(args) -> int:
+    from slacken_spark.classify import Classifier, ClassifyParams, KrakenReport
+    from slacken_spark.index import KeyValueIndex
+    from slacken_spark.sources.fasta import read_paired_fastq, read_sequences
+
+    spark = _spark(args)
+    idx = KeyValueIndex.load(spark, args.index)
+    if args.paired and len(args.inputs) == 2:
+        reads = read_paired_fastq(spark, args.inputs[0], args.inputs[1])
+    else:
+        reads = read_sequences(spark, args.inputs[0])
+        for p in args.inputs[1:]:
+            reads = reads.unionByName(read_sequences(spark, p))
+    cpar = ClassifyParams(
+        min_hit_groups=args.min_hit_groups,
+        with_unclassified=not args.no_unclassified,
+        thresholds=tuple(args.confidence),
+        sample_regex=args.sample_regex,
+        per_read_output=not args.no_detailed,
+    )
+    cls = Classifier(idx)
+    if args.no_detailed:
+        from slacken_spark.classify import SQLClassifier
+
+        out = SQLClassifier(idx).classify(reads, cpar)
+        counts = [
+            (r["taxon"], r["n"])
+            for r in out.where("classified")
+            .groupBy("taxon")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        ]
+    else:
+        for thr in cpar.thresholds:
+            out = cls.classify(reads, cpar, threshold=thr)
+            cls.write_output(out, f"{args.output}_c{thr}", cpar)
+        counts = cls.taxon_read_counts(out.where("classified"))
+    report = KrakenReport(idx.taxonomy, counts)
+    with open(args.output + "_kreport.txt", "w") as f:
+        f.write("\n".join(report.lines()) + "\n")
+    return 0
+
+
+def cmd_classify2(args) -> int:
+    from slacken_spark.classify import ClassifyParams
+    from slacken_spark.dynamic import (
+        ClassifiedReadCount,
+        Dynamic,
+        MinimizerDistinctCount,
+        MinimizerTotalCount,
+    )
+    from slacken_spark.index import KeyValueIndex
+    from slacken_spark.sources.fasta import read_sequences
+
+    spark = _spark(args)
+    idx = KeyValueIndex.load(spark, args.index)
+    genomes, labels = _load_library(spark, args)
+    crit = {
+        "minimizer-total": MinimizerTotalCount(args.threshold),
+        "minimizer-distinct": MinimizerDistinctCount(args.threshold),
+        "reads": ClassifiedReadCount(args.threshold, args.confidence[0]),
+    }[args.criterion]
+    dyn = Dynamic(
+        idx,
+        genomes,
+        labels,
+        crit,
+        cpar=ClassifyParams(min_hit_groups=args.min_hit_groups),
+    )
+    reads = read_sequences(spark, args.inputs[0])
+    out, taxa = dyn.two_step_classify(reads)
+    out.write.mode("overwrite").parquet(args.output)
+    with open(args.output + "_taxonSet.txt", "w") as f:
+        f.write("\n".join(str(t) for t in sorted(taxa)) + "\n")
+    return 0
+
+
+def cmd_bracken_build(args) -> int:
+    from slacken_spark.bracken import BrackenWeights
+    from slacken_spark.index import KeyValueIndex
+
+    spark = _spark(args)
+    idx = KeyValueIndex.load(spark, args.index)
+    genomes, labels = _load_library(spark, args)
+    taxa = {int(r["taxon"]) for r in labels.select("taxon").distinct().collect()}
+    bw = BrackenWeights(idx, args.read_len)
+    bw.build_and_write(
+        genomes,
+        labels,
+        taxa,
+        f"{args.output}/database{args.read_len}mers.kmer_distrib",
+    )
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from slacken_spark.analysis import depth_histogram
+    from slacken_spark.index import KeyValueIndex
+
+    spark = _spark(args)
+    idx = KeyValueIndex.load(spark, args.index)
+    print(json.dumps(idx.stats()))
+    for row in depth_histogram(idx).collect():
+        print(f"depth {row['depth']}: {row['n_records']}")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from slacken_spark.index import KeyValueIndex
+
+    spark = _spark(args)
+    idx = KeyValueIndex.load(spark, args.index)
+    (
+        idx.distinct_minimizers_per_taxon()
+        .orderBy("taxon")
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .csv(args.output)
+    )
+    return 0
+
+
+def cmd_compare_index(args) -> int:
+    from slacken_spark.analysis import compare_indexes
+    from slacken_spark.index import KeyValueIndex
+
+    spark = _spark(args)
+    a = KeyValueIndex.load(spark, args.index)
+    b = KeyValueIndex.load(spark, args.other)
+    for r in compare_indexes(a, b).collect():
+        print(f"{r['category']}\t{r['n']}")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from slacken_spark.analysis import (
+        per_read_comparison,
+        read_kraken_format,
+    )
+    from slacken_spark.index import KeyValueIndex
+
+    spark = _spark(args)
+    idx = KeyValueIndex.load(spark, args.index)
+    cmp_df = read_kraken_format(spark, args.inputs[0])
+    ref_df = read_kraken_format(spark, args.reference).withColumnRenamed(
+        "taxon", "ref_taxon"
+    )
+    print(
+        json.dumps(per_read_comparison(spark, cmp_df, ref_df, idx.taxonomy))
+    )
+    return 0
+
+
+def cmd_input_check(args) -> int:
+    from pyspark.sql import functions as F
+
+    from slacken_spark.sources.fasta import read_sequences
+
+    spark = _spark(args)
+    df = read_sequences(spark, args.inputs[0])
+    row = df.agg(
+        F.count(F.lit(1)).alias("sequences"),
+        F.sum(F.length("nucleotides")).alias("bases"),
+    ).first()
+    print(json.dumps({"sequences": row["sequences"], "bases": int(row["bases"] or 0)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="slacken_spark",
+        description="PySpark-native Kraken 2-compatible metagenomic engine",
+    )
+    parser.add_argument("-p", "--partitions", type=int, default=200)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from genomes")
+    _add_splitter_args(b)
+    b.add_argument("--library", required=True)
+    b.add_argument("--labels", required=True, help="seqid2taxid.map")
+    b.add_argument("--taxonomy", required=True, help="dir with nodes.dmp/names.dmp")
+    b.add_argument("-o", "--output", required=True)
+    b.set_defaults(fn=cmd_build)
+
+    r = sub.add_parser("respace", help="project an index to more spaces")
+    r.add_argument("--index", required=True)
+    r.add_argument("-s", "--spaces", type=int, required=True)
+    r.add_argument("-o", "--output", required=True)
+    r.set_defaults(fn=cmd_respace)
+
+    c = sub.add_parser("classify", help="classify reads")
+    c.add_argument("--index", required=True)
+    c.add_argument("inputs", nargs="+")
+    c.add_argument("--paired", action="store_true")
+    c.add_argument("-c", "--confidence", type=float, nargs="+", default=[0.0])
+    c.add_argument("--min-hit-groups", type=int, default=2)
+    c.add_argument("--no-unclassified", action="store_true")
+    c.add_argument("--no-detailed", action="store_true")
+    c.add_argument("--sample-regex")
+    c.add_argument("-o", "--output", required=True)
+    c.set_defaults(fn=cmd_classify)
+
+    c2 = sub.add_parser("classify2", help="two-step dynamic classification")
+    c2.add_argument("--index", required=True)
+    c2.add_argument("--library", required=True)
+    c2.add_argument("--labels", required=True)
+    c2.add_argument("inputs", nargs="+")
+    c2.add_argument(
+        "--criterion",
+        choices=["minimizer-total", "minimizer-distinct", "reads"],
+        default="reads",
+    )
+    c2.add_argument("--threshold", type=int, default=100)
+    c2.add_argument("-c", "--confidence", type=float, nargs="+", default=[0.15])
+    c2.add_argument("--min-hit-groups", type=int, default=2)
+    c2.add_argument("-o", "--output", required=True)
+    c2.set_defaults(fn=cmd_classify2)
+
+    bb = sub.add_parser("bracken-build", help="generate Bracken weights")
+    bb.add_argument("--index", required=True)
+    bb.add_argument("--library", required=True)
+    bb.add_argument("--labels", required=True)
+    bb.add_argument("--read-len", type=int, default=150)
+    bb.add_argument("-o", "--output", required=True)
+    bb.set_defaults(fn=cmd_bracken_build)
+
+    st = sub.add_parser("stats", help="index statistics")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    ins = sub.add_parser("inspect", help="index contents report")
+    ins.add_argument("--index", required=True)
+    ins.add_argument("-o", "--output", required=True)
+    ins.set_defaults(fn=cmd_inspect)
+
+    ci = sub.add_parser("compare-index", help="compare two indexes")
+    ci.add_argument("--index", required=True)
+    ci.add_argument("--other", required=True)
+    ci.set_defaults(fn=cmd_compare_index)
+
+    cp = sub.add_parser("compare", help="compare classifications vs reference")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--reference", required=True)
+    cp.add_argument("inputs", nargs="+")
+    cp.set_defaults(fn=cmd_compare)
+
+    ic = sub.add_parser("input-check", help="inspect input data")
+    ic.add_argument("inputs", nargs="+")
+    ic.set_defaults(fn=cmd_input_check)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""End-to-end CLI test: build → stats → classify → compare-index over
+real FASTA/dmp files on disk."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+RNG = np.random.default_rng(2024)
+
+
+def _genome(n):
+    return "".join("ACGT"[i] for i in RNG.integers(0, 4, n))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    genomes = {101: _genome(2000), 102: _genome(2000)}
+    with open(d / "library.fasta", "w") as f:
+        for t, seq in genomes.items():
+            f.write(f">g{t} desc\n")
+            for i in range(0, len(seq), 70):
+                f.write(seq[i : i + 70] + "\n")
+    with open(d / "seqid2taxid.map", "w") as f:
+        for t in genomes:
+            f.write(f"g{t}\t{t}\n")
+    tax_dir = d / "taxonomy"
+    tax_dir.mkdir()
+    with open(tax_dir / "nodes.dmp", "w") as f:
+        f.write("1\t|\t1\t|\tno rank\t|\n")
+        f.write("10\t|\t1\t|\tgenus\t|\n")
+        f.write("101\t|\t10\t|\tspecies\t|\n")
+        f.write("102\t|\t10\t|\tspecies\t|\n")
+    with open(tax_dir / "names.dmp", "w") as f:
+        f.write("1\t|\troot\t|\t\t|\tscientific name\t|\n")
+        f.write("101\t|\tSpecies one\t|\t\t|\tscientific name\t|\n")
+    reads = []
+    for t, seq in genomes.items():
+        for i in range(5):
+            st = int(RNG.integers(0, len(seq) - 150))
+            reads.append((f"read_{t}_{i}", seq[st : st + 150]))
+    with open(d / "reads.fasta", "w") as f:
+        for h, seq in reads:
+            f.write(f">{h}\n{seq}\n")
+    return d
+
+
+def _run(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "slacken_spark", "-p", "4", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        timeout=600,
+    )
+
+
+def test_cli_build_stats_classify(workdir):
+    idx = str(workdir / "idx")
+    r = _run(
+        [
+            "build",
+            "-k",
+            "21",
+            "-m",
+            "15",
+            "-s",
+            "2",
+            "--library",
+            str(workdir / "library.fasta"),
+            "--labels",
+            str(workdir / "seqid2taxid.map"),
+            "--taxonomy",
+            str(workdir / "taxonomy"),
+            "-o",
+            idx,
+        ],
+        str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["records"] > 0 and stats["taxa"] >= 2
+
+    r = _run(["stats", "--index", idx], str(workdir))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "depth" in r.stdout
+
+    out = str(workdir / "cls")
+    r = _run(
+        [
+            "classify",
+            "--index",
+            idx,
+            str(workdir / "reads.fasta"),
+            "-c",
+            "0.0",
+            "-o",
+            out,
+        ],
+        str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    report = (workdir / "cls_kreport.txt").read_text()
+    assert "Species one" in report
+    assert os.path.isdir(out + "_c0.0")
