@@ -51,6 +51,17 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenization: runs of letters, runs of digits, or single
+# non-space symbols — the GPT-2-ish segmentation boundary (simplified to
+# an RE2-compatible pattern both Spark and DuckDB execute identically).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens as an array (regexp_extract_all, codegen'd)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
 def char_ngrams(col: Column, n: int) -> Column:
     """All character n-grams of a string as an array (k-mer extraction on text)."""
     return F.transform(

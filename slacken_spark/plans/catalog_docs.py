@@ -137,6 +137,62 @@ def doc_langid(spark, sf_dir):
     )
 
 
+@register(
+    "doc_bpe_token_stats",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      regexp_extract_all(text, '{X.BPE_PATTERN}') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(toks, x -> x ~ '^[0-9]+$')) AS BIGINT) AS n_number_tokens,
+           CAST(len(list_filter(toks, x -> x ~ '^[A-Za-z]+$')) AS BIGINT) AS n_word_tokens
+    FROM d
+    """,
+)
+def doc_bpe_token_stats(spark, sf_dir):
+    """BPE-style pre-tokenization counts (letters-run / digits-run /
+    symbol segmentation) — the tokenizer-budget estimator for training
+    pipelines; one regexp pass, codegen'd."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", X.bpe_tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_number_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$")))
+        .cast("long")
+        .alias("n_word_tokens"),
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact distributed percentiles (Spark's `percentile` matches SQL
+    quantile_cont interpolation)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: exact, MinHash signatures, LSH candidate pairs, n-gram Jaccard,
 # SimHash, winnowing fingerprints
@@ -508,3 +564,63 @@ def embedding_lsh_buckets(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     bucketed = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes())
     return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _bucket_sql() -> str:
+    planes = _planes()
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (ARRAY[{lits}])[CAST(i AS INT)])) >= 0 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+             4) AS sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+             4) >= 0.2
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate candidates: LSH-bucket equi-join
+    (one shuffle, no all-pairs) + exact cosine threshold (0.2) — the embedding
+    twin of MinHash dedup."""
+    emb = t(spark, sf_dir, "embeddings")
+    b = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes()).select(
+        "vec_id", "embedding", "bucket"
+    )
+    a, c = b.alias("a"), b.alias("c")
+    sim = F.round(
+        SIM.cosine(F.col("a.embedding"), F.col("c.embedding")), 4
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= 0.2)
+    )

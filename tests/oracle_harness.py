@@ -41,6 +41,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # stringify for stable sorting/na handling
     df = df.reset_index(drop=True)
+    if len(df) == 0:
+        return df
     order = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
     df = df.iloc[order.sort_values(kind="mergesort").index].reset_index(drop=True)
     return df
