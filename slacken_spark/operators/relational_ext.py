@@ -45,10 +45,12 @@ def asof_join(
     lt = lt.withColumn("_rrow", F.lit(None).cast(rt.schema["_rrow"].dataType))
     rt = rt.withColumn("_lrow", F.lit(None).cast(lt.schema["_lrow"].dataType))
     both = lt.unionByName(rt.select(lt.columns))
-    # right rows sort before left rows at equal ts (_side desc → right=1 first)
+    # right rows sort before left rows at equal ts (_side desc → right=1
+    # first); among equal-ts right rows the LAST one (max right_cols
+    # tuple) wins, so order _rrow ascending
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_rrow").desc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = both.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
