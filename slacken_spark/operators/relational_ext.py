@@ -76,6 +76,62 @@ def sessionize(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right_small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side across every
+    salt — turning one hot reducer into ``salt_buckets`` even ones.
+    Semantically identical to ``left.join(right_small, on)``.
+
+    Use when AQE's runtime skew split isn't available (e.g. the skewed
+    side feeds a custom operator) and the right side is small enough to
+    replicate ×salt_buckets but too big to broadcast outright.
+    """
+    salted_l = left.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("_salt")
+    salted_r = right_small.select("*", salts)
+    return salted_l.join(salted_r, [on, "_salt"]).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: two-phase partial → final over a salted
+    key. ``aggs`` maps output column → 'sum'|'count'|'min'|'max' of an
+    input column expressed as 'fn:col'. Spark's built-in aggregations
+    already do map-side partial aggregation, so this explicit form is for
+    pipelines where a single reducer key would still overflow (e.g.
+    collect_list on a hot key) — the same technique the engine applies
+    implicitly elsewhere, made available as an operator.
+    """
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[
+            fns[spec.split(":")[0]](spec.split(":")[1]).alias(out)
+            for out, spec in aggs.items()
+        ]
+    )
+    return partial.groupBy(key).agg(
+        *[
+            refn[spec.split(":")[0]](out).alias(out)
+            for out, spec in aggs.items()
+        ]
+    )
+
+
 def range_bucket_join(
     left: DataFrame,
     right: DataFrame,

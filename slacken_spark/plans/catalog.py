@@ -707,6 +707,125 @@ def deterministic_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Skew handling: salted join / salted aggregation (same results as the
+# plain operators — the oracle is the unsalted formulation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_skew_join",
+    """
+    SELECT n_name, count(*) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_skew_join(spark, sf_dir):
+    from slacken_spark.operators.relational_ext import salted_join
+
+    cust = t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    nation = t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    joined = salted_join(cust, nation, on="nationkey", salt_buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(cents(F.col("c_acctbal"))).alias("bal_cents"),
+    )
+
+
+@register(
+    "salted_skew_agg",
+    """
+    SELECT l_returnflag AS key,
+           CAST(sum(l_quantity) AS BIGINT) AS qty,
+           count(*) AS n,
+           min(l_orderkey) AS first_order
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_skew_agg(spark, sf_dir):
+    from slacken_spark.operators.relational_ext import salted_agg
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("key"),
+        F.col("l_quantity").cast("long").alias("q"),
+        "l_orderkey",
+    )
+    out = salted_agg(
+        li,
+        "key",
+        {"qty": "sum:q", "n": "count:q", "first_order": "min:l_orderkey"},
+        salt_buckets=8,
+    )
+    return out.select(
+        "key", F.col("qty").cast("long"), F.col("n").cast("long"), "first_order"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / pivot (OLAP shapes a pipeline dashboard needs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("status"),
+            "rev_cents",
+            "n",
+        )
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id % 10 AS ring,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+    FROM events GROUP BY 1
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("ring"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "ring",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ["click", "view", "purchase"]
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (streaming-adjacent batch op; gap-based session ids)
 # ---------------------------------------------------------------------------
 
