@@ -154,6 +154,52 @@ class Dynamic:
         keep = self.count_filter(counts, c.threshold)
         return self.taxonomy.taxa_with_descendants(keep)
 
+    def read_gold_set(
+        self,
+        path: str,
+        promote_rank_depth: int | None = None,
+    ) -> set[int]:
+        """Load a gold taxon set from a 1-column CSV (readGoldSet,
+        Dynamic.scala:284-312): remap merged ids through ``primary``,
+        promote taxa absent from the library to their nearest ancestor
+        present in it, filter at the reclassify rank (keeping promoted
+        taxa at/below ``promote_rank_depth`` when given)."""
+        spark = self.base.spark
+        tax = self.taxonomy
+        raw = {
+            int(r["_c0"])
+            for r in spark.read.csv(path).collect()
+        }
+        primary = tax.primary
+        gold = {
+            int(primary[t]) if primary is not None and t < len(primary) else t
+            for t in raw
+        }
+        library = {
+            int(r["taxon"])
+            for r in self.labels.select("taxon").distinct().collect()
+        }
+        not_found = gold - library
+        promoted = set()
+        for t in not_found:
+            if not (0 < t < tax.n_nodes):
+                continue  # unknown taxon, not promotable
+            for p in tax.path_to_root(t):
+                if p in library:
+                    promoted.add(p)
+                    break
+        kept_promoted = (
+            {t for t in promoted if tax.depth(t) >= promote_rank_depth}
+            if promote_rank_depth is not None
+            else set()
+        )
+        total = gold | promoted
+        return {
+            t
+            for t in total
+            if 0 < t < tax.n_nodes and tax.depth(t) >= self.rank_depth
+        } | kept_promoted
+
     def gold_set_metrics(
         self, detected: set[int], gold: set[int]
     ) -> dict[str, float]:

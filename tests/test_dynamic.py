@@ -143,6 +143,22 @@ def test_two_step_classification_stays_consistent(world):
     assert all(r["taxon"] in allowed for r in rows if r["classified"])
 
 
+def test_read_gold_set(world, tmp_path):
+    p = tmp_path / "gold.csv"
+    # 102 in library; 103 in library; 999 unknown (no library ancestor);
+    # 10 is a genus ABOVE the species rank filter (dropped)
+    p.write_text("102\n103\n999\n10\n")
+    dyn = Dynamic(
+        world["idx"],
+        world["genomes_df"],
+        world["labels_df"],
+        MinimizerTotalCount(50),
+        reclassify_rank_depth=8,
+    )
+    gold = dyn.read_gold_set(str(p))
+    assert gold == {102, 103}
+
+
 def test_gold_set_metrics(world):
     dyn = Dynamic(
         world["idx"], world["genomes_df"], world["labels_df"], MinimizerTotalCount(50)
