@@ -184,6 +184,27 @@ def test_output_line_format(world):
     assert ":" in parts[4]
 
 
+def test_paired_end_classification(world):
+    """Mate pairs: both mates contribute hits; the length string is
+    'len1|len2' and the hit detail contains the |:| border marker."""
+    spark, tax = world["spark"], world["tax"]
+    t0 = next(iter(world["genomes"]))
+    seq = world["genomes"][t0]
+    pairs = spark.createDataFrame(
+        [("p1", 0, seq[:120], seq[400:520])],
+        "header string, location long, nucleotides string, nucleotides2 string",
+    )
+    cls = Classifier(world["idx"])
+    r = cls.classify(pairs, ClassifyParams(min_hit_groups=2)).first()
+    assert r["length_string"] == "120|120"
+    line = cls.output_lines(
+        cls.classify(pairs, ClassifyParams(min_hit_groups=2))
+    ).first()["classification"]
+    assert "|:|" in line
+    if r["classified"]:
+        assert tax.has_ancestor(t0, r["taxon"])
+
+
 # ---------------- sources ----------------
 
 
