@@ -33,6 +33,20 @@ def get_spark(
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     b = (
         SparkSession.builder.appName(app_name)
+        # local mode: the driver JVM is the whole engine — the 1g default
+        # heap GC-thrashes under 32 concurrent tasks (must be set before
+        # the JVM starts; ignored on an already-running session)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        .config("spark.driver.maxResultSize", "4g")
+        # commit + fault the whole heap at JVM start: this VM's cold
+        # pages are very slow, and without -Xms the heap grows (and
+        # pre-touches) lazily in the middle of whichever query first
+        # allocates — charging seconds of page faults to random queries
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_MEM', '16g')}"
+            " -XX:+AlwaysPreTouch -XX:+UseG1GC",
+        )
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

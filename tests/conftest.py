@@ -5,6 +5,9 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# tests run a small local[4] session — don't pre-touch a 16g bench heap
+os.environ.setdefault("SPARK_GRAFT_MEM", "4g")
+
 
 @pytest.fixture(scope="session")
 def spark():
