@@ -260,6 +260,29 @@ class Classifier:
             .text(location)
         )
 
+    def reports_from_written(self, location: str) -> dict[str, list[str]]:
+        """Re-read written per-sample classifications and build one
+        Kraken report per sample (makeReportsFromClassifications,
+        Classifier.scala:229-251): read back the gzip text (S12), count
+        reads per taxon per sample, clade-roll each sample's tree."""
+        import glob
+        import os
+
+        from slacken_spark.analysis import read_kraken_format
+
+        out: dict[str, list[str]] = {}
+        for d in sorted(glob.glob(os.path.join(location, "sample=*"))):
+            sample = os.path.basename(d).split("=", 1)[1]
+            back = read_kraken_format(self.index.spark, d)
+            counts = [
+                (r["taxon"], r["n"])
+                for r in back.groupBy("taxon")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            out[sample] = KrakenReport(self.index.taxonomy, counts).lines()
+        return out
+
     def taxon_read_counts(self, classified: DataFrame) -> list[tuple[int, int]]:
         """Per-taxon read counts for the report (Classifier.scala:214-217)."""
         rows = (

@@ -122,14 +122,20 @@ def cmd_classify(args) -> int:
             .withColumnRenamed("count", "n")
             .collect()
         ]
-    else:
-        for thr in cpar.thresholds:
-            out = cls.classify(reads, cpar, threshold=thr)
-            cls.write_output(out, f"{args.output}_c{thr}", cpar)
-        counts = cls.taxon_read_counts(out.where("classified"))
-    report = KrakenReport(idx.taxonomy, counts)
-    with open(args.output + "_kreport.txt", "w") as f:
-        f.write("\n".join(report.lines()) + "\n")
+        report = KrakenReport(idx.taxonomy, counts)
+        with open(args.output + "_kreport.txt", "w") as f:
+            f.write("\n".join(report.lines()) + "\n")
+        return 0
+    for thr in cpar.thresholds:
+        loc = f"{args.output}_c{thr}"
+        out = cls.classify(reads, cpar, threshold=thr)
+        cls.write_output(out, loc, cpar)
+        # one Kraken report per sample, rebuilt from the written output
+        # (the reference's report path re-reads what was written)
+        for sample, lines in cls.reports_from_written(loc).items():
+            suffix = f"_{sample}" if sample != "all" else ""
+            with open(f"{args.output}{suffix}_kreport.txt", "w") as f:
+                f.write("\n".join(lines) + "\n")
     return 0
 
 
