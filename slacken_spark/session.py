@@ -36,17 +36,14 @@ def get_spark(
         # local mode: the driver JVM is the whole engine — the 1g default
         # heap GC-thrashes under 32 concurrent tasks (must be set before
         # the JVM starts; ignored on an already-running session)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "8g"))
         .config("spark.driver.maxResultSize", "4g")
-        # commit + fault the whole heap at JVM start: this VM's cold
-        # pages are very slow, and without -Xms the heap grows (and
-        # pre-touches) lazily in the middle of whichever query first
-        # allocates — charging seconds of page faults to random queries
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_GRAFT_MEM', '16g')}"
-            " -XX:+AlwaysPreTouch -XX:+UseG1GC",
-        )
+        # G1 with a moderate heap: the 1g default GC-thrashes local[32],
+        # but this environment faults NEW pages very slowly (~60 MB/s),
+        # so a huge or pre-touched heap costs minutes up front
+        # (-XX:+AlwaysPreTouch measured 300 s for 16g). A lazily-grown
+        # 8g heap only ever faults what queries actually use.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
