@@ -59,32 +59,42 @@ def extract_spans(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from slacken_spark.kernels.minimizers import read_span_arrays
+
         c = MinimizerConfig.from_dict(cfg_dict)
         rng = np.random.default_rng(0x5EED)
         for pdf in batches:
-            headers, ids, dist, kmers, flags, ords = [], [], [], [], [], []
+            per_read = []
+            counts = []
             has_mate = "nucleotides2" in pdf.columns
             for row in pdf.itertuples(index=False):
                 seq2 = getattr(row, "nucleotides2", None) if has_mate else None
                 if seq2 is not None and not isinstance(seq2, str):
                     seq2 = None
-                for sp in read_spans(row.nucleotides, c, seq2=seq2, rng=rng):
-                    headers.append(row.header)
-                    # packed minimizers are < 2^62 (m ≤ 31) — always a
-                    # valid signed long
-                    ids.append(sp.minimizer)
-                    dist.append(sp.distinct)
-                    kmers.append(sp.kmers)
-                    flags.append(sp.flag)
-                    ords.append(sp.ordinal)
+                arrs = read_span_arrays(row.nucleotides, c, rng, seq2=seq2)
+                per_read.append(arrs)
+                counts.append(len(arrs[0]))
+            if not per_read:
+                continue
+            n = int(np.sum(counts))
+            headers = np.repeat(pdf["header"].to_numpy(), counts)
+            mins = np.concatenate([a[0] for a in per_read])
+            dist = np.concatenate([a[1] for a in per_read])
+            kmers = np.concatenate([a[2] for a in per_read])
+            flags = np.concatenate([a[3] for a in per_read])
+            # ordinal restarts per read
+            offsets = np.repeat(
+                np.cumsum([0] + counts[:-1]), counts
+            )
+            ords = np.arange(n, dtype=np.int64) - offsets
             yield pd.DataFrame(
                 {
                     "header": headers,
-                    "id1": pd.array(ids, dtype="int64"),
+                    "id1": mins,
                     "distinct": dist,
-                    "kmers": pd.array(kmers, dtype="int32"),
-                    "flag": pd.array(flags, dtype="int32"),
-                    "ordinal": pd.array(ords, dtype="int32"),
+                    "kmers": kmers.astype(np.int32),
+                    "flag": flags.astype(np.int32),
+                    "ordinal": ords.astype(np.int32),
                 }
             )
 

@@ -340,6 +340,68 @@ def read_spans(
     return spans
 
 
+def read_span_arrays(
+    seq: str,
+    cfg: MinimizerConfig,
+    rng: np.random.Generator,
+    seq2: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Array-native read_spans: (minimizers, distinct, kmers, flags),
+    ordinal = position. Same semantics as read_spans without per-span
+    Python objects — the classify-side extraction hot path."""
+    mins_l: list[np.ndarray] = []
+    dist_l: list[np.ndarray] = []
+    kmers_l: list[np.ndarray] = []
+    flags_l: list[np.ndarray] = []
+    last_valid = np.int64(-1)  # packed minimizers are ≥ 0
+    have_last = False
+
+    def one_read(s: str) -> None:
+        nonlocal last_valid, have_last
+        codes = bitseq.encode_codes(s)
+        for st, en, is_valid in split_by_ambiguity(codes, cfg.k):
+            if en - st < cfg.k:
+                continue
+            if not is_valid:
+                mins_l.append(
+                    rng.integers(0, 1 << 62, size=1, dtype=np.int64)
+                )
+                dist_l.append(np.zeros(1, dtype=bool))
+                kmers_l.append(
+                    np.array([(en - st) - (cfg.k - 1)], dtype=np.int64)
+                )
+                flags_l.append(np.full(1, FLAG_AMBIGUOUS, dtype=np.int64))
+                continue
+            mins, _, kmers = supermer_arrays(codes[st:en], cfg)
+            d = np.empty(len(mins), dtype=bool)
+            if len(mins):
+                d[0] = (not have_last) or mins[0] != last_valid
+                d[1:] = mins[1:] != mins[:-1]
+                last_valid = mins[-1]
+                have_last = True
+            mins_l.append(mins)
+            dist_l.append(d)
+            kmers_l.append(kmers)
+            flags_l.append(np.full(len(mins), FLAG_SEQUENCE, dtype=np.int64))
+
+    one_read(seq)
+    if seq2 is not None:
+        mins_l.append(rng.integers(0, 1 << 62, size=1, dtype=np.int64))
+        dist_l.append(np.zeros(1, dtype=bool))
+        kmers_l.append(np.zeros(1, dtype=np.int64))
+        flags_l.append(np.full(1, FLAG_MATE_PAIR_BORDER, dtype=np.int64))
+        one_read(seq2)
+    if not mins_l:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=bool), e.copy(), e.copy()
+    return (
+        np.concatenate(mins_l),
+        np.concatenate(dist_l),
+        np.concatenate(kmers_l),
+        np.concatenate(flags_l),
+    )
+
+
 def genome_minimizers(seq: str, cfg: MinimizerConfig) -> np.ndarray:
     """All (non-distinct-filtered) super-mer minimizers of a genome —
     the index-build extraction (Minimizers.find, Minimizers.scala:43-76).

@@ -204,6 +204,28 @@ def test_distinct_flag_consecutive_suppression():
             assert b.distinct
 
 
+@settings(max_examples=50, deadline=None)
+@given(dna_with_n, st.booleans())
+def test_read_span_arrays_matches_read_spans(s, paired):
+    """Array-native extraction ≡ the object API (modulo random
+    ambiguous-minimizer values)."""
+    from slacken_spark.kernels.minimizers import read_span_arrays
+
+    cfg = MinimizerConfig(k=12, m=7, spaces=1)
+    seq2 = s[::-1] if paired and s else None
+    obj = read_spans(s, cfg, seq2=seq2, rng=np.random.default_rng(1))
+    mins, dist, kmers, flags = read_span_arrays(
+        s, cfg, np.random.default_rng(2), seq2=seq2
+    )
+    assert len(obj) == len(mins)
+    for i, sp in enumerate(obj):
+        assert sp.flag == flags[i]
+        assert sp.kmers == kmers[i]
+        assert sp.distinct == bool(dist[i])
+        if sp.flag == FLAG_SEQUENCE:
+            assert sp.minimizer == mins[i]
+
+
 def test_spaced_seed_mask_example():
     """MinimizerPriorities.scala:282-321 doc example: s=3 zeroes every
     other 2-bit position starting second-from-right."""
