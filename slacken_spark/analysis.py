@@ -13,7 +13,6 @@ Re-expresses the reference's analysis layer:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from slacken_spark.functions.text import int_range, token_hash64, tokens, word_ngrams
+from slacken_spark.functions.text import token_hash64, tokens
 
 
 def content_digest(col: Column) -> Column:

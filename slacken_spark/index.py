@@ -33,7 +33,6 @@ from slacken_spark.kernels.minimizers import (
     FLAG_MATE_PAIR_BORDER,
     MinimizerConfig,
     genome_minimizers,
-    read_spans,
 )
 from slacken_spark.kernels.taxonomy import (
     AMBIGUOUS_SPAN,

@@ -7,11 +7,9 @@ the batch engine would — the micro-batch boundary changes nothing.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
-from slacken_spark.plans.catalog import register, t
+from slacken_spark.plans.catalog import register
 from slacken_spark.streaming import ops
 
 # events.parquet stores TIMESTAMP(NANOS); the streaming source reads it
