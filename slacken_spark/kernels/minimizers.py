@@ -115,6 +115,12 @@ def scan_mmers(
 
     emit_mmers are the values stored/joined (canonical, masked when
     cfg.masked); ranks are the selection priorities (XOR ⊕ spaced mask).
+
+    Orderings (MinimizerPriorities.scala variants): the default
+    ``xor_mask`` gives the Kraken 2 pseudo-random ordering (RandomXOR,
+    :144-179); ``xor_mask=0`` degenerates to classic LEXICOGRAPHIC
+    minimizers; an explicit-priority MinTable (:192-271) is the
+    remaining variant (frequency-ordered tables — see NOTES.md).
     """
     mmers = bitseq.pack_kmers(codes, cfg.m)
     if cfg.canonical:

@@ -226,6 +226,22 @@ def test_read_span_arrays_matches_read_spans(s, paired):
             assert sp.minimizer == mins[i]
 
 
+def test_lexicographic_ordering():
+    """xor_mask=0 selects the lexicographically smallest m-mer per
+    window (classic minimizers)."""
+    cfg = MinimizerConfig(k=9, m=4, spaces=0, xor_mask=0, canonical=False)
+    s = "TTTTACGTTTTT"
+    from slacken_spark.kernels.minimizers import mmer_priorities
+
+    ranks = mmer_priorities(bitseq.encode_codes(s), cfg)
+    _, pos = window_minimizers(ranks, cfg.window)
+    # the smallest 4-mer in the first window (TTTTACGTT) is ACGT at pos 4
+    assert pos[0] == 4
+    assert bitseq.unpack_kmer(
+        int(bitseq.pack_kmers(bitseq.encode_codes(s), 4)[pos[0]]), 4
+    ) == "ACGT"
+
+
 def test_spaced_seed_mask_example():
     """MinimizerPriorities.scala:282-321 doc example: s=3 zeroes every
     other 2-bit position starting second-from-right."""
