@@ -218,7 +218,7 @@ def taxon_coverage_stats(
     record resolves to the SAME (leaf) taxon rather than an ancestor —
     how identifiable each genome is (showTaxonCoverageStats)."""
     labelled = genomes.join(F.broadcast(labels), "header")
-    mins = extract_index_rows(labelled, index.cfg)
+    mins = extract_index_rows(labelled, index.cfg, index.table_bc)
     agg = mins.groupBy("id1", "taxon").agg(F.count(F.lit(1)).alias("count_all"))
     rec = index.records.withColumnRenamed("taxon", "idx_taxon")
     joint = agg.join(rec, "id1", "left").withColumn(

@@ -79,7 +79,10 @@ def split_fragments(df: DataFrame, read_len: int, max_len: int = FRAGMENT_MAX) -
 
 
 def fragment_hits(
-    nts: str, cfg: MinimizerConfig, lca_lookup: dict[int, int]
+    nts: str,
+    cfg: MinimizerConfig,
+    lca_lookup: dict[int, int],
+    priority_table: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """All TaxonHits of a fragment as parallel arrays
     (distinct, abs_position, taxon, count) — TaxonFragment.taxonHits
@@ -96,7 +99,7 @@ def fragment_hits(
             tax.append(NONE)
             cnt.append(en - st)
             continue
-        mins, starts, kmers = supermer_arrays(codes[st:en], cfg)
+        mins, starts, kmers = supermer_arrays(codes[st:en], cfg, priority_table)
         for mz, s0, km in zip(mins.tolist(), starts.tolist(), kmers.tolist()):
             d = first or mz != last_min
             first = False
@@ -125,6 +128,7 @@ def classify_all_reads(
     taxonomy: Taxonomy,
     read_len: int,
     min_hit_groups: int = 2,
+    priority_table: np.ndarray | None = None,
 ) -> np.ndarray:
     """Destination taxon of every simulated read (one per window start);
     vectorized FragmentWindow (see module docstring)."""
@@ -132,7 +136,7 @@ def classify_all_reads(
     n_windows = L - read_len + 1
     if n_windows <= 0:
         return np.empty(0, dtype=np.int64)
-    dist, pos, tax, cnt = fragment_hits(nts, cfg, lca_lookup)
+    dist, pos, tax, cnt = fragment_hits(nts, cfg, lca_lookup, priority_table)
     W = read_len - cfg.k + 1  # k-mers per window
     # per-k-mer-position taxon (spans tile [0, L))
     tax_at = np.repeat(tax, cnt)[: L - cfg.k + 1 + (cfg.k - 1)]
@@ -172,9 +176,11 @@ class BrackenWeights:
         fragments with no valid minimizer emit the sentinel id1=0 so the
         later left join preserves them (BrackenWeights.scala:333-336)."""
         cfg_dict = self.index.cfg.to_dict()
+        table_bc = self.index.table_bc
 
         def gen(batches):
             cfg = MinimizerConfig.from_dict(cfg_dict)
+            table = table_bc.value if table_bc is not None else None
             for pdf in batches:
                 h, loc, ids = [], [], []
                 for r in pdf.itertuples(index=False):
@@ -182,7 +188,7 @@ class BrackenWeights:
                     mins: set[int] = set()
                     for st, en, ok in split_by_ambiguity(codes, cfg.k):
                         if ok:
-                            mz, _, _ = supermer_arrays(codes[st:en], cfg)
+                            mz, _, _ = supermer_arrays(codes[st:en], cfg, table)
                             mins.update(mz.tolist())
                     if not mins:
                         mins = {0}
@@ -237,10 +243,12 @@ class BrackenWeights:
 
         cfg_dict = self.index.cfg.to_dict()
         bc_tax = self.index.spark.sparkContext.broadcast(self.index.taxonomy)
+        table_bc2 = self.index.table_bc
 
         def gen(batches):
             cfg = MinimizerConfig.from_dict(cfg_dict)
             tax: Taxonomy = bc_tax.value
+            table = table_bc2.value if table_bc2 is not None else None
             for pdf in batches:
                 src, dst = [], []
                 for r in pdf.itertuples(index=False):
@@ -248,7 +256,8 @@ class BrackenWeights:
                         int(m): int(t) for m, t in zip(r.minimizers, r.taxa) if m != 0
                     }
                     dests = classify_all_reads(
-                        r.nucleotides, cfg, lookup, tax, read_len
+                        r.nucleotides, cfg, lookup, tax, read_len,
+                        priority_table=table,
                     )
                     src.extend([r.taxon] * len(dests))
                     dst.extend(dests.tolist())

@@ -91,7 +91,7 @@ class Classifier:
         array<struct<ordinal,taxon,count,distinct>> sorted by ordinal
         (struct comparison is field-order lexicographic, so array_sort
         replaces the kernel-side re-sort at Classifier.scala:136)."""
-        spans = extract_spans(fragments, self.index.cfg)
+        spans = extract_spans(fragments, self.index.cfg, self.index.table_bc)
         hits = self.index.span_hits(spans)
         hit = F.struct(
             F.col("ordinal"), F.col("taxon"), F.col("count"), F.col("distinct")
@@ -307,7 +307,7 @@ class SQLClassifier:
         """(header, num_distinct, total_count, taxa[], counts[]) — two-level
         aggregation (Classifier.scala:267-291); hit ordering is lost,
         which per-read-output doesn't need."""
-        spans = extract_spans(fragments, self.index.cfg)
+        spans = extract_spans(fragments, self.index.cfg, self.index.table_bc)
         hits = self.index.span_hits(spans)
         lvl1 = hits.groupBy("header", "taxon").agg(
             F.sum("count").cast("int").alias("count"),

@@ -85,7 +85,7 @@ class Dynamic:
 
     def _minimizers_in_subjects(self, reads: DataFrame) -> DataFrame:
         """(taxon, minimizer) hits at/below the reclassify rank."""
-        spans = extract_spans(reads, self.base.cfg)
+        spans = extract_spans(reads, self.base.cfg, self.base.table_bc)
         hits = self.base.span_hits_with_minimizer(spans)
         tax = self.taxonomy
         ok = [

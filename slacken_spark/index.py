@@ -46,11 +46,14 @@ SPANS_SCHEMA = (
 )
 
 
-def extract_spans(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
+def extract_spans(
+    df: DataFrame, cfg: MinimizerConfig, table_bc=None
+) -> DataFrame:
     """Fragments → ordinal spans (getSpans, KeyValueIndex.scala:163-173).
 
     mapInPandas over Arrow batches; per-fragment work is the vectorized
     scanner kernel. Output: (header, id1, distinct, kmers, flag, ordinal).
+    ``table_bc``: optional broadcast explicit-priority table (MinTable).
     """
     cfg_dict = cfg.to_dict()
 
@@ -61,6 +64,7 @@ def extract_spans(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
         from slacken_spark.kernels.minimizers import read_span_arrays
 
         c = MinimizerConfig.from_dict(cfg_dict)
+        table = table_bc.value if table_bc is not None else None
         rng = np.random.default_rng(0x5EED)
         for pdf in batches:
             per_read = []
@@ -70,7 +74,9 @@ def extract_spans(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
                 seq2 = getattr(row, "nucleotides2", None) if has_mate else None
                 if seq2 is not None and not isinstance(seq2, str):
                     seq2 = None
-                arrs = read_span_arrays(row.nucleotides, c, rng, seq2=seq2)
+                arrs = read_span_arrays(
+                    row.nucleotides, c, rng, seq2=seq2, priority_table=table
+                )
                 per_read.append(arrs)
                 counts.append(len(arrs[0]))
             if not per_read:
@@ -100,7 +106,9 @@ def extract_spans(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
     return df.mapInPandas(gen, SPANS_SCHEMA)
 
 
-def extract_index_rows(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
+def extract_index_rows(
+    df: DataFrame, cfg: MinimizerConfig, table_bc=None
+) -> DataFrame:
     """Labelled genome fragments → (id1, taxon) minimizer rows
     (Minimizers.find, Minimizers.scala:43-76). Map-only; shuffles next
     at the LCA groupBy."""
@@ -110,10 +118,11 @@ def extract_index_rows(df: DataFrame, cfg: MinimizerConfig) -> DataFrame:
         import pandas as pd
 
         c = MinimizerConfig.from_dict(cfg_dict)
+        table = table_bc.value if table_bc is not None else None
         for pdf in batches:
             out_ids, out_tax = [], []
             for row in pdf.itertuples(index=False):
-                mins = genome_minimizers(row.nucleotides, c)
+                mins = genome_minimizers(row.nucleotides, c, priority_table=table)
                 if len(mins):
                     out_ids.extend(mins.astype("int64").tolist())
                     out_tax.extend([row.taxon] * len(mins))
@@ -138,6 +147,7 @@ class KeyValueIndex:
         taxonomy: Taxonomy,
         buckets: int,
         location: str | None = None,
+        priority_table=None,
     ):
         self.spark = spark
         self.records = records
@@ -145,6 +155,12 @@ class KeyValueIndex:
         self.taxonomy = taxonomy
         self.buckets = buckets
         self.location = location
+        self.priority_table = priority_table
+        self.table_bc = (
+            spark.sparkContext.broadcast(priority_table)
+            if priority_table is not None
+            else None
+        )
 
     # ---------------- build ----------------
 
@@ -158,6 +174,7 @@ class KeyValueIndex:
         cfg: MinimizerConfig,
         buckets: int = 32,
         taxon_filter: set[int] | None = None,
+        priority_table=None,
     ) -> "KeyValueIndex":
         """Genomes ⋈ labels → minimizer rows → LCA fold → records.
 
@@ -178,14 +195,15 @@ class KeyValueIndex:
             if len(defined) <= 100000
             else F.col("taxon").isNotNull()
         )
-        rows = extract_index_rows(labelled, cfg)
+        idx = cls(spark, None, cfg, taxonomy, buckets, priority_table=priority_table)
+        rows = extract_index_rows(labelled, cfg, idx.table_bc)
         lca_udf = taxonomy.lca_list_udf(spark)
-        records = (
+        idx.records = (
             rows.groupBy("id1")
             .agg(F.collect_list("taxon").alias("taxa"))
             .select("id1", lca_udf(F.col("taxa")).cast("int").alias("taxon"))
         )
-        return cls(spark, records, cfg, taxonomy, buckets)
+        return idx
 
     # ---------------- persist / load ----------------
 
@@ -216,6 +234,10 @@ class KeyValueIndex:
         }
         with open(os.path.join(location, "_index_params.json"), "w") as f:
             json.dump(params, f, indent=2)
+        if self.priority_table is not None:
+            import numpy as np
+
+            np.save(os.path.join(location, "_priority_table.npy"), self.priority_table)
         tax_dir = os.path.join(location, "_taxonomy")
         os.makedirs(tax_dir, exist_ok=True)
         self.taxonomy.save(tax_dir)
@@ -233,6 +255,12 @@ class KeyValueIndex:
         cfg = MinimizerConfig.from_dict(params["splitter"])
         buckets = int(params["buckets"])
         taxonomy = Taxonomy.load_dir(os.path.join(location, "_taxonomy"))
+        table = None
+        table_path = os.path.join(location, "_priority_table.npy")
+        if os.path.exists(table_path):
+            import numpy as np
+
+            table = np.load(table_path)
         name = "slacken_index_" + os.path.basename(location.rstrip("/")).replace(
             "-", "_"
         ).replace(".", "_")
@@ -243,7 +271,15 @@ class KeyValueIndex:
             f" LOCATION '{location}'"
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
-        return cls(spark, spark.table(name), cfg, taxonomy, buckets, location)
+        return cls(
+            spark,
+            spark.table(name),
+            cfg,
+            taxonomy,
+            buckets,
+            location,
+            priority_table=table,
+        )
 
     # ---------------- stats (KeyValueIndex.scala:220-257) ----------------
 
@@ -271,6 +307,8 @@ class KeyValueIndex:
         identically, so classification joins keep working."""
         from dataclasses import replace
 
+        if self.priority_table is not None:
+            raise ValueError("cannot respace a table-ordered index")
         if spaces <= self.cfg.spaces:
             raise ValueError(
                 f"respacing to <= current spaces is not meaningful"

@@ -108,8 +108,38 @@ class MinimizerConfig:
         )
 
 
+def uniform_random_table(m: int, seed: int = 42) -> np.ndarray:
+    """Explicit-priority table (MinTable, MinimizerPriorities.scala:192-271):
+    a random permutation of all 4^m m-mers (m ≤ 12 keeps it ≤ 128 MB;
+    the reference caps at 15). Ship to executors via sc.broadcast and
+    pass as ``priority_table``."""
+    if m > 12:
+        raise ValueError("priority tables supported for m <= 12")
+    rng = np.random.default_rng(seed)
+    return rng.permutation(1 << (2 * m)).astype(np.int64)
+
+
+def table_from_frequencies(m: int, counts: dict[int, int]) -> np.ndarray:
+    """Frequency-ordered priority table: rarer m-mers win (lower rank),
+    unseen m-mers ranked before seen ones by value — the
+    frequency-counted ordering the reference builds MinTables for."""
+    if m > 12:
+        raise ValueError("priority tables supported for m <= 12")
+    n = 1 << (2 * m)
+    freq = np.zeros(n, dtype=np.int64)
+    for mm, c in counts.items():
+        freq[mm] = c
+    # sort by (frequency asc, m-mer asc) → rank
+    order = np.lexsort((np.arange(n), freq))
+    table = np.empty(n, dtype=np.int64)
+    table[order] = np.arange(n)
+    return table
+
+
 def scan_mmers(
-    codes: np.ndarray, cfg: MinimizerConfig
+    codes: np.ndarray,
+    cfg: MinimizerConfig,
+    priority_table: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One packing pass → (emit_mmers, ranks).
 
@@ -125,6 +155,10 @@ def scan_mmers(
     mmers = bitseq.pack_kmers(codes, cfg.m)
     if cfg.canonical:
         mmers = bitseq.canonical_packed(mmers, cfg.m)
+    if priority_table is not None:
+        if cfg.spaces > 0:
+            raise ValueError("priority tables don't compose with spaced seeds")
+        return mmers, priority_table[mmers.astype(np.int64)].astype(np.uint64)
     ranks = mmers ^ (np.uint64(cfg.xor_mask) & np.uint64(cfg.mask_2m))
     if cfg.spaces > 0:
         ranks = ranks & np.uint64(cfg.seed_mask)
@@ -162,7 +196,9 @@ def window_minimizers(ranks: np.ndarray, window: int) -> tuple[np.ndarray, np.nd
 
 
 def supermer_arrays(
-    codes: np.ndarray, cfg: MinimizerConfig
+    codes: np.ndarray,
+    cfg: MinimizerConfig,
+    priority_table: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Array fast path of supermer splitting: returns
     (minimizer, start, kmers) per super-mer, no Python objects or string
@@ -172,7 +208,7 @@ def supermer_arrays(
     empty = np.empty(0, dtype=np.int64)
     if n_k <= 0:
         return empty, empty, empty
-    mmers, ranks = scan_mmers(codes, cfg)
+    mmers, ranks = scan_mmers(codes, cfg, priority_table)
     _, min_pos = window_minimizers(ranks, cfg.window)
     change = np.empty(n_k, dtype=bool)
     change[0] = True
@@ -351,6 +387,7 @@ def read_span_arrays(
     cfg: MinimizerConfig,
     rng: np.random.Generator,
     seq2: str | None = None,
+    priority_table: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Array-native read_spans: (minimizers, distinct, kmers, flags),
     ordinal = position. Same semantics as read_spans without per-span
@@ -378,7 +415,7 @@ def read_span_arrays(
                 )
                 flags_l.append(np.full(1, FLAG_AMBIGUOUS, dtype=np.int64))
                 continue
-            mins, _, kmers = supermer_arrays(codes[st:en], cfg)
+            mins, _, kmers = supermer_arrays(codes[st:en], cfg, priority_table)
             d = np.empty(len(mins), dtype=bool)
             if len(mins):
                 d[0] = (not have_last) or mins[0] != last_valid
@@ -408,14 +445,16 @@ def read_span_arrays(
     )
 
 
-def genome_minimizers(seq: str, cfg: MinimizerConfig) -> np.ndarray:
+def genome_minimizers(
+    seq: str, cfg: MinimizerConfig, priority_table: np.ndarray | None = None
+) -> np.ndarray:
     """All (non-distinct-filtered) super-mer minimizers of a genome —
     the index-build extraction (Minimizers.find, Minimizers.scala:43-76).
     Returns one packed minimizer per super-mer."""
     codes = bitseq.encode_codes(seq)
     out = []
     for st, en in valid_segments(codes, cfg.k):
-        mins, _, _ = supermer_arrays(codes[st:en], cfg)
+        mins, _, _ = supermer_arrays(codes[st:en], cfg, priority_table)
         out.append(mins)
     if not out:
         return np.empty(0, dtype=np.uint64)

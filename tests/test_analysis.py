@@ -121,6 +121,56 @@ def test_per_taxon_comparison(world):
     assert m["precision"] == 0.5 and m["recall"] == 0.5
 
 
+# ---------------- MinTable ordering ----------------
+
+
+def test_table_ordered_index_classifies(world, tmp_path):
+    """Explicit-priority (MinTable) ordering: build, persist, reload and
+    classify; selection differs from XOR ordering but classification
+    still maps reads to source-or-ancestor."""
+    from slacken_spark.kernels.minimizers import (
+        MinimizerConfig,
+        table_from_frequencies,
+        uniform_random_table,
+    )
+
+    spark, tax = world["spark"], world["tax"]
+    cfg = MinimizerConfig(k=21, m=10, spaces=0, canonical=True)
+    table = uniform_random_table(10, seed=7)
+    idx = KeyValueIndex.build(
+        spark,
+        world["gdf"],
+        world["ldf"],
+        tax,
+        cfg,
+        buckets=4,
+        priority_table=table,
+    )
+    loc = str(tmp_path / "tbl_idx")
+    idx = idx.write(loc)
+    loaded = KeyValueIndex.load(spark, loc)
+    assert loaded.priority_table is not None
+    assert (loaded.priority_table == table).all()
+    seq = world["genomes"][101]
+    reads = spark.createDataFrame(
+        [(f"r{i}", seq[i * 60 : i * 60 + 150]) for i in range(8)],
+        "header string, nucleotides string",
+    )
+    out = Classifier(loaded).classify(reads, ClassifyParams(min_hit_groups=2)).collect()
+    assert sum(r["classified"] for r in out) >= 6
+    for r in out:
+        if r["classified"]:
+            assert tax.has_ancestor(101, r["taxon"])
+    # frequency table construction: rarer m-mers get lower (better) ranks
+    ft = table_from_frequencies(3, {5: 100, 9: 1})
+    assert ft[9] < ft[5]
+    # respace is undefined for table-ordered indexes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        loaded.respace(3)
+
+
 # ---------------- index comparison ----------------
 
 
