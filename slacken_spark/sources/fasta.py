@@ -88,8 +88,11 @@ def read_paired_fastq(spark: SparkSession, r1: str, r2: str) -> DataFrame:
 def read_sequences(spark: SparkSession, path: str) -> DataFrame:
     """Extension-dispatched reader (FileInputs.forFile semantics):
     .fq/.fastq → FASTQ, else FASTA; @list.txt indirection supported."""
-    if os.path.basename(path).startswith("@"):
-        with open(path[path.index("@") + 1 :]) as f:
+    if path.startswith("@") or os.path.basename(path).startswith("@"):
+        list_path = path[1:] if path.startswith("@") else os.path.join(
+            os.path.dirname(path), os.path.basename(path)[1:]
+        )
+        with open(list_path) as f:
             files = [line.strip() for line in f if line.strip()]
         dfs = [read_sequences(spark, p) for p in files]
         out = dfs[0]

@@ -261,6 +261,24 @@ def test_indexed_fasta_overlap(world, tmp_path):
         assert len(r["nucleotides"]) == 1000 + 20
 
 
+def test_gzipped_fasta_and_list_indirection(world, tmp_path):
+    """Compression rides Spark's text reader; @list files union multiple
+    inputs with format dispatch (S4)."""
+    spark = world["spark"]
+    p1 = tmp_path / "a.fasta.gz"
+    with gzip.open(p1, "wt") as f:
+        f.write(">s1\nACGTACGT\n")
+    p2 = tmp_path / "b.fastq"
+    p2.write_text("@r1\nGGGGCCCC\n+\nFFFFFFFF\n")
+    lst = tmp_path / "inputs.txt"
+    lst.write_text(f"{p1}\n{p2}\n")
+    rows = {
+        r["header"]: r["nucleotides"]
+        for r in srcs.read_sequences(spark, "@" + str(lst)).collect()
+    }
+    assert rows == {"s1": "ACGTACGT", "r1": "GGGGCCCC"}
+
+
 def test_rc_fragments(world):
     spark = world["spark"]
     df = spark.createDataFrame(
