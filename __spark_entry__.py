@@ -26,9 +26,10 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the classification-join shape (SURVEY §2.4 J1) —
-    multi-key left join + sentinel decode + aggregation — on sf0.001."""
-    fn, _ = _catalog.QUERIES["classification_join"]
+    """Flagship query: the full genomic pipeline — deterministic genome
+    construction → minimizer scan → LCA index build → classification
+    join → per-read resolve (SURVEY §3 E1+E2) — on sf0.001."""
+    fn, _ = _catalog.QUERIES["genomic_classify"]
     return fn(spark, DEFAULT_SF_DIR)
 
 

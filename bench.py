@@ -67,20 +67,27 @@ def main() -> None:
         except Exception:
             pass
 
+    # min of N runs per query: this host intermittently stalls a core
+    # for tens of seconds, and a single-shot timing randomly charges
+    # that to one unlucky query. The minimum is the reproducible cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, (fn, _sql) in catalog.QUERIES.items():
-        start = time.perf_counter()
+        best = -1.0
         try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            elapsed = time.perf_counter() - start
+            for _ in range(runs):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best < 0 else min(best, elapsed)
         except Exception as e:  # record failures as negative sentinel
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            elapsed = -1.0
-        timings[name] = round(elapsed, 3)
-        if elapsed > 0:
-            total += elapsed
+            best = -1.0
+        timings[name] = round(best, 3)
+        if best > 0:
+            total += best
 
     print(
         json.dumps(
@@ -90,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
             }
         )
     )
