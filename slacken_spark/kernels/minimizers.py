@@ -68,8 +68,12 @@ class MinimizerConfig:
     masked: bool = False
 
     def __post_init__(self):
-        if not (0 < self.m <= 31):
-            raise ValueError("m must be in 1..31 (single-long minimizers)")
+        if not (0 < self.m <= 62):
+            raise ValueError("m must be in 1..62")
+        if self.m > 31 and self.spaces > 0:
+            # spaced seeds operate on stored sequence bits; wide ids are
+            # hashed (see scan_mmers_wide) so masking is undefined
+            raise ValueError("spaced seeds require m <= 31")
         if self.k < self.m:
             raise ValueError("k must be >= m")
 
@@ -136,6 +140,54 @@ def table_from_frequencies(m: int, counts: dict[int, int]) -> np.ndarray:
     return table
 
 
+def _mix62(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Deterministic 62-bit mix of two packed words (splitmix64-style)."""
+    h = hi ^ (lo * np.uint64(0x9E3779B97F4A7C15))
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return h & np.uint64((1 << 62) - 1)
+
+
+def scan_mmers_wide(
+    codes: np.ndarray, cfg: MinimizerConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Wide minimizers (31 < m ≤ 62): the reference widens the key to
+    id1..idN long columns (KmerKeyedIndex.scala:44-53); the Spark-first
+    choice here is ONE 62-bit mixed hash of the canonical m-mer's two
+    packed halves, keeping the join key, bucket layout and every
+    downstream operator identical to the m ≤ 31 path. Exactness bound:
+    the expected number of colliding minimizer PAIRS among n distinct
+    minimizers is n²/2^63 — ~0.1 for a billion-minimizer index, and a
+    collision merely merges two LCA records (strictly less loss than
+    Kraken 2's compact hash table). The hash also serves as the
+    selection rank (a pseudo-random ordering, which is exactly what
+    RandomXOR provides for m ≤ 31).
+
+    Returns (emit_ids, ranks) with ranks == emit_ids.
+    """
+    m = cfg.m
+    m_lo = m - 31
+    p_hi = bitseq.pack_kmers(codes, 31)  # bases i..i+30
+    p_lo = bitseq.pack_kmers(codes, m_lo)  # bases i..i+m_lo-1
+    n = len(codes) - m + 1
+    if n <= 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    hi = p_hi[:n]
+    lo = p_lo[31 : 31 + n]
+    if cfg.canonical:
+        # rc halves: first 31 bases of the rc = revcomp of the LAST 31
+        # bases; remaining m-31 = revcomp of the first m-31
+        rc_hi = bitseq.revcomp_packed(p_hi[m - 31 : m - 31 + n], 31)
+        rc_lo = bitseq.revcomp_packed(p_lo[:n], m_lo)
+        take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+        hi = np.where(take_rc, rc_hi, hi)
+        lo = np.where(take_rc, rc_lo, lo)
+    ids = _mix62(hi, lo)
+    return ids, ids
+
+
 def scan_mmers(
     codes: np.ndarray,
     cfg: MinimizerConfig,
@@ -152,6 +204,10 @@ def scan_mmers(
     minimizers; an explicit-priority MinTable (:192-271) is the
     remaining variant (frequency-ordered tables — see NOTES.md).
     """
+    if cfg.m > 31:
+        if priority_table is not None:
+            raise ValueError("priority tables require m <= 12")
+        return scan_mmers_wide(codes, cfg)
     mmers = bitseq.pack_kmers(codes, cfg.m)
     if cfg.canonical:
         mmers = bitseq.canonical_packed(mmers, cfg.m)

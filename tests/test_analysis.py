@@ -171,6 +171,31 @@ def test_table_ordered_index_classifies(world, tmp_path):
         loaded.respace(3)
 
 
+def test_wide_minimizer_index_classifies(world):
+    """31 < m ≤ 62: hashed single-column ids keep the whole pipeline
+    (build → join → classify) unchanged; reads still map to
+    source-or-ancestor."""
+    from slacken_spark.kernels.minimizers import MinimizerConfig
+
+    spark, tax = world["spark"], world["tax"]
+    cfg = MinimizerConfig(k=50, m=45, spaces=0, canonical=True)
+    idx = KeyValueIndex.build(
+        spark, world["gdf"], world["ldf"], tax, cfg, buckets=4
+    )
+    idx.records = idx.records.persist()
+    assert idx.stats()["records"] > 0
+    seq = world["genomes"][102]
+    reads = spark.createDataFrame(
+        [(f"w{i}", seq[i * 55 : i * 55 + 150]) for i in range(10)],
+        "header string, nucleotides string",
+    )
+    out = Classifier(idx).classify(reads, ClassifyParams(min_hit_groups=2)).collect()
+    assert sum(r["classified"] for r in out) >= 8
+    for r in out:
+        if r["classified"]:
+            assert tax.has_ancestor(102, r["taxon"])
+
+
 # ---------------- index comparison ----------------
 
 

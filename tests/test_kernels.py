@@ -242,6 +242,71 @@ def test_lexicographic_ordering():
     ) == "ACGT"
 
 
+# ---------------- wide minimizers (31 < m <= 62) ----------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="ACGT", min_size=120, max_size=300), st.integers(32, 62))
+def test_wide_minimizers_orientation_invariant(s, m):
+    cfg = MinimizerConfig(k=min(m + 8, 70), m=m, spaces=0, canonical=True)
+    a = set(genome_minimizers(s, cfg).tolist())
+    b = set(genome_minimizers(bitseq.revcomp_str(s), cfg).tolist())
+    assert a == b
+
+
+def test_wide_minimizer_identity_matches_string_model():
+    """Positions sharing the same canonical m-mer string get the same
+    hashed id; distinct m-mers get distinct ids (no collisions at test
+    scale)."""
+    from slacken_spark.kernels.minimizers import scan_mmers
+
+    cfg = MinimizerConfig(k=60, m=45, spaces=0, canonical=True)
+    rng = np.random.default_rng(8)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 45))
+    s = (
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+        + core
+        + "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+        + bitseq.revcomp_str(core)
+        + "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    )
+    ids, _ = scan_mmers(bitseq.encode_codes(s), cfg)
+    by_string: dict[str, set] = {}
+    for i in range(len(s) - 45 + 1):
+        mm = s[i : i + 45]
+        canon = min(mm, bitseq.revcomp_str(mm))
+        by_string.setdefault(canon, set()).add(int(ids[i]))
+    # same canonical string → one id (incl. the planted rc duplicate)
+    assert all(len(v) == 1 for v in by_string.values())
+    # distinct strings → distinct ids
+    all_ids = [next(iter(v)) for v in by_string.values()]
+    assert len(set(all_ids)) == len(all_ids)
+    # the planted core and its revcomp share an id
+    canon_core = min(core, bitseq.revcomp_str(core))
+    assert len(by_string[canon_core]) == 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="ACGTN", min_size=0, max_size=300))
+def test_wide_span_accounting(s):
+    cfg = MinimizerConfig(k=40, m=35, spaces=0)
+    spans = read_spans(s, cfg)
+    codes = bitseq.encode_codes(s)
+    expect = sum(
+        (e - st_) - cfg.k + 1
+        for st_, e, v in split_by_ambiguity(codes, cfg.k)
+        if v
+    )
+    assert sum(sp.kmers for sp in spans if sp.flag == FLAG_SEQUENCE) == expect
+
+
+def test_wide_spaces_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MinimizerConfig(k=50, m=45, spaces=3)
+
+
 def test_spaced_seed_mask_example():
     """MinimizerPriorities.scala:282-321 doc example: s=3 zeroes every
     other 2-bit position starting second-from-right."""
