@@ -231,6 +231,55 @@ def genomic_classify_detail(spark, sf_dir):
     return cls.output_lines(out)
 
 
+CFG_WIDE = MinimizerConfig(k=50, m=45, spaces=0, canonical=True)
+
+# wide-m read layout: k=50 ⇒ core-only windows need the last k-mer start
+# ≤ 256−50 → boundary shifts vs the k=21 case; reuse offsets that stay
+# unambiguous: core read within bases 1..206+49, uniq read ≥ 257
+_WIDE_READ_DEFS = [("wcore", 30, 150), ("wuniq", 300, 150)]
+
+
+@register(
+    "genomic_classify_wide",
+    f"""
+    WITH parts AS (
+        SELECT p_partkey, {_BRAND_TAXON_SQL} AS brand
+        FROM part WHERE p_partkey % 40 = 0
+    ),
+    bc AS (SELECT brand, count(*) AS n FROM parts GROUP BY brand),
+    reads AS (
+        SELECT 'r_wcore_g' || p_partkey AS header,
+               CASE WHEN bc.n >= 2 THEN CAST(p.brand AS INT)
+                    ELSE p_partkey + 1000 END AS expect
+        FROM parts p JOIN bc ON p.brand = bc.brand
+        UNION ALL
+        SELECT 'r_wuniq_g' || p_partkey, p_partkey + 1000 FROM parts
+    )
+    SELECT header, TRUE AS classified, CAST(expect AS INT) AS taxon
+    FROM reads
+    """,
+)
+def genomic_classify_wide(spark, sf_dir):
+    """The same predictive classification differential, with WIDE
+    minimizers (m=45 > 31 → hashed single-column ids): verifies the
+    wide scanner + canonical + hash identity end-to-end against SQL."""
+    g = _genomes(spark, sf_dir)
+    labels = g.select("header", "taxon")
+    genomes = g.select("header", "nucleotides")
+    idx = KeyValueIndex.build(
+        spark, genomes, labels, _taxonomy(spark, sf_dir), CFG_WIDE, buckets=32
+    )
+    reads = None
+    for tag, off, ln in _WIDE_READ_DEFS:
+        r = g.select(
+            F.concat(F.lit(f"r_{tag}_"), F.col("header")).alias("header"),
+            F.substring("nucleotides", off, ln).alias("nucleotides"),
+        )
+        reads = r if reads is None else reads.unionByName(r)
+    out = Classifier(idx).classify(reads, ClassifyParams(min_hit_groups=2))
+    return out.select("header", "classified", "taxon")
+
+
 # ---------------------------------------------------------------------------
 # Bracken weights with predictable self-classification
 # ---------------------------------------------------------------------------
