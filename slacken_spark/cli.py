@@ -145,6 +145,7 @@ def cmd_classify2(args) -> int:
         ClassifiedReadCount,
         Dynamic,
         MinimizerDistinctCount,
+        MinimizerFraction,
         MinimizerTotalCount,
     )
     from slacken_spark.index import KeyValueIndex
@@ -156,6 +157,7 @@ def cmd_classify2(args) -> int:
     crit = {
         "minimizer-total": MinimizerTotalCount(args.threshold),
         "minimizer-distinct": MinimizerDistinctCount(args.threshold),
+        "minimizer-fraction": MinimizerFraction(args.threshold / 100.0),
         "reads": ClassifiedReadCount(args.threshold, args.confidence[0]),
     }[args.criterion]
     dyn = Dynamic(
@@ -305,7 +307,12 @@ def main(argv: list[str] | None = None) -> int:
     c2.add_argument("inputs", nargs="+")
     c2.add_argument(
         "--criterion",
-        choices=["minimizer-total", "minimizer-distinct", "reads"],
+        choices=[
+            "minimizer-total",
+            "minimizer-distinct",
+            "minimizer-fraction",
+            "reads",
+        ],
         default="reads",
     )
     c2.add_argument("--threshold", type=int, default=100)

@@ -48,6 +48,16 @@ class ClassifiedReadCount:
     confidence: float = 0.15
 
 
+@dataclass(frozen=True)
+class MinimizerFraction:
+    """Keep taxa whose fraction of index minimizers observed in the
+    sample meets the threshold. (The reference declares this criterion
+    but leaves it unimplemented — Dynamic.scala:255 `???`; the counting
+    helper exists at Dynamic.scala:121-129 and this completes it.)"""
+
+    threshold: float
+
+
 def clade_totals(taxonomy: Taxonomy, counts: list[tuple[int, int]]) -> dict[int, int]:
     """TreeAggregator: add each taxon's count to every ancestor
     (KrakenReport.scala:26-41)."""
@@ -117,6 +127,27 @@ class Dynamic:
         )
         return [(r["taxon"], r["count"]) for r in rows]
 
+    def minimizer_fraction_per_taxon(
+        self, reads: DataFrame
+    ) -> list[tuple[int, float]]:
+        """Fraction of each taxon's index minimizers seen in the sample
+        (minimizerFractionPerTaxon, Dynamic.scala:121-129): distinct in
+        sample ÷ distinct in records, joined per taxon."""
+        in_sample = dict(self.distinct_minimizers_per_taxon(reads))
+        if not in_sample:
+            return []
+        in_records = {
+            r["taxon"]: r["n_minimizers"]
+            for r in self.base.distinct_minimizers_per_taxon()
+            .where(F.col("taxon").isin(sorted(in_sample)))
+            .collect()
+        }
+        return [
+            (t, in_sample[t] / in_records[t])
+            for t in in_sample
+            if in_records.get(t)
+        ]
+
     def classified_reads_per_taxon(
         self, reads: DataFrame, confidence: float
     ) -> list[tuple[int, int]]:
@@ -149,6 +180,16 @@ class Dynamic:
             counts = self.distinct_minimizers_per_taxon(reads)
         elif isinstance(c, ClassifiedReadCount):
             counts = self.classified_reads_per_taxon(reads, c.confidence)
+        elif isinstance(c, MinimizerFraction):
+            # fractions don't clade-roll (a parent's fraction is not the
+            # sum of children's) — filter directly at the rank
+            tax = self.taxonomy
+            keep = {
+                t
+                for t, frac in self.minimizer_fraction_per_taxon(reads)
+                if tax.depth(t) >= self.rank_depth and frac >= c.threshold
+            }
+            return tax.taxa_with_descendants(keep)
         else:
             raise ValueError(f"unknown criterion {c!r}")
         keep = self.count_filter(counts, c.threshold)

@@ -10,6 +10,7 @@ from slacken_spark.dynamic import (
     ClassifiedReadCount,
     Dynamic,
     MinimizerDistinctCount,
+    MinimizerFraction,
     MinimizerTotalCount,
     clade_totals,
 )
@@ -106,7 +107,12 @@ def test_clade_totals_rollup(world):
 
 @pytest.mark.parametrize(
     "criterion",
-    [MinimizerTotalCount(50), MinimizerDistinctCount(30), ClassifiedReadCount(5, 0.0)],
+    [
+        MinimizerTotalCount(50),
+        MinimizerDistinctCount(30),
+        ClassifiedReadCount(5, 0.0),
+        MinimizerFraction(0.3),
+    ],
 )
 def test_two_step_detects_present_species(world, criterion):
     dyn = Dynamic(
