@@ -133,13 +133,27 @@ def ivf_assign(
     from a sampled k-means). The ANN query path then probes only matching
     centroid partitions: the candidate join is an equi-join on
     ``centroid_id`` instead of a cross join.
+
+    The N per-centroid similarities are materialized ONCE as an array
+    column in their own projection, and the argmax reads that array:
+    ``array_position(sims, array_max(sims))`` — first occurrence, so ties
+    resolve to the smallest centroid index, matching a sequential
+    strictly-greater fold. Cost is linear in ``len(centroids)``.
+    (A folded when-chain would embed every previous cosine expression
+    inside the next step — ~2^N copies of the interpreted dot product.)
     """
-    best_id = F.lit(-1)
-    best_sim = F.lit(float("-inf"))
-    for i, c in enumerate(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        s = cosine(F.col(vec_col), cvec)
-        better = s > best_sim
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_sim = F.when(better, s).otherwise(best_sim)
-    return df.withColumn("centroid_id", best_id)
+    if not centroids:
+        return df.withColumn("centroid_id", F.lit(-1))
+    sims = F.array(
+        *[
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    arr = F.col("_ivf_sims")
+    centroid_id = (F.array_position(arr, F.array_max(arr)) - F.lit(1)).cast("int")
+    return (
+        df.withColumn("_ivf_sims", sims)
+        .withColumn("centroid_id", centroid_id)
+        .drop("_ivf_sims")
+    )
