@@ -173,8 +173,12 @@ class BrackenWeights:
 
     def fragment_minimizers(self, fragments: DataFrame) -> DataFrame:
         """(header, location, id1) distinct minimizer rows per fragment;
-        fragments with no valid minimizer emit the sentinel id1=0 so the
-        later left join preserves them (BrackenWeights.scala:333-336)."""
+        fragments with no valid minimizer emit the sentinel id1=-1 so the
+        later left join preserves them (BrackenWeights.scala:333-336).
+        -1 is unreachable for real minimizers (packed 2-bit ids and the
+        62-bit wide-minimizer hash are both non-negative), so a genuine
+        all-A m-mer id of 0 — common under lexicographic ordering — stays
+        in the LCA lookup instead of being conflated with the sentinel."""
         cfg_dict = self.index.cfg.to_dict()
         table_bc = self.index.table_bc
 
@@ -191,7 +195,7 @@ class BrackenWeights:
                             mz, _, _ = supermer_arrays(codes[st:en], cfg, table)
                             mins.update(mz.tolist())
                     if not mins:
-                        mins = {0}
+                        mins = {-1}
                     for m in mins:
                         h.append(r.header)
                         loc.append(r.location)
@@ -253,7 +257,7 @@ class BrackenWeights:
                 src, dst = [], []
                 for r in pdf.itertuples(index=False):
                     lookup = {
-                        int(m): int(t) for m, t in zip(r.minimizers, r.taxa) if m != 0
+                        int(m): int(t) for m, t in zip(r.minimizers, r.taxa) if m != -1
                     }
                     dests = classify_all_reads(
                         r.nucleotides, cfg, lookup, tax, read_len,

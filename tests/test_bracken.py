@@ -169,3 +169,30 @@ def test_gradual_build_matches_direct(world, tmp_path):
         ).collect()
     }
     assert direct == grad
+
+
+def test_lexicographic_all_a_minimizer_kept(spark):
+    """xor_mask=0 gives lexicographic ordering, so a poly-A run's minimizer
+    packs to id 0. Regression: id 0 was conflated with the no-minimizer
+    sentinel and dropped from the distributed LCA lookup, so boundary
+    windows lost a hit group and fell to NONE (the reference keeps real
+    id-0 minimizers, BrackenWeights.scala taxonHits)."""
+    from collections import Counter
+
+    cfg = MinimizerConfig(k=15, m=9, spaces=0, xor_mask=0, canonical=True)
+    tax = Taxonomy.from_edges([5, 101], [ROOT, 5])
+    seq = _genome(120) + "A" * 80 + _genome(120)
+    gdf = spark.createDataFrame([("g", seq)], "header string, nucleotides string")
+    ldf = spark.createDataFrame([("g", 101)], "header string, taxon int")
+    idx = KeyValueIndex.build(spark, gdf, ldf, tax, cfg, buckets=2)
+    records = {r["id1"]: r["taxon"] for r in idx.records.collect()}
+    assert 0 in records  # the all-A minimizer is a real index key
+    expected = Counter(
+        (int(d), 101) for d in classify_all_reads(seq, cfg, records, tax, READ_LEN)
+    )
+    bw = BrackenWeights(idx, READ_LEN)
+    got = {
+        (r["dest"], r["source"]): r["count"]
+        for r in bw.build_weights(gdf, ldf).collect()
+    }
+    assert got == dict(expected)
