@@ -29,6 +29,7 @@ from slacken_spark.kernels.taxonomy import (
     AMBIGUOUS_SPAN,
     MATE_PAIR_BORDER,
     Taxonomy,
+    member_mask_udf,
 )
 
 
@@ -94,19 +95,22 @@ class Dynamic:
     # ---------------- step-1 counting (Dynamic.scala:95-142) ----------------
 
     def _minimizers_in_subjects(self, reads: DataFrame) -> DataFrame:
-        """(taxon, minimizer) hits at/below the reclassify rank."""
+        """(taxon, minimizer) hits at/below the reclassify rank.
+
+        Depth filtering happens executor-side through a broadcast
+        defined∧depth mask (the reference applies the depth filter via
+        the broadcast taxonomy, Dynamic.scala:95-107) — a literal
+        ``isin`` over every at/below-rank taxon would be millions of
+        literals on a real taxonomy."""
         spans = extract_spans(reads, self.base.cfg, self.base.table_bc)
         hits = self.base.span_hits_with_minimizer(spans)
         tax = self.taxonomy
-        ok = [
-            int(t)
-            for t in range(tax.n_nodes)
-            if tax.is_defined(t) and tax.depth(t) >= self.rank_depth
-        ]
+        mask = tax.defined_mask() & (tax.depth_vector() >= self.rank_depth)
+        member = member_mask_udf(self.base.spark, mask)
         return hits.where(
             (F.col("taxon") != AMBIGUOUS_SPAN)
             & (F.col("taxon") != MATE_PAIR_BORDER)
-            & F.col("taxon").isin(ok)
+            & member(F.col("taxon"))
         ).select("taxon", F.col("id1").alias("minimizer"))
 
     def total_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:

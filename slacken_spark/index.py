@@ -39,6 +39,7 @@ from slacken_spark.kernels.taxonomy import (
     MATE_PAIR_BORDER,
     NONE,
     Taxonomy,
+    member_mask_udf,
 )
 
 SPANS_SCHEMA = (
@@ -180,20 +181,27 @@ class KeyValueIndex:
 
         ``genomes``: (header, nucleotides); ``labels``: (header, taxon)
         — the label side is small and broadcast (GenomeLibrary.scala:70-71).
-        Taxa undefined in the taxonomy are dropped (KeyValueIndex.scala:118-121);
+        Taxa undefined in the taxonomy are dropped UNCONDITIONALLY
+        (KeyValueIndex.scala:118-121) via a broadcast-mask membership UDF
+        — never a literal ``isin`` (an NCBI taxonomy has ~2.5M defined
+        taxa; a literal list would explode the plan, and dropping the
+        filter would let out-of-range ids crash the vectorized LCA).
         ``taxon_filter`` restricts to a detected taxon set (the dynamic
         second-step build, KeyValueIndex.scala:102-113)."""
-        defined = sorted(
-            t
-            for t in range(1, taxonomy.n_nodes)
-            if taxonomy.is_defined(t)
-        )
+        import numpy as np
+
+        mask = taxonomy.defined_mask()
         if taxon_filter is not None:
-            defined = sorted(set(defined) & set(taxon_filter))
+            fmask = np.zeros(taxonomy.n_nodes, dtype=bool)
+            ids = np.asarray(
+                [t for t in taxon_filter if 0 <= t < taxonomy.n_nodes],
+                dtype=np.int64,
+            )
+            fmask[ids] = True
+            mask &= fmask
+        member = member_mask_udf(spark, mask)
         labelled = genomes.join(F.broadcast(labels), "header").where(
-            F.col("taxon").isin(defined)
-            if len(defined) <= 100000
-            else F.col("taxon").isNotNull()
+            member(F.col("taxon"))
         )
         idx = cls(spark, None, cfg, taxonomy, buckets, priority_table=priority_table)
         rows = extract_index_rows(labelled, cfg, idx.table_bc)

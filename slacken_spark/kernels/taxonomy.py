@@ -39,6 +39,28 @@ RANK_DEPTH = {r: i for i, r in enumerate(RANKS)}
 NO_RANK = -1
 
 
+def member_mask_udf(spark, mask: np.ndarray):
+    """Boolean pandas UDF ``taxon -> taxon ∈ mask`` over a broadcast
+    numpy bool array — the executor-side replacement for taxonomy-sized
+    literal ``isin`` lists (the reference likewise checks membership
+    through the broadcast taxonomy, Dynamic.scala:95-107,
+    KeyValueIndex.scala:118-121). Out-of-range and null ids are False."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(np.asarray(mask, dtype=bool))
+
+    @pandas_udf("boolean")
+    def member(t: pd.Series) -> pd.Series:
+        m = bc.value
+        tv = t.fillna(-1).to_numpy(dtype=np.int64)
+        ok = (tv >= 0) & (tv < len(m))
+        out = np.zeros(len(tv), dtype=bool)
+        out[ok] = m[tv[ok]]
+        return pd.Series(out)
+
+    return member
+
+
 @dataclass
 class Taxonomy:
     """Array-of-parents taxonomy tree.
@@ -166,6 +188,40 @@ class Taxonomy:
 
     def is_defined(self, t: int) -> bool:
         return t == ROOT or (0 < t < self.n_nodes and self.parents[t] != NONE)
+
+    def defined_mask(self) -> np.ndarray:
+        """Boolean mask over taxon ids: is_defined, vectorized. Broadcast
+        this (a few MB even for NCBI-sized taxonomies) instead of
+        materializing millions of ids into a literal ``isin`` list."""
+        mask = np.zeros(self.n_nodes, dtype=bool)
+        if self.n_nodes > 1:
+            mask[1:] = self.parents[1:] != NONE
+            mask[ROOT] = True
+        return mask
+
+    def depth_vector(self) -> np.ndarray:
+        """Standardised rank depth per taxon id, vectorized ``depth``:
+        nearest ranked ancestor's depth, -1 when no ranked ancestor.
+        O(n · max-unranked-run) with whole-array numpy steps."""
+        n = self.n_nodes
+        out = np.full(n, -1, dtype=np.int32)
+        if n == 0:
+            return out
+        rd = (
+            self.rank_depths.astype(np.int32)
+            if self.rank_depths is not None
+            else np.full(n, NO_RANK, dtype=np.int32)
+        )
+        cur = np.arange(n, dtype=np.int64)
+        alive = np.arange(n, dtype=np.int64)
+        while len(alive):
+            c = cur[alive]
+            ranked = rd[c] != NO_RANK
+            out[alive[ranked]] = rd[c[ranked]]
+            alive = alive[~ranked]
+            cur[alive] = self.parents[cur[alive]]
+            alive = alive[cur[alive] != NONE]
+        return out
 
     @property
     def sdepth(self) -> np.ndarray:
