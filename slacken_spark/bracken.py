@@ -183,27 +183,29 @@ class BrackenWeights:
         table_bc = self.index.table_bc
 
         def gen(batches):
+            from slacken_spark.kernels.minimizers import batch_genome_minimizers
+
             cfg = MinimizerConfig.from_dict(cfg_dict)
             table = table_bc.value if table_bc is not None else None
             for pdf in batches:
-                h, loc, ids = [], [], []
-                for r in pdf.itertuples(index=False):
-                    codes = bitseq.encode_codes(r.nucleotides)
-                    mins: set[int] = set()
-                    for st, en, ok in split_by_ambiguity(codes, cfg.k):
-                        if ok:
-                            mz, _, _ = supermer_arrays(codes[st:en], cfg, table)
-                            mins.update(mz.tolist())
-                    if not mins:
-                        mins = {-1}
-                    for m in mins:
-                        h.append(r.header)
-                        loc.append(r.location)
-                        ids.append(m)
+                if not len(pdf):
+                    continue
+                unit_of, mins = batch_genome_minimizers(
+                    pdf["nucleotides"].tolist(), cfg, priority_table=table
+                )
+                # distinct (fragment, minimizer) pairs; minimizer-less
+                # fragments emit the -1 sentinel so the left join keeps them
+                pairs = np.unique(np.stack([unit_of, mins], axis=1), axis=0)
+                u, ids = pairs[:, 0], pairs[:, 1]
+                missing = np.setdiff1d(np.arange(len(pdf), dtype=np.int64), u)
+                u = np.concatenate([u, missing])
+                ids = np.concatenate([ids, np.full(len(missing), -1, dtype=np.int64)])
                 yield pd.DataFrame(
                     {
-                        "header": h,
-                        "location": pd.array(loc, dtype="int64"),
+                        "header": pdf["header"].to_numpy()[u],
+                        "location": pd.array(
+                            pdf["location"].to_numpy()[u], dtype="int64"
+                        ),
                         "id1": pd.array(ids, dtype="int64"),
                     }
                 )

@@ -32,7 +32,6 @@ from slacken_spark.kernels.minimizers import (
     FLAG_AMBIGUOUS,
     FLAG_MATE_PAIR_BORDER,
     MinimizerConfig,
-    genome_minimizers,
 )
 from slacken_spark.kernels.taxonomy import (
     AMBIGUOUS_SPAN,
@@ -62,36 +61,27 @@ def extract_spans(
         import numpy as np
         import pandas as pd
 
-        from slacken_spark.kernels.minimizers import read_span_arrays
+        from slacken_spark.kernels.minimizers import batch_span_arrays
 
         c = MinimizerConfig.from_dict(cfg_dict)
         table = table_bc.value if table_bc is not None else None
         rng = np.random.default_rng(0x5EED)
         for pdf in batches:
-            per_read = []
-            counts = []
-            has_mate = "nucleotides2" in pdf.columns
-            for row in pdf.itertuples(index=False):
-                seq2 = getattr(row, "nucleotides2", None) if has_mate else None
-                if seq2 is not None and not isinstance(seq2, str):
-                    seq2 = None
-                arrs = read_span_arrays(
-                    row.nucleotides, c, rng, seq2=seq2, priority_table=table
-                )
-                per_read.append(arrs)
-                counts.append(len(arrs[0]))
-            if not per_read:
+            if not len(pdf):
                 continue
-            n = int(np.sum(counts))
-            headers = np.repeat(pdf["header"].to_numpy(), counts)
-            mins = np.concatenate([a[0] for a in per_read])
-            dist = np.concatenate([a[1] for a in per_read])
-            kmers = np.concatenate([a[2] for a in per_read])
-            flags = np.concatenate([a[3] for a in per_read])
-            # ordinal restarts per read
-            offsets = np.repeat(
-                np.cumsum([0] + counts[:-1]), counts
+            seqs = pdf["nucleotides"].tolist()
+            seqs2 = (
+                pdf["nucleotides2"].tolist()
+                if "nucleotides2" in pdf.columns
+                else None
             )
+            counts, mins, dist, kmers, flags = batch_span_arrays(
+                seqs, c, rng, seqs2, priority_table=table
+            )
+            n = len(mins)
+            headers = np.repeat(pdf["header"].to_numpy(), counts)
+            # ordinal restarts per read
+            offsets = np.repeat(np.cumsum(counts) - counts, counts)
             ords = np.arange(n, dtype=np.int64) - offsets
             yield pd.DataFrame(
                 {
@@ -118,19 +108,21 @@ def extract_index_rows(
     def gen(batches):
         import pandas as pd
 
+        from slacken_spark.kernels.minimizers import batch_genome_minimizers
+
         c = MinimizerConfig.from_dict(cfg_dict)
         table = table_bc.value if table_bc is not None else None
         for pdf in batches:
-            out_ids, out_tax = [], []
-            for row in pdf.itertuples(index=False):
-                mins = genome_minimizers(row.nucleotides, c, priority_table=table)
-                if len(mins):
-                    out_ids.extend(mins.astype("int64").tolist())
-                    out_tax.extend([row.taxon] * len(mins))
+            if not len(pdf):
+                continue
+            unit_of, mins = batch_genome_minimizers(
+                pdf["nucleotides"].tolist(), c, priority_table=table
+            )
+            taxa = pdf["taxon"].to_numpy()[unit_of]
             yield pd.DataFrame(
                 {
-                    "id1": pd.array(out_ids, dtype="int64"),
-                    "taxon": pd.array(out_tax, dtype="int32"),
+                    "id1": pd.array(mins, dtype="int64"),
+                    "taxon": pd.array(taxa, dtype="int32"),
                 }
             )
 

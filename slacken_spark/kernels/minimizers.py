@@ -501,6 +501,167 @@ def read_span_arrays(
     )
 
 
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def batch_span_arrays(
+    seqs: list[str],
+    cfg: MinimizerConfig,
+    rng: np.random.Generator,
+    seqs2: list | None = None,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch read_span_arrays: ONE encode/scan/window-min/supermer
+    pass over every read of an Arrow batch instead of ~30 small numpy
+    calls per 150 bp read (whose fixed overhead dominated classification
+    throughput). Reads — mate pairs joined by one separator — are
+    concatenated with single ``\\x00`` separators, which encode as
+    INVALID so no k-mer, m-mer or ambiguous run ever crosses a read or
+    mate boundary; spans are then recovered by offset arithmetic.
+
+    Returns ``(counts, minimizers, distinct, kmers, flags)``: counts[i]
+    is the span count of read unit i; span rows are unit-major in
+    sequence order (ordinal = position within unit). Semantics match
+    read_span_arrays / Supermers.scala:49-97 — segments shorter than k
+    are dropped, ambiguous runs ≥ k become one pseudo-span with a random
+    spreading minimizer, paired units get a MATE_PAIR_BORDER pseudo-span,
+    and the ``distinct`` consecutive-duplicate suppression persists
+    across ambiguity and the mate border but resets per unit. (Random
+    minimizers of ambiguous/border spans are drawn batch-at-once, so
+    their VALUES differ from the per-read path — they are shuffle-
+    spreading keys only, Supermers.scala:34-42.)
+    """
+    n_units = len(seqs)
+    counts = np.zeros(n_units, dtype=np.int64)
+    e64 = np.empty(0, dtype=np.int64)
+    empty = (counts, e64, np.empty(0, dtype=bool), e64.copy(), e64.copy())
+    if n_units == 0:
+        return empty
+    if seqs2 is None:
+        seqs2 = [None] * n_units
+    units: list[str] = []
+    border_rel = np.full(n_units, -1, dtype=np.int64)
+    for i, (s1, s2) in enumerate(zip(seqs, seqs2)):
+        if isinstance(s2, str):
+            units.append(s1 + "\x00" + s2)
+            border_rel[i] = len(s1)
+        else:
+            units.append(s1)
+    unit_lens = np.fromiter((len(u) for u in units), dtype=np.int64, count=n_units)
+    unit_starts = np.zeros(n_units, dtype=np.int64)
+    np.cumsum(unit_lens[:-1] + 1, out=unit_starts[1:])
+    codes = bitseq.encode_codes("\x00".join(units))
+    n = len(codes)
+    if n == 0:
+        return empty
+    k, m, w = cfg.k, cfg.m, cfg.window
+
+    is_sep = np.zeros(n, dtype=bool)
+    if n_units > 1:
+        is_sep[unit_starts[1:] - 1] = True
+    border_pos = (unit_starts + border_rel)[border_rel >= 0]
+    if len(border_pos):
+        is_sep[border_pos] = True
+
+    valid = codes <= 3
+    inv_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(~valid, out=inv_cum[1:])
+
+    # ----- super-mers over k-valid positions -----
+    sm_pos, sm_minimizers, sm_kmers = e64, e64, e64
+    n_k = n - k + 1
+    if n_k > 0:
+        # neutralize invalid codes for the packer (garbage values would
+        # overflow 2-bit packing / priority-table indexing); their ranks
+        # are forced to +inf and never selected for a k-valid window
+        codes_clean = np.where(valid, codes, 0).astype(np.uint8)
+        emit, ranks = scan_mmers(codes_clean, cfg, priority_table)
+        m_ok = (inv_cum[m:] - inv_cum[:-m]) == 0
+        k_ok = (inv_cum[k:] - inv_cum[:-k]) == 0
+        ranks = np.where(m_ok, ranks, _U64_MAX)
+        _, min_pos = window_minimizers(ranks, w)
+        prev_k = np.zeros(n_k, dtype=bool)
+        prev_k[1:] = k_ok[:-1]
+        prev_pos = np.full(n_k, -1, dtype=np.int64)
+        prev_pos[1:] = min_pos[:-1]
+        change = k_ok & (~prev_k | (min_pos != prev_pos))
+        sm_pos = np.flatnonzero(change)
+        if len(sm_pos):
+            run_start = k_ok & ~prev_k
+            nxt_k = np.zeros(n_k, dtype=bool)
+            nxt_k[:-1] = k_ok[1:]
+            run_ends = np.flatnonzero(k_ok & ~nxt_k)  # inclusive, one per run
+            run_id = np.cumsum(run_start)[sm_pos] - 1
+            next_sm = np.append(sm_pos[1:], n_k)
+            sm_kmers = np.minimum(next_sm, run_ends[run_id] + 1) - sm_pos
+            sm_minimizers = emit[min_pos[sm_pos]].astype(np.int64)
+
+    # ----- ambiguous runs (per mate, ≥ k long; separators break runs) ---
+    inv_real = (~valid) & (~is_sep)
+    prev_ir = np.zeros(n, dtype=bool)
+    prev_ir[1:] = inv_real[:-1]
+    nxt_ir = np.zeros(n, dtype=bool)
+    nxt_ir[:-1] = inv_real[1:]
+    a_starts = np.flatnonzero(inv_real & ~prev_ir)
+    a_ends = np.flatnonzero(inv_real & ~nxt_ir)  # inclusive
+    a_len = a_ends - a_starts + 1
+    keep = a_len >= k
+    a_pos = a_starts[keep]
+    a_kmers = (a_len[keep] - (k - 1)).astype(np.int64)
+
+    # ----- assemble in global position order (== unit-major order) -----
+    n_sm, n_amb, n_bord = len(sm_pos), len(a_pos), len(border_pos)
+    total = n_sm + n_amb + n_bord
+    if total == 0:
+        return empty
+    pos = np.concatenate([sm_pos, a_pos, border_pos])
+    minim = np.concatenate(
+        [
+            sm_minimizers,
+            rng.integers(0, 1 << 62, size=n_amb + n_bord, dtype=np.int64),
+        ]
+    )
+    kmers = np.concatenate([sm_kmers, a_kmers, np.zeros(n_bord, dtype=np.int64)])
+    flags = np.concatenate(
+        [
+            np.full(n_sm, FLAG_SEQUENCE, dtype=np.int64),
+            np.full(n_amb, FLAG_AMBIGUOUS, dtype=np.int64),
+            np.full(n_bord, FLAG_MATE_PAIR_BORDER, dtype=np.int64),
+        ]
+    )
+    order = np.argsort(pos)  # positions are unique across the three kinds
+    pos, minim, kmers, flags = pos[order], minim[order], kmers[order], flags[order]
+    unit_of = np.searchsorted(unit_starts, pos, side="right") - 1
+    counts = np.bincount(unit_of, minlength=n_units).astype(np.int64)
+
+    distinct = np.zeros(total, dtype=bool)
+    vi = np.flatnonzero(flags == FLAG_SEQUENCE)
+    if len(vi):
+        vmins = minim[vi]
+        vunit = unit_of[vi]
+        d = np.empty(len(vi), dtype=bool)
+        d[0] = True
+        d[1:] = (vmins[1:] != vmins[:-1]) | (vunit[1:] != vunit[:-1])
+        distinct[vi] = d
+    return counts, minim, distinct, kmers, flags
+
+
+def batch_genome_minimizers(
+    seqs: list[str],
+    cfg: MinimizerConfig,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched genome_minimizers: every super-mer minimizer of every
+    sequence in one kernel pass. Returns (unit_idx, minimizers)."""
+    rng = np.random.default_rng(0)  # ambiguous spans are discarded below
+    counts, minim, _, _, flags = batch_span_arrays(
+        seqs, cfg, rng, None, priority_table
+    )
+    unit_of = np.repeat(np.arange(len(seqs), dtype=np.int64), counts)
+    sel = flags == FLAG_SEQUENCE
+    return unit_of[sel], minim[sel]
+
+
 def genome_minimizers(
     seq: str, cfg: MinimizerConfig, priority_table: np.ndarray | None = None
 ) -> np.ndarray:

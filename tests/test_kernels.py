@@ -319,3 +319,81 @@ def test_spaced_seed_mask_example():
     packed = int(bitseq.pack_kmers(bitseq.encode_codes(seq), m)[0])
     masked = packed & mask
     assert bitseq.unpack_kmer(masked, m) == "TTCAGAGAG"
+
+
+# ---------------- batched scanning ----------------
+
+batch_of_reads = st.lists(
+    st.text(alphabet="ACGTN", min_size=0, max_size=120), min_size=0, max_size=12
+)
+
+
+def _spans_model(seqs, cfg, seqs2=None):
+    """Per-read model output: (unit, minimizer-or-None, distinct, kmers, flag)
+    rows; ambiguous/border minimizers are random spreading keys, compared
+    as None."""
+    from slacken_spark.kernels.minimizers import read_span_arrays
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for i, s in enumerate(seqs):
+        s2 = seqs2[i] if seqs2 is not None else None
+        mins, dist, kmers, flags = read_span_arrays(s, cfg, rng, seq2=s2)
+        for mz, d, km, fl in zip(mins, dist, kmers, flags):
+            rows.append(
+                (i, int(mz) if fl == FLAG_SEQUENCE else None, bool(d), int(km), int(fl))
+            )
+    return rows
+
+
+def _spans_batched(seqs, cfg, seqs2=None):
+    from slacken_spark.kernels.minimizers import batch_span_arrays
+
+    rng = np.random.default_rng(2)
+    counts, mins, dist, kmers, flags = batch_span_arrays(seqs, cfg, rng, seqs2)
+    unit = np.repeat(np.arange(len(seqs)), counts)
+    return [
+        (int(u), int(mz) if fl == FLAG_SEQUENCE else None, bool(d), int(km), int(fl))
+        for u, mz, d, km, fl in zip(unit, mins, dist, kmers, flags)
+    ]
+
+
+@settings(max_examples=120, deadline=None)
+@given(batch_of_reads, small_cfgs)
+def test_batch_span_arrays_matches_per_read(seqs, cfg):
+    assert _spans_batched(seqs, cfg) == _spans_model(seqs, cfg)
+
+
+@settings(max_examples=60, deadline=None)
+@given(batch_of_reads, batch_of_reads, small_cfgs)
+def test_batch_span_arrays_paired_matches_per_read(s1, s2, cfg):
+    n = min(len(s1), len(s2))
+    s1, s2 = s1[:n], s2[:n]
+    assert _spans_batched(s1, cfg, s2) == _spans_model(s1, cfg, s2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(batch_of_reads)
+def test_batch_genome_minimizers_matches_per_seq(seqs):
+    from slacken_spark.kernels.minimizers import batch_genome_minimizers
+
+    cfg = MinimizerConfig(k=15, m=9, spaces=0)
+    unit_of, mins = batch_genome_minimizers(seqs, cfg)
+    got = {}
+    for u, mz in zip(unit_of, mins):
+        got.setdefault(int(u), []).append(int(mz))
+    want = {}
+    for i, s in enumerate(seqs):
+        g = genome_minimizers(s, cfg)
+        if len(g):
+            want[i] = [int(x) for x in g.astype(np.int64)]
+    assert got == want
+
+
+def test_batch_span_arrays_wide_m(seqs=None):
+    from slacken_spark.kernels.minimizers import MinimizerConfig as MC
+
+    rng = np.random.default_rng(9)
+    seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, 200)) for _ in range(5)]
+    cfg = MC(k=50, m=45, spaces=0)
+    assert _spans_batched(seqs, cfg) == _spans_model(seqs, cfg)
