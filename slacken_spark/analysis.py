@@ -171,13 +171,16 @@ def per_taxon_comparison(
 def compare_indexes(a: KeyValueIndex, b: KeyValueIndex) -> DataFrame:
     """Full-outer null-safe alignment of two record sets → migration
     categories per minimizer: 'same' (LCA unchanged), 'moved' (different
-    taxon), 'only_a', 'only_b'. One shuffle on id1."""
-    ra = a.records.select(
-        F.col("id1").alias("id_a"), F.col("taxon").alias("taxon_a")
+    taxon), 'only_a', 'only_b'. One shuffle on the id columns."""
+    wide = a.cfg.wide_exact
+    id_a = (
+        F.struct("id1", "id2") if wide and "id2" in a.records.columns else F.col("id1")
     )
-    rb = b.records.select(
-        F.col("id1").alias("id_b"), F.col("taxon").alias("taxon_b")
+    id_b = (
+        F.struct("id1", "id2") if wide and "id2" in b.records.columns else F.col("id1")
     )
+    ra = a.records.select(id_a.alias("id_a"), F.col("taxon").alias("taxon_a"))
+    rb = b.records.select(id_b.alias("id_b"), F.col("taxon").alias("taxon_b"))
     joined = ra.join(rb, F.col("id_a").eqNullSafe(F.col("id_b")), "full_outer")
     cat = (
         F.when(F.col("id_a").isNull(), "only_b")
@@ -219,9 +222,10 @@ def taxon_coverage_stats(
     how identifiable each genome is (showTaxonCoverageStats)."""
     labelled = genomes.join(F.broadcast(labels), "header")
     mins = extract_index_rows(labelled, index.cfg, index.table_bc)
-    agg = mins.groupBy("id1", "taxon").agg(F.count(F.lit(1)).alias("count_all"))
+    key = index.cfg.key_cols
+    agg = mins.groupBy(*key, "taxon").agg(F.count(F.lit(1)).alias("count_all"))
     rec = index.records.withColumnRenamed("taxon", "idx_taxon")
-    joint = agg.join(rec, "id1", "left").withColumn(
+    joint = agg.join(rec, key, "left").withColumn(
         "count_leaf",
         F.when(F.col("idx_taxon") == F.col("taxon"), F.col("count_all")).otherwise(
             F.lit(0)

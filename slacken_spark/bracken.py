@@ -81,13 +81,14 @@ def split_fragments(df: DataFrame, read_len: int, max_len: int = FRAGMENT_MAX) -
 def fragment_hits(
     nts: str,
     cfg: MinimizerConfig,
-    lca_lookup: dict[int, int],
+    lca_lookup: dict[tuple[int, int], int],
     priority_table: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """All TaxonHits of a fragment as parallel arrays
     (distinct, abs_position, taxon, count) — TaxonFragment.taxonHits
     (BrackenWeights.scala:192-241). Hit spans tile the fragment length
-    contiguously (ambiguous/tail slots included as NONE)."""
+    contiguously (ambiguous/tail slots included as NONE). ``lca_lookup``
+    is keyed by the (id1, id2) pair; id2 is 0 except for wide-exact."""
     codes = bitseq.encode_codes(nts)
     dist, pos, tax, cnt = [], [], [], []
     first = True
@@ -99,14 +100,19 @@ def fragment_hits(
             tax.append(NONE)
             cnt.append(en - st)
             continue
-        mins, starts, kmers = supermer_arrays(codes[st:en], cfg, priority_table)
-        for mz, s0, km in zip(mins.tolist(), starts.tolist(), kmers.tolist()):
-            d = first or mz != last_min
+        mins, mins2, starts, kmers = supermer_arrays(
+            codes[st:en], cfg, priority_table
+        )
+        for mz, mz2, s0, km in zip(
+            mins.tolist(), mins2.tolist(), starts.tolist(), kmers.tolist()
+        ):
+            key = (mz, mz2)
+            d = first or key != last_min
             first = False
-            last_min = mz
+            last_min = key
             dist.append(d)
             pos.append(st + s0)
-            tax.append(lca_lookup.get(mz, NONE))
+            tax.append(lca_lookup.get(key, NONE))
             cnt.append(km)
         # invalid k-mer slots running into the next segment / past the end
         dist.append(False)
@@ -190,16 +196,18 @@ class BrackenWeights:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                unit_of, mins = batch_genome_minimizers(
+                unit_of, mins, mins2 = batch_genome_minimizers(
                     pdf["nucleotides"].tolist(), cfg, priority_table=table
                 )
                 # distinct (fragment, minimizer) pairs; minimizer-less
                 # fragments emit the -1 sentinel so the left join keeps them
-                pairs = np.unique(np.stack([unit_of, mins], axis=1), axis=0)
-                u, ids = pairs[:, 0], pairs[:, 1]
+                trip = np.unique(np.stack([unit_of, mins, mins2], axis=1), axis=0)
+                u, ids, ids2 = trip[:, 0], trip[:, 1], trip[:, 2]
                 missing = np.setdiff1d(np.arange(len(pdf), dtype=np.int64), u)
                 u = np.concatenate([u, missing])
-                ids = np.concatenate([ids, np.full(len(missing), -1, dtype=np.int64)])
+                fill = np.full(len(missing), -1, dtype=np.int64)
+                ids = np.concatenate([ids, fill])
+                ids2 = np.concatenate([ids2, fill])
                 yield pd.DataFrame(
                     {
                         "header": pdf["header"].to_numpy()[u],
@@ -207,10 +215,13 @@ class BrackenWeights:
                             pdf["location"].to_numpy()[u], dtype="int64"
                         ),
                         "id1": pd.array(ids, dtype="int64"),
+                        "id2": pd.array(ids2, dtype="int64"),
                     }
                 )
 
-        return fragments.mapInPandas(gen, "header string, location long, id1 long")
+        return fragments.mapInPandas(
+            gen, "header string, location long, id1 long, id2 long"
+        )
 
     def build_weights(
         self,
@@ -236,15 +247,22 @@ class BrackenWeights:
 
         id_mins = self.fragment_minimizers(fragments)
         joined = (
-            id_mins.join(self.index.records, "id1", "left")
+            id_mins.join(self.index.records, self.index.cfg.key_cols, "left")
             .groupBy("header", "location")
             .agg(
                 F.collect_list("id1").alias("minimizers"),
+                F.collect_list("id2").alias("minimizers2"),
                 F.collect_list(F.coalesce(F.col("taxon"), F.lit(NONE))).alias("taxa"),
             )
         )
         with_frags = joined.join(fragments, ["header", "location"]).select(
-            "header", "location", "taxon", "nucleotides", "minimizers", "taxa"
+            "header",
+            "location",
+            "taxon",
+            "nucleotides",
+            "minimizers",
+            "minimizers2",
+            "taxa",
         )
 
         cfg_dict = self.index.cfg.to_dict()
@@ -259,7 +277,9 @@ class BrackenWeights:
                 src, dst = [], []
                 for r in pdf.itertuples(index=False):
                     lookup = {
-                        int(m): int(t) for m, t in zip(r.minimizers, r.taxa) if m != -1
+                        (int(m), int(m2)): int(t)
+                        for m, m2, t in zip(r.minimizers, r.minimizers2, r.taxa)
+                        if m != -1
                     }
                     dests = classify_all_reads(
                         r.nucleotides, cfg, lookup, tax, read_len,

@@ -16,18 +16,31 @@ import sys
 def _add_splitter_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-k", type=int, default=35, help="k-mer length")
     p.add_argument("-m", "--minimizer-width", type=int, default=31)
-    p.add_argument("-s", "--spaces", type=int, default=7)
+    # default None → 7 for m ≤ 31, 0 for wide minimizers (spaced seeds
+    # operate on stored sequence bits and require m ≤ 31)
+    p.add_argument("-s", "--spaces", type=int, default=None)
     p.add_argument("--no-canonical", action="store_true")
+    p.add_argument(
+        "--wide-scheme",
+        choices=("exact", "hashed"),
+        default="exact",
+        help="wide-minimizer (m > 31) id scheme: exact two-column"
+        " (id1, id2) keys, or the single-column 62-bit hash",
+    )
 
 
 def _splitter(args):
     from slacken_spark.kernels.minimizers import MinimizerConfig
 
+    spaces = args.spaces
+    if spaces is None:
+        spaces = 0 if args.minimizer_width > 31 else 7
     return MinimizerConfig(
         k=args.k,
         m=args.minimizer_width,
-        spaces=args.spaces,
+        spaces=spaces,
         canonical=not args.no_canonical,
+        wide=args.wide_scheme,
     )
 
 

@@ -111,7 +111,11 @@ class Dynamic:
             (F.col("taxon") != AMBIGUOUS_SPAN)
             & (F.col("taxon") != MATE_PAIR_BORDER)
             & member(F.col("taxon"))
-        ).select("taxon", F.col("id1").alias("minimizer"))
+        ).select(
+            "taxon",
+            F.col("id1").alias("minimizer"),
+            F.col("id2").alias("minimizer2"),
+        )
 
     def total_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
         rows = (
@@ -126,7 +130,7 @@ class Dynamic:
         rows = (
             self._minimizers_in_subjects(reads)
             .groupBy("taxon")
-            .agg(F.count_distinct("minimizer").alias("count"))
+            .agg(F.count_distinct("minimizer", "minimizer2").alias("count"))
             .collect()
         )
         return [(r["taxon"], r["count"]) for r in rows]

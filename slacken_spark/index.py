@@ -42,7 +42,8 @@ from slacken_spark.kernels.taxonomy import (
 )
 
 SPANS_SCHEMA = (
-    "header string, id1 long, distinct boolean, kmers int, flag int, ordinal int"
+    "header string, id1 long, id2 long, distinct boolean,"
+    " kmers int, flag int, ordinal int"
 )
 
 
@@ -75,7 +76,7 @@ def extract_spans(
                 if "nucleotides2" in pdf.columns
                 else None
             )
-            counts, mins, dist, kmers, flags = batch_span_arrays(
+            counts, mins, mins2, dist, kmers, flags = batch_span_arrays(
                 seqs, c, rng, seqs2, priority_table=table
             )
             n = len(mins)
@@ -87,6 +88,7 @@ def extract_spans(
                 {
                     "header": headers,
                     "id1": mins,
+                    "id2": mins2,
                     "distinct": dist,
                     "kmers": kmers.astype(np.int32),
                     "flag": flags.astype(np.int32),
@@ -115,18 +117,19 @@ def extract_index_rows(
         for pdf in batches:
             if not len(pdf):
                 continue
-            unit_of, mins = batch_genome_minimizers(
+            unit_of, mins, mins2 = batch_genome_minimizers(
                 pdf["nucleotides"].tolist(), c, priority_table=table
             )
             taxa = pdf["taxon"].to_numpy()[unit_of]
             yield pd.DataFrame(
                 {
                     "id1": pd.array(mins, dtype="int64"),
+                    "id2": pd.array(mins2, dtype="int64"),
                     "taxon": pd.array(taxa, dtype="int32"),
                 }
             )
 
-    return df.mapInPandas(gen, "id1 long, taxon int")
+    return df.mapInPandas(gen, "id1 long, id2 long, taxon int")
 
 
 class KeyValueIndex:
@@ -198,10 +201,11 @@ class KeyValueIndex:
         idx = cls(spark, None, cfg, taxonomy, buckets, priority_table=priority_table)
         rows = extract_index_rows(labelled, cfg, idx.table_bc)
         lca_udf = taxonomy.lca_list_udf(spark)
+        key = cfg.key_cols  # (id1, id2) for wide-exact, else id1 only
         idx.records = (
-            rows.groupBy("id1")
+            rows.groupBy(*key)
             .agg(F.collect_list("taxon").alias("taxa"))
-            .select("id1", lca_udf(F.col("taxa")).cast("int").alias("taxon"))
+            .select(*key, lca_udf(F.col("taxa")).cast("int").alias("taxon"))
         )
         return idx
 
@@ -218,18 +222,24 @@ class KeyValueIndex:
             location.rstrip("/")
         ).replace("-", "_").replace(".", "_")
         self.spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        key = self.cfg.key_cols
         (
-            self.records.repartition(self.buckets, "id1")
+            self.records.repartition(self.buckets, *key)
             .write.mode("overwrite")
             .option("path", location)
-            .bucketBy(self.buckets, "id1")
-            .sortBy("id1")
+            .bucketBy(self.buckets, *key)
+            .sortBy(*key)
             .format("parquet")
             .saveAsTable(table_name)
         )
         params = {
-            "version": 1,
+            # version 2 records the wide-minimizer id scheme in
+            # splitter.wide ("exact" two-column ids vs "hashed" 62-bit,
+            # irreversible); version-1 sidecars predate the field and
+            # always used hashed ids for m > 31
+            "version": 2,
             "buckets": self.buckets,
+            "key_cols": key,
             "splitter": self.cfg.to_dict(),
         }
         with open(os.path.join(location, "_index_params.json"), "w") as f:
@@ -265,10 +275,16 @@ class KeyValueIndex:
             "-", "_"
         ).replace(".", "_")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        cols = (
+            "id1 BIGINT, id2 BIGINT, taxon INT"
+            if cfg.wide_exact
+            else "id1 BIGINT, taxon INT"
+        )
+        key_ddl = ", ".join(cfg.key_cols)
         spark.sql(
-            f"CREATE TABLE {name} (id1 BIGINT, taxon INT) USING PARQUET"
-            f" CLUSTERED BY (id1) SORTED BY (id1) INTO {buckets} BUCKETS"
-            f" LOCATION '{location}'"
+            f"CREATE TABLE {name} ({cols}) USING PARQUET"
+            f" CLUSTERED BY ({key_ddl}) SORTED BY ({key_ddl})"
+            f" INTO {buckets} BUCKETS LOCATION '{location}'"
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
         return cls(
@@ -285,7 +301,7 @@ class KeyValueIndex:
 
     def distinct_minimizers_per_taxon(self) -> DataFrame:
         return self.records.groupBy("taxon").agg(
-            F.count_distinct("id1").alias("n_minimizers")
+            F.count_distinct(*self.cfg.key_cols).alias("n_minimizers")
         )
 
     def stats(self) -> dict:
@@ -339,10 +355,11 @@ class KeyValueIndex:
     def span_hits_with_minimizer(self, spans: DataFrame) -> DataFrame:
         """span_hits keeping the minimizer column
         (findHitsWithMinimizers, KeyValueIndex.scala:205-217)."""
-        joined = spans.join(self.records, "id1", "left")
+        joined = spans.join(self.records, self.cfg.key_cols, "left")
         return joined.select(
             "header",
             "id1",
+            "id2",
             "distinct",
             "ordinal",
             F.when(spans["flag"] == FLAG_AMBIGUOUS, F.lit(AMBIGUOUS_SPAN))
@@ -359,7 +376,7 @@ class KeyValueIndex:
         Classifier.scala:79-90, KeyValueIndex.scala:176-185). LEFT join
         keeps unmatched spans as NONE hits; ambiguous / mate-border spans
         decode to their sentinel taxa."""
-        joined = spans.join(self.records, "id1", "left")
+        joined = spans.join(self.records, self.cfg.key_cols, "left")
         return joined.select(
             "header",
             "distinct",

@@ -66,16 +66,36 @@ class MinimizerConfig:
     # SpacedSeed storage semantics, required for respace projections
     # (KeyValueIndex.scala:347-383). Default False stores exact m-mers.
     masked: bool = False
+    # Wide-minimizer (31 < m ≤ 62) key scheme: "exact" stores the two
+    # packed halves as (id1, id2) — the reference's multi-long id1..idN
+    # columns (KmerKeyedIndex.scala:44-53) — and is collision-free and
+    # invertible; "hashed" stores one 62-bit mixed hash (round-1 scheme;
+    # ~n²/2⁶³ collision bound, irreversible) as an opt-in for
+    # single-column compatibility. Ignored for m ≤ 31.
+    wide: str = "exact"
 
     def __post_init__(self):
         if not (0 < self.m <= 62):
             raise ValueError("m must be in 1..62")
         if self.m > 31 and self.spaces > 0:
-            # spaced seeds operate on stored sequence bits; wide ids are
-            # hashed (see scan_mmers_wide) so masking is undefined
+            # spaced seeds operate on stored sequence bits; a wide id's
+            # bases straddle two words so masking is done per half —
+            # unsupported until exact wide ids get spaced-seed masks
             raise ValueError("spaced seeds require m <= 31")
         if self.k < self.m:
             raise ValueError("k must be >= m")
+        if self.wide not in ("exact", "hashed"):
+            raise ValueError("wide must be 'exact' or 'hashed'")
+
+    @property
+    def wide_exact(self) -> bool:
+        """True when minimizer identity is the two-column (id1, id2) pair."""
+        return self.m > 31 and self.wide == "exact"
+
+    @property
+    def key_cols(self) -> list[str]:
+        """Join/grouping key columns of the stored minimizer id."""
+        return ["id1", "id2"] if self.wide_exact else ["id1"]
 
     @property
     def window(self) -> int:
@@ -98,6 +118,7 @@ class MinimizerConfig:
             "xor_mask": self.xor_mask,
             "canonical": self.canonical,
             "masked": self.masked,
+            "wide": self.wide,
         }
 
     @classmethod
@@ -109,6 +130,8 @@ class MinimizerConfig:
             xor_mask=int(d["xor_mask"]),
             canonical=bool(d["canonical"]),
             masked=bool(d.get("masked", False)),
+            # round-1 sidecars predate the field and stored hashed ids
+            wide=str(d.get("wide", "hashed")),
         )
 
 
@@ -151,20 +174,20 @@ def _mix62(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 def scan_mmers_wide(
     codes: np.ndarray, cfg: MinimizerConfig
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Wide minimizers (31 < m ≤ 62): the reference widens the key to
-    id1..idN long columns (KmerKeyedIndex.scala:44-53); the Spark-first
-    choice here is ONE 62-bit mixed hash of the canonical m-mer's two
-    packed halves, keeping the join key, bucket layout and every
-    downstream operator identical to the m ≤ 31 path. Exactness bound:
-    the expected number of colliding minimizer PAIRS among n distinct
-    minimizers is n²/2^63 — ~0.1 for a billion-minimizer index, and a
-    collision merely merges two LCA records (strictly less loss than
-    Kraken 2's compact hash table). The hash also serves as the
-    selection rank (a pseudo-random ordering, which is exactly what
-    RandomXOR provides for m ≤ 31).
+    id1..idN long columns (KmerKeyedIndex.scala:44-53). The default
+    ``wide="exact"`` scheme does the same with N=2: id1 = the canonical
+    m-mer's first 31 bases packed, id2 = the remaining m−31 bases —
+    collision-free and invertible; the index buckets and joins on BOTH
+    columns. The selection rank is a 62-bit mix of the two halves (a
+    pseudo-random ordering, which is exactly what RandomXOR provides for
+    m ≤ 31). ``wide="hashed"`` opts into the round-1 single-column
+    scheme: id1 = the mix itself (expected colliding minimizer PAIRS
+    among n distinct minimizers ≈ n²/2⁶³ — a collision merely merges two
+    LCA records — but stored ids are irreversible).
 
-    Returns (emit_ids, ranks) with ranks == emit_ids.
+    Returns (id1, id2, ranks); id2 is all-zero under "hashed".
     """
     m = cfg.m
     m_lo = m - 31
@@ -173,7 +196,7 @@ def scan_mmers_wide(
     n = len(codes) - m + 1
     if n <= 0:
         e = np.empty(0, dtype=np.uint64)
-        return e, e
+        return e, e.copy(), e.copy()
     hi = p_hi[:n]
     lo = p_lo[31 : 31 + n]
     if cfg.canonical:
@@ -184,19 +207,22 @@ def scan_mmers_wide(
         take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
         hi = np.where(take_rc, rc_hi, hi)
         lo = np.where(take_rc, rc_lo, lo)
-    ids = _mix62(hi, lo)
-    return ids, ids
+    ranks = _mix62(hi, lo)
+    if cfg.wide == "hashed":
+        return ranks, np.zeros(n, dtype=np.uint64), ranks
+    return hi, lo, ranks
 
 
-def scan_mmers(
+def scan_mmers_full(
     codes: np.ndarray,
     cfg: MinimizerConfig,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """One packing pass → (emit_mmers, ranks).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One packing pass → (id1, id2, ranks).
 
-    emit_mmers are the values stored/joined (canonical, masked when
-    cfg.masked); ranks are the selection priorities (XOR ⊕ spaced mask).
+    (id1, id2) is the stored/joined minimizer identity (canonical,
+    masked when cfg.masked; id2 is all-zero for m ≤ 31 and hashed-wide);
+    ranks are the selection priorities (XOR ⊕ spaced mask).
 
     Orderings (MinimizerPriorities.scala variants): the default
     ``xor_mask`` gives the Kraken 2 pseudo-random ordering (RandomXOR,
@@ -209,19 +235,34 @@ def scan_mmers(
             raise ValueError("priority tables require m <= 12")
         return scan_mmers_wide(codes, cfg)
     mmers = bitseq.pack_kmers(codes, cfg.m)
+    n = len(mmers)
+    zeros = np.zeros(n, dtype=np.uint64)
     if cfg.canonical:
         mmers = bitseq.canonical_packed(mmers, cfg.m)
     if priority_table is not None:
         if cfg.spaces > 0:
             raise ValueError("priority tables don't compose with spaced seeds")
-        return mmers, priority_table[mmers.astype(np.int64)].astype(np.uint64)
+        return mmers, zeros, priority_table[mmers.astype(np.int64)].astype(np.uint64)
     ranks = mmers ^ (np.uint64(cfg.xor_mask) & np.uint64(cfg.mask_2m))
     if cfg.spaces > 0:
         ranks = ranks & np.uint64(cfg.seed_mask)
     emit = mmers
     if cfg.masked and cfg.spaces > 0:
         emit = emit & np.uint64(cfg.seed_mask)
-    return emit, ranks
+    return emit, zeros, ranks
+
+
+def scan_mmers(
+    codes: np.ndarray,
+    cfg: MinimizerConfig,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(id1, ranks) — single-id compatibility wrapper over
+    scan_mmers_full. NOTE: for wide-exact configs id1 alone is NOT a
+    unique minimizer identity; pair-aware callers must use
+    scan_mmers_full."""
+    id1, _, ranks = scan_mmers_full(codes, cfg, priority_table)
+    return id1, ranks
 
 
 def mmer_priorities(codes: np.ndarray, cfg: MinimizerConfig) -> np.ndarray:
@@ -255,24 +296,30 @@ def supermer_arrays(
     codes: np.ndarray,
     cfg: MinimizerConfig,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Array fast path of supermer splitting: returns
-    (minimizer, start, kmers) per super-mer, no Python objects or string
-    slicing — the index-build/classify hot path. Same boundary semantics
-    as supermers_of_codes."""
+    (minimizer1, minimizer2, start, kmers) per super-mer, no Python
+    objects or string slicing — the index-build/classify hot path.
+    minimizer2 is all-zero except for wide-exact configs. Same boundary
+    semantics as supermers_of_codes."""
     n_k = len(codes) - cfg.k + 1
     empty = np.empty(0, dtype=np.int64)
     if n_k <= 0:
-        return empty, empty, empty
-    mmers, ranks = scan_mmers(codes, cfg, priority_table)
+        return empty, empty.copy(), empty.copy(), empty.copy()
+    m1, m2, ranks = scan_mmers_full(codes, cfg, priority_table)
     _, min_pos = window_minimizers(ranks, cfg.window)
     change = np.empty(n_k, dtype=bool)
     change[0] = True
     change[1:] = min_pos[1:] != min_pos[:-1]
     starts = np.flatnonzero(change).astype(np.int64)
     ends = np.append(starts[1:], n_k)
-    minimizers = mmers[min_pos[starts]].astype(np.int64)
-    return minimizers, starts, (ends - starts).astype(np.int64)
+    sel = min_pos[starts]
+    return (
+        m1[sel].astype(np.int64),
+        m2[sel].astype(np.int64),
+        starts,
+        (ends - starts).astype(np.int64),
+    )
 
 
 @dataclass
@@ -359,11 +406,12 @@ class OrdinalSpan:
     """A span of a read: super-mer hit group or ambiguous/border marker
     (slacken/package.scala:36-62)."""
 
-    minimizer: int  # packed m-mer; random for ambiguous spans
+    minimizer: int  # packed m-mer (id1); random for ambiguous spans
     distinct: bool  # first span with this minimizer in the read
     kmers: int  # number of k-mers (or ambiguous pseudo-k-mer count)
     flag: int  # FLAG_SEQUENCE / FLAG_AMBIGUOUS / FLAG_MATE_PAIR_BORDER
     ordinal: int  # position of the span within the read
+    minimizer2: int = 0  # second id word (wide-exact configs only)
 
 
 def read_spans(
@@ -408,18 +456,19 @@ def read_spans(
                     )
                 )
                 continue
-            mins, _, kmers = supermer_arrays(codes[st:en], cfg)
-            for mz, km in zip(mins.tolist(), kmers.tolist()):
+            mins, mins2, _, kmers = supermer_arrays(codes[st:en], cfg)
+            for mz, mz2, km in zip(mins.tolist(), mins2.tolist(), kmers.tolist()):
                 spans.append(
                     OrdinalSpan(
                         minimizer=mz,
-                        distinct=mz != last_valid_minimizer,
+                        distinct=(mz, mz2) != last_valid_minimizer,
                         kmers=km,
                         flag=FLAG_SEQUENCE,
                         ordinal=0,
+                        minimizer2=mz2,
                     )
                 )
-                last_valid_minimizer = mz
+                last_valid_minimizer = (mz, mz2)
 
     one_read(seq)
     if seq2 is not None:
@@ -444,15 +493,17 @@ def read_span_arrays(
     rng: np.random.Generator,
     seq2: str | None = None,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Array-native read_spans: (minimizers, distinct, kmers, flags),
-    ordinal = position. Same semantics as read_spans without per-span
-    Python objects — the classify-side extraction hot path."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Array-native read_spans: (minimizers, minimizers2, distinct,
+    kmers, flags), ordinal = position. Same semantics as read_spans
+    without per-span Python objects — the classify-side extraction hot
+    path. minimizers2 is all-zero except for wide-exact configs."""
     mins_l: list[np.ndarray] = []
+    mins2_l: list[np.ndarray] = []
     dist_l: list[np.ndarray] = []
     kmers_l: list[np.ndarray] = []
     flags_l: list[np.ndarray] = []
-    last_valid = np.int64(-1)  # packed minimizers are ≥ 0
+    last_valid = (np.int64(-1), np.int64(-1))  # packed minimizers are ≥ 0
     have_last = False
 
     def one_read(s: str) -> None:
@@ -465,20 +516,24 @@ def read_span_arrays(
                 mins_l.append(
                     rng.integers(0, 1 << 62, size=1, dtype=np.int64)
                 )
+                mins2_l.append(np.zeros(1, dtype=np.int64))
                 dist_l.append(np.zeros(1, dtype=bool))
                 kmers_l.append(
                     np.array([(en - st) - (cfg.k - 1)], dtype=np.int64)
                 )
                 flags_l.append(np.full(1, FLAG_AMBIGUOUS, dtype=np.int64))
                 continue
-            mins, _, kmers = supermer_arrays(codes[st:en], cfg, priority_table)
+            mins, mins2, _, kmers = supermer_arrays(
+                codes[st:en], cfg, priority_table
+            )
             d = np.empty(len(mins), dtype=bool)
             if len(mins):
-                d[0] = (not have_last) or mins[0] != last_valid
-                d[1:] = mins[1:] != mins[:-1]
-                last_valid = mins[-1]
+                d[0] = (not have_last) or (mins[0], mins2[0]) != last_valid
+                d[1:] = (mins[1:] != mins[:-1]) | (mins2[1:] != mins2[:-1])
+                last_valid = (mins[-1], mins2[-1])
                 have_last = True
             mins_l.append(mins)
+            mins2_l.append(mins2)
             dist_l.append(d)
             kmers_l.append(kmers)
             flags_l.append(np.full(len(mins), FLAG_SEQUENCE, dtype=np.int64))
@@ -486,15 +541,17 @@ def read_span_arrays(
     one_read(seq)
     if seq2 is not None:
         mins_l.append(rng.integers(0, 1 << 62, size=1, dtype=np.int64))
+        mins2_l.append(np.zeros(1, dtype=np.int64))
         dist_l.append(np.zeros(1, dtype=bool))
         kmers_l.append(np.zeros(1, dtype=np.int64))
         flags_l.append(np.full(1, FLAG_MATE_PAIR_BORDER, dtype=np.int64))
         one_read(seq2)
     if not mins_l:
         e = np.empty(0, dtype=np.int64)
-        return e, np.empty(0, dtype=bool), e.copy(), e.copy()
+        return e, e.copy(), np.empty(0, dtype=bool), e.copy(), e.copy()
     return (
         np.concatenate(mins_l),
+        np.concatenate(mins2_l),
         np.concatenate(dist_l),
         np.concatenate(kmers_l),
         np.concatenate(flags_l),
@@ -519,9 +576,10 @@ def batch_span_arrays(
     INVALID so no k-mer, m-mer or ambiguous run ever crosses a read or
     mate boundary; spans are then recovered by offset arithmetic.
 
-    Returns ``(counts, minimizers, distinct, kmers, flags)``: counts[i]
-    is the span count of read unit i; span rows are unit-major in
-    sequence order (ordinal = position within unit). Semantics match
+    Returns ``(counts, minimizers, minimizers2, distinct, kmers,
+    flags)``: counts[i] is the span count of read unit i; span rows are
+    unit-major in sequence order (ordinal = position within unit);
+    minimizers2 is all-zero except for wide-exact configs. Semantics match
     read_span_arrays / Supermers.scala:49-97 — segments shorter than k
     are dropped, ambiguous runs ≥ k become one pseudo-span with a random
     spreading minimizer, paired units get a MATE_PAIR_BORDER pseudo-span,
@@ -534,7 +592,14 @@ def batch_span_arrays(
     n_units = len(seqs)
     counts = np.zeros(n_units, dtype=np.int64)
     e64 = np.empty(0, dtype=np.int64)
-    empty = (counts, e64, np.empty(0, dtype=bool), e64.copy(), e64.copy())
+    empty = (
+        counts,
+        e64,
+        e64.copy(),
+        np.empty(0, dtype=bool),
+        e64.copy(),
+        e64.copy(),
+    )
     if n_units == 0:
         return empty
     if seqs2 is None:
@@ -568,14 +633,14 @@ def batch_span_arrays(
     np.cumsum(~valid, out=inv_cum[1:])
 
     # ----- super-mers over k-valid positions -----
-    sm_pos, sm_minimizers, sm_kmers = e64, e64, e64
+    sm_pos, sm_minimizers, sm_minimizers2, sm_kmers = e64, e64, e64, e64
     n_k = n - k + 1
     if n_k > 0:
         # neutralize invalid codes for the packer (garbage values would
         # overflow 2-bit packing / priority-table indexing); their ranks
         # are forced to +inf and never selected for a k-valid window
         codes_clean = np.where(valid, codes, 0).astype(np.uint8)
-        emit, ranks = scan_mmers(codes_clean, cfg, priority_table)
+        emit1, emit2, ranks = scan_mmers_full(codes_clean, cfg, priority_table)
         m_ok = (inv_cum[m:] - inv_cum[:-m]) == 0
         k_ok = (inv_cum[k:] - inv_cum[:-k]) == 0
         ranks = np.where(m_ok, ranks, _U64_MAX)
@@ -594,7 +659,9 @@ def batch_span_arrays(
             run_id = np.cumsum(run_start)[sm_pos] - 1
             next_sm = np.append(sm_pos[1:], n_k)
             sm_kmers = np.minimum(next_sm, run_ends[run_id] + 1) - sm_pos
-            sm_minimizers = emit[min_pos[sm_pos]].astype(np.int64)
+            sel = min_pos[sm_pos]
+            sm_minimizers = emit1[sel].astype(np.int64)
+            sm_minimizers2 = emit2[sel].astype(np.int64)
 
     # ----- ambiguous runs (per mate, ≥ k long; separators break runs) ---
     inv_real = (~valid) & (~is_sep)
@@ -621,6 +688,9 @@ def batch_span_arrays(
             rng.integers(0, 1 << 62, size=n_amb + n_bord, dtype=np.int64),
         ]
     )
+    minim2 = np.concatenate(
+        [sm_minimizers2, np.zeros(n_amb + n_bord, dtype=np.int64)]
+    )
     kmers = np.concatenate([sm_kmers, a_kmers, np.zeros(n_bord, dtype=np.int64)])
     flags = np.concatenate(
         [
@@ -630,7 +700,13 @@ def batch_span_arrays(
         ]
     )
     order = np.argsort(pos)  # positions are unique across the three kinds
-    pos, minim, kmers, flags = pos[order], minim[order], kmers[order], flags[order]
+    pos, minim, minim2, kmers, flags = (
+        pos[order],
+        minim[order],
+        minim2[order],
+        kmers[order],
+        flags[order],
+    )
     unit_of = np.searchsorted(unit_starts, pos, side="right") - 1
     counts = np.bincount(unit_of, minlength=n_units).astype(np.int64)
 
@@ -638,28 +714,33 @@ def batch_span_arrays(
     vi = np.flatnonzero(flags == FLAG_SEQUENCE)
     if len(vi):
         vmins = minim[vi]
+        vmins2 = minim2[vi]
         vunit = unit_of[vi]
         d = np.empty(len(vi), dtype=bool)
         d[0] = True
-        d[1:] = (vmins[1:] != vmins[:-1]) | (vunit[1:] != vunit[:-1])
+        d[1:] = (
+            (vmins[1:] != vmins[:-1])
+            | (vmins2[1:] != vmins2[:-1])
+            | (vunit[1:] != vunit[:-1])
+        )
         distinct[vi] = d
-    return counts, minim, distinct, kmers, flags
+    return counts, minim, minim2, distinct, kmers, flags
 
 
 def batch_genome_minimizers(
     seqs: list[str],
     cfg: MinimizerConfig,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched genome_minimizers: every super-mer minimizer of every
-    sequence in one kernel pass. Returns (unit_idx, minimizers)."""
+    sequence in one kernel pass. Returns (unit_idx, min1, min2)."""
     rng = np.random.default_rng(0)  # ambiguous spans are discarded below
-    counts, minim, _, _, flags = batch_span_arrays(
+    counts, minim, minim2, _, _, flags = batch_span_arrays(
         seqs, cfg, rng, None, priority_table
     )
     unit_of = np.repeat(np.arange(len(seqs), dtype=np.int64), counts)
     sel = flags == FLAG_SEQUENCE
-    return unit_of[sel], minim[sel]
+    return unit_of[sel], minim[sel], minim2[sel]
 
 
 def genome_minimizers(
@@ -667,11 +748,12 @@ def genome_minimizers(
 ) -> np.ndarray:
     """All (non-distinct-filtered) super-mer minimizers of a genome —
     the index-build extraction (Minimizers.find, Minimizers.scala:43-76).
-    Returns one packed minimizer per super-mer."""
+    Returns one packed minimizer (id1) per super-mer; pair-aware callers
+    (wide-exact) use batch_genome_minimizers."""
     codes = bitseq.encode_codes(seq)
     out = []
     for st, en in valid_segments(codes, cfg.k):
-        mins, _, _ = supermer_arrays(codes[st:en], cfg, priority_table)
+        mins, _, _, _ = supermer_arrays(codes[st:en], cfg, priority_table)
         out.append(mins)
     if not out:
         return np.empty(0, dtype=np.uint64)

@@ -239,9 +239,7 @@ CFG_WIDE = MinimizerConfig(k=50, m=45, spaces=0, canonical=True)
 _WIDE_READ_DEFS = [("wcore", 30, 150), ("wuniq", 300, 150)]
 
 
-@register(
-    "genomic_classify_wide",
-    f"""
+_WIDE_ORACLE_SQL = f"""
     WITH parts AS (
         SELECT p_partkey, {_BRAND_TAXON_SQL} AS brand
         FROM part WHERE p_partkey % 40 = 0
@@ -257,17 +255,15 @@ _WIDE_READ_DEFS = [("wcore", 30, 150), ("wuniq", 300, 150)]
     )
     SELECT header, TRUE AS classified, CAST(expect AS INT) AS taxon
     FROM reads
-    """,
-)
-def genomic_classify_wide(spark, sf_dir):
-    """The same predictive classification differential, with WIDE
-    minimizers (m=45 > 31 → hashed single-column ids): verifies the
-    wide scanner + canonical + hash identity end-to-end against SQL."""
+    """
+
+
+def _classify_wide(spark, sf_dir, cfg):
     g = _genomes(spark, sf_dir)
     labels = g.select("header", "taxon")
     genomes = g.select("header", "nucleotides")
     idx = KeyValueIndex.build(
-        spark, genomes, labels, _taxonomy(spark, sf_dir), CFG_WIDE, buckets=32
+        spark, genomes, labels, _taxonomy(spark, sf_dir), cfg, buckets=32
     )
     reads = None
     for tag, off, ln in _WIDE_READ_DEFS:
@@ -278,6 +274,26 @@ def genomic_classify_wide(spark, sf_dir):
         reads = r if reads is None else reads.unionByName(r)
     out = Classifier(idx).classify(reads, ClassifyParams(min_hit_groups=2))
     return out.select("header", "classified", "taxon")
+
+
+@register("genomic_classify_wide", _WIDE_ORACLE_SQL)
+def genomic_classify_wide(spark, sf_dir):
+    """The same predictive classification differential, with WIDE
+    minimizers (m=45 > 31) stored as EXACT two-column (id1, id2) keys
+    (the reference's multi-long id1..idN, KmerKeyedIndex.scala:44-53):
+    verifies the wide scanner + canonical pair identity + two-column
+    bucketed join end-to-end against SQL."""
+    return _classify_wide(spark, sf_dir, CFG_WIDE)
+
+
+@register("genomic_classify_wide_hashed", _WIDE_ORACLE_SQL)
+def genomic_classify_wide_hashed(spark, sf_dir):
+    """Wide classification under the opt-in single-column HASHED id
+    scheme (round-1 layout; 62-bit mix, ~n²/2⁶³ collision bound): same
+    oracle — collisions would surface as classification mismatches."""
+    from dataclasses import replace
+
+    return _classify_wide(spark, sf_dir, replace(CFG_WIDE, wide="hashed"))
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ def _naive_dests(seq: str, lookup: dict[int, int], tax: Taxonomy) -> list[int]:
     mmers = bitseq.pack_kmers(codes, CFG.m)
     mmers = bitseq.canonical_packed(mmers, CFG.m)
     M = mmers[pos]  # minimizer per k-mer position
-    lca = np.array([lookup.get(int(m), NONE) for m in M])
+    lca = np.array([lookup.get((int(m), 0), NONE) for m in M])
     # run ids (consecutive equal minimizers)
     run_id = np.zeros(len(M), dtype=int)
     run_id[1:] = np.cumsum(M[1:] != M[:-1])
@@ -77,7 +77,7 @@ def _naive_dests(seq: str, lookup: dict[int, int], tax: Taxonomy) -> list[int]:
 
 def test_vectorized_window_matches_naive_model(world):
     tax = world["tax"]
-    records = {r["id1"]: r["taxon"] for r in world["idx"].records.collect()}
+    records = {(r["id1"], 0): r["taxon"] for r in world["idx"].records.collect()}
     for t, seq in world["genomes"].items():
         dests = classify_all_reads(seq, CFG, records, tax, READ_LEN)
         naive = _naive_dests(seq, records, tax)
@@ -86,7 +86,7 @@ def test_vectorized_window_matches_naive_model(world):
 
 def test_core_windows_lift_to_brand(world):
     tax = world["tax"]
-    records = {r["id1"]: r["taxon"] for r in world["idx"].records.collect()}
+    records = {(r["id1"], 0): r["taxon"] for r in world["idx"].records.collect()}
     seq = world["genomes"][101]
     dests = classify_all_reads(seq, CFG, records, tax, READ_LEN)
     # windows fully inside the shared 300bp core must classify to brand 5;
@@ -185,8 +185,8 @@ def test_lexicographic_all_a_minimizer_kept(spark):
     gdf = spark.createDataFrame([("g", seq)], "header string, nucleotides string")
     ldf = spark.createDataFrame([("g", 101)], "header string, taxon int")
     idx = KeyValueIndex.build(spark, gdf, ldf, tax, cfg, buckets=2)
-    records = {r["id1"]: r["taxon"] for r in idx.records.collect()}
-    assert 0 in records  # the all-A minimizer is a real index key
+    records = {(r["id1"], 0): r["taxon"] for r in idx.records.collect()}
+    assert (0, 0) in records  # the all-A minimizer is a real index key
     expected = Counter(
         (int(d), 101) for d in classify_all_reads(seq, cfg, records, tax, READ_LEN)
     )

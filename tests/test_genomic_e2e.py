@@ -287,3 +287,73 @@ def test_rc_fragments(world):
     )
     seqs = {r["nucleotides"] for r in srcs.add_rc_fragments(df).collect()}
     assert seqs == {"AACGT", "ACGTT"}
+
+
+def test_wide_exact_write_load_classify(world, tmp_path, spark):
+    """Wide-exact (m=45) index: two-column (id1, id2) records, bucketed
+    on both; write/load roundtrip preserves the scheme and the
+    classification join stays Exchange-free on the index side."""
+    import re as _re
+
+    from slacken_spark.kernels.minimizers import MinimizerConfig
+
+    cfg = MinimizerConfig(k=50, m=45, spaces=0, canonical=True, wide="exact")
+    tax = world["tax"]
+    gdf = spark.createDataFrame(
+        [(f"g{t}", s) for t, s in world["genomes"].items()],
+        "header string, nucleotides string",
+    )
+    ldf = spark.createDataFrame(
+        [(f"g{t}", t) for t in world["genomes"]], "header string, taxon int"
+    )
+    idx = KeyValueIndex.build(spark, gdf, ldf, tax, cfg, buckets=4)
+    assert set(idx.records.columns) == {"id1", "id2", "taxon"}
+    loc = str(tmp_path / "wide_idx")
+    idx.write(loc)
+    loaded = KeyValueIndex.load(spark, loc)
+    assert loaded.cfg.wide == "exact" and loaded.cfg.m == 45
+    assert loaded.stats() == idx.stats()
+    # classify reads drawn from the genomes: all must resolve in-lineage
+    reads = spark.createDataFrame(
+        [(f"r{t}", seq[100:260]) for t, seq in world["genomes"].items()],
+        "header string, nucleotides string",
+    )
+    out = {r["header"]: r for r in Classifier(loaded).classify(
+        reads, ClassifyParams(min_hit_groups=2)
+    ).collect()}
+    for t in world["genomes"]:
+        row = out[f"r{t}"]
+        assert row["classified"] and tax.has_ancestor(t, row["taxon"])
+    # no Exchange on the bucketed index side of the (id1, id2) join
+    spans = extract_spans(reads, loaded.cfg)
+    joined = spans.join(loaded.records, ["id1", "id2"], "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
+def test_wide_hashed_roundtrip_params(world, tmp_path, spark):
+    """Opt-in hashed wide scheme survives the params sidecar roundtrip
+    (version field records the scheme for future readers)."""
+    import json as _json
+    import os as _os
+
+    from slacken_spark.kernels.minimizers import MinimizerConfig
+
+    cfg = MinimizerConfig(k=50, m=45, spaces=0, wide="hashed")
+    gdf = spark.createDataFrame(
+        [(f"g{t}", s) for t, s in world["genomes"].items()],
+        "header string, nucleotides string",
+    )
+    ldf = spark.createDataFrame(
+        [(f"g{t}", t) for t in world["genomes"]], "header string, taxon int"
+    )
+    idx = KeyValueIndex.build(spark, gdf, ldf, world["tax"], cfg, buckets=4)
+    assert set(idx.records.columns) == {"id1", "taxon"}
+    loc = str(tmp_path / "hashed_idx")
+    idx.write(loc)
+    with open(_os.path.join(loc, "_index_params.json")) as f:
+        params = _json.load(f)
+    assert params["version"] == 2
+    assert params["splitter"]["wide"] == "hashed"
+    assert params["key_cols"] == ["id1"]
+    assert KeyValueIndex.load(spark, loc).cfg.wide == "hashed"

@@ -214,7 +214,7 @@ def test_read_span_arrays_matches_read_spans(s, paired):
     cfg = MinimizerConfig(k=12, m=7, spaces=1)
     seq2 = s[::-1] if paired and s else None
     obj = read_spans(s, cfg, seq2=seq2, rng=np.random.default_rng(1))
-    mins, dist, kmers, flags = read_span_arrays(
+    mins, mins2, dist, kmers, flags = read_span_arrays(
         s, cfg, np.random.default_rng(2), seq2=seq2
     )
     assert len(obj) == len(mins)
@@ -224,6 +224,7 @@ def test_read_span_arrays_matches_read_spans(s, paired):
         assert sp.distinct == bool(dist[i])
         if sp.flag == FLAG_SEQUENCE:
             assert sp.minimizer == mins[i]
+            assert sp.minimizer2 == mins2[i]
 
 
 def test_lexicographic_ordering():
@@ -254,36 +255,66 @@ def test_wide_minimizers_orientation_invariant(s, m):
     assert a == b
 
 
-def test_wide_minimizer_identity_matches_string_model():
-    """Positions sharing the same canonical m-mer string get the same
-    hashed id; distinct m-mers get distinct ids (no collisions at test
-    scale)."""
-    from slacken_spark.kernels.minimizers import scan_mmers
-
-    cfg = MinimizerConfig(k=60, m=45, spaces=0, canonical=True)
-    rng = np.random.default_rng(8)
-    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 45))
-    s = (
+def _wide_test_seq(rng, core):
+    return (
         "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
         + core
         + "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
         + bitseq.revcomp_str(core)
         + "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
     )
-    ids, _ = scan_mmers(bitseq.encode_codes(s), cfg)
+
+
+@pytest.mark.parametrize("wide", ["exact", "hashed"])
+def test_wide_minimizer_identity_matches_string_model(wide):
+    """Positions sharing the same canonical m-mer string get the same
+    (id1, id2) key; distinct m-mers get distinct keys (structurally for
+    the exact scheme; no collisions at test scale for hashed)."""
+    from slacken_spark.kernels.minimizers import scan_mmers_full
+
+    cfg = MinimizerConfig(k=60, m=45, spaces=0, canonical=True, wide=wide)
+    rng = np.random.default_rng(8)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 45))
+    s = _wide_test_seq(rng, core)
+    id1, id2, _ = scan_mmers_full(bitseq.encode_codes(s), cfg)
     by_string: dict[str, set] = {}
     for i in range(len(s) - 45 + 1):
         mm = s[i : i + 45]
         canon = min(mm, bitseq.revcomp_str(mm))
-        by_string.setdefault(canon, set()).add(int(ids[i]))
-    # same canonical string → one id (incl. the planted rc duplicate)
+        by_string.setdefault(canon, set()).add((int(id1[i]), int(id2[i])))
+    # same canonical string → one key (incl. the planted rc duplicate)
     assert all(len(v) == 1 for v in by_string.values())
-    # distinct strings → distinct ids
+    # distinct strings → distinct keys
     all_ids = [next(iter(v)) for v in by_string.values()]
     assert len(set(all_ids)) == len(all_ids)
-    # the planted core and its revcomp share an id
+    # the planted core and its revcomp share a key
     canon_core = min(core, bitseq.revcomp_str(core))
     assert len(by_string[canon_core]) == 1
+    if wide == "exact":
+        # exact keys are invertible: (id1=31 bases, id2=m-31 bases)
+        for canon, keys in by_string.items():
+            i1, i2 = next(iter(keys))
+            assert bitseq.unpack_kmer(i1, 31) + bitseq.unpack_kmer(i2, 14) == canon
+    else:
+        assert (id2 == 0).all()  # hashed keeps the single-column layout
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="ACGT", min_size=45, max_size=200))
+def test_wide_exact_key_bijection(s):
+    """Property: the exact wide key is a bijection of the canonical
+    m-mer — no two distinct m-mers share (id1, id2), and every key
+    unpacks back to its canonical string (m=45)."""
+    from slacken_spark.kernels.minimizers import scan_mmers_full
+
+    cfg = MinimizerConfig(k=45, m=45, spaces=0, canonical=True, wide="exact")
+    id1, id2, _ = scan_mmers_full(bitseq.encode_codes(s), cfg)
+    for i in range(len(id1)):
+        mm = s[i : i + 45]
+        canon = min(mm, bitseq.revcomp_str(mm))
+        assert bitseq.unpack_kmer(int(id1[i]), 31) + bitseq.unpack_kmer(
+            int(id2[i]), 14
+        ) == canon
 
 
 @settings(max_examples=30, deadline=None)
@@ -338,11 +369,10 @@ def _spans_model(seqs, cfg, seqs2=None):
     rows = []
     for i, s in enumerate(seqs):
         s2 = seqs2[i] if seqs2 is not None else None
-        mins, dist, kmers, flags = read_span_arrays(s, cfg, rng, seq2=s2)
-        for mz, d, km, fl in zip(mins, dist, kmers, flags):
-            rows.append(
-                (i, int(mz) if fl == FLAG_SEQUENCE else None, bool(d), int(km), int(fl))
-            )
+        mins, mins2, dist, kmers, flags = read_span_arrays(s, cfg, rng, seq2=s2)
+        for mz, mz2, d, km, fl in zip(mins, mins2, dist, kmers, flags):
+            key = (int(mz), int(mz2)) if fl == FLAG_SEQUENCE else None
+            rows.append((i, key, bool(d), int(km), int(fl)))
     return rows
 
 
@@ -350,11 +380,17 @@ def _spans_batched(seqs, cfg, seqs2=None):
     from slacken_spark.kernels.minimizers import batch_span_arrays
 
     rng = np.random.default_rng(2)
-    counts, mins, dist, kmers, flags = batch_span_arrays(seqs, cfg, rng, seqs2)
+    counts, mins, mins2, dist, kmers, flags = batch_span_arrays(seqs, cfg, rng, seqs2)
     unit = np.repeat(np.arange(len(seqs)), counts)
     return [
-        (int(u), int(mz) if fl == FLAG_SEQUENCE else None, bool(d), int(km), int(fl))
-        for u, mz, d, km, fl in zip(unit, mins, dist, kmers, flags)
+        (
+            int(u),
+            (int(mz), int(mz2)) if fl == FLAG_SEQUENCE else None,
+            bool(d),
+            int(km),
+            int(fl),
+        )
+        for u, mz, mz2, d, km, fl in zip(unit, mins, mins2, dist, kmers, flags)
     ]
 
 
@@ -378,7 +414,7 @@ def test_batch_genome_minimizers_matches_per_seq(seqs):
     from slacken_spark.kernels.minimizers import batch_genome_minimizers
 
     cfg = MinimizerConfig(k=15, m=9, spaces=0)
-    unit_of, mins = batch_genome_minimizers(seqs, cfg)
+    unit_of, mins, _ = batch_genome_minimizers(seqs, cfg)
     got = {}
     for u, mz in zip(unit_of, mins):
         got.setdefault(int(u), []).append(int(mz))
