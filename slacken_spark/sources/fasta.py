@@ -105,6 +105,21 @@ def read_sequences(spark: SparkSession, path: str) -> DataFrame:
     return read_fasta(spark, path)
 
 
+def _pa_fs(path: str):
+    """Resolve a path or URI to (pyarrow filesystem, fs-local path).
+
+    Handles bare local paths plus any pyarrow-supported URI scheme
+    (file://, s3://, hdfs://, gs://) — the any-Hadoop-FS contract of the
+    reference's custom input format (fastdoop/IndexedFastaReader.scala:
+    29-309), without executor-side ``open()`` being local-only.
+    """
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def plan_indexed_fasta(path: str, k: int, max_chunk: int = 1_000_000) -> list[dict]:
     """Driver-side planning for huge .fai-indexed FASTA: split each
     sequence into ≤ max_chunk ranges with (k−1)-base overlap.
@@ -114,32 +129,36 @@ def plan_indexed_fasta(path: str, k: int, max_chunk: int = 1_000_000) -> list[di
     the ranged reads in executors.
     """
     plans: list[dict] = []
-    with open(path + ".fai") as f:
-        for line in f:
-            name, length, offset, line_bases, line_bytes = line.split("\t")[:5]
-            length = int(length)
-            offset = int(offset)
-            line_bases = int(line_bases)
-            line_bytes = int(line_bytes)
-            start = 0
-            while start < length:
-                n = min(max_chunk, length - start)
-                # extend by overlap so no k-mer is lost across chunks
-                n_ov = min(n + k - 1, length - start)
-                byte_start = offset + (start // line_bases) * line_bytes + (
-                    start % line_bases
-                )
-                plans.append(
-                    {
-                        "header": name,
-                        "seq_offset": start,
-                        "byte_start": byte_start,
-                        "n_bases": n_ov,
-                        "line_bases": line_bases,
-                        "line_bytes": line_bytes,
-                    }
-                )
-                start += n
+    filesystem, fai_path = _pa_fs(path + ".fai")
+    with filesystem.open_input_stream(fai_path) as fh:
+        fai_text = fh.read().decode("ascii")
+    for line in fai_text.splitlines():
+        if not line.strip():
+            continue
+        name, length, offset, line_bases, line_bytes = line.split("\t")[:5]
+        length = int(length)
+        offset = int(offset)
+        line_bases = int(line_bases)
+        line_bytes = int(line_bytes)
+        start = 0
+        while start < length:
+            n = min(max_chunk, length - start)
+            # extend by overlap so no k-mer is lost across chunks
+            n_ov = min(n + k - 1, length - start)
+            byte_start = offset + (start // line_bases) * line_bytes + (
+                start % line_bases
+            )
+            plans.append(
+                {
+                    "header": name,
+                    "seq_offset": start,
+                    "byte_start": byte_start,
+                    "n_bases": n_ov,
+                    "line_bases": line_bases,
+                    "line_bytes": line_bytes,
+                }
+            )
+            start += n
     return plans
 
 
@@ -151,7 +170,10 @@ def read_indexed_fasta(
     The (k−1) overlap contract matches the reference's custom Hadoop
     input format (fastdoop/IndexedFastaReader.scala:29-309) without any
     Java-side code: planning is a tiny driver DataFrame, reads are
-    executor-side seeks.
+    executor-side pyarrow.fs seeks — file://, s3://, hdfs://, gs:// or
+    bare local paths all work (the any-FS contract; a plain ``open()``
+    here would silently be local/NFS-only and break on a 1.8 TB S3
+    library).
     """
     plans = plan_indexed_fasta(path, k, max_chunk)
     plan_df = spark.createDataFrame(
@@ -163,9 +185,10 @@ def read_indexed_fasta(
     def ranged_read(batches):
         import pandas as pd
 
+        filesystem, fs_path = _pa_fs(path)
         for pdf in batches:
             out = []
-            with open(path, "rb") as fh:
+            with filesystem.open_input_file(fs_path) as fh:
                 for row in pdf.itertuples(index=False):
                     extra_newlines = (
                         int(row.n_bases) // int(row.line_bases) + 2

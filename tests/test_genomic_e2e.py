@@ -259,6 +259,13 @@ def test_indexed_fasta_overlap(world, tmp_path):
     # each chunk except the last carries the k-1 overlap
     for r in rows[:-1]:
         assert len(r["nucleotides"]) == 1000 + 20
+    # same read through an explicit pyarrow-fs URI (the any-FS path:
+    # file:// locally; s3:// / hdfs:// in production)
+    df_uri = srcs.read_indexed_fasta(spark, "file://" + str(p), k=21, max_chunk=1000)
+    rows_uri = sorted(df_uri.collect(), key=lambda r: r["location"])
+    assert [r["nucleotides"] for r in rows_uri] == [
+        r["nucleotides"] for r in rows
+    ]
 
 
 def test_gzipped_fasta_and_list_indirection(world, tmp_path):
