@@ -13,6 +13,8 @@ Re-expresses the reference's analysis layer:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -249,3 +251,187 @@ def depth_histogram(index: KeyValueIndex) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_records"))
         .orderBy("depth")
     )
+
+
+# ---------------------------------------------------------------------------
+# Input-label stats (inputStats, GenomeLibrary.scala:81-107)
+# ---------------------------------------------------------------------------
+
+
+def input_label_stats(labels_df: DataFrame, tax: Taxonomy) -> dict:
+    """Statistics for a seqid2taxid label set: unknown/non-leaf/valid
+    label counts, implied tree size, and the missing-rank histogram with
+    human-readable labels (numericalRankToStr — U4). Label sets are
+    taxonomy-bounded, so the distinct collect matches the reference's
+    driver-side collect (GenomeLibrary.scala:85)."""
+    from slacken_spark.kernels.taxonomy import numerical_rank_to_str
+
+    labelled = [
+        int(r["taxon"]) for r in labels_df.select("taxon").distinct().collect()
+    ]
+    invalid = sorted(t for t in labelled if not tax.is_defined(t))
+    valid = [t for t in labelled if tax.is_defined(t)]
+    non_leaf = sorted(t for t in valid if not tax.is_leaf(t))
+    implied_tree = len(tax.taxa_with_ancestors(valid))
+    hist: dict[int, int] = {}
+    for t in valid:
+        for lvl in tax.missing_steps_to_root(t):
+            hist[lvl] = hist.get(lvl, 0) + 1
+    return {
+        "unknown_labels": invalid,
+        "n_unknown": len(invalid),
+        "n_non_leaf": len(non_leaf),
+        "n_valid": len(valid),
+        "implied_tree_size": implied_tree,
+        "max_leaf_nodes": len(valid) - len(non_leaf),
+        "missing_rank_histogram": [
+            {
+                "missing_level": lvl,
+                "count": hist[lvl],
+                "label": numerical_rank_to_str(lvl),
+            }
+            for lvl in sorted(hist)
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Metrics TSV writer (MappingComparison.scala:31-113, metrics/README.md)
+# ---------------------------------------------------------------------------
+
+METRICS_HEADER = (
+    "title\tfamily\tgroup\tsample\tlibrary\tk\tm\tfrequency\tfl\ts\tc\trank\t"
+    "taxon_classified\ttaxon_total\ttaxon_precision\ttaxon_recall\t"
+    "read_classified\tread_total\tread_tp\tread_fp\tread_vp\tread_fn\t"
+    "read_ppv\tread_sensitivity\tread_index"
+)
+
+_TITLE_PATTERN = re.compile(
+    r"(.*)/(.*)/(.+)_(\d+)_(\d+)_s(\d+)_c([\d.]+)_classified/sample=(.*)"
+)
+
+
+def metrics_tsv_line(
+    title: str,
+    rank: str | None,
+    per_taxon: dict,
+    per_read: dict,
+) -> str | None:
+    """One _metrics.tsv row (Metrics.toTSVString,
+    MappingComparison.scala:51-65): extracts family/group/library/k/m/s/c
+    /sample from the classified-output path; returns None (omitting the
+    row) when the title doesn't match, like the reference."""
+    m = _TITLE_PATTERN.match(title)
+    if not m:
+        return None
+    family, group, library, k, mm, s, c, sample = m.groups()
+    rank_str = rank if rank is not None else "All"
+    pt = "\t".join(
+        str(per_taxon[x]) for x in ("classified", "total", "precision", "recall")
+    )
+    pr = "\t".join(
+        str(per_read[x])
+        for x in (
+            "classified",
+            "total_reads",
+            "tp",
+            "fp",
+            "vp",
+            "fn",
+            "ppv",
+            "sensitivity",
+            "index",
+        )
+    )
+    return (
+        f"{title}\t{family}\t{group}\t{sample}\t{library}\t{k}\t{mm}\t0\t0"
+        f"\t{s}\t{c}\t{rank_str}\t{pt}\t{pr}"
+    )
+
+
+def write_metrics_tsv(location_prefix: str, lines: list[str]) -> str:
+    """Write header + metric rows to ``<prefix>_metrics.tsv``
+    (MappingComparison.scala:101-113)."""
+    path = location_prefix + "_metrics.tsv"
+    with open(path, "w") as f:
+        f.write(METRICS_HEADER + "\n")
+        for line in lines:
+            if line is not None:
+                f.write(line + "\n")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# CAMI → Kraken report conversion (analysis/CAMIToKrakenReport.scala:64-117)
+# ---------------------------------------------------------------------------
+
+
+class CAMIToKrakenReport:
+    """Convert a CAMI read-mapping TSV (#anonymous_read_id genome_id
+    tax_id) into a Kraken-format report, filtered at a minimum rank.
+
+    Reads below the cutoff (after primary-id remap) are dropped; counts
+    halve to convert single reads to pairs, then clade-roll through
+    KrakenReport (CAMIToKrakenReport.scala:64-117)."""
+
+    def __init__(
+        self,
+        spark,
+        mapping_location: str,
+        tax: Taxonomy,
+        min_rank_depth: int | None = None,
+    ):
+        self.spark = spark
+        self.tax = tax
+        bc = spark.sparkContext.broadcast(tax)
+
+        raw = (
+            spark.read.option("sep", "\t")
+            .option("header", "true")
+            .csv(mapping_location)
+        )
+        cols = raw.columns
+        id_col, taxon_col = cols[0], cols[2]
+
+        def keep(batches):
+            t = bc.value
+            for pdf in batches:
+                ids = pdf[id_col].astype(str)
+                taxa = pdf[taxon_col].astype("int64")
+                prim = (
+                    t.primary[taxa.to_numpy()]
+                    if t.primary is not None
+                    else taxa.to_numpy()
+                )
+                if min_rank_depth is None:
+                    ok = prim == prim  # all
+                else:
+                    dv = t.depth_vector()
+                    ok = dv[prim] >= min_rank_depth
+                yield pd.DataFrame({"id": ids[ok], "taxon": prim[ok]})
+
+        self.filtered = raw.mapInPandas(keep, "id string, taxon long")
+
+    def filtered_ids(self) -> list[str]:
+        return [r["id"] for r in self.filtered.select("id").collect()]
+
+    def write_filtered_ids(self, location: str) -> None:
+        with open(location, "w") as f:
+            for i in self.filtered_ids():
+                f.write(i + "\n")
+
+    def filtered_report(self):
+        """KrakenReport over floor(count/2) per taxon (single→paired)."""
+        from slacken_spark.classify import KrakenReport
+
+        counts = (
+            self.filtered.groupBy("taxon")
+            .agg(F.floor(F.count(F.lit(1)) / 2).alias("n"))
+            .collect()
+        )
+        pairs = [(int(r["taxon"]), int(r["n"])) for r in counts]
+        return KrakenReport(self.tax, pairs)
+
+    def write_filtered_report(self, location: str) -> None:
+        with open(location, "w") as f:
+            f.write("\n".join(self.filtered_report().lines()) + "\n")

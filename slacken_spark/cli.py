@@ -265,6 +265,10 @@ def cmd_compare(args) -> int:
 
 
 def cmd_input_check(args) -> int:
+    """Sequence counts plus, when labels+taxonomy are given, the
+    reference's full label-stats report: unknown/non-leaf labels,
+    implied tree size, missing-rank histogram with rank names
+    (inputStats, GenomeLibrary.scala:81-107)."""
     from pyspark.sql import functions as F
 
     from slacken_spark.sources.fasta import read_sequences
@@ -275,7 +279,14 @@ def cmd_input_check(args) -> int:
         F.count(F.lit(1)).alias("sequences"),
         F.sum(F.length("nucleotides")).alias("bases"),
     ).first()
-    print(json.dumps({"sequences": row["sequences"], "bases": int(row["bases"] or 0)}))
+    out = {"sequences": row["sequences"], "bases": int(row["bases"] or 0)}
+    if getattr(args, "labels", None) and getattr(args, "taxonomy", None):
+        from slacken_spark.analysis import input_label_stats
+        from slacken_spark.sources.fasta import read_taxon_labels
+
+        tax = _load_taxonomy(args)
+        out["labels"] = input_label_stats(read_taxon_labels(spark, args.labels), tax)
+    print(json.dumps(out))
     return 0
 
 
@@ -364,6 +375,8 @@ def main(argv: list[str] | None = None) -> int:
 
     ic = sub.add_parser("input-check", help="inspect input data")
     ic.add_argument("inputs", nargs="+")
+    ic.add_argument("--labels", help="seqid2taxid.map for label stats")
+    ic.add_argument("--taxonomy", help="dir with nodes.dmp/names.dmp")
     ic.set_defaults(fn=cmd_input_check)
 
     args = parser.parse_args(argv)

@@ -39,6 +39,12 @@ RANK_DEPTH = {r: i for i, r in enumerate(RANKS)}
 NO_RANK = -1
 
 
+def numerical_rank_to_str(depth: int) -> str:
+    """Human-readable rank title for a standardised depth, '???' when
+    unknown (numericalRankToStrUdf, GenomeLibrary.scala:62-65)."""
+    return RANKS[depth] if 0 <= depth < len(RANKS) else "???"
+
+
 def member_mask_udf(spark, mask: np.ndarray):
     """Boolean pandas UDF ``taxon -> taxon ∈ mask`` over a broadcast
     numpy bool array — the executor-side replacement for taxonomy-sized
@@ -290,6 +296,20 @@ class Taxonomy:
                 return t
             t = int(self.parents[t])
         return NONE
+
+    def is_leaf(self, t: int) -> bool:
+        """No children (Taxonomy.scala:171-172)."""
+        return len(self.children[t]) == 0 if 0 < t < self.n_nodes else False
+
+    def missing_steps_to_root(self, t: int) -> list[int]:
+        """Standard levels (superkingdom..species) absent from the
+        node's path to root (missingStepsToRoot, Taxonomy.scala:300-306)."""
+        found = {self.depth(p) for p in self.path_to_root(t)}
+        return [
+            d
+            for d in range(RANK_DEPTH["superkingdom"], RANK_DEPTH["species"] + 1)
+            if d not in found
+        ]
 
     def taxa_with_ancestors(self, taxa) -> set[int]:
         out: set[int] = set()

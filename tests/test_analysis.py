@@ -252,3 +252,110 @@ def test_depth_histogram(world):
     # species depth 3 (ROOT=1, genus=2, species=3); some LCAs may sit at genus
     assert rows.get(3, 0) > 0
     assert sum(rows.values()) == world["idx"].records.count()
+
+
+def test_input_label_stats(world, spark):
+    from slacken_spark.analysis import input_label_stats
+
+    tax = world["tax"]
+    # labels: two valid leaves, one valid non-leaf (genus 10), one unknown
+    labels = spark.createDataFrame(
+        [("a", 101), ("b", 102), ("c", 10), ("d", 999)],
+        "header string, taxon int",
+    )
+    stats = input_label_stats(labels, tax)
+    assert stats["unknown_labels"] == [999]
+    assert stats["n_unknown"] == 1
+    assert stats["n_non_leaf"] == 1  # genus 10 has children
+    assert stats["n_valid"] == 3
+    # implied tree: {101,102,10,ROOT} = 4
+    assert stats["implied_tree_size"] == 4
+    assert stats["max_leaf_nodes"] == 2
+    # species 101: path species(8)←genus(7)←root(0): missing 1..6
+    hist = {h["missing_level"]: h for h in stats["missing_rank_histogram"]}
+    assert hist[1]["label"] == "superkingdom"
+    # levels 1..6 missing for all three valid labels; species missing for
+    # the genus-level label only
+    for lvl in range(1, 7):
+        assert hist[lvl]["count"] == 3
+    assert hist[8]["count"] == 1 and hist[8]["label"] == "species"
+
+
+def test_metrics_tsv_roundtrip(tmp_path):
+    from slacken_spark.analysis import (
+        METRICS_HEADER,
+        metrics_tsv_line,
+        write_metrics_tsv,
+    )
+
+    per_taxon = {"classified": 5, "total": 6, "precision": 0.8, "recall": 0.75}
+    per_read = {
+        "classified": 90,
+        "total_reads": 100,
+        "tp": 80,
+        "fp": 5,
+        "vp": 5,
+        "fn": 10,
+        "ppv": 0.94,
+        "sensitivity": 0.8,
+        "index": 0.87,
+    }
+    title = "fam1/groupA/std_35_31_s7_c0.15_classified/sample=s1"
+    line = metrics_tsv_line(title, "Species", per_taxon, per_read)
+    assert line is not None
+    fields = line.split("\t")
+    head = METRICS_HEADER.split("\t")
+    assert len(fields) == len(head)
+    d = dict(zip(head, fields))
+    assert d["family"] == "fam1" and d["group"] == "groupA"
+    assert d["library"] == "std" and d["k"] == "35" and d["m"] == "31"
+    assert d["s"] == "7" and d["c"] == "0.15" and d["sample"] == "s1"
+    assert d["rank"] == "Species" and d["read_tp"] == "80"
+    # unparseable titles are omitted, like the reference
+    assert metrics_tsv_line("garbage", None, per_taxon, per_read) is None
+    path = write_metrics_tsv(
+        str(tmp_path / "out"), [line, metrics_tsv_line("x", None, per_taxon, per_read)]
+    )
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == METRICS_HEADER and len(lines) == 2
+
+
+def test_cami_to_kraken_report(world, spark, tmp_path):
+    from slacken_spark.analysis import CAMIToKrakenReport
+    from slacken_spark.kernels.taxonomy import RANK_DEPTH
+
+    tax = world["tax"]
+    mapping = tmp_path / "reads_mapping.tsv"
+    rows = ["#anonymous_read_id\tgenome_id\ttax_id"]
+    # 4 reads on species 101 (2 pairs), 2 on species 201 (1 pair),
+    # 2 on genus 10 (dropped at species cutoff)
+    rows += [f"r{i}\tg101\t101" for i in range(4)]
+    rows += [f"r{i+4}\tg201\t201" for i in range(2)]
+    rows += [f"r{i+6}\tg10\t10" for i in range(2)]
+    mapping.write_text("\n".join(rows) + "\n")
+    conv = CAMIToKrakenReport(
+        spark, str(mapping), tax, min_rank_depth=RANK_DEPTH["species"]
+    )
+    ids = set(conv.filtered_ids())
+    assert ids == {f"r{i}" for i in range(6)}
+    idp = tmp_path / "ids.txt"
+    conv.write_filtered_ids(str(idp))
+    assert len(idp.read_text().strip().split("\n")) == 6
+    rep = conv.filtered_report()
+    assert rep.taxon_counts == {101: 2, 201: 1}
+    out = tmp_path / "cami.kreport"
+    conv.write_filtered_report(str(out))
+    text = out.read_text()
+    assert "\t101\t" in text and "\t201\t" in text
+
+
+def test_numerical_rank_and_missing_steps(world):
+    from slacken_spark.kernels.taxonomy import numerical_rank_to_str
+
+    tax = world["tax"]
+    assert numerical_rank_to_str(8) == "species"
+    assert numerical_rank_to_str(1) == "superkingdom"
+    assert numerical_rank_to_str(-1) == "???"
+    assert numerical_rank_to_str(99) == "???"
+    assert tax.missing_steps_to_root(101) == [1, 2, 3, 4, 5, 6]
+    assert tax.is_leaf(101) and not tax.is_leaf(10)
