@@ -77,11 +77,9 @@ class MinimizerConfig:
     def __post_init__(self):
         if not (0 < self.m <= 62):
             raise ValueError("m must be in 1..62")
-        if self.m > 31 and self.spaces > 0:
-            # spaced seeds operate on stored sequence bits; a wide id's
-            # bases straddle two words so masking is done per half —
-            # unsupported until exact wide ids get spaced-seed masks
-            raise ValueError("spaced seeds require m <= 31")
+        if self.m > 31 and self.masked:
+            # masked STORAGE (respace projections) stays single-word
+            raise ValueError("masked storage requires m <= 31")
         if self.k < self.m:
             raise ValueError("k must be >= m")
         if self.wide not in ("exact", "hashed"):
@@ -137,29 +135,30 @@ class MinimizerConfig:
 
 def uniform_random_table(m: int, seed: int = 42) -> np.ndarray:
     """Explicit-priority table (MinTable, MinimizerPriorities.scala:192-271):
-    a random permutation of all 4^m m-mers (m ≤ 12 keeps it ≤ 128 MB;
-    the reference caps at 15). Ship to executors via sc.broadcast and
+    a random permutation of all 4^m m-mers as uint32 (4^15 < 2³², so the
+    reference's m ≤ 15 cap fits; m=15 is a 4 GiB broadcast — size for
+    executor memory accordingly). Ship to executors via sc.broadcast and
     pass as ``priority_table``."""
-    if m > 12:
-        raise ValueError("priority tables supported for m <= 12")
+    if m > 15:
+        raise ValueError("priority tables supported for m <= 15")
     rng = np.random.default_rng(seed)
-    return rng.permutation(1 << (2 * m)).astype(np.int64)
+    return rng.permutation(1 << (2 * m)).astype(np.uint32)
 
 
 def table_from_frequencies(m: int, counts: dict[int, int]) -> np.ndarray:
     """Frequency-ordered priority table: rarer m-mers win (lower rank),
     unseen m-mers ranked before seen ones by value — the
     frequency-counted ordering the reference builds MinTables for."""
-    if m > 12:
-        raise ValueError("priority tables supported for m <= 12")
+    if m > 15:
+        raise ValueError("priority tables supported for m <= 15")
     n = 1 << (2 * m)
     freq = np.zeros(n, dtype=np.int64)
     for mm, c in counts.items():
         freq[mm] = c
     # sort by (frequency asc, m-mer asc) → rank
     order = np.lexsort((np.arange(n), freq))
-    table = np.empty(n, dtype=np.int64)
-    table[order] = np.arange(n)
+    table = np.empty(n, dtype=np.uint32)
+    table[order] = np.arange(n, dtype=np.uint32)
     return table
 
 
@@ -207,9 +206,22 @@ def scan_mmers_wide(
         take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
         hi = np.where(take_rc, rc_hi, hi)
         lo = np.where(take_rc, rc_lo, lo)
-    ranks = _mix62(hi, lo)
+    if cfg.spaces > 0:
+        # spaced seeds over wide ids: zero the masked 2-bit positions of
+        # each packed half BEFORE the rank mix, so m-mers equal on the
+        # unmasked positions rank identically (SpacedSeed wraps the
+        # inner ordering, MinimizerPriorities.scala:282-321); stored ids
+        # stay exact
+        full = cfg.seed_mask
+        lo_bits = 2 * m_lo
+        mask_lo = np.uint64(full & ((1 << lo_bits) - 1))
+        mask_hi = np.uint64(full >> lo_bits)
+        ranks = _mix62(hi & mask_hi, lo & mask_lo)
+    else:
+        ranks = _mix62(hi, lo)
     if cfg.wide == "hashed":
-        return ranks, np.zeros(n, dtype=np.uint64), ranks
+        ids = ranks if cfg.spaces == 0 else _mix62(hi, lo)
+        return ids, np.zeros(n, dtype=np.uint64), ranks
     return hi, lo, ranks
 
 
@@ -232,7 +244,7 @@ def scan_mmers_full(
     """
     if cfg.m > 31:
         if priority_table is not None:
-            raise ValueError("priority tables require m <= 12")
+            raise ValueError("priority tables require m <= 15")
         return scan_mmers_wide(codes, cfg)
     mmers = bitseq.pack_kmers(codes, cfg.m)
     n = len(mmers)

@@ -331,11 +331,78 @@ def test_wide_span_accounting(s):
     assert sum(sp.kmers for sp in spans if sp.flag == FLAG_SEQUENCE) == expect
 
 
-def test_wide_spaces_rejected():
+def test_wide_spaces_and_masked_validation():
+    # spaced seeds now compose with wide ids (rank-side mask per half);
+    # masked STORAGE stays single-word
+    cfg = MinimizerConfig(k=50, m=45, spaces=3)
+    assert cfg.seed_mask != cfg.mask_2m
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        MinimizerConfig(k=50, m=45, spaces=3)
+        MinimizerConfig(k=50, m=45, spaces=3, masked=True)
+
+
+def _mix62_int(hi: int, lo: int) -> int:
+    """Pure-python splitmix mirror of kernels._mix62 (uint64 wraparound)."""
+    M64 = (1 << 64) - 1
+    h = (hi ^ ((lo * 0x9E3779B97F4A7C15) & M64)) & M64
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M64
+    h = h ^ (h >> 31)
+    return h & ((1 << 62) - 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="ACGT", min_size=60, max_size=200), st.integers(0, 5))
+def test_wide_supermers_match_naive_model(s, spaces):
+    """Wide minimizers (incl. spaced seeds): the kernel's supermer
+    minimizers must match a pure-python per-window model — pack halves,
+    canonicalize, mask halves, splitmix rank, leftmost min."""
+    from slacken_spark.kernels.minimizers import (
+        spaced_seed_mask,
+        supermer_arrays,
+    )
+
+    m, k = 45, 50
+    cfg = MinimizerConfig(k=k, m=m, spaces=spaces, canonical=True, wide="exact")
+    codes = bitseq.encode_codes(s)
+    if len(s) < k:
+        return
+    m1, m2, starts, kmers = supermer_arrays(codes, cfg)
+    # naive model
+    full = spaced_seed_mask(m, spaces)
+    lo_bits = 2 * (m - 31)
+    mask_lo, mask_hi = full & ((1 << lo_bits) - 1), full >> lo_bits
+    packs = []
+    for i in range(len(s) - m + 1):
+        mm = s[i : i + m]
+        rcm = bitseq.revcomp_str(mm)
+        canon = min(mm, rcm)
+        hi = sum(
+            {"A": 0, "C": 1, "G": 2, "T": 3}[c] << (2 * (30 - j))
+            for j, c in enumerate(canon[:31])
+        )
+        lo = sum(
+            {"A": 0, "C": 1, "G": 2, "T": 3}[c] << (2 * (m - 32 - j))
+            for j, c in enumerate(canon[31:])
+        )
+        rank = (
+            _mix62_int(hi & mask_hi, lo & mask_lo)
+            if spaces
+            else _mix62_int(hi, lo)
+        )
+        packs.append((rank, hi, lo))
+    w = k - m + 1
+    expect = []
+    last = None
+    for ws in range(len(s) - k + 1):
+        rank, pos = min((packs[p][0], p) for p in range(ws, ws + w))
+        if ws == 0 or pos != last:
+            expect.append((packs[pos][1], packs[pos][2]))
+        last = pos
+    got = list(zip(m1.tolist(), m2.tolist()))
+    assert got == expect
+    assert kmers.sum() == len(s) - k + 1
 
 
 def test_spaced_seed_mask_example():
@@ -433,3 +500,22 @@ def test_batch_span_arrays_wide_m(seqs=None):
     seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, 200)) for _ in range(5)]
     cfg = MC(k=50, m=45, spaces=0)
     assert _spans_batched(seqs, cfg) == _spans_model(seqs, cfg)
+
+
+def test_min_table_uint32_and_cap():
+    from slacken_spark.kernels.minimizers import (
+        table_from_frequencies,
+        uniform_random_table,
+    )
+
+    t = uniform_random_table(8)
+    assert t.dtype == np.uint32
+    assert len(t) == 4**8 and sorted(set(t.tolist())) == list(range(4**8))
+    f = table_from_frequencies(4, {0: 100, 7: 1})
+    assert f.dtype == np.uint32
+    # rarer m-mer 7 outranks (lower value) the frequent m-mer 0
+    assert f[7] < f[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        uniform_random_table(16)
