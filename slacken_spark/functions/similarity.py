@@ -50,12 +50,17 @@ def cosine_topk(
     rounds the similarity BEFORE ranking so results are reproducible
     across engines/accumulation orders.
     """
-    sim = cosine(F.col(q_vec), F.col(c_vec))
+    # norms are materialized per ROW before the join — computing them
+    # inside the pair expression would re-run the interpreted aggregate
+    # once per (query, corpus) pair instead of once per row
+    q = queries.withColumn("_qnorm", l2_norm(F.col(q_vec)))
+    c = corpus.withColumn("_cnorm", l2_norm(F.col(c_vec)))
+    sim = dot(F.col(q_vec), F.col(c_vec)) / (F.col("_qnorm") * F.col("_cnorm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     joined = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
+        F.broadcast(q)
+        .crossJoin(c)
         .where(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, sim.alias("sim"))
     )
@@ -105,9 +110,13 @@ def ivf_topk(
     centroid boundaries are missed); raise nprobe by unioning the
     next-nearest assignments when needed.
     """
-    qa = ivf_assign(queries, q_vec, centroids)
-    ca = ivf_assign(corpus, c_vec, centroids)
-    sim = cosine(F.col(q_vec), F.col(c_vec))
+    qa = ivf_assign(queries, q_vec, centroids).withColumn(
+        "_qnorm", l2_norm(F.col(q_vec))
+    )
+    ca = ivf_assign(corpus, c_vec, centroids).withColumn(
+        "_cnorm", l2_norm(F.col(c_vec))
+    )
+    sim = dot(F.col(q_vec), F.col(c_vec)) / (F.col("_qnorm") * F.col("_cnorm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     joined = (
@@ -144,16 +153,22 @@ def ivf_assign(
     """
     if not centroids:
         return df.withColumn("centroid_id", F.lit(-1))
+    # the row's own norm is materialized once; centroid norms are plain
+    # Python float literals (sum is left-to-right, matching the SQL
+    # oracle's list_sum fold)
+    cnorms = [sum(float(x) * float(x) for x in c) ** 0.5 for c in centroids]
     sims = F.array(
         *[
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            / (F.col("_ivf_norm") * F.lit(cn))
+            for c, cn in zip(centroids, cnorms)
         ]
     )
     arr = F.col("_ivf_sims")
     centroid_id = (F.array_position(arr, F.array_max(arr)) - F.lit(1)).cast("int")
     return (
-        df.withColumn("_ivf_sims", sims)
+        df.withColumn("_ivf_norm", l2_norm(F.col(vec_col)))
+        .withColumn("_ivf_sims", sims)
         .withColumn("centroid_id", centroid_id)
-        .drop("_ivf_sims")
+        .drop("_ivf_sims", "_ivf_norm")
     )

@@ -346,7 +346,15 @@ def lca_fold(spark, sf_dir):
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
     # Driver-side tree over the (small, dimension-sized) hierarchy — the
-    # same broadcast pattern the reference uses for the NCBI taxonomy.
+    # same broadcast pattern the reference uses for the NCBI taxonomy
+    # (~2.5M nodes ≈ tens of MB as int arrays). Guard the collect so a
+    # mis-sized input fails loudly instead of OOMing the driver.
+    n_nodes = region.count() + nation.count() + cust.count()
+    if n_nodes > 50_000_000:
+        raise ValueError(
+            f"hierarchy has {n_nodes} nodes - too large to collect for the"
+            " broadcast-tree LCA pattern; partition the dimension first"
+        )
     # One union job collects all three levels (vs three cold scans).
     edges = (
         region.select((F.col("r_regionkey") + 2).alias("id"), F.lit(1).alias("parent"))

@@ -605,11 +605,18 @@ def embedding_neardup_pairs(spark, sf_dir):
     twin of MinHash dedup."""
     emb = t(spark, sf_dir, "embeddings")
     b = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes()).select(
-        "vec_id", "embedding", "bucket"
+        "vec_id",
+        "embedding",
+        "bucket",
+        SIM.l2_norm(F.col("embedding")).alias("norm"),
     )
     a, c = b.alias("a"), b.alias("c")
+    # per-row norms materialized before the join: the interpreted norm
+    # aggregate runs once per vector, not once per candidate pair
     sim = F.round(
-        SIM.cosine(F.col("a.embedding"), F.col("c.embedding")), 4
+        SIM.dot(F.col("a.embedding"), F.col("c.embedding"))
+        / (F.col("a.norm") * F.col("c.norm")),
+        4,
     )
     return (
         a.join(
