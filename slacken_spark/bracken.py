@@ -78,6 +78,32 @@ def split_fragments(df: DataFrame, read_len: int, max_len: int = FRAGMENT_MAX) -
     )
 
 
+_PAIR_DTYPE = np.dtype([("a", "<i8"), ("b", "<i8")])
+
+
+def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(id1, id2) arrays → structured array (lexicographic comparisons
+    and searchsorted work pairwise)."""
+    out = np.empty(len(a), dtype=_PAIR_DTYPE)
+    out["a"] = a
+    out["b"] = b
+    return out
+
+
+def lookup_arrays(
+    lca_lookup: dict[tuple[int, int], int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (pair-keys, taxa) arrays for vectorized LCA resolution."""
+    n = len(lca_lookup)
+    keys = np.empty(n, dtype=_PAIR_DTYPE)
+    taxa = np.empty(n, dtype=np.int64)
+    for i, ((k1, k2), t) in enumerate(lca_lookup.items()):
+        keys[i] = (k1, k2)
+        taxa[i] = t
+    order = np.argsort(keys)
+    return keys[order], taxa[order]
+
+
 def fragment_hits(
     nts: str,
     cfg: MinimizerConfig,
@@ -88,42 +114,59 @@ def fragment_hits(
     (distinct, abs_position, taxon, count) — TaxonFragment.taxonHits
     (BrackenWeights.scala:192-241). Hit spans tile the fragment length
     contiguously (ambiguous/tail slots included as NONE). ``lca_lookup``
-    is keyed by the (id1, id2) pair; id2 is 0 except for wide-exact."""
+    is keyed by the (id1, id2) pair (id2 is 0 except for wide-exact);
+    resolution is a vectorized binary search over the sorted pair keys,
+    not a per-supermer Python loop (~200k supermers per 1 MiB fragment)."""
     codes = bitseq.encode_codes(nts)
-    dist, pos, tax, cnt = [], [], [], []
-    first = True
-    last_min = None
+    if isinstance(lca_lookup, dict):
+        keys, taxa = lookup_arrays(lca_lookup)
+    else:  # pre-sorted (keys, taxa) arrays — the distributed fast path
+        keys, taxa = lca_lookup
+    dist_l, pos_l, tax_l, cnt_l = [], [], [], []
+    seen_valid = False
+    last_key = None
     for st, en, is_valid in split_by_ambiguity(codes, cfg.k):
         if not is_valid:
-            dist.append(False)
-            pos.append(st)
-            tax.append(NONE)
-            cnt.append(en - st)
+            dist_l.append(np.zeros(1, dtype=bool))
+            pos_l.append(np.array([st], dtype=np.int64))
+            tax_l.append(np.full(1, NONE, dtype=np.int64))
+            cnt_l.append(np.array([en - st], dtype=np.int64))
             continue
         mins, mins2, starts, kmers = supermer_arrays(
             codes[st:en], cfg, priority_table
         )
-        for mz, mz2, s0, km in zip(
-            mins.tolist(), mins2.tolist(), starts.tolist(), kmers.tolist()
-        ):
-            key = (mz, mz2)
-            d = first or key != last_min
-            first = False
-            last_min = key
-            dist.append(d)
-            pos.append(st + s0)
-            tax.append(lca_lookup.get(key, NONE))
-            cnt.append(km)
+        n = len(mins)
+        if n:
+            q = _pair_struct(mins, mins2)
+            t = np.full(n, NONE, dtype=np.int64)
+            if len(keys):
+                idx = np.searchsorted(keys, q)
+                ok = idx < len(keys)
+                hit = np.zeros(n, dtype=bool)
+                hit[ok] = keys[idx[ok]] == q[ok]
+                t[hit] = taxa[idx[hit]]
+            d = np.empty(n, dtype=bool)
+            d[0] = (not seen_valid) or (q[0] != last_key)
+            d[1:] = q[1:] != q[:-1]
+            last_key = q[-1].copy()
+            seen_valid = True
+            dist_l.append(d)
+            pos_l.append(st + starts)
+            tax_l.append(t)
+            cnt_l.append(kmers)
         # invalid k-mer slots running into the next segment / past the end
-        dist.append(False)
-        pos.append(st + (en - st) - (cfg.k - 1))
-        tax.append(NONE)
-        cnt.append(cfg.k - 1)
+        dist_l.append(np.zeros(1, dtype=bool))
+        pos_l.append(np.array([st + (en - st) - (cfg.k - 1)], dtype=np.int64))
+        tax_l.append(np.full(1, NONE, dtype=np.int64))
+        cnt_l.append(np.array([cfg.k - 1], dtype=np.int64))
+    if not dist_l:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=bool), e, e.copy(), e.copy()
     return (
-        np.asarray(dist, dtype=bool),
-        np.asarray(pos, dtype=np.int64),
-        np.asarray(tax, dtype=np.int64),
-        np.asarray(cnt, dtype=np.int64),
+        np.concatenate(dist_l),
+        np.concatenate(pos_l),
+        np.concatenate(tax_l),
+        np.concatenate(cnt_l),
     )
 
 
@@ -276,14 +319,15 @@ class BrackenWeights:
             for pdf in batches:
                 src, dst = [], []
                 for r in pdf.itertuples(index=False):
-                    lookup = {
-                        (int(m), int(m2)): int(t)
-                        for m, m2, t in zip(r.minimizers, r.minimizers2, r.taxa)
-                        if m != -1
-                    }
+                    m1 = np.asarray(r.minimizers, dtype=np.int64)
+                    m2 = np.asarray(r.minimizers2, dtype=np.int64)
+                    tt = np.asarray(r.taxa, dtype=np.int64)
+                    keep = m1 != -1  # drop the no-minimizer sentinel
+                    keys = _pair_struct(m1[keep], m2[keep])
+                    order = np.argsort(keys)
                     dests = classify_all_reads(
-                        r.nucleotides, cfg, lookup, tax, read_len,
-                        priority_table=table,
+                        r.nucleotides, cfg, (keys[order], tt[keep][order]),
+                        tax, read_len, priority_table=table,
                     )
                     src.extend([r.taxon] * len(dests))
                     dst.extend(dests.tolist())
