@@ -385,19 +385,20 @@ def doc_fingerprints(spark, sf_dir):
     minimum with a window function; one shuffle on doc_id.
     """
     docs = t(spark, sf_dir, "documents")
+    # n_grams derives from the text length BEFORE the explode — a second
+    # count-over-partition window pass just to bound full windows would
+    # re-sort every exploded row
     grams = docs.select(
         "doc_id",
+        (F.length("text") - F.lit(7)).alias("n_grams"),
         F.posexplode(X.char_ngrams(F.col("text"), 8)).alias("pos", "gram"),
     )
     hashed = grams.select(
-        "doc_id", "pos", X.token_hash64(F.col("gram")).alias("h")
+        "doc_id", "pos", "n_grams", X.token_hash64(F.col("gram")).alias("h")
     )
     w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    w_all = Window.partitionBy("doc_id")
-    mins = (
-        hashed.withColumn("fp", F.min("h").over(w_min))
-        .withColumn("n_grams", F.count(F.lit(1)).over(w_all))
-        .where(F.col("pos") <= F.col("n_grams") - 4)  # full windows only
+    mins = hashed.withColumn("fp", F.min("h").over(w_min)).where(
+        F.col("pos") <= F.col("n_grams") - 4  # full windows only
     )
     agg = mins.groupBy("doc_id").agg(
         F.count_distinct("fp").alias("n_fingerprints"),
