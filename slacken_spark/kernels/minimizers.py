@@ -291,17 +291,29 @@ def window_minimizers(ranks: np.ndarray, window: int) -> tuple[np.ndarray, np.nd
 
     Returns (min_rank_per_window, argmin_position_per_window); argmin is
     the LEFTMOST minimal position (PosRankWindow keeps the earliest
-    minimum). Vectorized via a sliding view — window counts are small
-    (k−m+1, e.g. 5 for k=35/m=31), so O(n·w) SIMD beats a Python
-    monotonic queue by orders of magnitude.
+    minimum). Sparse-table doubling over (value, position) pairs:
+    log2(w) rounds of contiguous compares/selects — ~2-3× faster than a
+    strided-view argmin (non-contiguous reduction), and O(n log w) vs a
+    Python monotonic queue's interpreted O(n). Ties keep the left
+    operand at every combine, so the leftmost minimum survives.
     """
     n = len(ranks) - window + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    wv = np.lib.stride_tricks.sliding_window_view(ranks, window)
-    arg = wv.argmin(axis=1)  # first occurrence = leftmost
-    pos = np.arange(n, dtype=np.int64) + arg
-    return ranks[pos], pos
+    val = np.asarray(ranks)
+    pos = np.arange(len(ranks), dtype=np.int64)
+    p = 1
+    while p * 2 <= window:
+        m = len(val) - p
+        take = val[p:][:m] < val[:m]  # strictly smaller → right wins
+        val = np.where(take, val[p:][:m], val[:m])
+        pos = np.where(take, pos[p:][:m], pos[:m])
+        p *= 2
+    off = window - p  # overlapping tail block [i+off, i+off+p)
+    v1, p1 = val[:n], pos[:n]
+    v2, p2 = val[off : off + n], pos[off : off + n]
+    take = v2 < v1
+    return np.where(take, v2, v1), np.where(take, p2, p1)
 
 
 def supermer_arrays(
