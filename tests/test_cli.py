@@ -108,3 +108,22 @@ def test_cli_build_stats_classify(workdir):
     report = (workdir / "cls_kreport.txt").read_text()
     assert "Species one" in report
     assert os.path.isdir(out + "_c0.0")
+
+
+def test_splitter_defaults_for_wide_m():
+    """-s defaults to 7 for m <= 31 and 0 for wide m; --wide-scheme
+    selects the id scheme without extra flags."""
+    import argparse
+
+    from slacken_spark.cli import _add_splitter_args, _splitter
+
+    p = argparse.ArgumentParser()
+    _add_splitter_args(p)
+    cfg = _splitter(p.parse_args([]))
+    assert cfg.m == 31 and cfg.spaces == 7
+    cfg = _splitter(p.parse_args(["-k", "50", "-m", "45"]))
+    assert cfg.m == 45 and cfg.spaces == 0 and cfg.wide == "exact"
+    cfg = _splitter(p.parse_args(["-k", "50", "-m", "45", "-s", "3"]))
+    assert cfg.spaces == 3  # explicit spaces compose with wide ids now
+    cfg = _splitter(p.parse_args(["-k", "50", "-m", "45", "--wide-scheme", "hashed"]))
+    assert cfg.wide == "hashed"
