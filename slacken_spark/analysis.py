@@ -435,3 +435,64 @@ class CAMIToKrakenReport:
     def write_filtered_report(self, location: str) -> None:
         with open(location, "w") as f:
             f.write("\n".join(self.filtered_report().lines()) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Report filtering / display (analysis/DisplayReport.scala:28-113)
+# ---------------------------------------------------------------------------
+
+RANK_CODE_DEPTH = {
+    "U": -1,
+    "R": 0,
+    "D": 1,
+    "K": 2,
+    "P": 3,
+    "C": 4,
+    "O": 5,
+    "F": 6,
+    "G": 7,
+    "S": 8,
+}
+
+
+def num_rank_for_code(code: str) -> int:
+    """Rank code letter → standardised depth; unknown codes (e.g. '-',
+    'D1' suffixes already stripped) map to Unclassified (-1)
+    (DisplayReport.numRankForCode)."""
+    return RANK_CODE_DEPTH.get(code, -1)
+
+
+def filter_report(
+    lines,
+    level_cutoff: int | None = None,
+    min_percent: float | None = None,
+    clades: set[int] | None = None,
+):
+    """Filter Kraken/Slacken report lines (DisplayReport.filterReport,
+    DisplayReport.scala:43-84): drop comments, apply a minimum clade
+    percentage, a standardised-rank cutoff (numeric suffixes like G1
+    stripped), and — when ``clades`` is given — keep only those taxa and
+    their descendants, tracked through the report's indentation levels.
+    Yields accepted lines in order."""
+    last_indent = float("inf")
+    for line in lines:
+        if line.startswith("#"):
+            continue
+        spl = line.split("\t")
+        frac = float(spl[0])
+        if min_percent is not None and frac < min_percent:
+            continue
+        level = re.sub(r"[0-9]+", "", spl[3])
+        num_level = num_rank_for_code(level)
+        if level_cutoff is not None and num_level > level_cutoff:
+            continue
+        taxon = int(spl[4])
+        indent = len(re.match(r"\s*", spl[5]).group(0))
+        in_clades = clades is None or taxon in clades
+        if in_clades and last_indent > indent:
+            # accept this taxon and the tree below it
+            last_indent = indent
+        if clades is None or taxon in clades or indent > last_indent:
+            yield line
+        else:
+            last_indent = float("inf")  # not accepting the current subtree

@@ -290,6 +290,29 @@ def cmd_input_check(args) -> int:
     return 0
 
 
+def cmd_display_report(args) -> int:
+    """Filter a Kraken/Slacken report by rank cutoff / min percentage /
+    clade set (DisplayReport + FilterReport mains,
+    DisplayReport.scala:86-113) — no Spark session needed."""
+    from slacken_spark.analysis import filter_report, num_rank_for_code
+
+    if args.report:
+        with open(args.report) as f:
+            lines = f.read().splitlines()
+    else:
+        lines = sys.stdin.read().splitlines()
+    cutoff = num_rank_for_code(args.rank.upper()) if args.rank else None
+    clades = None
+    if args.clades:
+        with open(args.clades) as f:
+            clades = {int(x) for x in f.read().split() if x.strip()}
+    for line in filter_report(
+        lines, level_cutoff=cutoff, min_percent=args.min_percent, clades=clades
+    ):
+        print(line)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="slacken_spark",
@@ -378,6 +401,15 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("--labels", help="seqid2taxid.map for label stats")
     ic.add_argument("--taxonomy", help="dir with nodes.dmp/names.dmp")
     ic.set_defaults(fn=cmd_input_check)
+
+    dr = sub.add_parser(
+        "display-report", help="filter a Kraken/Slacken report (stdin or file)"
+    )
+    dr.add_argument("report", nargs="?", help="report file (default: stdin)")
+    dr.add_argument("--rank", help="rank code cutoff, e.g. G for genus")
+    dr.add_argument("--min-percent", type=float)
+    dr.add_argument("--clades", help="file with one taxon id per line")
+    dr.set_defaults(fn=cmd_display_report)
 
     args = parser.parse_args(argv)
     return args.fn(args)

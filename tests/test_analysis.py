@@ -359,3 +359,30 @@ def test_numerical_rank_and_missing_steps(world):
     assert numerical_rank_to_str(99) == "???"
     assert tax.missing_steps_to_root(101) == [1, 2, 3, 4, 5, 6]
     assert tax.is_leaf(101) and not tax.is_leaf(10)
+
+
+def test_filter_report():
+    from slacken_spark.analysis import filter_report, num_rank_for_code
+
+    assert num_rank_for_code("G") == 7 and num_rank_for_code("U") == -1
+    lines = [
+        "# comment",
+        " 90.00\t90\t0\tR\t1\troot",
+        " 80.00\t80\t5\tD\t2\t  Bacteria",
+        " 60.00\t60\t0\tG1\t40\t    GenusX",
+        " 50.00\t50\t50\tS\t401\t      SpeciesA",
+        "  0.50\t1\t1\tS\t402\t      SpeciesB",
+        " 10.00\t10\t10\tS\t501\t      SpeciesC",
+    ]
+    # rank cutoff at genus (7): species lines (8) dropped; G1 suffix strips
+    got = list(filter_report(lines, level_cutoff=7))
+    assert [l.split("\t")[4] for l in got] == ["1", "2", "40"]
+    # min percent drops the 0.5% line
+    got = list(filter_report(lines, min_percent=1.0))
+    assert all(l.split("\t")[4] != "402" for l in got)
+    # clade filter keeps GenusX and its indented descendants only
+    got = list(filter_report(lines, clades={40}))
+    assert [l.split("\t")[4] for l in got] == ["40", "401", "402", "501"]
+    # clade + percent compose
+    got = list(filter_report(lines, min_percent=1.0, clades={40}))
+    assert [l.split("\t")[4] for l in got] == ["40", "401", "501"]

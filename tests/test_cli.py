@@ -127,3 +127,24 @@ def test_splitter_defaults_for_wide_m():
     assert cfg.spaces == 3  # explicit spaces compose with wide ids now
     cfg = _splitter(p.parse_args(["-k", "50", "-m", "45", "--wide-scheme", "hashed"]))
     assert cfg.wide == "hashed"
+
+
+def test_display_report_cli(tmp_path):
+    from slacken_spark.cli import main
+
+    rep = tmp_path / "r.kreport"
+    rep.write_text(
+        " 90.00\t90\t0\tR\t1\troot\n"
+        " 60.00\t60\t0\tG\t40\t  GenusX\n"
+        " 50.00\t50\t50\tS\t401\t    SpeciesA\n"
+        "  0.50\t1\t1\tS\t402\t    SpeciesB\n"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["display-report", str(rep), "--rank", "g"])
+    assert rc == 0
+    taxa = [l.split("\t")[4] for l in buf.getvalue().strip().splitlines()]
+    assert taxa == ["1", "40"]
