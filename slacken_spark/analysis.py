@@ -496,3 +496,201 @@ def filter_report(
             yield line
         else:
             last_indent = float("inf")  # not accepting the current subtree
+
+
+# ---------------------------------------------------------------------------
+# Total k-mer count report (IndexStatistics.scala:38-52, 114-210)
+# ---------------------------------------------------------------------------
+
+
+class TotalKmerSizeAggregator:
+    """Clade k-mer-count averages over per-taxon genome sizes
+    (TotalKmerSizeAggregator, IndexStatistics.scala:130-210):
+    S1 = average over all leaf genomes in the clade, S2 = average of the
+    immediate children's averages, S3 = the weighted blend of both."""
+
+    def __init__(self, tax: Taxonomy, genome_sizes: dict[int, int]):
+        self.tax = tax
+        self.sizes = dict(genome_sizes)
+        # post-order: (sum of genome sizes in the clade incl. self, count)
+        self.tree: dict[int, tuple[int, int]] = {}
+        stack: list[tuple[int, bool]] = [(ROOT, False)]
+        while stack:
+            t, expanded = stack.pop()
+            ch = self.tax.children[t]
+            if not expanded and ch:
+                stack.append((t, True))
+                stack.extend((c, False) for c in ch)
+                continue
+            s = self.sizes.get(t, 0)
+            n = 1 if t in self.sizes else 0
+            for c in ch:
+                cs, cn = self.tree[c]
+                s += cs
+                n += cn
+            self.tree[t] = (s, n)
+
+    def _children_sum(self, t: int) -> tuple[int, int]:
+        ch = self.tax.children[t]
+        if not ch:
+            return self.tree[t]
+        s = n = 0
+        for c in ch:
+            cs, cn = self.tree[c]
+            s += cs
+            n += cn
+        return s, n
+
+    def s1(self, t: int) -> float:
+        """Average k-mer count among the clade's genomes (TKC1-LeafOnly)."""
+        s, n = self._children_sum(t)
+        if t in self.sizes:
+            s, n = s + self.sizes[t], n + 1
+        return s / n if n else 0.0
+
+    def s2(self, t: int) -> float:
+        """Average of immediate children's averages (TKC2-FirstChildren)."""
+        ch = self.tax.children[t]
+        if ch:
+            vals = [
+                self.tree[c][0] / self.tree[c][1]
+                for c in ch
+                if self.tree[c][1] > 0
+            ]
+            if t in self.sizes:
+                vals = [float(self.sizes[t])] + vals
+            return sum(vals) / len(vals) if vals else 0.0
+        s, n = self.tree[t]
+        return s / n if n else 0.0
+
+    def s3(self, t: int) -> float:
+        """Weighted blend of S1 and S2 (TKC3-AllChildren)."""
+        nz = [self.tree[c] for c in self.tax.children[t] if self.tree[c][1] > 0]
+        if nz:
+            s = sum(x[0] for x in nz)
+            n = sum(x[1] for x in nz)
+        else:
+            s, n = self.tree[t]
+        n_nz = len(nz)
+        if n + n_nz == 0:
+            return 0.0
+        return (self.s1(t) * n + self.s2(t) * n_nz) / (n + n_nz)
+
+
+def per_taxon_kmer_counts(
+    index: KeyValueIndex, genomes: DataFrame, labels: DataFrame
+) -> dict[int, int]:
+    """Total (with duplicates) k-mer count per input taxon — the
+    superkmerPositions length sum of totalKmerCountReport
+    (IndexStatistics.scala:43-49), computed from FLAG_SEQUENCE spans."""
+    from slacken_spark.index import extract_spans
+    from slacken_spark.kernels.minimizers import FLAG_SEQUENCE
+
+    labelled = genomes.join(F.broadcast(labels), "header")
+    spans = extract_spans(labelled.select("header", "nucleotides"), index.cfg,
+                          index.table_bc)
+    per_header = (
+        spans.where(F.col("flag") == FLAG_SEQUENCE)
+        .groupBy("header")
+        .agg(F.sum("kmers").alias("n_kmers"))
+    )
+    rows = (
+        per_header.join(F.broadcast(labels), "header")
+        .groupBy("taxon")
+        .agg(F.sum("n_kmers").alias("n"))
+        .collect()
+    )
+    return {int(r["taxon"]): int(r["n"]) for r in rows}
+
+
+def total_kmer_count_report(
+    index: KeyValueIndex, genomes: DataFrame, labels: DataFrame
+):
+    """KrakenReport over index record counts with three extra TKC
+    columns per line (TotalKmerCountReport, IndexStatistics.scala:114-129)."""
+    from slacken_spark.classify import KrakenReport
+
+    counts = [
+        (int(r["taxon"]), int(r["n"]))
+        for r in index.records.groupBy("taxon")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    sizes = per_taxon_kmer_counts(index, genomes, labels)
+    agg = TotalKmerSizeAggregator(index.taxonomy, sizes)
+    rep = KrakenReport(index.taxonomy, counts)
+    base = rep.lines()
+
+    def extend(line: str) -> str:
+        taxid = int(line.split("\t")[4])
+        if taxid == NONE:
+            return line
+        return (
+            f"{line}\t{round(agg.s1(taxid))}"
+            f"\t{round(agg.s2(taxid))}\t{round(agg.s3(taxid))}"
+        )
+
+    return [extend(line) for line in base]
+
+
+def taxon_full_coverage_stats(
+    index: KeyValueIndex, genomes: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per input taxon: '<lca-depth>:<count>|…' concat of minimizer
+    occurrences (and distinct minimizers) by the structural depth of
+    their index LCA (showTaxonFullCoverageStats + depthCountConcat,
+    IndexStatistics.scala:86-111, U10). Depths via the broadcast
+    depth_vector — no per-row Python."""
+    from slacken_spark.index import extract_index_rows
+
+    labelled = genomes.join(F.broadcast(labels), "header")
+    mins = extract_index_rows(labelled, index.cfg, index.table_bc)
+    key = index.cfg.key_cols
+    min_counts = mins.groupBy(*key, "taxon").agg(
+        F.count(F.lit(1)).alias("countAll"), F.lit(1).cast("long").alias("countDistinct")
+    )
+    rec = index.records.withColumnRenamed("taxon", "idx_taxon")
+    dv = index.taxonomy.depth_vector()
+    bc = index.spark.sparkContext.broadcast(dv)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def taxon_depth(t: pd.Series) -> pd.Series:
+        d = bc.value
+        tv = t.fillna(-1).to_numpy(dtype="int64")
+        import numpy as np
+
+        out = np.full(len(tv), -1, dtype="int32")
+        ok = (tv >= 0) & (tv < len(d))
+        out[ok] = d[tv[ok]]
+        return pd.Series(out)
+
+    def concat(depths: str, cnts: str):
+        return F.array_join(
+            F.transform(
+                F.arrays_zip(depths, cnts),
+                lambda z: F.concat_ws(":", z[depths], z[cnts]),
+            ),
+            "|",
+        )
+
+    by_depth = (
+        min_counts.join(rec, key)
+        .withColumn("idxTaxDepth", taxon_depth(F.col("idx_taxon")))
+        .groupBy("taxon", "idxTaxDepth")
+        .agg(
+            F.sum("countAll").alias("sumAll"),
+            F.sum("countDistinct").alias("sumDistinct"),
+        )
+        .groupBy("taxon")
+        .agg(
+            F.collect_list("idxTaxDepth").alias("lcaDepths"),
+            F.collect_list("sumAll").alias("allCnts"),
+            F.collect_list("sumDistinct").alias("distCnts"),
+        )
+    )
+    return by_depth.select(
+        "taxon",
+        concat("lcaDepths", "allCnts").alias("minimizerCoverage"),
+        concat("lcaDepths", "distCnts").alias("distinctMinimizerCoverage"),
+    )

@@ -386,3 +386,62 @@ def test_filter_report():
     # clade + percent compose
     got = list(filter_report(lines, min_percent=1.0, clades={40}))
     assert [l.split("\t")[4] for l in got] == ["40", "401", "501"]
+
+
+def test_total_kmer_size_aggregator():
+    from slacken_spark.analysis import TotalKmerSizeAggregator
+
+    # ROOT(1) ← 10 ← {101: 100, 102: 200}; ROOT ← 20 ← {201: 300}
+    tax = Taxonomy.from_edges([10, 101, 102, 20, 201], [ROOT, 10, 10, ROOT, 20])
+    agg = TotalKmerSizeAggregator(tax, {101: 100, 102: 200, 201: 300})
+    # S1 at 10: clade leaves average = (100+200)/2
+    assert agg.s1(10) == 150.0
+    assert agg.s1(20) == 300.0
+    assert agg.s1(ROOT) == 200.0  # (100+200+300)/3
+    # S2 at ROOT: average of child averages = (150 + 300)/2
+    assert agg.s2(ROOT) == 225.0
+    assert agg.s2(10) == 150.0  # children are leaves: (100+200)/2
+    # S3 at ROOT: (S1*3 + S2*2)/5 = (200*3 + 225*2)/5
+    assert agg.s3(ROOT) == (200.0 * 3 + 225.0 * 2) / 5
+    # leaf behavior
+    assert agg.s1(101) == 100.0 and agg.s2(101) == 100.0
+
+
+def test_total_kmer_count_report_and_full_coverage(world, spark):
+    from slacken_spark.analysis import (
+        taxon_full_coverage_stats,
+        total_kmer_count_report,
+    )
+
+    lines = total_kmer_count_report(world["idx"], world["gdf"], world["ldf"])
+    # every classified line gains three TKC columns
+    base_cols = len(lines[-1].split("\t"))
+    for line in lines:
+        taxid = int(line.split("\t")[4])
+        if taxid != 0:
+            assert len(line.split("\t")) == base_cols
+            tkc = line.split("\t")[-3:]
+            assert all(int(x) >= 0 for x in tkc)
+    # leaf rows: TKC1 equals the taxon's own k-mer total (one genome)
+    from slacken_spark.analysis import per_taxon_kmer_counts
+
+    sizes = per_taxon_kmer_counts(world["idx"], world["gdf"], world["ldf"])
+    for line in lines:
+        taxid = int(line.split("\t")[4])
+        if taxid in sizes:
+            assert int(line.split("\t")[-3]) == round(sizes[taxid])
+
+    cov = {
+        r["taxon"]: r
+        for r in taxon_full_coverage_stats(
+            world["idx"], world["gdf"], world["ldf"]
+        ).collect()
+    }
+    assert set(cov) == set(sizes)
+    for t, r in cov.items():
+        # depth:count pairs parse; distinct ≤ all per depth
+        alls = dict(p.split(":") for p in r["minimizerCoverage"].split("|"))
+        dists = dict(p.split(":") for p in r["distinctMinimizerCoverage"].split("|"))
+        assert set(alls) == set(dists)
+        for d in alls:
+            assert int(dists[d]) <= int(alls[d])
