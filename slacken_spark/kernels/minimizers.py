@@ -75,8 +75,14 @@ class MinimizerConfig:
     wide: str = "exact"
 
     def __post_init__(self):
-        if not (0 < self.m <= 62):
-            raise ValueError("m must be in 1..62")
+        if not (0 < self.m <= 124):
+            raise ValueError("m must be in 1..124 (4 packed words, like the"
+                             " reference's id1..id4 cap at 128 bp)")
+        if self.m > 62 and self.wide != "hashed":
+            raise ValueError(
+                "m > 62 requires wide='hashed' (exact ids store at most"
+                " two words; 63..124 bases hash all words into one id)"
+            )
         if self.m > 31 and self.masked:
             # masked STORAGE (respace projections) stays single-word
             raise ValueError("masked storage requires m <= 31")
@@ -187,42 +193,68 @@ def scan_mmers_wide(
     LCA records — but stored ids are irreversible).
 
     Returns (id1, id2, ranks); id2 is all-zero under "hashed".
+
+    m in 63..124 decomposes into 3-4 words (the reference's id3/id4
+    range) and is hashed-only: all words mix into the single id1.
     """
     m = cfg.m
-    m_lo = m - 31
-    p_hi = bitseq.pack_kmers(codes, 31)  # bases i..i+30
-    p_lo = bitseq.pack_kmers(codes, m_lo)  # bases i..i+m_lo-1
     n = len(codes) - m + 1
     if n <= 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e.copy(), e.copy()
-    hi = p_hi[:n]
-    lo = p_lo[31 : 31 + n]
+    # word j covers bases [31j, 31j + w_j), w_j = min(31, m - 31j)
+    widths = []
+    off = 0
+    while off < m:
+        widths.append(min(31, m - off))
+        off += 31
+    packs = {w: bitseq.pack_kmers(codes, w) for w in set(widths)}
+    fwd = []
+    offs = [31 * j for j in range(len(widths))]
+    for j, (w, o) in enumerate(zip(widths, offs)):
+        fwd.append(packs[w][o : o + n])
     if cfg.canonical:
-        # rc halves: first 31 bases of the rc = revcomp of the LAST 31
-        # bases; remaining m-31 = revcomp of the first m-31
-        rc_hi = bitseq.revcomp_packed(p_hi[m - 31 : m - 31 + n], 31)
-        rc_lo = bitseq.revcomp_packed(p_lo[:n], m_lo)
-        take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
-        hi = np.where(take_rc, rc_hi, hi)
-        lo = np.where(take_rc, rc_lo, lo)
+        # word j of the rc m-mer = revcomp of fwd bases
+        # [m - 31j - w_j, m - 31j) — the mirrored slice
+        rc = []
+        for j, (w, o) in enumerate(zip(widths, offs)):
+            src = m - o - w
+            rc.append(bitseq.revcomp_packed(packs[w][src : src + n], w))
+        # lexicographic min across word tuples
+        take_rc = np.zeros(n, dtype=bool)
+        tied = np.ones(n, dtype=bool)
+        for f, r in zip(fwd, rc):
+            take_rc |= tied & (r < f)
+            tied &= r == f
+        fwd = [np.where(take_rc, r, f) for f, r in zip(fwd, rc)]
     if cfg.spaces > 0:
         # spaced seeds over wide ids: zero the masked 2-bit positions of
-        # each packed half BEFORE the rank mix, so m-mers equal on the
+        # each packed word BEFORE the rank mix, so m-mers equal on the
         # unmasked positions rank identically (SpacedSeed wraps the
         # inner ordering, MinimizerPriorities.scala:282-321); stored ids
         # stay exact
         full = cfg.seed_mask
-        lo_bits = 2 * m_lo
-        mask_lo = np.uint64(full & ((1 << lo_bits) - 1))
-        mask_hi = np.uint64(full >> lo_bits)
-        ranks = _mix62(hi & mask_hi, lo & mask_lo)
+        masked = []
+        shift = 2 * m
+        for w, word in zip(widths, fwd):
+            shift -= 2 * w
+            wmask = np.uint64((full >> shift) & ((1 << (2 * w)) - 1))
+            masked.append(word & wmask)
+        rank_words = masked
     else:
-        ranks = _mix62(hi, lo)
+        rank_words = fwd
+    ranks = rank_words[0]
+    for word in rank_words[1:]:
+        ranks = _mix62(ranks, word)
     if cfg.wide == "hashed":
-        ids = ranks if cfg.spaces == 0 else _mix62(hi, lo)
+        if cfg.spaces == 0:
+            ids = ranks
+        else:
+            ids = fwd[0]
+            for word in fwd[1:]:
+                ids = _mix62(ids, word)
         return ids, np.zeros(n, dtype=np.uint64), ranks
-    return hi, lo, ranks
+    return fwd[0], fwd[1], ranks
 
 
 def scan_mmers_full(

@@ -445,3 +445,26 @@ def test_total_kmer_count_report_and_full_coverage(world, spark):
         assert set(alls) == set(dists)
         for d in alls:
             assert int(dists[d]) <= int(alls[d])
+
+
+def test_extra_wide_index_classifies(world, spark):
+    """m=80 (3 words, hashed): full build → classify pipeline works for
+    the reference's id3/id4 width range."""
+    from slacken_spark.kernels.minimizers import MinimizerConfig
+
+    tax = world["tax"]
+    cfg = MinimizerConfig(k=90, m=80, spaces=0, canonical=True, wide="hashed")
+    idx = KeyValueIndex.build(
+        spark, world["gdf"], world["ldf"], tax, cfg, buckets=4
+    )
+    assert idx.stats()["records"] > 0
+    seq = world["genomes"][101]
+    reads = spark.createDataFrame(
+        [(f"x{i}", seq[i * 90 : i * 90 + 200]) for i in range(8)],
+        "header string, nucleotides string",
+    )
+    out = Classifier(idx).classify(reads, ClassifyParams(min_hit_groups=2)).collect()
+    assert sum(r["classified"] for r in out) >= 6
+    for r in out:
+        if r["classified"]:
+            assert tax.has_ancestor(101, r["taxon"])

@@ -519,3 +519,68 @@ def test_min_table_uint32_and_cap():
 
     with _pytest.raises(ValueError):
         uniform_random_table(16)
+
+
+@pytest.mark.parametrize("m", [80, 124])
+def test_extra_wide_hashed_identity(m):
+    """63 < m ≤ 124 (3-4 words, the reference's id3/id4 range): hashed
+    ids are canonical-string functions — equal strings (incl. planted
+    revcomp) share an id, distinct strings get distinct ids."""
+    from slacken_spark.kernels.minimizers import scan_mmers_full
+
+    cfg = MinimizerConfig(k=m, m=m, spaces=0, canonical=True, wide="hashed")
+    rng = np.random.default_rng(m)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, m))
+    s = (
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 150))
+        + core
+        + "".join("ACGT"[i] for i in rng.integers(0, 4, 150))
+        + bitseq.revcomp_str(core)
+        + "".join("ACGT"[i] for i in rng.integers(0, 4, 150))
+    )
+    id1, id2, ranks = scan_mmers_full(bitseq.encode_codes(s), cfg)
+    assert (id2 == 0).all()
+    by_string: dict[str, set] = {}
+    for i in range(len(s) - m + 1):
+        mm = s[i : i + m]
+        canon = min(mm, bitseq.revcomp_str(mm))
+        by_string.setdefault(canon, set()).add(int(id1[i]))
+    assert all(len(v) == 1 for v in by_string.values())
+    ids = [next(iter(v)) for v in by_string.values()]
+    assert len(set(ids)) == len(ids)
+    canon_core = min(core, bitseq.revcomp_str(core))
+    assert len(by_string[canon_core]) == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet="ACGTN", min_size=0, max_size=400))
+def test_extra_wide_span_accounting(s):
+    cfg = MinimizerConfig(k=100, m=95, spaces=0, wide="hashed")
+    spans = read_spans(s, cfg)
+    codes = bitseq.encode_codes(s)
+    expect = sum(
+        (e - st_) - cfg.k + 1
+        for st_, e, v in split_by_ambiguity(codes, cfg.k)
+        if v
+    )
+    assert sum(sp.kmers for sp in spans if sp.flag == FLAG_SEQUENCE) == expect
+
+
+def test_extra_wide_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MinimizerConfig(k=90, m=80, spaces=0, wide="exact")  # > 2 words
+    with _pytest.raises(ValueError):
+        MinimizerConfig(k=130, m=125, spaces=0, wide="hashed")  # > 4 words
+    cfg = MinimizerConfig(k=90, m=80, spaces=0, wide="hashed")
+    assert cfg.key_cols == ["id1"]
+
+
+def test_extra_wide_orientation_invariant():
+    cfg = MinimizerConfig(k=100, m=93, spaces=0, canonical=True, wide="hashed")
+    rng = np.random.default_rng(5)
+    s = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+    a = set(genome_minimizers(s, cfg).tolist())
+    b = set(genome_minimizers(bitseq.revcomp_str(s), cfg).tolist())
+    assert a == b
