@@ -62,7 +62,9 @@ def streaming_window_counts(spark, sf_dir):
             "value_cents",
         )
     )
-    return ops.run_to_completion(agg, output_mode="complete")
+    # 10 key-ring × 24 windows of state: size the state store to the key
+    # cardinality, not the session's batch shuffle setting
+    return ops.run_to_completion(agg, output_mode="complete", shuffle_partitions=8)
 
 
 @register(
@@ -94,7 +96,9 @@ def streaming_session_windows(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    done = ops.run_to_completion(sess, output_mode="complete")
+    done = ops.run_to_completion(
+        sess, output_mode="complete", shuffle_partitions=8
+    )
     return done.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),

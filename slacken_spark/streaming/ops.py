@@ -118,21 +118,40 @@ def running_user_totals(stream: DataFrame, key_col: str = "user_id") -> DataFram
 
 
 def run_to_completion(
-    result: DataFrame, output_mode: str = "complete", name: str | None = None
+    result: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with the availableNow trigger into a
     memory sink and return the final table — deterministic, so streaming
-    plans are testable against batch oracles."""
+    plans are testable against batch oracles.
+
+    ``shuffle_partitions`` sizes the state store for THIS query (the
+    partition count is frozen into the checkpoint at first start):
+    stateful task count should track key cardinality and cluster size,
+    not the session-wide batch setting — a handful for a small keyed
+    stream, hundreds on a real cluster. Restored after the run.
+    """
+    spark = result.sparkSession
     name = name or ("s_" + uuid.uuid4().hex[:12])
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def file_stream(
