@@ -144,10 +144,22 @@ class Dynamic:
         in_sample = dict(self.distinct_minimizers_per_taxon(reads))
         if not in_sample:
             return []
+        import numpy as np
+
+        from slacken_spark.kernels.taxonomy import member_mask_udf
+
+        mask = np.zeros(self.taxonomy.n_nodes, dtype=bool)
+        mask[
+            np.asarray(
+                [t for t in in_sample if 0 <= t < self.taxonomy.n_nodes],
+                dtype=np.int64,
+            )
+        ] = True
+        member = member_mask_udf(self.base.spark, mask)
         in_records = {
             r["taxon"]: r["n_minimizers"]
             for r in self.base.distinct_minimizers_per_taxon()
-            .where(F.col("taxon").isin(sorted(in_sample)))
+            .where(member(F.col("taxon")))
             .collect()
         }
         return [
