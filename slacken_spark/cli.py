@@ -207,6 +207,9 @@ def cmd_bracken_build(args) -> int:
 
 
 def cmd_stats(args) -> int:
+    """Index statistics; with --library (+ --labels), also the
+    total-k-mer-count report (TKC1/2/3 columns) and the per-taxon
+    coverage summary (IndexStatistics.scala stats surface)."""
     from slacken_spark.analysis import depth_histogram
     from slacken_spark.index import KeyValueIndex
 
@@ -215,6 +218,21 @@ def cmd_stats(args) -> int:
     print(json.dumps(idx.stats()))
     for row in depth_histogram(idx).collect():
         print(f"depth {row['depth']}: {row['n_records']}")
+    if getattr(args, "library", None) and getattr(args, "labels", None):
+        from slacken_spark.analysis import (
+            taxon_coverage_stats,
+            total_kmer_count_report,
+        )
+        from slacken_spark.sources.fasta import read_sequences, read_taxon_labels
+
+        genomes = read_sequences(spark, args.library)
+        labels = read_taxon_labels(spark, args.labels)
+        for line in total_kmer_count_report(idx, genomes, labels):
+            print(line)
+        cov = taxon_coverage_stats(idx, genomes, labels).orderBy("taxon").collect()
+        for r in cov:
+            print(f"coverage {r['taxon']}: frac_leaf={r['frac_leaf']:.4f}"
+                  f" total={r['total']}")
     return 0
 
 
@@ -378,6 +396,8 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("stats", help="index statistics")
     st.add_argument("--index", required=True)
+    st.add_argument("--library", help="genome library for k-mer/coverage reports")
+    st.add_argument("--labels", help="seqid2taxid.map for the library")
     st.set_defaults(fn=cmd_stats)
 
     ins = sub.add_parser("inspect", help="index contents report")
