@@ -144,10 +144,13 @@ class Classifier:
     def _classify_grouped(self, grouped, cpar, threshold):
         """Internal: classification kernel over pre-grouped hits.
 
-        resolve_tree runs BATCHED: all reads in an Arrow batch are
-        resolved in one set of vectorized passes
-        (Taxonomy.resolve_tree_batch) — no per-read Python resolution.
-        Only the Kraken output strings are built row-by-row.
+        Every stage is batched across the Arrow batch: run-merging of
+        consecutive equal taxa (one boundary scan over the flattened hit
+        lists), per-read totals via scatter-add, resolve_tree via the
+        vectorized batch kernel, and even the Kraken detail strings —
+        per-run 'taxid:count' pieces are built with vectorized string
+        ops and joined per read (the one remaining per-read operation,
+        a C-level str.join per group).
         """
         k = self.index.cfg.k
         min_hit_groups = cpar.min_hit_groups
@@ -156,33 +159,59 @@ class Classifier:
 
         def gen(batches):
             tax: Taxonomy = bc_tax.value
-            sre = re.compile(sample_regex) if sample_regex else None
             for pdf in batches:
                 n = len(pdf)
-                merged = []
-                seg_l, tax_l, cnt_l = [], [], []
-                required = np.zeros(n, dtype=np.float64)
-                for i, row in enumerate(pdf.itertuples(index=False)):
-                    taxa = np.asarray(row.taxa, dtype=np.int64)
-                    counts = np.asarray(row.counts, dtype=np.int64)
-                    mt, mc = taxon_counts_from_hits(taxa, counts)
-                    merged.append((mt, mc))
-                    total_kmers = sum(
-                        c for t, c in zip(mt, mc) if t != MATE_PAIR_BORDER
+                if n == 0:
+                    continue
+                lens = np.fromiter(
+                    (len(x) for x in pdf["taxa"]), dtype=np.int64, count=n
+                )
+                total_hits = int(lens.sum())
+                flat_t = (
+                    np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["taxa"]]
                     )
-                    required[i] = np.ceil(threshold * total_kmers)
-                    for t, c in zip(mt, mc):
-                        if t not in (AMBIGUOUS_SPAN, MATE_PAIR_BORDER):
-                            seg_l.append(i)
-                            tax_l.append(t)
-                            cnt_l.append(c)
+                    if total_hits
+                    else np.empty(0, dtype=np.int64)
+                )
+                flat_c = (
+                    np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["counts"]]
+                    )
+                    if total_hits
+                    else np.empty(0, dtype=np.int64)
+                )
+                rid = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+                # run-merge consecutive equal taxa per read
+                # (TaxonCounts.fromHits, batched)
+                if total_hits:
+                    start = np.empty(total_hits, dtype=bool)
+                    start[0] = True
+                    start[1:] = (flat_t[1:] != flat_t[:-1]) | (
+                        rid[1:] != rid[:-1]
+                    )
+                    sidx = np.flatnonzero(start)
+                    m_t = flat_t[sidx]
+                    m_c = np.add.reduceat(flat_c, sidx)
+                    m_rid = rid[sidx]
+                else:
+                    m_t = m_c = m_rid = np.empty(0, dtype=np.int64)
+
+                is_border = m_t == MATE_PAIR_BORDER
+                is_ambig = m_t == AMBIGUOUS_SPAN
+                not_border = ~is_border
+                tot = np.zeros(n, dtype=np.int64)
+                np.add.at(tot, m_rid[not_border], m_c[not_border])
+                required = np.ceil(threshold * tot)
+
                 winners = np.zeros(n, dtype=np.int64)
-                if seg_l:
-                    seg_a = np.asarray(seg_l, dtype=np.int64)
-                    tax_a = np.asarray(tax_l, dtype=np.int64)
-                    cnt_a = np.asarray(cnt_l, dtype=np.int64)
+                sel = not_border & ~is_ambig
+                if sel.any():
+                    seg_a, tax_a, cnt_a = m_rid[sel], m_t[sel], m_c[sel]
                     # merge duplicate (read, taxon) keys (resolve expects
-                    # one entry per key)
+                    # one entry per key); runs are read-major so seg is
+                    # already sorted — sort within read by taxon
                     key = seg_a * (np.int64(1) << np.int64(32)) + tax_a
                     order = np.argsort(key, kind="stable")
                     key, seg_a, tax_a, cnt_a = (
@@ -201,31 +230,83 @@ class Classifier:
                         seg_a, tax_a, cnt_a, required[np.unique(seg_a)]
                     )
                     winners[usegs] = w
-                out = {
-                    "sample_id": [],
-                    "classified": [],
-                    "header": [],
-                    "taxon": [],
-                    "length_string": [],
-                    "hits_string": [],
-                }
-                for i, row in enumerate(pdf.itertuples(index=False)):
-                    mt, mc = merged[i]
-                    taxon = int(winners[i])
-                    classified = (
-                        taxon != NONE and row.num_distinct >= min_hit_groups
+
+                num_distinct = pdf["num_distinct"].to_numpy()
+                classified = (winners != NONE) & (num_distinct >= min_hit_groups)
+                taxon_out = np.where(classified, winners, NONE).astype(np.int64)
+
+                # ---- hits_string: vectorized per-run pieces, joined per
+                # read (TaxonCounts.pairsInOrderString) ----
+                if total_hits:
+                    cstr = m_c.astype("U20")
+                    pieces = np.char.add(
+                        np.char.add(m_t.astype("U20"), ":"), cstr
                     )
-                    sample = "all"
-                    if sre is not None:
-                        m = sre.search(row.header)
-                        sample = m.group(1) if m else "other"
-                    out["sample_id"].append(sample)
-                    out["classified"].append(bool(classified))
-                    out["header"].append(row.header)
-                    out["taxon"].append(taxon if classified else NONE)
-                    out["length_string"].append(length_string(mt, mc, k))
-                    out["hits_string"].append(pairs_in_order_string(mt, mc))
-                yield pd.DataFrame(out)
+                    pieces[is_ambig] = np.char.add("A:", cstr[is_ambig])
+                    pieces[is_border] = "|:|"
+                    hits_ser = (
+                        pd.Series(pieces, index=m_rid)
+                        .groupby(level=0)
+                        .agg(" ".join)
+                    )
+                    hits_string = np.full(n, "", dtype=object)
+                    hits_string[hits_ser.index.to_numpy()] = (
+                        hits_ser.to_numpy()
+                    )
+                else:
+                    hits_string = np.full(n, "", dtype=object)
+
+                # ---- length_string: 'len' or 'len1|len2' at the mate
+                # border (TaxonCounts.lengthString) ----
+                has_border = np.zeros(n, dtype=bool)
+                has_border[m_rid[is_border]] = True
+                # runs strictly after the read's border (cumsum of border
+                # markers, rebased per read)
+                if total_hits:
+                    bcum = np.cumsum(is_border.astype(np.int64))
+                    read_first = np.empty(len(m_rid), dtype=bool)
+                    read_first[0] = True
+                    read_first[1:] = m_rid[1:] != m_rid[:-1]
+                    base_at = np.zeros(n, dtype=np.int64)
+                    fidx = np.flatnonzero(read_first)
+                    base_at[m_rid[fidx]] = bcum[fidx] - is_border[
+                        fidx
+                    ].astype(np.int64)
+                    after = (bcum - base_at[m_rid]) > 0  # incl. the border
+                    l1 = np.zeros(n, dtype=np.int64)
+                    l2 = np.zeros(n, dtype=np.int64)
+                    pre = not_border & ~after
+                    post = not_border & after
+                    np.add.at(l1, m_rid[pre], m_c[pre])
+                    np.add.at(l2, m_rid[post], m_c[post])
+                else:
+                    l1 = l2 = np.zeros(n, dtype=np.int64)
+                single = (l1 + l2 + (k - 1)).astype("U20")
+                dual = np.char.add(
+                    np.char.add((l1 + (k - 1)).astype("U20"), "|"),
+                    (l2 + (k - 1)).astype("U20"),
+                )
+                length_str = np.where(has_border, dual, single)
+
+                sample = pd.Series(np.full(n, "all", dtype=object))
+                if sample_regex:
+                    ext = pdf["header"].str.extract(
+                        f"({sample_regex})" if "(" not in sample_regex
+                        else sample_regex,
+                        expand=True,
+                    )[0]
+                    sample = ext.fillna("other")
+
+                yield pd.DataFrame(
+                    {
+                        "sample_id": sample.to_numpy(),
+                        "classified": classified,
+                        "header": pdf["header"].to_numpy(),
+                        "taxon": taxon_out.astype(np.int32),
+                        "length_string": length_str,
+                        "hits_string": hits_string,
+                    }
+                )
 
         return grouped.mapInPandas(
             gen,
