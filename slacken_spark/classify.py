@@ -13,7 +13,6 @@ KrakenReport.scala:26-115):
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -422,55 +421,63 @@ class SQLClassifier:
 
         def gen(batches):
             tax: Taxonomy = bc_tax.value
-            sre = re.compile(sample_regex) if sample_regex else None
             for pdf in batches:
                 n = len(pdf)
-                seg_l, tax_l, cnt_l = [], [], []
-                required = np.zeros(n, dtype=np.float64)
-                gate = np.zeros(n, dtype=bool)
-                for i, row in enumerate(pdf.itertuples(index=False)):
-                    gate[i] = row.num_distinct >= min_hit_groups
-                    if not gate[i]:
-                        continue
-                    required[i] = np.ceil(threshold * (row.total_count or 0))
-                    for t, c in zip(row.taxa, row.counts):
-                        seg_l.append(i)
-                        tax_l.append(int(t))
-                        cnt_l.append(int(c))
+                if n == 0:
+                    continue
+                num_distinct = pdf["num_distinct"].to_numpy()
+                gate = num_distinct >= min_hit_groups
+                total = pdf["total_count"].fillna(0).to_numpy(dtype=np.float64)
+                required = np.ceil(threshold * total)
+                lens = np.fromiter(
+                    (len(x) for x in pdf["taxa"]), dtype=np.int64, count=n
+                )
                 winners = np.zeros(n, dtype=np.int64)
-                if seg_l:
-                    seg_a = np.asarray(seg_l, dtype=np.int64)
-                    tax_a = np.asarray(tax_l, dtype=np.int64)
-                    cnt_a = np.asarray(cnt_l, dtype=np.int64)
-                    key = seg_a * (np.int64(1) << np.int64(32)) + tax_a
-                    order = np.argsort(key, kind="stable")
-                    key, seg_a, tax_a, cnt_a = (
-                        key[order],
-                        seg_a[order],
-                        tax_a[order],
-                        cnt_a[order],
+                if lens.sum():
+                    rid = np.repeat(np.arange(n, dtype=np.int64), lens)
+                    flat_t = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["taxa"]]
                     )
-                    first = np.empty(len(key), dtype=bool)
-                    first[0] = True
-                    np.not_equal(key[1:], key[:-1], out=first[1:])
-                    idx = np.flatnonzero(first)
-                    seg_a, tax_a = seg_a[idx], tax_a[idx]
-                    cnt_a = np.add.reduceat(cnt_a, idx)
-                    usegs, w = tax.resolve_tree_batch(
-                        seg_a, tax_a, cnt_a, required[np.unique(seg_a)]
+                    flat_c = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["counts"]]
                     )
-                    winners[usegs] = w
+                    keep = gate[rid]
+                    seg_a, tax_a, cnt_a = rid[keep], flat_t[keep], flat_c[keep]
+                    if len(seg_a):
+                        key = seg_a * (np.int64(1) << np.int64(32)) + tax_a
+                        order = np.argsort(key, kind="stable")
+                        key, seg_a, tax_a, cnt_a = (
+                            key[order],
+                            seg_a[order],
+                            tax_a[order],
+                            cnt_a[order],
+                        )
+                        first = np.empty(len(key), dtype=bool)
+                        first[0] = True
+                        np.not_equal(key[1:], key[:-1], out=first[1:])
+                        idx = np.flatnonzero(first)
+                        seg_a, tax_a = seg_a[idx], tax_a[idx]
+                        cnt_a = np.add.reduceat(cnt_a, idx)
+                        usegs, w = tax.resolve_tree_batch(
+                            seg_a, tax_a, cnt_a, required[np.unique(seg_a)]
+                        )
+                        winners[usegs] = w
                 winners[~gate] = NONE
-                out = {"sample_id": [], "classified": [], "taxon": []}
-                for i, row in enumerate(pdf.itertuples(index=False)):
-                    sample = "all"
-                    if sre is not None:
-                        m = sre.search(row.header)
-                        sample = m.group(1) if m else "other"
-                    out["sample_id"].append(sample)
-                    out["classified"].append(bool(winners[i] != NONE))
-                    out["taxon"].append(int(winners[i]))
-                yield pd.DataFrame(out)
+                sample = pd.Series(np.full(n, "all", dtype=object))
+                if sample_regex:
+                    ext = pdf["header"].str.extract(
+                        f"({sample_regex})" if "(" not in sample_regex
+                        else sample_regex,
+                        expand=True,
+                    )[0]
+                    sample = ext.fillna("other")
+                yield pd.DataFrame(
+                    {
+                        "sample_id": sample.to_numpy(),
+                        "classified": winners != NONE,
+                        "taxon": winners.astype(np.int32),
+                    }
+                )
 
         return grouped.mapInPandas(
             gen, "sample_id string, classified boolean, taxon int"
