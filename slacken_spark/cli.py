@@ -94,11 +94,17 @@ def cmd_build(args) -> int:
 
 
 def cmd_respace(args) -> int:
+    """Project an index to one or more larger space counts (the
+    reference generates several respaced indexes in one run,
+    Slacken.scala:176-184)."""
     from slacken_spark.index import KeyValueIndex
 
     spark = _spark(args)
     idx = KeyValueIndex.load(spark, args.index)
-    idx.respace(args.spaces).write(args.output)
+    spaces = args.spaces if isinstance(args.spaces, list) else [args.spaces]
+    for s in spaces:
+        out = args.output if len(spaces) == 1 else f"{args.output}_s{s}"
+        idx.respace(s).write(out)
     return 0
 
 
@@ -349,7 +355,11 @@ def main(argv: list[str] | None = None) -> int:
 
     r = sub.add_parser("respace", help="project an index to more spaces")
     r.add_argument("--index", required=True)
-    r.add_argument("-s", "--spaces", type=int, required=True)
+    r.add_argument(
+        "-s", "--spaces", type=int, nargs="+", required=True,
+        help="one or more space counts; each writes <output>_s<N>"
+        " (one output when a single value is given)",
+    )
     r.add_argument("-o", "--output", required=True)
     r.set_defaults(fn=cmd_respace)
 

@@ -148,3 +148,16 @@ def test_display_report_cli(tmp_path):
     assert rc == 0
     taxa = [l.split("\t")[4] for l in buf.getvalue().strip().splitlines()]
     assert taxa == ["1", "40"]
+
+
+def test_respace_cli_multi(workdir):
+    """One respace invocation can emit several spaced indexes
+    (Slacken.scala:176-184 list form)."""
+    import os
+
+    idx = str(workdir / "idx")
+    out = str(workdir / "respaced")
+    r = _run(["respace", "--index", idx, "-s", "4", "5", "-o", out], str(workdir))
+    assert r.returncode == 0, r.stderr[-3000:]
+    for s in (4, 5):
+        assert os.path.exists(out + f"_s{s}/_index_params.json")
