@@ -51,6 +51,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``t`` + repartition to the session's parallelism — for the FULL-
+    table side of expansion-heavy plans (explodes, interpreted array
+    lambdas, mapInPandas kernels). A small single-file scan is one
+    partition, which would run the expensive per-row work
+    single-threaded; at warehouse scale the scan is already split and
+    the extra exchange is noise next to the expansion it feeds. Do NOT
+    use where a filter should reach the scan (repartition blocks
+    pushdown)."""
+    return t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def cents(col) -> F.Column:
     """Exact integer cents of a 2-decimal money double (portable)."""
     return F.round(col * 100).cast("long")

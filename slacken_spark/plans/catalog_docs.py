@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from slacken_spark.functions import dedup as D
 from slacken_spark.functions import similarity as SIM
 from slacken_spark.functions import text as X
-from slacken_spark.plans.catalog import register, t
+from slacken_spark.plans.catalog import register, t, tp
 
 # DuckDB equivalents of the portable building blocks -----------------------
 
@@ -244,7 +244,7 @@ def _minhash_cte(n_hashes: int = 8, shingle_words: int = 3) -> str:
 @register("minhash_signatures", _minhash_cte() + "\n    SELECT * FROM sig")
 def minhash_signatures(spark, sf_dir):
     return D.minhash_signature(
-        t(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
     )
 
 
@@ -269,7 +269,7 @@ def minhash_signatures(spark, sf_dir):
 )
 def minhash_lsh_pairs(spark, sf_dir):
     sig = D.minhash_signature(
-        t(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
     )
     return D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
 
@@ -296,7 +296,7 @@ def ngram_jaccard_adjacent(spark, sf_dir):
     intersect/union runs interpreted per element and dies at corpus
     scale; this shape shuffles once on the shingle and once on the pair).
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     sh = X.shingle_rows(docs, "text", "doc_id", n=3)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -352,7 +352,7 @@ def _simhash_sql(bits: int = 16) -> str:
 def simhash_docs(spark, sf_dir):
     """Exploded-row simhash (codegen'd conditional sums; see
     dedup.simhash_rows for why the array-lambda form is avoided)."""
-    return D.simhash_rows(t(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+    return D.simhash_rows(tp(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
 
 
 @register(
@@ -384,7 +384,7 @@ def doc_fingerprints(spark, sf_dir):
     computed exactly once per gram, codegen'd) and takes a 4-row sliding
     minimum with a window function; one shuffle on doc_id.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     # n_grams derives from the text length BEFORE the explode — a second
     # count-over-partition window pass just to bound full windows would
     # re-sort every exploded row
@@ -450,7 +450,9 @@ def embedding_cosine_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    corpus = tp(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
     out = SIM.cosine_topk(queries, corpus, k=3, round_digits=4)
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
@@ -524,7 +526,9 @@ def embedding_ivf_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    corpus = tp(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
     out = SIM.ivf_topk(queries, corpus, _centroids(), k=3, round_digits=4)
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
@@ -562,7 +566,7 @@ def _lsh_sql() -> str:
 
 @register("embedding_lsh_buckets", _lsh_sql())
 def embedding_lsh_buckets(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tp(spark, sf_dir, "embeddings")
     bucketed = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes())
     return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
 
@@ -604,7 +608,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate candidates: LSH-bucket equi-join
     (one shuffle, no all-pairs) + exact cosine threshold (0.2) — the embedding
     twin of MinHash dedup."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tp(spark, sf_dir, "embeddings")
     b = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes()).select(
         "vec_id",
         "embedding",

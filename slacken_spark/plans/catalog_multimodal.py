@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from slacken_spark.functions import multimodal as M
-from slacken_spark.plans.catalog import register, t
+from slacken_spark.plans.catalog import register, t, tp
 
 _N_BLOCKS = 4  # 4 md5 = 64 bytes
 
@@ -40,7 +40,7 @@ _BYTES_SQL = (
 
 
 def _images(spark, sf_dir, key_col="doc_id"):
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     key = F.col(key_col) if key_col == "doc_id" else (F.col("doc_id") % 50)
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -114,7 +114,7 @@ def media_phash_neardup(spark, sf_dir):
 def media_audio_stats(spark, sf_dir):
     """audio_features over md5-derived PCM16; rms matches bitwise (sum of
     exact integer squares, /32 power-of-two, IEEE sqrt)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     audio = docs.select(
         F.col("doc_id").alias("media_id"),
         _payload_expr(F.col("doc_id")).alias("payload"),
@@ -144,7 +144,7 @@ def video_frame_plan(spark, sf_dir):
     """Declarative frame-sampling plan (sequence+explode) — the oracle
     reproduces the arithmetic; the decode step downstream is the stubbed
     codec boundary."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     videos = docs.select(
         F.col("doc_id").alias("video_id"),
         (24.0 + (F.col("doc_id") % 3) * 3).alias("fps"),
