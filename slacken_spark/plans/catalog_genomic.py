@@ -68,15 +68,11 @@ _BRAND_TAXON_SQL = "CAST(2 + CAST(substr(p_brand, 7, 2) AS INT) AS VARCHAR)"
 def _genomes(spark, sf_dir):
     """(header, nucleotides, taxon, brand_taxon) — sampled parts.
 
-    Repartitioned after the sampling filter: the deterministic-DNA
-    construction (16 md5 blocks per genome) and the downstream scanner
-    kernels are the expensive part, and a single-file scan would run
-    them on one core."""
-    part = (
-        t(spark, sf_dir, "part")
-        .where(F.col("p_partkey") % 40 == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    NOT repartitioned: the %40 sample is a few hundred short genomes —
+    at this size the extra exchanges cost more than the single-threaded
+    DNA construction they would spread (measured: +0.9 s per query).
+    Real genome libraries arrive as many files/partitions."""
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
     return part.select(
         F.concat(F.lit("g"), F.col("p_partkey")).alias("header"),
         F.concat(
@@ -330,11 +326,7 @@ def bracken_weights(spark, sf_dir):
     end-to-end."""
     from slacken_spark.bracken import BrackenWeights
 
-    part = (
-        t(spark, sf_dir, "part")
-        .where(F.col("p_partkey") % 40 == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
     genomes = part.select(
         F.concat(F.lit("bk"), F.col("p_partkey")).alias("header"),
         _dna_expr("bkuniq", F.col("p_partkey")).alias("nucleotides"),
