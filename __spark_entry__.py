@@ -45,6 +45,7 @@ _EARLY = [
     "video_frame_plan",
 ]
 _TAIL = [
+    "doc_token_stats",  # token counting driver-covered by doc_bpe_token_stats
     "deterministic_sample",  # generic sampling; covered by pytest parity
     "salted_skew_agg",  # same salting pattern as salted_skew_join
     "genomic_classify_wide_hashed",  # opt-in scheme; pytest parity green

@@ -29,6 +29,7 @@ from slacken_spark.kernels.taxonomy import (
     AMBIGUOUS_SPAN,
     MATE_PAIR_BORDER,
     Taxonomy,
+    ancestors_udf,
     member_mask_udf,
 )
 
@@ -69,6 +70,22 @@ def clade_totals(taxonomy: Taxonomy, counts: list[tuple[int, int]]) -> dict[int,
         for p in taxonomy.path_to_root(t):
             out[p] = out.get(p, 0) + c
     return out
+
+
+def clade_rollup(spark, taxonomy: Taxonomy, counts: DataFrame) -> DataFrame:
+    """Distributed TreeAggregator: explode each taxon's ancestor path
+    (broadcast-taxonomy pandas UDF) and sum per ancestor — each taxon's
+    count is added to every node on its path to root
+    (KrakenReport.scala:26-41), with the addition running as a
+    partial-aggregated groupBy instead of a driver-side dict.
+    Input: (taxon, count); output: (taxon, count) clade totals."""
+    anc = ancestors_udf(spark, taxonomy)
+    return (
+        counts.where(F.col("taxon") > 0)
+        .select(F.explode(anc(F.col("taxon"))).alias("taxon"), "count")
+        .groupBy("taxon")
+        .agg(F.sum("count").alias("count"))
+    )
 
 
 class Dynamic:
@@ -117,71 +134,84 @@ class Dynamic:
             F.col("id2").alias("minimizer2"),
         )
 
-    def total_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
-        rows = (
+    def total_minimizers_per_taxon_df(self, reads: DataFrame) -> DataFrame:
+        return (
             self._minimizers_in_subjects(reads)
             .groupBy("taxon")
             .agg(F.count("minimizer").alias("count"))
-            .collect()
         )
+
+    def total_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
+        rows = self.total_minimizers_per_taxon_df(reads).collect()
         return [(r["taxon"], r["count"]) for r in rows]
 
-    def distinct_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
-        rows = (
+    def distinct_minimizers_per_taxon_df(self, reads: DataFrame) -> DataFrame:
+        return (
             self._minimizers_in_subjects(reads)
             .groupBy("taxon")
             .agg(F.count_distinct("minimizer", "minimizer2").alias("count"))
-            .collect()
         )
+
+    def distinct_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
+        rows = self.distinct_minimizers_per_taxon_df(reads).collect()
         return [(r["taxon"], r["count"]) for r in rows]
+
+    def minimizer_fraction_per_taxon_df(self, reads: DataFrame) -> DataFrame:
+        """Fraction of each taxon's index minimizers seen in the sample
+        (minimizerFractionPerTaxon, Dynamic.scala:121-129): distinct in
+        sample ÷ distinct in records, as a per-taxon join. The sample
+        side (taxa detected in one sample) is broadcast against the
+        index-wide distinct counts — no driver-side dicts."""
+        in_sample = self.distinct_minimizers_per_taxon_df(reads).withColumnRenamed(
+            "count", "n_sample"
+        )
+        in_records = self.base.distinct_minimizers_per_taxon()
+        return in_records.join(F.broadcast(in_sample), "taxon").select(
+            "taxon",
+            (F.col("n_sample") / F.col("n_minimizers")).alias("fraction"),
+        )
 
     def minimizer_fraction_per_taxon(
         self, reads: DataFrame
     ) -> list[tuple[int, float]]:
-        """Fraction of each taxon's index minimizers seen in the sample
-        (minimizerFractionPerTaxon, Dynamic.scala:121-129): distinct in
-        sample ÷ distinct in records, joined per taxon."""
-        in_sample = dict(self.distinct_minimizers_per_taxon(reads))
-        if not in_sample:
-            return []
-        import numpy as np
+        rows = self.minimizer_fraction_per_taxon_df(reads).collect()
+        return [(r["taxon"], r["fraction"]) for r in rows]
 
-        from slacken_spark.kernels.taxonomy import member_mask_udf
-
-        mask = np.zeros(self.taxonomy.n_nodes, dtype=bool)
-        mask[
-            np.asarray(
-                [t for t in in_sample if 0 <= t < self.taxonomy.n_nodes],
-                dtype=np.int64,
-            )
-        ] = True
-        member = member_mask_udf(self.base.spark, mask)
-        in_records = {
-            r["taxon"]: r["n_minimizers"]
-            for r in self.base.distinct_minimizers_per_taxon()
-            .where(member(F.col("taxon")))
-            .collect()
-        }
-        return [
-            (t, in_sample[t] / in_records[t])
-            for t in in_sample
-            if in_records.get(t)
-        ]
+    def classified_reads_per_taxon_df(
+        self, reads: DataFrame, confidence: float
+    ) -> DataFrame:
+        cls = Classifier(self.base)
+        out = cls.classify(reads, self.cpar, threshold=confidence)
+        return (
+            out.where("classified")
+            .groupBy("taxon")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
 
     def classified_reads_per_taxon(
         self, reads: DataFrame, confidence: float
     ) -> list[tuple[int, int]]:
-        cls = Classifier(self.base)
-        out = cls.classify(reads, self.cpar, threshold=confidence)
-        rows = (
-            out.where("classified")
-            .groupBy("taxon")
-            .agg(F.count(F.lit(1)).alias("count"))
-            .collect()
-        )
+        rows = self.classified_reads_per_taxon_df(reads, confidence).collect()
         return [(r["taxon"], r["count"]) for r in rows]
 
     # ---------------- CountFilter + set detection (Dynamic.scala:191-280) ----
+
+    def clade_rollup_df(self, counts: DataFrame) -> DataFrame:
+        """Distributed TreeAggregator over this taxonomy — see
+        :func:`clade_rollup`."""
+        return clade_rollup(self.base.spark, self.taxonomy, counts)
+
+    def count_filter_df(self, counts: DataFrame, threshold: int) -> DataFrame:
+        """CountFilter (Dynamic.scala:191-214) over clade totals: keep
+        taxa at/below the reclassify rank whose clade total meets the
+        threshold. Depth check runs executor-side via a broadcast mask."""
+        tax = self.taxonomy
+        at_rank = member_mask_udf(
+            self.base.spark, tax.depth_vector() >= self.rank_depth
+        )
+        return self.clade_rollup_df(counts).where(
+            (F.col("count") >= threshold) & at_rank(F.col("taxon"))
+        )
 
     def count_filter(self, counts: list[tuple[int, int]], threshold: int) -> set[int]:
         tax = self.taxonomy
@@ -193,26 +223,38 @@ class Dynamic:
         }
 
     def find_taxon_set(self, reads: DataFrame) -> set[int]:
+        """Criterion counts → clade rollup → CountFilter → descendant
+        expansion. Everything up to the final (taxonomy-bounded) taxon
+        set is a DataFrame plan; only the detected set is collected, as
+        the reference does before broadcasting it into the step-2 build
+        (Dynamic.scala:320-374)."""
         c = self.criterion
         if isinstance(c, MinimizerTotalCount):
-            counts = self.total_minimizers_per_taxon(reads)
+            counts = self.total_minimizers_per_taxon_df(reads)
         elif isinstance(c, MinimizerDistinctCount):
-            counts = self.distinct_minimizers_per_taxon(reads)
+            counts = self.distinct_minimizers_per_taxon_df(reads)
         elif isinstance(c, ClassifiedReadCount):
-            counts = self.classified_reads_per_taxon(reads, c.confidence)
+            counts = self.classified_reads_per_taxon_df(reads, c.confidence)
         elif isinstance(c, MinimizerFraction):
             # fractions don't clade-roll (a parent's fraction is not the
             # sum of children's) — filter directly at the rank
             tax = self.taxonomy
-            keep = {
-                t
-                for t, frac in self.minimizer_fraction_per_taxon(reads)
-                if tax.depth(t) >= self.rank_depth and frac >= c.threshold
-            }
-            return tax.taxa_with_descendants(keep)
+            at_rank = member_mask_udf(
+                self.base.spark, tax.depth_vector() >= self.rank_depth
+            )
+            kept = (
+                self.minimizer_fraction_per_taxon_df(reads)
+                .where((F.col("fraction") >= c.threshold) & at_rank(F.col("taxon")))
+                .select("taxon")
+                .collect()
+            )
+            return tax.taxa_with_descendants({r["taxon"] for r in kept})
         else:
             raise ValueError(f"unknown criterion {c!r}")
-        keep = self.count_filter(counts, c.threshold)
+        keep = {
+            r["taxon"]
+            for r in self.count_filter_df(counts, c.threshold).select("taxon").collect()
+        }
         return self.taxonomy.taxa_with_descendants(keep)
 
     def read_gold_set(

@@ -67,6 +67,40 @@ def member_mask_udf(spark, mask: np.ndarray):
     return member
 
 
+def ancestors_udf(spark, taxonomy: "Taxonomy"):
+    """``array<long>`` pandas UDF ``taxon -> path_to_root(taxon)`` over the
+    broadcast parent array — the executor half of a distributed clade
+    rollup (explode the ancestor path, then groupBy-sum), replacing a
+    driver-side TreeAggregator dict (KrakenReport.scala:26-41 runs the
+    same addition per path-to-root; here the explode + partial aggregation
+    distribute it). Out-of-range / null / sentinel ids yield [].
+
+    Vectorized per Arrow batch: one parent-gather per tree level fills a
+    (rows × max_depth) matrix; per-row work is only the final slice."""
+    from pyspark.sql.functions import pandas_udf
+
+    par_bc = spark.sparkContext.broadcast(taxonomy.parents.astype(np.int64))
+    sd_bc = spark.sparkContext.broadcast(taxonomy.sdepth.astype(np.int32))
+
+    @pandas_udf("array<long>")
+    def ancestors(t: pd.Series) -> pd.Series:
+        par = par_bc.value
+        sdepth = sd_bc.value
+        tv = t.fillna(0).to_numpy(dtype=np.int64)
+        valid = (tv > 0) & (tv < len(par))
+        cur = np.where(valid, tv, 0)
+        # structural depth == path-to-root length (ROOT has depth 1)
+        lens = sdepth[cur] * valid
+        maxd = int(lens.max()) if len(lens) else 0
+        mat = np.zeros((len(tv), maxd), dtype=np.int64)
+        for level in range(maxd):
+            mat[:, level] = cur
+            cur = par[cur]
+        return pd.Series([mat[i, : lens[i]].tolist() for i in range(len(tv))])
+
+    return ancestors
+
+
 @dataclass
 class Taxonomy:
     """Array-of-parents taxonomy tree.

@@ -340,3 +340,60 @@ def bracken_weights(spark, sf_dir):
     )
     bw = BrackenWeights(idx, _BRACKEN_READ_LEN)
     return bw.build_weights(genomes, labels)
+
+
+# ---------------------------------------------------------------------------
+# Distributed clade rollup (TreeAggregator as explode + groupBy-sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "genomic_clade_rollup",
+    f"""
+    WITH parts AS (
+        SELECT p_partkey, {_BRAND_TAXON_SQL} AS brand
+        FROM part WHERE p_partkey % 40 = 0
+    ),
+    bc AS (SELECT brand, count(*) AS n FROM parts GROUP BY brand),
+    reads AS (
+        SELECT CASE WHEN bc.n >= 2 THEN CAST(p.brand AS INT)
+                    ELSE p_partkey + 1000 END AS taxon
+        FROM parts p JOIN bc ON p.brand = bc.brand
+        UNION ALL
+        SELECT p_partkey + 1000 FROM parts
+        UNION ALL
+        SELECT p_partkey + 1000 FROM parts
+    ),
+    counts AS (SELECT taxon, count(*) AS count FROM reads GROUP BY taxon),
+    -- rollup over the 3-level tree: self, leaf→brand edge, everything→ROOT
+    unioned AS (
+        SELECT taxon, count FROM counts
+        UNION ALL
+        SELECT CAST(p.brand AS INT) AS taxon, c.count
+        FROM counts c JOIN parts p ON c.taxon = p.p_partkey + 1000
+        UNION ALL
+        SELECT 1 AS taxon, count FROM counts
+    )
+    SELECT taxon, CAST(sum(count) AS BIGINT) AS count
+    FROM unioned GROUP BY taxon
+    """,
+)
+def genomic_clade_rollup(spark, sf_dir):
+    """Classify the three reads per genome, count classified reads per
+    taxon, then clade-roll the counts DISTRIBUTED: each taxon's ancestor
+    path comes from a broadcast-taxonomy pandas UDF, exploded and summed
+    per ancestor (TreeAggregator, KrakenReport.scala:26-41 — here as a
+    partial-aggregated groupBy, not a driver dict). The oracle predicts
+    every read's taxon from the genome layout and rolls the 3-level tree
+    up with plain unions."""
+    from slacken_spark.dynamic import clade_rollup
+
+    idx = _build_index(spark, sf_dir)
+    cls = Classifier(idx)
+    out = cls.classify(_reads(spark, sf_dir), ClassifyParams(min_hit_groups=2))
+    counts = (
+        out.where("classified")
+        .groupBy("taxon")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return clade_rollup(spark, idx.taxonomy, counts)

@@ -105,6 +105,50 @@ def test_clade_totals_rollup(world):
     assert ct[10] == 7 and ct[20] == 3 and ct[ROOT] == 10
 
 
+def test_clade_rollup_df_matches_driver_rollup(world):
+    """The distributed explode-ancestors rollup must equal the
+    driver-side TreeAggregator dict on the same counts (J5)."""
+    dyn = Dynamic(
+        world["idx"], world["genomes_df"], world["labels_df"], MinimizerTotalCount(1)
+    )
+    counts = [(101, 5), (102, 2), (201, 3), (NONE, 9), (-1, 4)]
+    counts_df = world["spark"].createDataFrame(counts, "taxon int, count long")
+    got = {
+        r["taxon"]: r["count"] for r in dyn.clade_rollup_df(counts_df).collect()
+    }
+    assert got == clade_totals(world["tax"], counts)
+
+
+def test_count_filter_df_matches_driver_filter(world):
+    dyn = Dynamic(
+        world["idx"], world["genomes_df"], world["labels_df"], MinimizerTotalCount(1)
+    )
+    counts = [(101, 5), (102, 2), (201, 3)]
+    counts_df = world["spark"].createDataFrame(counts, "taxon int, count long")
+    got = {
+        r["taxon"] for r in dyn.count_filter_df(counts_df, 3).collect()
+    }
+    assert got == dyn.count_filter(counts, 3)
+    # at species rank only species survive (their phyla roll up >=3 but
+    # sit above the rank filter)
+    assert got == {101, 201}
+
+
+def test_ancestors_udf_paths(world):
+    from slacken_spark.kernels.taxonomy import ancestors_udf
+
+    spark, tax = world["spark"], world["tax"]
+    anc = ancestors_udf(spark, tax)
+    df = spark.createDataFrame(
+        [(101,), (10,), (ROOT,), (NONE,), (-1,), (10_000,)], "taxon int"
+    ).select(anc(F.col("taxon")).alias("path"))
+    paths = [r["path"] for r in df.collect()]
+    assert paths[0] == [101, 10, ROOT]
+    assert paths[1] == [10, ROOT]
+    assert paths[2] == [ROOT]
+    assert paths[3] == [] and paths[4] == [] and paths[5] == []
+
+
 @pytest.mark.parametrize(
     "criterion",
     [
