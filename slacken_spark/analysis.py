@@ -174,13 +174,11 @@ def compare_indexes(a: KeyValueIndex, b: KeyValueIndex) -> DataFrame:
     """Full-outer null-safe alignment of two record sets → migration
     categories per minimizer: 'same' (LCA unchanged), 'moved' (different
     taxon), 'only_a', 'only_b'. One shuffle on the id columns."""
-    wide = a.cfg.wide_exact
-    id_a = (
-        F.struct("id1", "id2") if wide and "id2" in a.records.columns else F.col("id1")
-    )
-    id_b = (
-        F.struct("id1", "id2") if wide and "id2" in b.records.columns else F.col("id1")
-    )
+    def _id(idx: KeyValueIndex):
+        key = [c for c in idx.cfg.key_cols if c in idx.records.columns]
+        return F.struct(*key) if len(key) > 1 else F.col(key[0])
+
+    id_a, id_b = _id(a), _id(b)
     ra = a.records.select(id_a.alias("id_a"), F.col("taxon").alias("taxon_a"))
     rb = b.records.select(id_b.alias("id_b"), F.col("taxon").alias("taxon_b"))
     joined = ra.join(rb, F.col("id_a").eqNullSafe(F.col("id_b")), "full_outer")

@@ -39,7 +39,7 @@ from slacken_spark.kernels import bitseq
 from slacken_spark.kernels.minimizers import (
     MinimizerConfig,
     split_by_ambiguity,
-    supermer_arrays,
+    supermer_words,
 )
 from slacken_spark.kernels.taxonomy import NONE, Taxonomy
 
@@ -78,27 +78,30 @@ def split_fragments(df: DataFrame, read_len: int, max_len: int = FRAGMENT_MAX) -
     )
 
 
-_PAIR_DTYPE = np.dtype([("a", "<i8"), ("b", "<i8")])
+def _words_dtype(n_words: int) -> np.dtype:
+    return np.dtype([(f"w{j}", "<i8") for j in range(n_words)])
 
 
-def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(id1, id2) arrays → structured array (lexicographic comparisons
-    and searchsorted work pairwise)."""
-    out = np.empty(len(a), dtype=_PAIR_DTYPE)
-    out["a"] = a
-    out["b"] = b
+def _words_struct(words: list[np.ndarray]) -> np.ndarray:
+    """(id1..idN) arrays → structured array (lexicographic comparisons
+    and searchsorted work tuple-wise)."""
+    out = np.empty(len(words[0]), dtype=_words_dtype(len(words)))
+    for j, w in enumerate(words):
+        out[f"w{j}"] = w
     return out
 
 
 def lookup_arrays(
-    lca_lookup: dict[tuple[int, int], int],
+    lca_lookup: dict[tuple, int], n_words: int = 2
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted (pair-keys, taxa) arrays for vectorized LCA resolution."""
+    """Sorted (word-tuple keys, taxa) arrays for vectorized LCA
+    resolution; dict keys are n_words-tuples (or bare ints for 1)."""
     n = len(lca_lookup)
-    keys = np.empty(n, dtype=_PAIR_DTYPE)
+    keys = np.empty(n, dtype=_words_dtype(n_words))
     taxa = np.empty(n, dtype=np.int64)
-    for i, ((k1, k2), t) in enumerate(lca_lookup.items()):
-        keys[i] = (k1, k2)
+    for i, (k, t) in enumerate(lca_lookup.items()):
+        kt = k if isinstance(k, tuple) else (k,)
+        keys[i] = kt + (0,) * (n_words - len(kt))
         taxa[i] = t
     order = np.argsort(keys)
     return keys[order], taxa[order]
@@ -107,19 +110,21 @@ def lookup_arrays(
 def fragment_hits(
     nts: str,
     cfg: MinimizerConfig,
-    lca_lookup: dict[tuple[int, int], int],
+    lca_lookup: dict[tuple, int],
     priority_table: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """All TaxonHits of a fragment as parallel arrays
     (distinct, abs_position, taxon, count) — TaxonFragment.taxonHits
     (BrackenWeights.scala:192-241). Hit spans tile the fragment length
     contiguously (ambiguous/tail slots included as NONE). ``lca_lookup``
-    is keyed by the (id1, id2) pair (id2 is 0 except for wide-exact);
-    resolution is a vectorized binary search over the sorted pair keys,
-    not a per-supermer Python loop (~200k supermers per 1 MiB fragment)."""
+    is keyed by the (id1..idN) word tuple at ``len(cfg.id_cols)`` width
+    (trailing words 0 for narrower schemes); resolution is a vectorized
+    binary search over the sorted tuple keys, not a per-supermer Python
+    loop (~200k supermers per 1 MiB fragment)."""
     codes = bitseq.encode_codes(nts)
+    n_ids = len(cfg.id_cols)
     if isinstance(lca_lookup, dict):
-        keys, taxa = lookup_arrays(lca_lookup)
+        keys, taxa = lookup_arrays(lca_lookup, n_ids)
     else:  # pre-sorted (keys, taxa) arrays — the distributed fast path
         keys, taxa = lca_lookup
     dist_l, pos_l, tax_l, cnt_l = [], [], [], []
@@ -132,12 +137,11 @@ def fragment_hits(
             tax_l.append(np.full(1, NONE, dtype=np.int64))
             cnt_l.append(np.array([en - st], dtype=np.int64))
             continue
-        mins, mins2, starts, kmers = supermer_arrays(
-            codes[st:en], cfg, priority_table
-        )
-        n = len(mins)
+        ws, starts, kmers = supermer_words(codes[st:en], cfg, priority_table)
+        n = len(ws[0])
         if n:
-            q = _pair_struct(mins, mins2)
+            ws = ws + [np.zeros(n, dtype=np.int64)] * (n_ids - len(ws))
+            q = _words_struct(ws)
             t = np.full(n, NONE, dtype=np.int64)
             if len(keys):
                 idx = np.searchsorted(keys, q)
@@ -221,8 +225,8 @@ class BrackenWeights:
         self.read_len = read_len
 
     def fragment_minimizers(self, fragments: DataFrame) -> DataFrame:
-        """(header, location, id1) distinct minimizer rows per fragment;
-        fragments with no valid minimizer emit the sentinel id1=-1 so the
+        """(header, location, id1..) distinct minimizer rows per fragment;
+        fragments with no valid minimizer emit the sentinel id=-1 so the
         later left join preserves them (BrackenWeights.scala:333-336).
         -1 is unreachable for real minimizers (packed 2-bit ids and the
         62-bit wide-minimizer hash are both non-negative), so a genuine
@@ -230,40 +234,41 @@ class BrackenWeights:
         in the LCA lookup instead of being conflated with the sentinel."""
         cfg_dict = self.index.cfg.to_dict()
         table_bc = self.index.table_bc
+        id_cols = self.index.cfg.id_cols
 
         def gen(batches):
-            from slacken_spark.kernels.minimizers import batch_genome_minimizers
+            from slacken_spark.kernels.minimizers import batch_genome_words
 
             cfg = MinimizerConfig.from_dict(cfg_dict)
             table = table_bc.value if table_bc is not None else None
             for pdf in batches:
                 if not len(pdf):
                     continue
-                unit_of, mins, mins2 = batch_genome_minimizers(
+                unit_of, words = batch_genome_words(
                     pdf["nucleotides"].tolist(), cfg, priority_table=table
                 )
-                # distinct (fragment, minimizer) pairs; minimizer-less
+                # distinct (fragment, minimizer) tuples; minimizer-less
                 # fragments emit the -1 sentinel so the left join keeps them
-                trip = np.unique(np.stack([unit_of, mins, mins2], axis=1), axis=0)
-                u, ids, ids2 = trip[:, 0], trip[:, 1], trip[:, 2]
+                trip = np.unique(np.stack([unit_of, *words], axis=1), axis=0)
+                u = trip[:, 0]
                 missing = np.setdiff1d(np.arange(len(pdf), dtype=np.int64), u)
                 u = np.concatenate([u, missing])
                 fill = np.full(len(missing), -1, dtype=np.int64)
-                ids = np.concatenate([ids, fill])
-                ids2 = np.concatenate([ids2, fill])
-                yield pd.DataFrame(
-                    {
-                        "header": pdf["header"].to_numpy()[u],
-                        "location": pd.array(
-                            pdf["location"].to_numpy()[u], dtype="int64"
-                        ),
-                        "id1": pd.array(ids, dtype="int64"),
-                        "id2": pd.array(ids2, dtype="int64"),
-                    }
-                )
+                out = {
+                    "header": pdf["header"].to_numpy()[u],
+                    "location": pd.array(
+                        pdf["location"].to_numpy()[u], dtype="int64"
+                    ),
+                }
+                for j, name in enumerate(id_cols):
+                    out[name] = pd.array(
+                        np.concatenate([trip[:, j + 1], fill]), dtype="int64"
+                    )
+                yield pd.DataFrame(out)
 
+        ids_ddl = ", ".join(f"{c} long" for c in id_cols)
         return fragments.mapInPandas(
-            gen, "header string, location long, id1 long, id2 long"
+            gen, f"header string, location long, {ids_ddl}"
         )
 
     def build_weights(
@@ -288,13 +293,17 @@ class BrackenWeights:
             frags0 = frags0.where(F.col("taxon").isin(sorted(taxa)))
         fragments = split_fragments(frags0, read_len, max_len)
 
+        id_cols = self.index.cfg.id_cols
+        min_cols = [f"minimizers_{c}" for c in id_cols]
         id_mins = self.fragment_minimizers(fragments)
         joined = (
             id_mins.join(self.index.records, self.index.cfg.key_cols, "left")
             .groupBy("header", "location")
             .agg(
-                F.collect_list("id1").alias("minimizers"),
-                F.collect_list("id2").alias("minimizers2"),
+                *[
+                    F.collect_list(c).alias(mc)
+                    for c, mc in zip(id_cols, min_cols)
+                ],
                 F.collect_list(F.coalesce(F.col("taxon"), F.lit(NONE))).alias("taxa"),
             )
         )
@@ -303,8 +312,7 @@ class BrackenWeights:
             "location",
             "taxon",
             "nucleotides",
-            "minimizers",
-            "minimizers2",
+            *min_cols,
             "taxa",
         )
 
@@ -319,11 +327,13 @@ class BrackenWeights:
             for pdf in batches:
                 src, dst = [], []
                 for r in pdf.itertuples(index=False):
-                    m1 = np.asarray(r.minimizers, dtype=np.int64)
-                    m2 = np.asarray(r.minimizers2, dtype=np.int64)
+                    ws = [
+                        np.asarray(getattr(r, mc), dtype=np.int64)
+                        for mc in min_cols
+                    ]
                     tt = np.asarray(r.taxa, dtype=np.int64)
-                    keep = m1 != -1  # drop the no-minimizer sentinel
-                    keys = _pair_struct(m1[keep], m2[keep])
+                    keep = ws[0] != -1  # drop the no-minimizer sentinel
+                    keys = _words_struct([w[keep] for w in ws])
                     order = np.argsort(keys)
                     dests = classify_all_reads(
                         r.nucleotides, cfg, (keys[order], tt[keep][order]),

@@ -24,8 +24,9 @@ def _add_splitter_args(p: argparse.ArgumentParser) -> None:
         "--wide-scheme",
         choices=("exact", "hashed"),
         default="exact",
-        help="wide-minimizer (m > 31) id scheme: exact two-column"
-        " (id1, id2) keys, or the single-column 62-bit hash",
+        help="wide-minimizer (m > 31) id scheme: exact multi-column"
+        " (id1..idN, N = ceil(m/31) <= 4) keys, or the single-column"
+        " 62-bit hash",
     )
 
 

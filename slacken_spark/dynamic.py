@@ -128,17 +128,13 @@ class Dynamic:
             (F.col("taxon") != AMBIGUOUS_SPAN)
             & (F.col("taxon") != MATE_PAIR_BORDER)
             & member(F.col("taxon"))
-        ).select(
-            "taxon",
-            F.col("id1").alias("minimizer"),
-            F.col("id2").alias("minimizer2"),
-        )
+        ).select("taxon", *self.base.cfg.id_cols)
 
     def total_minimizers_per_taxon_df(self, reads: DataFrame) -> DataFrame:
         return (
             self._minimizers_in_subjects(reads)
             .groupBy("taxon")
-            .agg(F.count("minimizer").alias("count"))
+            .agg(F.count("id1").alias("count"))
         )
 
     def total_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:
@@ -149,7 +145,7 @@ class Dynamic:
         return (
             self._minimizers_in_subjects(reads)
             .groupBy("taxon")
-            .agg(F.count_distinct("minimizer", "minimizer2").alias("count"))
+            .agg(F.count_distinct(*self.base.cfg.id_cols).alias("count"))
         )
 
     def distinct_minimizers_per_taxon(self, reads: DataFrame) -> list[tuple[int, int]]:

@@ -41,10 +41,15 @@ from slacken_spark.kernels.taxonomy import (
     member_mask_udf,
 )
 
-SPANS_SCHEMA = (
-    "header string, id1 long, id2 long, distinct boolean,"
-    " kmers int, flag int, ordinal int"
-)
+def spans_schema(cfg: MinimizerConfig) -> str:
+    """Span-row schema: id columns follow the config (id1, id2 always;
+    id3/id4 for exact wide m > 62)."""
+    ids = ", ".join(f"{c} long" for c in cfg.id_cols)
+    return f"header string, {ids}, distinct boolean, kmers int, flag int, ordinal int"
+
+
+# Default-config schema (kept for callers/tests that don't thread a cfg).
+SPANS_SCHEMA = spans_schema(MinimizerConfig())
 
 
 def extract_spans(
@@ -53,16 +58,17 @@ def extract_spans(
     """Fragments → ordinal spans (getSpans, KeyValueIndex.scala:163-173).
 
     mapInPandas over Arrow batches; per-fragment work is the vectorized
-    scanner kernel. Output: (header, id1, distinct, kmers, flag, ordinal).
+    scanner kernel. Output: (header, id1.., distinct, kmers, flag, ordinal).
     ``table_bc``: optional broadcast explicit-priority table (MinTable).
     """
     cfg_dict = cfg.to_dict()
+    id_cols = cfg.id_cols
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
-        from slacken_spark.kernels.minimizers import batch_span_arrays
+        from slacken_spark.kernels.minimizers import batch_span_words
 
         c = MinimizerConfig.from_dict(cfg_dict)
         table = table_bc.value if table_bc is not None else None
@@ -76,60 +82,58 @@ def extract_spans(
                 if "nucleotides2" in pdf.columns
                 else None
             )
-            counts, mins, mins2, dist, kmers, flags = batch_span_arrays(
+            counts, words, dist, kmers, flags = batch_span_words(
                 seqs, c, rng, seqs2, priority_table=table
             )
-            n = len(mins)
+            n = len(words[0])
             headers = np.repeat(pdf["header"].to_numpy(), counts)
             # ordinal restarts per read
             offsets = np.repeat(np.cumsum(counts) - counts, counts)
             ords = np.arange(n, dtype=np.int64) - offsets
-            yield pd.DataFrame(
-                {
-                    "header": headers,
-                    "id1": mins,
-                    "id2": mins2,
-                    "distinct": dist,
-                    "kmers": kmers.astype(np.int32),
-                    "flag": flags.astype(np.int32),
-                    "ordinal": ords.astype(np.int32),
-                }
-            )
+            out = {"header": headers}
+            for name, w in zip(id_cols, words):
+                out[name] = w
+            out["distinct"] = dist
+            out["kmers"] = kmers.astype(np.int32)
+            out["flag"] = flags.astype(np.int32)
+            out["ordinal"] = ords.astype(np.int32)
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(gen, SPANS_SCHEMA)
+    return df.mapInPandas(gen, spans_schema(cfg))
 
 
 def extract_index_rows(
     df: DataFrame, cfg: MinimizerConfig, table_bc=None
 ) -> DataFrame:
-    """Labelled genome fragments → (id1, taxon) minimizer rows
+    """Labelled genome fragments → (id1.., taxon) minimizer rows
     (Minimizers.find, Minimizers.scala:43-76). Map-only; shuffles next
     at the LCA groupBy."""
     cfg_dict = cfg.to_dict()
+    id_cols = cfg.id_cols
 
     def gen(batches):
         import pandas as pd
 
-        from slacken_spark.kernels.minimizers import batch_genome_minimizers
+        from slacken_spark.kernels.minimizers import batch_genome_words
 
         c = MinimizerConfig.from_dict(cfg_dict)
         table = table_bc.value if table_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
-            unit_of, mins, mins2 = batch_genome_minimizers(
+            unit_of, words = batch_genome_words(
                 pdf["nucleotides"].tolist(), c, priority_table=table
             )
             taxa = pdf["taxon"].to_numpy()[unit_of]
-            yield pd.DataFrame(
-                {
-                    "id1": pd.array(mins, dtype="int64"),
-                    "id2": pd.array(mins2, dtype="int64"),
-                    "taxon": pd.array(taxa, dtype="int32"),
-                }
-            )
+            out = {
+                name: pd.array(w, dtype="int64")
+                for name, w in zip(id_cols, words)
+            }
+            out["taxon"] = pd.array(taxa, dtype="int32")
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(gen, "id1 long, id2 long, taxon int")
+    ids_ddl = ", ".join(f"{c} long" for c in id_cols)
+    return df.mapInPandas(gen, f"{ids_ddl}, taxon int")
 
 
 class KeyValueIndex:
@@ -275,11 +279,7 @@ class KeyValueIndex:
             "-", "_"
         ).replace(".", "_")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        cols = (
-            "id1 BIGINT, id2 BIGINT, taxon INT"
-            if cfg.wide_exact
-            else "id1 BIGINT, taxon INT"
-        )
+        cols = ", ".join(f"{c} BIGINT" for c in cfg.key_cols) + ", taxon INT"
         key_ddl = ", ".join(cfg.key_cols)
         spark.sql(
             f"CREATE TABLE {name} ({cols}) USING PARQUET"
@@ -358,8 +358,7 @@ class KeyValueIndex:
         joined = spans.join(self.records, self.cfg.key_cols, "left")
         return joined.select(
             "header",
-            "id1",
-            "id2",
+            *self.cfg.id_cols,
             "distinct",
             "ordinal",
             F.when(spans["flag"] == FLAG_AMBIGUOUS, F.lit(AMBIGUOUS_SPAN))

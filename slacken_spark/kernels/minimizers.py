@@ -66,23 +66,18 @@ class MinimizerConfig:
     # SpacedSeed storage semantics, required for respace projections
     # (KeyValueIndex.scala:347-383). Default False stores exact m-mers.
     masked: bool = False
-    # Wide-minimizer (31 < m ≤ 62) key scheme: "exact" stores the two
-    # packed halves as (id1, id2) — the reference's multi-long id1..idN
-    # columns (KmerKeyedIndex.scala:44-53) — and is collision-free and
-    # invertible; "hashed" stores one 62-bit mixed hash (round-1 scheme;
-    # ~n²/2⁶³ collision bound, irreversible) as an opt-in for
-    # single-column compatibility. Ignored for m ≤ 31.
+    # Wide-minimizer (m > 31) key scheme: "exact" stores the packed
+    # 31-base words as (id1..idN) columns, N = ceil(m/31) ≤ 4 — the
+    # reference's multi-long id1..idN columns (KmerKeyedIndex.scala:44-53)
+    # — collision-free and invertible; "hashed" stores one 62-bit mixed
+    # hash (round-1 scheme; ~n²/2⁶³ collision bound, irreversible) as an
+    # opt-in for single-column compatibility. Ignored for m ≤ 31.
     wide: str = "exact"
 
     def __post_init__(self):
         if not (0 < self.m <= 124):
             raise ValueError("m must be in 1..124 (4 packed words, like the"
                              " reference's id1..id4 cap at 128 bp)")
-        if self.m > 62 and self.wide != "hashed":
-            raise ValueError(
-                "m > 62 requires wide='hashed' (exact ids store at most"
-                " two words; 63..124 bases hash all words into one id)"
-            )
         if self.m > 31 and self.masked:
             # masked STORAGE (respace projections) stays single-word
             raise ValueError("masked storage requires m <= 31")
@@ -92,14 +87,28 @@ class MinimizerConfig:
             raise ValueError("wide must be 'exact' or 'hashed'")
 
     @property
+    def n_words(self) -> int:
+        """Packed 31-base words needed for an exact m-mer identity."""
+        return (self.m + 30) // 31
+
+    @property
     def wide_exact(self) -> bool:
-        """True when minimizer identity is the two-column (id1, id2) pair."""
+        """True when minimizer identity is the multi-column (id1..idN) tuple."""
         return self.m > 31 and self.wide == "exact"
 
     @property
     def key_cols(self) -> list[str]:
         """Join/grouping key columns of the stored minimizer id."""
-        return ["id1", "id2"] if self.wide_exact else ["id1"]
+        if self.wide_exact:
+            return [f"id{j + 1}" for j in range(self.n_words)]
+        return ["id1"]
+
+    @property
+    def id_cols(self) -> list[str]:
+        """Physical id columns of span/record rows: always at least
+        (id1, id2) — id2 rides along as zero for single-word schemes —
+        plus id3/id4 for exact m > 62."""
+        return [f"id{j + 1}" for j in range(max(2, len(self.key_cols)))]
 
     @property
     def window(self) -> int:
@@ -179,29 +188,27 @@ def _mix62(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 def scan_mmers_wide(
     codes: np.ndarray, cfg: MinimizerConfig
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Wide minimizers (31 < m ≤ 62): the reference widens the key to
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Wide minimizers (31 < m ≤ 124): the reference widens the key to
     id1..idN long columns (KmerKeyedIndex.scala:44-53). The default
-    ``wide="exact"`` scheme does the same with N=2: id1 = the canonical
-    m-mer's first 31 bases packed, id2 = the remaining m−31 bases —
-    collision-free and invertible; the index buckets and joins on BOTH
-    columns. The selection rank is a 62-bit mix of the two halves (a
+    ``wide="exact"`` scheme does the same: word j is the canonical
+    m-mer's bases [31j, 31j+w_j) packed, N = ceil(m/31) ≤ 4 —
+    collision-free and invertible; the index buckets on id1 and joins on
+    ALL columns. The selection rank is a 62-bit mix of the words (a
     pseudo-random ordering, which is exactly what RandomXOR provides for
     m ≤ 31). ``wide="hashed"`` opts into the round-1 single-column
     scheme: id1 = the mix itself (expected colliding minimizer PAIRS
     among n distinct minimizers ≈ n²/2⁶³ — a collision merely merges two
     LCA records — but stored ids are irreversible).
 
-    Returns (id1, id2, ranks); id2 is all-zero under "hashed".
-
-    m in 63..124 decomposes into 3-4 words (the reference's id3/id4
-    range) and is hashed-only: all words mix into the single id1.
+    Returns (words, ranks): words has n_words arrays under "exact", one
+    under "hashed".
     """
     m = cfg.m
     n = len(codes) - m + 1
     if n <= 0:
         e = np.empty(0, dtype=np.uint64)
-        return e, e.copy(), e.copy()
+        return [e.copy() for _ in range(1 if cfg.wide == "hashed" else cfg.n_words)], e
     # word j covers bases [31j, 31j + w_j), w_j = min(31, m - 31j)
     widths = []
     off = 0
@@ -253,20 +260,21 @@ def scan_mmers_wide(
             ids = fwd[0]
             for word in fwd[1:]:
                 ids = _mix62(ids, word)
-        return ids, np.zeros(n, dtype=np.uint64), ranks
-    return fwd[0], fwd[1], ranks
+        return [ids], ranks
+    return fwd, ranks
 
 
-def scan_mmers_full(
+def scan_mmers_words(
     codes: np.ndarray,
     cfg: MinimizerConfig,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One packing pass → (id1, id2, ranks).
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """One packing pass → (words, ranks).
 
-    (id1, id2) is the stored/joined minimizer identity (canonical,
-    masked when cfg.masked; id2 is all-zero for m ≤ 31 and hashed-wide);
-    ranks are the selection priorities (XOR ⊕ spaced mask).
+    ``words`` is the stored/joined minimizer identity (canonical, masked
+    when cfg.masked): one array for m ≤ 31 and hashed-wide, ceil(m/31)
+    arrays for exact-wide; ranks are the selection priorities (XOR ⊕
+    spaced mask).
 
     Orderings (MinimizerPriorities.scala variants): the default
     ``xor_mask`` gives the Kraken 2 pseudo-random ordering (RandomXOR,
@@ -279,21 +287,34 @@ def scan_mmers_full(
             raise ValueError("priority tables require m <= 15")
         return scan_mmers_wide(codes, cfg)
     mmers = bitseq.pack_kmers(codes, cfg.m)
-    n = len(mmers)
-    zeros = np.zeros(n, dtype=np.uint64)
     if cfg.canonical:
         mmers = bitseq.canonical_packed(mmers, cfg.m)
     if priority_table is not None:
         if cfg.spaces > 0:
             raise ValueError("priority tables don't compose with spaced seeds")
-        return mmers, zeros, priority_table[mmers.astype(np.int64)].astype(np.uint64)
+        return [mmers], priority_table[mmers.astype(np.int64)].astype(np.uint64)
     ranks = mmers ^ (np.uint64(cfg.xor_mask) & np.uint64(cfg.mask_2m))
     if cfg.spaces > 0:
         ranks = ranks & np.uint64(cfg.seed_mask)
     emit = mmers
     if cfg.masked and cfg.spaces > 0:
         emit = emit & np.uint64(cfg.seed_mask)
-    return emit, zeros, ranks
+    return [emit], ranks
+
+
+def scan_mmers_full(
+    codes: np.ndarray,
+    cfg: MinimizerConfig,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two-word compatibility wrapper over :func:`scan_mmers_words` →
+    (id1, id2, ranks); id2 is all-zero for single-word schemes. Exact
+    configs wider than two words (m > 62) must use scan_mmers_words."""
+    words, ranks = scan_mmers_words(codes, cfg, priority_table)
+    if len(words) > 2:
+        raise ValueError("m > 62 exact ids need scan_mmers_words (id1..idN)")
+    id2 = words[1] if len(words) > 1 else np.zeros(len(words[0]), dtype=np.uint64)
+    return words[0], id2, ranks
 
 
 def scan_mmers(
@@ -348,21 +369,21 @@ def window_minimizers(ranks: np.ndarray, window: int) -> tuple[np.ndarray, np.nd
     return np.where(take, v2, v1), np.where(take, p2, p1)
 
 
-def supermer_arrays(
+def supermer_words(
     codes: np.ndarray,
     cfg: MinimizerConfig,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
     """Array fast path of supermer splitting: returns
-    (minimizer1, minimizer2, start, kmers) per super-mer, no Python
+    (minimizer word arrays, start, kmers) per super-mer, no Python
     objects or string slicing — the index-build/classify hot path.
-    minimizer2 is all-zero except for wide-exact configs. Same boundary
-    semantics as supermers_of_codes."""
+    Same boundary semantics as supermers_of_codes."""
     n_k = len(codes) - cfg.k + 1
     empty = np.empty(0, dtype=np.int64)
+    n_key = len(cfg.key_cols)
     if n_k <= 0:
-        return empty, empty.copy(), empty.copy(), empty.copy()
-    m1, m2, ranks = scan_mmers_full(codes, cfg, priority_table)
+        return [empty.copy() for _ in range(n_key)], empty, empty.copy()
+    words, ranks = scan_mmers_words(codes, cfg, priority_table)
     _, min_pos = window_minimizers(ranks, cfg.window)
     change = np.empty(n_k, dtype=bool)
     change[0] = True
@@ -371,11 +392,25 @@ def supermer_arrays(
     ends = np.append(starts[1:], n_k)
     sel = min_pos[starts]
     return (
-        m1[sel].astype(np.int64),
-        m2[sel].astype(np.int64),
+        [w[sel].astype(np.int64) for w in words],
         starts,
         (ends - starts).astype(np.int64),
     )
+
+
+def supermer_arrays(
+    codes: np.ndarray,
+    cfg: MinimizerConfig,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Two-word compatibility wrapper over :func:`supermer_words` →
+    (minimizer1, minimizer2, start, kmers); minimizer2 is all-zero for
+    single-word schemes."""
+    words, starts, kmers = supermer_words(codes, cfg, priority_table)
+    if len(words) > 2:
+        raise ValueError("m > 62 exact ids need supermer_words (id1..idN)")
+    m2 = words[1] if len(words) > 1 else np.zeros(len(words[0]), dtype=np.int64)
+    return words[0], m2, starts, kmers
 
 
 @dataclass
@@ -543,24 +578,33 @@ def read_spans(
     return spans
 
 
-def read_span_arrays(
+def read_span_words(
     seq: str,
     cfg: MinimizerConfig,
     rng: np.random.Generator,
     seq2: str | None = None,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Array-native read_spans: (minimizers, minimizers2, distinct,
-    kmers, flags), ordinal = position. Same semantics as read_spans
-    without per-span Python objects — the classify-side extraction hot
-    path. minimizers2 is all-zero except for wide-exact configs."""
-    mins_l: list[np.ndarray] = []
-    mins2_l: list[np.ndarray] = []
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray, np.ndarray]:
+    """Array-native read_spans: (words, distinct, kmers, flags),
+    ordinal = position. Same semantics as read_spans without per-span
+    Python objects. ``words`` holds ``len(cfg.id_cols)`` arrays —
+    trailing arrays all-zero for schemes with fewer key words."""
+    n_key = len(cfg.key_cols)
+    n_ids = len(cfg.id_cols)
+    words_l: list[list[np.ndarray]] = [[] for _ in range(n_key)]
     dist_l: list[np.ndarray] = []
     kmers_l: list[np.ndarray] = []
     flags_l: list[np.ndarray] = []
-    last_valid = (np.int64(-1), np.int64(-1))  # packed minimizers are ≥ 0
+    last_valid = tuple(np.int64(-1) for _ in range(n_key))  # packed ids are ≥ 0
     have_last = False
+
+    def pseudo_span(kmers: int, flag: int) -> None:
+        words_l[0].append(rng.integers(0, 1 << 62, size=1, dtype=np.int64))
+        for j in range(1, n_key):
+            words_l[j].append(np.zeros(1, dtype=np.int64))
+        dist_l.append(np.zeros(1, dtype=bool))
+        kmers_l.append(np.array([kmers], dtype=np.int64))
+        flags_l.append(np.full(1, flag, dtype=np.int64))
 
     def one_read(s: str) -> None:
         nonlocal last_valid, have_last
@@ -569,61 +613,75 @@ def read_span_arrays(
             if en - st < cfg.k:
                 continue
             if not is_valid:
-                mins_l.append(
-                    rng.integers(0, 1 << 62, size=1, dtype=np.int64)
-                )
-                mins2_l.append(np.zeros(1, dtype=np.int64))
-                dist_l.append(np.zeros(1, dtype=bool))
-                kmers_l.append(
-                    np.array([(en - st) - (cfg.k - 1)], dtype=np.int64)
-                )
-                flags_l.append(np.full(1, FLAG_AMBIGUOUS, dtype=np.int64))
+                pseudo_span((en - st) - (cfg.k - 1), FLAG_AMBIGUOUS)
                 continue
-            mins, mins2, _, kmers = supermer_arrays(
-                codes[st:en], cfg, priority_table
-            )
-            d = np.empty(len(mins), dtype=bool)
-            if len(mins):
-                d[0] = (not have_last) or (mins[0], mins2[0]) != last_valid
-                d[1:] = (mins[1:] != mins[:-1]) | (mins2[1:] != mins2[:-1])
-                last_valid = (mins[-1], mins2[-1])
+            ws, _, kmers = supermer_words(codes[st:en], cfg, priority_table)
+            n = len(ws[0])
+            d = np.empty(n, dtype=bool)
+            if n:
+                first = tuple(w_[0] for w_ in ws)
+                d[0] = (not have_last) or first != last_valid
+                d[1:] = False
+                for w_ in ws:
+                    d[1:] |= w_[1:] != w_[:-1]
+                last_valid = tuple(w_[-1] for w_ in ws)
                 have_last = True
-            mins_l.append(mins)
-            mins2_l.append(mins2)
+            for j in range(n_key):
+                words_l[j].append(ws[j])
             dist_l.append(d)
             kmers_l.append(kmers)
-            flags_l.append(np.full(len(mins), FLAG_SEQUENCE, dtype=np.int64))
+            flags_l.append(np.full(n, FLAG_SEQUENCE, dtype=np.int64))
 
     one_read(seq)
     if seq2 is not None:
-        mins_l.append(rng.integers(0, 1 << 62, size=1, dtype=np.int64))
-        mins2_l.append(np.zeros(1, dtype=np.int64))
-        dist_l.append(np.zeros(1, dtype=bool))
-        kmers_l.append(np.zeros(1, dtype=np.int64))
-        flags_l.append(np.full(1, FLAG_MATE_PAIR_BORDER, dtype=np.int64))
+        pseudo_span(0, FLAG_MATE_PAIR_BORDER)
         one_read(seq2)
-    if not mins_l:
+    if not dist_l:
         e = np.empty(0, dtype=np.int64)
-        return e, e.copy(), np.empty(0, dtype=bool), e.copy(), e.copy()
+        return (
+            [e.copy() for _ in range(n_ids)],
+            np.empty(0, dtype=bool),
+            e.copy(),
+            e.copy(),
+        )
+    words = [np.concatenate(w_) for w_ in words_l]
+    total = len(words[0])
+    words += [np.zeros(total, dtype=np.int64) for _ in range(n_ids - n_key)]
     return (
-        np.concatenate(mins_l),
-        np.concatenate(mins2_l),
+        words,
         np.concatenate(dist_l),
         np.concatenate(kmers_l),
         np.concatenate(flags_l),
     )
 
 
+def read_span_arrays(
+    seq: str,
+    cfg: MinimizerConfig,
+    rng: np.random.Generator,
+    seq2: str | None = None,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Two-word compatibility wrapper over :func:`read_span_words` →
+    (minimizers, minimizers2, distinct, kmers, flags)."""
+    words, distinct, kmers, flags = read_span_words(
+        seq, cfg, rng, seq2, priority_table
+    )
+    if len(words) > 2:
+        raise ValueError("m > 62 exact ids need read_span_words (id1..idN)")
+    return words[0], words[1], distinct, kmers, flags
+
+
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def batch_span_arrays(
+def batch_span_words(
     seqs: list[str],
     cfg: MinimizerConfig,
     rng: np.random.Generator,
     seqs2: list | None = None,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, list[np.ndarray], np.ndarray, np.ndarray, np.ndarray]:
     """Whole-batch read_span_arrays: ONE encode/scan/window-min/supermer
     pass over every read of an Arrow batch instead of ~30 small numpy
     calls per 150 bp read (whose fixed overhead dominated classification
@@ -632,15 +690,16 @@ def batch_span_arrays(
     INVALID so no k-mer, m-mer or ambiguous run ever crosses a read or
     mate boundary; spans are then recovered by offset arithmetic.
 
-    Returns ``(counts, minimizers, minimizers2, distinct, kmers,
-    flags)``: counts[i] is the span count of read unit i; span rows are
-    unit-major in sequence order (ordinal = position within unit);
-    minimizers2 is all-zero except for wide-exact configs. Semantics match
-    read_span_arrays / Supermers.scala:49-97 — segments shorter than k
-    are dropped, ambiguous runs ≥ k become one pseudo-span with a random
-    spreading minimizer, paired units get a MATE_PAIR_BORDER pseudo-span,
-    and the ``distinct`` consecutive-duplicate suppression persists
-    across ambiguity and the mate border but resets per unit. (Random
+    Returns ``(counts, words, distinct, kmers, flags)``: counts[i] is
+    the span count of read unit i; span rows are unit-major in sequence
+    order (ordinal = position within unit); ``words`` holds
+    ``len(cfg.id_cols)`` arrays — trailing arrays are all-zero for
+    schemes with fewer key words. Semantics match read_span_arrays /
+    Supermers.scala:49-97 — segments shorter than k are dropped,
+    ambiguous runs ≥ k become one pseudo-span with a random spreading
+    minimizer, paired units get a MATE_PAIR_BORDER pseudo-span, and the
+    ``distinct`` consecutive-duplicate suppression persists across
+    ambiguity and the mate border but resets per unit. (Random
     minimizers of ambiguous/border spans are drawn batch-at-once, so
     their VALUES differ from the per-read path — they are shuffle-
     spreading keys only, Supermers.scala:34-42.)
@@ -648,16 +707,20 @@ def batch_span_arrays(
     n_units = len(seqs)
     counts = np.zeros(n_units, dtype=np.int64)
     e64 = np.empty(0, dtype=np.int64)
-    empty = (
-        counts,
-        e64,
-        e64.copy(),
-        np.empty(0, dtype=bool),
-        e64.copy(),
-        e64.copy(),
-    )
+    n_ids = len(cfg.id_cols)
+    n_key = len(cfg.key_cols)
+
+    def empty():
+        return (
+            counts,
+            [e64.copy() for _ in range(n_ids)],
+            np.empty(0, dtype=bool),
+            e64.copy(),
+            e64.copy(),
+        )
+
     if n_units == 0:
-        return empty
+        return empty()
     if seqs2 is None:
         seqs2 = [None] * n_units
     units: list[str] = []
@@ -674,7 +737,7 @@ def batch_span_arrays(
     codes = bitseq.encode_codes("\x00".join(units))
     n = len(codes)
     if n == 0:
-        return empty
+        return empty()
     k, m, w = cfg.k, cfg.m, cfg.window
 
     is_sep = np.zeros(n, dtype=bool)
@@ -689,14 +752,15 @@ def batch_span_arrays(
     np.cumsum(~valid, out=inv_cum[1:])
 
     # ----- super-mers over k-valid positions -----
-    sm_pos, sm_minimizers, sm_minimizers2, sm_kmers = e64, e64, e64, e64
+    sm_pos, sm_kmers = e64, e64
+    sm_words = [e64.copy() for _ in range(n_key)]
     n_k = n - k + 1
     if n_k > 0:
         # neutralize invalid codes for the packer (garbage values would
         # overflow 2-bit packing / priority-table indexing); their ranks
         # are forced to +inf and never selected for a k-valid window
         codes_clean = np.where(valid, codes, 0).astype(np.uint8)
-        emit1, emit2, ranks = scan_mmers_full(codes_clean, cfg, priority_table)
+        emit_words, ranks = scan_mmers_words(codes_clean, cfg, priority_table)
         m_ok = (inv_cum[m:] - inv_cum[:-m]) == 0
         k_ok = (inv_cum[k:] - inv_cum[:-k]) == 0
         ranks = np.where(m_ok, ranks, _U64_MAX)
@@ -716,8 +780,7 @@ def batch_span_arrays(
             next_sm = np.append(sm_pos[1:], n_k)
             sm_kmers = np.minimum(next_sm, run_ends[run_id] + 1) - sm_pos
             sel = min_pos[sm_pos]
-            sm_minimizers = emit1[sel].astype(np.int64)
-            sm_minimizers2 = emit2[sel].astype(np.int64)
+            sm_words = [w_[sel].astype(np.int64) for w_ in emit_words]
 
     # ----- ambiguous runs (per mate, ≥ k long; separators break runs) ---
     inv_real = (~valid) & (~is_sep)
@@ -736,17 +799,20 @@ def batch_span_arrays(
     n_sm, n_amb, n_bord = len(sm_pos), len(a_pos), len(border_pos)
     total = n_sm + n_amb + n_bord
     if total == 0:
-        return empty
+        return empty()
     pos = np.concatenate([sm_pos, a_pos, border_pos])
-    minim = np.concatenate(
-        [
-            sm_minimizers,
-            rng.integers(0, 1 << 62, size=n_amb + n_bord, dtype=np.int64),
-        ]
-    )
-    minim2 = np.concatenate(
-        [sm_minimizers2, np.zeros(n_amb + n_bord, dtype=np.int64)]
-    )
+    zeros_ab = np.zeros(n_amb + n_bord, dtype=np.int64)
+    words = [
+        np.concatenate(
+            [
+                sm_words[j],
+                rng.integers(0, 1 << 62, size=n_amb + n_bord, dtype=np.int64)
+                if j == 0
+                else zeros_ab,
+            ]
+        )
+        for j in range(n_key)
+    ]
     kmers = np.concatenate([sm_kmers, a_kmers, np.zeros(n_bord, dtype=np.int64)])
     flags = np.concatenate(
         [
@@ -756,31 +822,58 @@ def batch_span_arrays(
         ]
     )
     order = np.argsort(pos)  # positions are unique across the three kinds
-    pos, minim, minim2, kmers, flags = (
-        pos[order],
-        minim[order],
-        minim2[order],
-        kmers[order],
-        flags[order],
-    )
+    pos, kmers, flags = pos[order], kmers[order], flags[order]
+    words = [w_[order] for w_ in words]
     unit_of = np.searchsorted(unit_starts, pos, side="right") - 1
     counts = np.bincount(unit_of, minlength=n_units).astype(np.int64)
 
     distinct = np.zeros(total, dtype=bool)
     vi = np.flatnonzero(flags == FLAG_SEQUENCE)
     if len(vi):
-        vmins = minim[vi]
-        vmins2 = minim2[vi]
         vunit = unit_of[vi]
         d = np.empty(len(vi), dtype=bool)
         d[0] = True
-        d[1:] = (
-            (vmins[1:] != vmins[:-1])
-            | (vmins2[1:] != vmins2[:-1])
-            | (vunit[1:] != vunit[:-1])
-        )
+        d[1:] = vunit[1:] != vunit[:-1]
+        for w_ in words:
+            vw = w_[vi]
+            d[1:] |= vw[1:] != vw[:-1]
         distinct[vi] = d
-    return counts, minim, minim2, distinct, kmers, flags
+    # pad to the physical column count (id2 rides along as zero)
+    words += [np.zeros(total, dtype=np.int64) for _ in range(n_ids - n_key)]
+    return counts, words, distinct, kmers, flags
+
+
+def batch_span_arrays(
+    seqs: list[str],
+    cfg: MinimizerConfig,
+    rng: np.random.Generator,
+    seqs2: list | None = None,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Two-word compatibility wrapper over :func:`batch_span_words` →
+    (counts, minimizers, minimizers2, distinct, kmers, flags)."""
+    counts, words, distinct, kmers, flags = batch_span_words(
+        seqs, cfg, rng, seqs2, priority_table
+    )
+    if len(words) > 2:
+        raise ValueError("m > 62 exact ids need batch_span_words (id1..idN)")
+    return counts, words[0], words[1], distinct, kmers, flags
+
+
+def batch_genome_words(
+    seqs: list[str],
+    cfg: MinimizerConfig,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Batched genome_minimizers: every super-mer minimizer of every
+    sequence in one kernel pass. Returns (unit_idx, words)."""
+    rng = np.random.default_rng(0)  # ambiguous spans are discarded below
+    counts, words, _, _, flags = batch_span_words(
+        seqs, cfg, rng, None, priority_table
+    )
+    unit_of = np.repeat(np.arange(len(seqs), dtype=np.int64), counts)
+    sel = flags == FLAG_SEQUENCE
+    return unit_of[sel], [w_[sel] for w_ in words]
 
 
 def batch_genome_minimizers(
@@ -788,15 +881,12 @@ def batch_genome_minimizers(
     cfg: MinimizerConfig,
     priority_table: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batched genome_minimizers: every super-mer minimizer of every
-    sequence in one kernel pass. Returns (unit_idx, min1, min2)."""
-    rng = np.random.default_rng(0)  # ambiguous spans are discarded below
-    counts, minim, minim2, _, _, flags = batch_span_arrays(
-        seqs, cfg, rng, None, priority_table
-    )
-    unit_of = np.repeat(np.arange(len(seqs), dtype=np.int64), counts)
-    sel = flags == FLAG_SEQUENCE
-    return unit_of[sel], minim[sel], minim2[sel]
+    """Two-word compatibility wrapper over :func:`batch_genome_words` →
+    (unit_idx, min1, min2)."""
+    unit_of, words = batch_genome_words(seqs, cfg, priority_table)
+    if len(words) > 2:
+        raise ValueError("m > 62 exact ids need batch_genome_words (id1..idN)")
+    return unit_of, words[0], words[1]
 
 
 def genome_minimizers(

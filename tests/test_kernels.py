@@ -502,6 +502,98 @@ def test_batch_span_arrays_wide_m(seqs=None):
     assert _spans_batched(seqs, cfg) == _spans_model(seqs, cfg)
 
 
+def _spans_model_words(seqs, cfg, seqs2=None):
+    from slacken_spark.kernels.minimizers import read_span_words
+
+    rows = []
+    for i, s in enumerate(seqs):
+        rng = np.random.default_rng(1)
+        s2 = seqs2[i] if seqs2 is not None else None
+        words, dist, kmers, flags = read_span_words(s, cfg, rng, s2)
+        for j in range(len(dist)):
+            key = (
+                tuple(int(w[j]) for w in words)
+                if flags[j] == FLAG_SEQUENCE
+                else None
+            )
+            rows.append((i, key, bool(dist[j]), int(kmers[j]), int(flags[j])))
+    return rows
+
+
+def _spans_batched_words(seqs, cfg, seqs2=None):
+    from slacken_spark.kernels.minimizers import batch_span_words
+
+    rng = np.random.default_rng(2)
+    counts, words, dist, kmers, flags = batch_span_words(seqs, cfg, rng, seqs2)
+    unit = np.repeat(np.arange(len(seqs)), counts)
+    return [
+        (
+            int(u),
+            tuple(int(w[j]) for w in words) if fl == FLAG_SEQUENCE else None,
+            bool(d),
+            int(km),
+            int(fl),
+        )
+        for j, (u, d, km, fl) in enumerate(zip(unit, dist, kmers, flags))
+    ]
+
+
+@pytest.mark.parametrize("m,k", [(70, 75), (100, 105), (124, 124)])
+def test_batch_span_words_extra_wide_exact_matches_per_read(m, k):
+    """Exact multi-word ids (3-4 words, the reference's id3/id4 range,
+    KmerKeyedIndex.scala:44-53): batch pipeline == per-read model,
+    ambiguity splits included."""
+    from slacken_spark.kernels.minimizers import MinimizerConfig as MC
+
+    cfg = MC(k=k, m=m, spaces=0, wide="exact")
+    rng = np.random.default_rng(m)
+    seqs = []
+    for _ in range(6):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+        # plant an ambiguous run splitting the read
+        p = int(rng.integers(50, 350))
+        seqs.append(s[:p] + "N" * int(rng.integers(1, 2 * k)) + s[p:])
+    assert _spans_batched_words(seqs, cfg) == _spans_model_words(seqs, cfg)
+
+
+@pytest.mark.parametrize("m", [70, 100, 124])
+def test_extra_wide_exact_key_bijection(m):
+    """Exact id1..idN keys are invertible: word j unpacks to bases
+    [31j, 31j+w_j) of the canonical m-mer, and distinct m-mers get
+    distinct key tuples."""
+    from slacken_spark.kernels.minimizers import scan_mmers_words
+
+    cfg = MinimizerConfig(k=m, m=m, spaces=0, canonical=True, wide="exact")
+    rng = np.random.default_rng(m + 1)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, m))
+    s = (
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 200))
+        + core
+        + "".join("ACGT"[i] for i in rng.integers(0, 4, 200))
+        + bitseq.revcomp_str(core)
+        + "".join("ACGT"[i] for i in rng.integers(0, 4, 200))
+    )
+    words, _ = scan_mmers_words(bitseq.encode_codes(s), cfg)
+    assert len(words) == cfg.n_words
+    widths = [min(31, m - 31 * j) for j in range(cfg.n_words)]
+    by_string: dict[str, set] = {}
+    for i in range(len(s) - m + 1):
+        mm = s[i : i + m]
+        canon = min(mm, bitseq.revcomp_str(mm))
+        key = tuple(int(w[i]) for w in words)
+        by_string.setdefault(canon, set()).add(key)
+        # key unpacks back to the canonical m-mer
+        assert "".join(
+            bitseq.unpack_kmer(kk, w) for kk, w in zip(key, widths)
+        ) == canon
+    assert all(len(v) == 1 for v in by_string.values())
+    all_ids = [next(iter(v)) for v in by_string.values()]
+    assert len(set(all_ids)) == len(all_ids)
+    # the planted core and its revcomp share a key
+    canon_core = min(core, bitseq.revcomp_str(core))
+    assert len(by_string[canon_core]) == 1
+
+
 def test_min_table_uint32_and_cap():
     from slacken_spark.kernels.minimizers import (
         table_from_frequencies,
@@ -570,11 +662,16 @@ def test_extra_wide_validation():
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        MinimizerConfig(k=90, m=80, spaces=0, wide="exact")  # > 2 words
-    with _pytest.raises(ValueError):
         MinimizerConfig(k=130, m=125, spaces=0, wide="hashed")  # > 4 words
     cfg = MinimizerConfig(k=90, m=80, spaces=0, wide="hashed")
     assert cfg.key_cols == ["id1"]
+    cfg = MinimizerConfig(k=90, m=80, spaces=0, wide="exact")
+    assert cfg.key_cols == ["id1", "id2", "id3"]
+    assert cfg.id_cols == ["id1", "id2", "id3"]
+    cfg = MinimizerConfig(k=124, m=124, spaces=0, wide="exact")
+    assert cfg.key_cols == ["id1", "id2", "id3", "id4"]
+    cfg = MinimizerConfig(k=35, m=31)
+    assert cfg.key_cols == ["id1"] and cfg.id_cols == ["id1", "id2"]
 
 
 def test_extra_wide_orientation_invariant():
