@@ -41,7 +41,7 @@ from slacken_spark.kernels.minimizers import (
     split_by_ambiguity,
     supermer_words,
 )
-from slacken_spark.kernels.taxonomy import NONE, Taxonomy
+from slacken_spark.kernels.taxonomy import NONE, Taxonomy, member_mask_udf
 
 FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:300-303
 
@@ -290,7 +290,16 @@ class BrackenWeights:
             else F.lit(0).cast("long").alias("location"),
         )
         if taxa is not None:
-            frags0 = frags0.where(F.col("taxon").isin(sorted(taxa)))
+            # Broadcast-mask membership, never a literal `isin`: a
+            # full-library build passes the whole label set (10⁴–10⁵
+            # taxa on refseq) — the reference restricts through a
+            # broadcast BitSet (BrackenWeights.scala:318-326).
+            n = self.index.taxonomy.n_nodes
+            mask = np.zeros(n, dtype=bool)
+            ids = np.asarray([t for t in taxa if 0 <= t < n], dtype=np.int64)
+            mask[ids] = True
+            member = member_mask_udf(self.index.spark, mask)
+            frags0 = frags0.where(member(F.col("taxon")))
         fragments = split_fragments(frags0, read_len, max_len)
 
         id_cols = self.index.cfg.id_cols

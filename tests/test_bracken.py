@@ -171,6 +171,27 @@ def test_gradual_build_matches_direct(world, tmp_path):
     assert direct == grad
 
 
+def test_build_weights_large_taxa_set_no_literal_isin(world):
+    """A full-library Bracken build restricts to the whole label set
+    (10⁴–10⁵ taxa on refseq); the restriction must be a broadcast mask
+    (BrackenWeights.scala:318-326 uses a broadcast BitSet), never a
+    plan-literal In list."""
+    bw = BrackenWeights(world["idx"], READ_LEN)
+    big = set(range(100_000))  # covers both leaves 101 and 102
+    restricted = bw.build_weights(world["gdf"], world["ldf"], taxa=big)
+    plan = restricted._jdf.queryExecution().toString()
+    assert " IN " not in plan and len(plan) < 100_000
+    got = {(r["dest"], r["source"]): r["count"] for r in restricted.collect()}
+    full = {
+        (r["dest"], r["source"]): r["count"]
+        for r in bw.build_weights(world["gdf"], world["ldf"]).collect()
+    }
+    assert got == full
+    # and a restriction that excludes taxon 102 keeps only source 101
+    only101 = bw.build_weights(world["gdf"], world["ldf"], taxa=set(range(102)))
+    assert {r["source"] for r in only101.collect()} == {101}
+
+
 def test_lexicographic_all_a_minimizer_kept(spark):
     """xor_mask=0 gives lexicographic ordering, so a poly-A run's minimizer
     packs to id 0. Regression: id 0 was conflated with the no-minimizer
