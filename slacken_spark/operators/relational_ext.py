@@ -68,7 +68,11 @@ def sessionize(
     Adds ``session_id`` (0-based per user).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # TIMESTAMP_NTZ (parquet timestamp-without-tz) cannot be cast straight
+    # to BIGINT; route through TIMESTAMP first (no-op for TIMESTAMP, and
+    # only the *difference* is used, so the session-tz offset cancels).
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         "session_id",

@@ -12,24 +12,33 @@ from pyspark.sql import functions as F
 from slacken_spark.plans.catalog import register
 from slacken_spark.streaming import ops
 
-# events.parquet stores TIMESTAMP(NANOS); the streaming source reads it
-# as int64 (legacy conf, same as catalog.t) and converts to µs.
-_EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string,"
-    " value double, props string"
-)
-
-
 def _event_stream(spark, sf_dir):
+    """Stream the events table with whatever ts encoding the parquet
+    carries: current testdata stores TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ, used as-is — watermarks/windows support NTZ since
+    Spark 3.4); older drops stored TIMESTAMP(NANOS), only readable as
+    int64 via the legacy conf, converted to a µs timestamp here.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the streaming file source wants a directory; glob-filter to events
+    # infer the schema from a batch read (streams require an explicit
+    # schema), then glob-filter the directory stream to events only
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .format("parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # withWatermark requires TIMESTAMP (not NTZ); the NTZ→LTZ cast and
+        # the later date_format both use the session tz, so wall-clock
+        # values round-trip unchanged.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 @register(
