@@ -294,9 +294,16 @@ class BrackenWeights:
             # full-library build passes the whole label set (10⁴–10⁵
             # taxa on refseq) — the reference restricts through a
             # broadcast BitSet (BrackenWeights.scala:318-326).
-            n = self.index.taxonomy.n_nodes
+            # Size to max(n_nodes, max(taxa)+1): the reference's BitSet
+            # (BrackenWeights.scala:318) matches genome labels whose taxid
+            # is absent from the taxonomy, so a mask clipped to n_nodes
+            # would silently drop those genomes from the simulation.
+            n = max(
+                self.index.taxonomy.n_nodes,
+                (max(taxa) + 1) if taxa else 0,
+            )
             mask = np.zeros(n, dtype=bool)
-            ids = np.asarray([t for t in taxa if 0 <= t < n], dtype=np.int64)
+            ids = np.asarray([t for t in taxa if t >= 0], dtype=np.int64)
             mask[ids] = True
             member = member_mask_udf(self.index.spark, mask)
             frags0 = frags0.where(member(F.col("taxon")))

@@ -192,6 +192,33 @@ def test_build_weights_large_taxa_set_no_literal_isin(world):
     assert {r["source"] for r in only101.collect()} == {101}
 
 
+def test_taxa_restriction_keeps_out_of_taxonomy_labels(world):
+    """A genome label may reference a taxid absent from the taxonomy
+    (e.g. a newer assembly than the dmp drop). The reference's BitSet
+    restriction (BrackenWeights.scala:318) still matches such genomes,
+    so the broadcast mask must too — it must not be clipped to
+    taxonomy.n_nodes."""
+    spark = world["spark"]
+    outside = world["tax"].n_nodes + 400  # well past every node id
+    gdf = world["gdf"].union(
+        spark.createDataFrame(
+            [("g_out", _genome(300))], "header string, nucleotides string"
+        )
+    )
+    ldf = world["ldf"].union(
+        spark.createDataFrame([("g_out", outside)], "header string, taxon int")
+    )
+    bw = BrackenWeights(world["idx"], READ_LEN)
+    full = {
+        (r["dest"], r["source"]): r["count"]
+        for r in bw.build_weights(gdf, ldf).collect()
+    }
+    assert any(src == outside for _d, src in full), "fixture must simulate g_out"
+    restricted = bw.build_weights(gdf, ldf, taxa={101, 102, outside})
+    got = {(r["dest"], r["source"]): r["count"] for r in restricted.collect()}
+    assert got == full
+
+
 def test_lexicographic_all_a_minimizer_kept(spark):
     """xor_mask=0 gives lexicographic ordering, so a poly-A run's minimizer
     packs to id 0. Regression: id 0 was conflated with the no-minimizer
