@@ -33,23 +33,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, DEFAULT_SF_DIR)
 
 
-# Round-1's correctness gate recorded exactly the first 50 registered
-# queries and silently dropped the rest (streaming_window_counts,
-# streaming_session_windows, video_frame_plan had no rows). Emit a
-# curated order: the previously-dropped trio early, and the entries
-# whose loss is cheapest last (rows-only check, or a redundant scheme
-# variant with strong pytest coverage).
+# The correctness gate records exactly the first 50 registered queries
+# and silently drops the rest, so the order is rotated each round until
+# every catalog entry has a green CORRECTNESS row. Round 4: promote the
+# 5 entries dropped in r2+r3 to the front; demote 5 entries that are
+# green in BOTH CORRECTNESS_r02 and _r03 (cheapest to lose — their
+# correctness is already on record twice, plus pytest parity).
 _EARLY = [
+    "doc_token_stats",
+    "deterministic_sample",
+    "salted_skew_agg",
+    "genomic_classify_wide_hashed",
+    "genomic_classify_detail",
+    # r3's three red rows — keep them in-gate to prove the fixes:
+    "sessionize_events",
     "streaming_window_counts",
     "streaming_session_windows",
-    "video_frame_plan",
 ]
 _TAIL = [
-    "doc_token_stats",  # token counting driver-covered by doc_bpe_token_stats
-    "deterministic_sample",  # generic sampling; covered by pytest parity
-    "salted_skew_agg",  # same salting pattern as salted_skew_join
-    "genomic_classify_wide_hashed",  # opt-in scheme; pytest parity green
-    "genomic_classify_detail",  # no oracle — rows-only check anyway
+    "scalar_funcs",
+    "set_ops_nations",
+    "topk_per_group",
+    "two_level_agg",
+    "size_histogram",
 ]
 
 
