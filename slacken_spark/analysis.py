@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from slacken_spark import fsio
 from slacken_spark.index import KeyValueIndex, extract_index_rows
 from slacken_spark.kernels.taxonomy import NONE, ROOT, Taxonomy
 
@@ -351,11 +352,8 @@ def write_metrics_tsv(location_prefix: str, lines: list[str]) -> str:
     """Write header + metric rows to ``<prefix>_metrics.tsv``
     (MappingComparison.scala:101-113)."""
     path = location_prefix + "_metrics.tsv"
-    with open(path, "w") as f:
-        f.write(METRICS_HEADER + "\n")
-        for line in lines:
-            if line is not None:
-                f.write(line + "\n")
+    body = "\n".join([METRICS_HEADER] + [ln for ln in lines if ln is not None])
+    fsio.write_text(path, body + "\n")
     return path
 
 
@@ -414,9 +412,7 @@ class CAMIToKrakenReport:
         return [r["id"] for r in self.filtered.select("id").collect()]
 
     def write_filtered_ids(self, location: str) -> None:
-        with open(location, "w") as f:
-            for i in self.filtered_ids():
-                f.write(i + "\n")
+        fsio.write_text(location, "\n".join(self.filtered_ids()) + "\n")
 
     def filtered_report(self):
         """KrakenReport over floor(count/2) per taxon (single→paired)."""
@@ -431,8 +427,9 @@ class CAMIToKrakenReport:
         return KrakenReport(self.tax, pairs)
 
     def write_filtered_report(self, location: str) -> None:
-        with open(location, "w") as f:
-            f.write("\n".join(self.filtered_report().lines()) + "\n")
+        fsio.write_text(
+            location, "\n".join(self.filtered_report().lines()) + "\n"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -432,7 +432,8 @@ class BrackenWeights:
         weights = self.build_weights(genomes, labels, taxa).persist()
         try:
             lines = self.kmer_distrib_lines(self.group_data(weights))
-            with open(output_location, "w") as f:
-                f.write("\n".join(lines) + "\n")
+            from slacken_spark.fsio import write_text
+
+            write_text(output_location, "\n".join(lines) + "\n")
         finally:
             weights.unpersist()

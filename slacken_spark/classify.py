@@ -345,14 +345,16 @@ class Classifier:
         Kraken report per sample (makeReportsFromClassifications,
         Classifier.scala:229-251): read back the gzip text (S12), count
         reads per taxon per sample, clade-roll each sample's tree."""
-        import glob
-        import os
+        import posixpath
 
         from slacken_spark.analysis import read_kraken_format
+        from slacken_spark.fsio import list_dir
 
         out: dict[str, list[str]] = {}
-        for d in sorted(glob.glob(os.path.join(location, "sample=*"))):
-            sample = os.path.basename(d).split("=", 1)[1]
+        # any-FS directory listing (HDFSUtil.scala:76-98 contract) — a
+        # glob() here would silently be local-only
+        for d in list_dir(location, prefix="sample="):
+            sample = posixpath.basename(d.rstrip("/")).split("=", 1)[1]
             back = read_kraken_format(self.index.spark, d)
             counts = [
                 (r["taxon"], r["n"])

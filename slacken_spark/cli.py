@@ -12,6 +12,8 @@ import argparse
 import json
 import sys
 
+from slacken_spark import fsio
+
 
 def _add_splitter_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-k", type=int, default=35, help="k-mer length")
@@ -143,8 +145,9 @@ def cmd_classify(args) -> int:
             .collect()
         ]
         report = KrakenReport(idx.taxonomy, counts)
-        with open(args.output + "_kreport.txt", "w") as f:
-            f.write("\n".join(report.lines()) + "\n")
+        fsio.write_text(
+            args.output + "_kreport.txt", "\n".join(report.lines()) + "\n"
+        )
         return 0
     for thr in cpar.thresholds:
         loc = f"{args.output}_c{thr}"
@@ -154,8 +157,9 @@ def cmd_classify(args) -> int:
         # (the reference's report path re-reads what was written)
         for sample, lines in cls.reports_from_written(loc).items():
             suffix = f"_{sample}" if sample != "all" else ""
-            with open(f"{args.output}{suffix}_kreport.txt", "w") as f:
-                f.write("\n".join(lines) + "\n")
+            fsio.write_text(
+                f"{args.output}{suffix}_kreport.txt", "\n".join(lines) + "\n"
+            )
     return 0
 
 
@@ -190,8 +194,10 @@ def cmd_classify2(args) -> int:
     reads = read_sequences(spark, args.inputs[0])
     out, taxa = dyn.two_step_classify(reads)
     out.write.mode("overwrite").parquet(args.output)
-    with open(args.output + "_taxonSet.txt", "w") as f:
-        f.write("\n".join(str(t) for t in sorted(taxa)) + "\n")
+    fsio.write_text(
+        args.output + "_taxonSet.txt",
+        "\n".join(str(t) for t in sorted(taxa)) + "\n",
+    )
     return 0
 
 
@@ -322,15 +328,15 @@ def cmd_display_report(args) -> int:
     from slacken_spark.analysis import filter_report, num_rank_for_code
 
     if args.report:
-        with open(args.report) as f:
-            lines = f.read().splitlines()
+        lines = fsio.read_lines(args.report)
     else:
         lines = sys.stdin.read().splitlines()
     cutoff = num_rank_for_code(args.rank.upper()) if args.rank else None
     clades = None
     if args.clades:
-        with open(args.clades) as f:
-            clades = {int(x) for x in f.read().split() if x.strip()}
+        clades = {
+            int(x) for x in fsio.read_text(args.clades).split() if x.strip()
+        }
     for line in filter_report(
         lines, level_cutoff=cutoff, min_percent=args.min_percent, clades=clades
     ):

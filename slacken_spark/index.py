@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
+
+from slacken_spark import fsio
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -246,14 +249,23 @@ class KeyValueIndex:
             "key_cols": key,
             "splitter": self.cfg.to_dict(),
         }
-        with open(os.path.join(location, "_index_params.json"), "w") as f:
-            json.dump(params, f, indent=2)
+        # sidecars via any-FS (HDFSUtil.scala:76-98): location may be a
+        # file://, s3://, hdfs:// or gs:// URI, same as the table path
+        fsio.write_text(
+            posixpath.join(location, "_index_params.json"),
+            json.dumps(params, indent=2),
+        )
         if self.priority_table is not None:
             import numpy as np
 
-            np.save(os.path.join(location, "_priority_table.npy"), self.priority_table)
-        tax_dir = os.path.join(location, "_taxonomy")
-        os.makedirs(tax_dir, exist_ok=True)
+            fs_, loc_ = fsio.any_fs(location)
+            with fs_.open_output_stream(
+                posixpath.join(loc_, "_priority_table.npy")
+            ) as fh:
+                np.save(fh, self.priority_table)
+        tax_dir = posixpath.join(location, "_taxonomy")
+        fs_, tax_ = fsio.any_fs(tax_dir)
+        fs_.create_dir(tax_, recursive=True)
         self.taxonomy.save(tax_dir)
         self.location = location
         self.records = self.spark.table(table_name)
@@ -264,17 +276,22 @@ class KeyValueIndex:
         """Reload: params sidecar + bucketed-table DDL registration
         (KeyValueIndex.scala:150-159, 407-427). Pins
         spark.sql.shuffle.partitions to the bucket count."""
-        with open(os.path.join(location, "_index_params.json")) as f:
-            params = json.load(f)
+        params = json.loads(
+            fsio.read_text(posixpath.join(location, "_index_params.json"))
+        )
         cfg = MinimizerConfig.from_dict(params["splitter"])
         buckets = int(params["buckets"])
-        taxonomy = Taxonomy.load_dir(os.path.join(location, "_taxonomy"))
+        taxonomy = Taxonomy.load_dir(posixpath.join(location, "_taxonomy"))
         table = None
-        table_path = os.path.join(location, "_priority_table.npy")
-        if os.path.exists(table_path):
+        table_path = posixpath.join(location, "_priority_table.npy")
+        if fsio.exists(table_path):
+            import io as _io
+
             import numpy as np
 
-            table = np.load(table_path)
+            fs_, tp_ = fsio.any_fs(table_path)
+            with fs_.open_input_stream(tp_) as fh:
+                table = np.load(_io.BytesIO(fh.read()))
         name = "slacken_index_" + os.path.basename(location.rstrip("/")).replace(
             "-", "_"
         ).replace(".", "_")

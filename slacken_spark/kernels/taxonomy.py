@@ -159,25 +159,25 @@ class Taxonomy:
         (id, parent, rank); names keep only 'scientific name' rows;
         merged gives old→new redirects.
         """
+        from slacken_spark.fsio import read_lines
+
         ids, parents, ranks = [], [], []
-        with open(nodes_dmp) as f:
-            for line in f:
-                parts = [p.strip() for p in line.split("|")]
-                ids.append(int(parts[0]))
-                parents.append(int(parts[1]))
-                ranks.append(parts[2])
+        for line in read_lines(nodes_dmp):
+            parts = [p.strip() for p in line.split("|")]
+            ids.append(int(parts[0]))
+            parents.append(int(parts[1]))
+            ranks.append(parts[2])
         names = {}
         if names_dmp:
-            with open(names_dmp) as f:
-                for line in f:
-                    parts = [p.strip() for p in line.split("|")]
-                    if len(parts) > 3 and parts[3] == "scientific name":
-                        names[int(parts[0])] = parts[1]
+            for line in read_lines(names_dmp):
+                parts = [p.strip() for p in line.split("|")]
+                if len(parts) > 3 and parts[3] == "scientific name":
+                    names[int(parts[0])] = parts[1]
         merged = {}
         if merged_dmp:
-            with open(merged_dmp) as f:
-                for line in f:
-                    parts = [p.strip() for p in line.split("|")]
+            for line in read_lines(merged_dmp):
+                parts = [p.strip() for p in line.split("|")]
+                if parts and parts[0]:
                     merged[int(parts[0])] = int(parts[1])
         return cls.from_edges(ids, parents, ranks, names, merged)
 
@@ -185,39 +185,55 @@ class Taxonomy:
 
     def save(self, dir_path: str) -> None:
         """Persist next to an index (the reference copies the dmp files,
-        Taxonomy.scala:142-147; we store the parsed arrays directly)."""
+        Taxonomy.scala:142-147; we store the parsed arrays directly).
+        Any-FS: dir_path may be a file://, s3://, hdfs://, gs:// URI or
+        a bare local path (HDFSUtil.scala:76-98 contract)."""
         import json
-        import os
+        import posixpath
 
-        np.savez_compressed(
-            os.path.join(dir_path, "taxonomy.npz"),
-            parents=self.parents,
-            rank_depths=(
-                self.rank_depths
-                if self.rank_depths is not None
-                else np.full(self.n_nodes, NO_RANK, dtype=np.int8)
-            ),
-            primary=(
-                self.primary
-                if self.primary is not None
-                else np.arange(self.n_nodes, dtype=np.int64)
-            ),
-        )
+        from slacken_spark.fsio import any_fs, write_text
+
+        filesystem, p = any_fs(dir_path)
+        with filesystem.open_output_stream(
+            posixpath.join(p, "taxonomy.npz")
+        ) as fh:
+            np.savez_compressed(
+                fh,
+                parents=self.parents,
+                rank_depths=(
+                    self.rank_depths
+                    if self.rank_depths is not None
+                    else np.full(self.n_nodes, NO_RANK, dtype=np.int8)
+                ),
+                primary=(
+                    self.primary
+                    if self.primary is not None
+                    else np.arange(self.n_nodes, dtype=np.int64)
+                ),
+            )
         if self.names is not None:
-            with open(os.path.join(dir_path, "names.json"), "w") as f:
-                json.dump(self.names, f)
+            write_text(
+                posixpath.join(dir_path, "names.json"), json.dumps(self.names)
+            )
 
     @classmethod
     def load_dir(cls, dir_path: str) -> "Taxonomy":
+        import io
         import json
-        import os
+        import posixpath
 
-        z = np.load(os.path.join(dir_path, "taxonomy.npz"))
+        from slacken_spark.fsio import any_fs, exists, read_text
+
+        filesystem, p = any_fs(dir_path)
+        with filesystem.open_input_stream(
+            posixpath.join(p, "taxonomy.npz")
+        ) as fh:
+            # np.load wants a seekable file; zip members need random access
+            z = np.load(io.BytesIO(fh.read()))
         names = None
-        names_path = os.path.join(dir_path, "names.json")
-        if os.path.exists(names_path):
-            with open(names_path) as f:
-                names = json.load(f)
+        names_path = posixpath.join(dir_path, "names.json")
+        if exists(names_path):
+            names = json.loads(read_text(names_path))
         return cls(z["parents"], z["rank_depths"], names, z["primary"])
 
     # ---------------- basic structure ----------------

@@ -92,8 +92,9 @@ def read_sequences(spark: SparkSession, path: str) -> DataFrame:
         list_path = path[1:] if path.startswith("@") else os.path.join(
             os.path.dirname(path), os.path.basename(path)[1:]
         )
-        with open(list_path) as f:
-            files = [line.strip() for line in f if line.strip()]
+        from slacken_spark.fsio import read_lines
+
+        files = [ln.strip() for ln in read_lines(list_path) if ln.strip()]
         dfs = [read_sequences(spark, p) for p in files]
         out = dfs[0]
         for d in dfs[1:]:
@@ -106,18 +107,13 @@ def read_sequences(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _pa_fs(path: str):
-    """Resolve a path or URI to (pyarrow filesystem, fs-local path).
+    """Resolve a path or URI to (pyarrow filesystem, fs-local path) —
+    shared any-FS resolution (see slacken_spark.fsio); the any-Hadoop-FS
+    contract of the reference's custom input format
+    (fastdoop/IndexedFastaReader.scala:29-309)."""
+    from slacken_spark.fsio import any_fs
 
-    Handles bare local paths plus any pyarrow-supported URI scheme
-    (file://, s3://, hdfs://, gs://) — the any-Hadoop-FS contract of the
-    reference's custom input format (fastdoop/IndexedFastaReader.scala:
-    29-309), without executor-side ``open()`` being local-only.
-    """
-    from pyarrow import fs as pafs
-
-    if "://" in path:
-        return pafs.FileSystem.from_uri(path)
-    return pafs.LocalFileSystem(), path
+    return any_fs(path)
 
 
 def plan_indexed_fasta(path: str, k: int, max_chunk: int = 1_000_000) -> list[dict]:

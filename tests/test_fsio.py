@@ -1,0 +1,114 @@
+"""Any-FS driver-side IO: every sidecar/report/list read+write must work
+through a filesystem URI, not only a bare local path (the reference
+routes all of these through Hadoop FS, HDFSUtil.scala:76-98). file://
+exercises the URI resolution path end-to-end without needing a real
+object store."""
+
+import numpy as np
+import pytest
+
+from slacken_spark import fsio
+from slacken_spark.kernels.minimizers import MinimizerConfig
+from slacken_spark.kernels.taxonomy import ROOT, Taxonomy
+
+
+def furi(p) -> str:
+    return "file://" + str(p)
+
+
+def test_fsio_text_roundtrip(tmp_path):
+    fsio.write_text(furi(tmp_path / "a.txt"), "hello\nworld\n")
+    assert fsio.read_text(furi(tmp_path / "a.txt")) == "hello\nworld\n"
+    assert fsio.read_lines(str(tmp_path / "a.txt")) == ["hello", "world"]
+    assert fsio.exists(furi(tmp_path / "a.txt"))
+    assert not fsio.exists(furi(tmp_path / "missing.txt"))
+
+
+def test_fsio_list_dir_prefix(tmp_path):
+    (tmp_path / "sample=s1").mkdir()
+    (tmp_path / "sample=s2").mkdir()
+    (tmp_path / "_SUCCESS").write_text("")
+    got = fsio.list_dir(furi(tmp_path), prefix="sample=")
+    assert [g.rsplit("/", 1)[1] for g in got] == ["sample=s1", "sample=s2"]
+    assert all(g.startswith("file://") for g in got)
+    bare = fsio.list_dir(str(tmp_path), prefix="sample=")
+    assert [g.rsplit("/", 1)[1] for g in bare] == ["sample=s1", "sample=s2"]
+
+
+def test_taxonomy_dmp_load_via_uri(tmp_path):
+    (tmp_path / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n5\t|\t1\t|\tgenus\t|\n7\t|\t5\t|\tspecies\t|\n"
+    )
+    (tmp_path / "names.dmp").write_text(
+        "5\t|\tExemplar\t|\t\t|\tscientific name\t|\n"
+        "5\t|\tAlias\t|\t\t|\tsynonym\t|\n"
+    )
+    (tmp_path / "merged.dmp").write_text("6\t|\t5\t|\n")
+    tax = Taxonomy.load(
+        furi(tmp_path / "nodes.dmp"),
+        furi(tmp_path / "names.dmp"),
+        furi(tmp_path / "merged.dmp"),
+    )
+    assert tax.parents[7] == 5 and tax.parents[5] == ROOT
+    assert tax.names[5] == "Exemplar"
+    assert tax.primary[6] == 5
+
+
+def test_taxonomy_save_load_dir_via_uri(tmp_path):
+    tax = Taxonomy.from_edges([5, 7], [ROOT, 5], names={5: "Exemplar"})
+    d = tmp_path / "taxdir"
+    d.mkdir()
+    tax.save(furi(d))
+    back = Taxonomy.load_dir(furi(d))
+    assert np.array_equal(back.parents, tax.parents)
+    assert back.lca(7, 5) == 5
+
+
+def test_index_write_load_via_uri(spark, tmp_path):
+    from slacken_spark.index import KeyValueIndex
+
+    tax = Taxonomy.from_edges([5, 101, 102], [ROOT, 5, 5])
+    rng = np.random.default_rng(7)
+    gdf = spark.createDataFrame(
+        [
+            (f"g{t}", "".join("ACGT"[i] for i in rng.integers(0, 4, 600)))
+            for t in (101, 102)
+        ],
+        "header string, nucleotides string",
+    )
+    ldf = spark.createDataFrame(
+        [("g101", 101), ("g102", 102)], "header string, taxon int"
+    )
+    cfg = MinimizerConfig(k=15, m=9, spaces=0, canonical=True)
+    idx = KeyValueIndex.build(spark, gdf, ldf, tax, cfg, buckets=2)
+    loc = furi(tmp_path / "idx_uri")
+    idx.write(loc)
+    loaded = KeyValueIndex.load(spark, loc)
+    assert loaded.cfg == cfg
+    assert loaded.buckets == 2
+    assert loaded.records.count() == idx.records.count()
+
+
+def test_bracken_kmer_distrib_via_uri(spark, tmp_path):
+    from slacken_spark.bracken import BrackenWeights
+    from slacken_spark.index import KeyValueIndex
+
+    tax = Taxonomy.from_edges([5, 101, 102], [ROOT, 5, 5])
+    rng = np.random.default_rng(11)
+    core = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    gdf = spark.createDataFrame(
+        [
+            (f"g{t}", core + "".join("ACGT"[i] for i in rng.integers(0, 4, 300)))
+            for t in (101, 102)
+        ],
+        "header string, nucleotides string",
+    )
+    ldf = spark.createDataFrame(
+        [("g101", 101), ("g102", 102)], "header string, taxon int"
+    )
+    cfg = MinimizerConfig(k=15, m=9, spaces=0, canonical=True)
+    idx = KeyValueIndex.build(spark, gdf, ldf, tax, cfg, buckets=2)
+    out = furi(tmp_path / "weights_kmer_distrib.txt")
+    BrackenWeights(idx, 60).build_and_write(gdf, ldf, {101, 102}, out)
+    text = fsio.read_text(out)
+    assert text.strip(), "kmer_distrib must not be empty"
