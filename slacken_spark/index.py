@@ -241,9 +241,10 @@ class KeyValueIndex:
         )
         params = {
             # version 2 records the wide-minimizer id scheme in
-            # splitter.wide ("exact" two-column ids vs "hashed" 62-bit,
-            # irreversible); version-1 sidecars predate the field and
-            # always used hashed ids for m > 31
+            # splitter.wide ("exact" multi-column id1..idN words, N =
+            # ceil(m/31) ≤ 4, vs "hashed" 62-bit, irreversible);
+            # version-1 sidecars predate the field and always used
+            # hashed ids for m > 31
             "version": 2,
             "buckets": self.buckets,
             "key_cols": key,
