@@ -341,7 +341,7 @@ class BrackenWeights:
             tax: Taxonomy = bc_tax.value
             table = table_bc2.value if table_bc2 is not None else None
             for pdf in batches:
-                src, dst = [], []
+                src_a, dst_a, cnt_a = [], [], []
                 for r in pdf.itertuples(index=False):
                     ws = [
                         np.asarray(getattr(r, mc), dtype=np.int64)
@@ -355,17 +355,39 @@ class BrackenWeights:
                         r.nucleotides, cfg, (keys[order], tt[keep][order]),
                         tax, read_len, priority_table=table,
                     )
-                    src.extend([r.taxon] * len(dests))
-                    dst.extend(dests.tolist())
+                    if len(dests):
+                        # map-side combine: a 1 MiB fragment simulates
+                        # ~10⁶ reads but hits only a handful of distinct
+                        # dest taxa — shuffle the (source, dest, n)
+                        # partials, never the per-read rows (the
+                        # reference also aggregates inside the kernel,
+                        # BrackenWeights.scala:345-353)
+                        uq, n = np.unique(dests, return_counts=True)
+                        src_a.append(np.full(len(uq), r.taxon, dtype=np.int64))
+                        dst_a.append(uq)
+                        cnt_a.append(n)
+                empty = np.empty(0, dtype=np.int64)
                 yield pd.DataFrame(
                     {
-                        "source": pd.array(src, dtype="int32"),
-                        "dest": pd.array(dst, dtype="int32"),
+                        "source": pd.array(
+                            np.concatenate(src_a) if src_a else empty,
+                            dtype="int32",
+                        ),
+                        "dest": pd.array(
+                            np.concatenate(dst_a) if dst_a else empty,
+                            dtype="int32",
+                        ),
+                        "count": pd.array(
+                            np.concatenate(cnt_a) if cnt_a else empty,
+                            dtype="int64",
+                        ),
                     }
                 )
 
-        pairs = with_frags.mapInPandas(gen, "source int, dest int")
-        return pairs.groupBy("dest", "source").agg(F.count(F.lit(1)).alias("count"))
+        pairs = with_frags.mapInPandas(gen, "source int, dest int, count long")
+        return pairs.groupBy("dest", "source").agg(
+            F.sum("count").alias("count")
+        )
 
     def build_weights_gradually(
         self,
