@@ -133,17 +133,29 @@ def run_to_completion(
     not the session-wide batch setting — a handful for a small keyed
     stream, hundreds on a real cluster. Restored after the run.
     """
+    import os
+    import shutil
+    import tempfile
+
     spark = result.sparkSession
     name = name or ("s_" + uuid.uuid4().hex[:12])
     prev = None
     if shuffle_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # A run-to-completion query's checkpoint is throwaway (offsets/state
+    # die with the memory sink), so put it on the fastest local scratch
+    # available — WAL/offset commits are pure fixed overhead here. A
+    # real continuous deployment would pass its own durable checkpoint
+    # via writeStream options instead of this helper.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt_dir = tempfile.mkdtemp(prefix="ss_ckpt_", dir=ckpt_base)
     try:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(ckpt_dir, "c"))
             .trigger(availableNow=True)
             .start()
         )
@@ -151,6 +163,7 @@ def run_to_completion(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name)
 
 
