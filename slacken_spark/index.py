@@ -348,16 +348,27 @@ class KeyValueIndex:
                 f"respacing to <= current spaces is not meaningful"
                 f" (was {self.cfg.spaces}, requested {spaces})"
             )
-        new_cfg = replace(self.cfg, spaces=spaces, masked=True)
-        mask = new_cfg.seed_mask
-        lca_udf = self.taxonomy.lca_list_udf(self.spark)
-        new_records = (
-            self.records.select(
-                F.col("id1").bitwiseAND(F.lit(mask)).alias("id1"), "taxon"
+        if self.cfg.m > 31 and not self.cfg.wide_exact:
+            raise ValueError(
+                "cannot respace a hashed wide index (ids are irreversible);"
+                " build with wide='exact'"
             )
-            .groupBy("id1")
+        new_cfg = replace(self.cfg, spaces=spaces, masked=True)
+        key = new_cfg.key_cols
+        lca_udf = self.taxonomy.lca_list_udf(self.spark)
+        # per-word seed-mask slices: one column for m ≤ 31, id1..idN for
+        # exact wide ids — each word masks its own slice of the seed
+        masked_cols = [
+            F.col(c).bitwiseAND(F.lit(mask)).alias(c)
+            for c, mask in zip(key, new_cfg.word_masks)
+        ]
+        new_records = (
+            self.records.select(*masked_cols, "taxon")
+            .groupBy(*key)
             .agg(F.collect_list("taxon").alias("taxa"))
-            .select("id1", lca_udf(F.col("taxa")).cast("int").alias("taxon"))
+            .select(
+                *key, lca_udf(F.col("taxa")).cast("int").alias("taxon")
+            )
         )
         return KeyValueIndex(
             self.spark, new_records, new_cfg, self.taxonomy, self.buckets

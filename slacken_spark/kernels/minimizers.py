@@ -78,9 +78,12 @@ class MinimizerConfig:
         if not (0 < self.m <= 124):
             raise ValueError("m must be in 1..124 (4 packed words, like the"
                              " reference's id1..id4 cap at 128 bp)")
-        if self.m > 31 and self.masked:
-            # masked STORAGE (respace projections) stays single-word
-            raise ValueError("masked storage requires m <= 31")
+        if self.m > 31 and self.masked and self.wide == "hashed":
+            # a mixed hash is not maskable; masked wide storage needs
+            # the exact multi-word ids so each word can be re-masked
+            raise ValueError(
+                "masked storage for m > 31 requires wide='exact'"
+            )
         if self.k < self.m:
             raise ValueError("k must be >= m")
         if self.wide not in ("exact", "hashed"):
@@ -122,6 +125,28 @@ class MinimizerConfig:
     @property
     def seed_mask(self) -> int:
         return spaced_seed_mask(self.m, self.spaces)
+
+    @property
+    def word_widths(self) -> list[int]:
+        """Base width of each packed word: 31, 31, ..., remainder."""
+        widths, off = [], 0
+        while off < self.m:
+            widths.append(min(31, self.m - off))
+            off += 31
+        return widths
+
+    @property
+    def word_masks(self) -> list[int]:
+        """``seed_mask`` sliced per packed word (aligned with
+        ``word_widths``) — the per-column masks a respace projection
+        applies to exact multi-word ids."""
+        full = self.seed_mask
+        shift = 2 * self.m
+        out = []
+        for w in self.word_widths:
+            shift -= 2 * w
+            out.append((full >> shift) & ((1 << (2 * w)) - 1))
+        return out
 
     def to_dict(self) -> dict:
         return {
@@ -239,15 +264,15 @@ def scan_mmers_wide(
         # each packed word BEFORE the rank mix, so m-mers equal on the
         # unmasked positions rank identically (SpacedSeed wraps the
         # inner ordering, MinimizerPriorities.scala:282-321); stored ids
-        # stay exact
-        full = cfg.seed_mask
-        masked = []
-        shift = 2 * m
-        for w, word in zip(widths, fwd):
-            shift -= 2 * w
-            wmask = np.uint64((full >> shift) & ((1 << (2 * w)) - 1))
-            masked.append(word & wmask)
+        # stay exact unless cfg.masked opts into SpacedSeed STORAGE
+        # semantics (respace projections, KeyValueIndex.scala:347-383)
+        masked = [
+            word & np.uint64(wmask)
+            for word, wmask in zip(fwd, cfg.word_masks)
+        ]
         rank_words = masked
+        if cfg.masked and cfg.wide == "exact":
+            fwd = masked
     else:
         rank_words = fwd
     ranks = rank_words[0]

@@ -332,14 +332,33 @@ def test_wide_span_accounting(s):
 
 
 def test_wide_spaces_and_masked_validation():
-    # spaced seeds now compose with wide ids (rank-side mask per half);
-    # masked STORAGE stays single-word
+    # spaced seeds compose with wide ids (rank-side mask per word);
+    # masked STORAGE works for exact wide ids (per-word seed-mask
+    # slices) but not for the irreversible hashed scheme
     cfg = MinimizerConfig(k=50, m=45, spaces=3)
     assert cfg.seed_mask != cfg.mask_2m
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        MinimizerConfig(k=50, m=45, spaces=3, masked=True)
+        MinimizerConfig(k=50, m=45, spaces=3, masked=True, wide="hashed")
+    cfg_m = MinimizerConfig(k=50, m=45, spaces=3, masked=True, wide="exact")
+    # per-word masks recompose to the full seed mask
+    full = 0
+    for w, msk in zip(cfg_m.word_widths, cfg_m.word_masks):
+        full = (full << (2 * w)) | msk
+    assert full == cfg_m.seed_mask
+    # emitted ids of a masked config are the per-word-masked exact ids
+    rng = np.random.default_rng(33)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 500))
+    from slacken_spark.kernels.minimizers import supermer_words
+
+    codes = bitseq.encode_codes(seq)
+    cfg_e = MinimizerConfig(k=50, m=45, spaces=3, wide="exact")
+    we, _s, _k = supermer_words(codes, cfg_e)
+    wm, _s2, _k2 = supermer_words(codes, cfg_m)
+    # same selection (rank function identical), masked identity
+    for exact, masked, msk in zip(we, wm, cfg_m.word_masks):
+        assert np.array_equal(exact & np.uint64(msk), masked)
 
 
 def _mix62_int(hi: int, lo: int) -> int:

@@ -110,3 +110,49 @@ def test_wide_exact_join_stays_bucketed(world):
     import re as _re
 
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
+def test_wide_respace_projects_and_classifies(world):
+    """Respace of a WIDE exact index (KeyValueIndex.scala:347-404 applies
+    to any spaced config): per-word seed-mask slices project id1..id3,
+    colliding records re-fold to their LCA, and reads still classify
+    through the masked index."""
+    idx, tax, spark = world["idx"], world["tax"], world["spark"]
+    re3 = idx.respace(3)
+    assert re3.cfg.spaces == 3 and re3.cfg.masked and re3.cfg.wide_exact
+    n0, n3 = idx.records.count(), re3.records.count()
+    assert 0 < n3 <= n0
+    # every projected id must be invariant under its own word mask
+    import pandas as pd  # noqa: F401
+
+    masks = re3.cfg.word_masks
+    bad = 0
+    for row in re3.records.select(*re3.cfg.key_cols).collect():
+        for c, msk in zip(re3.cfg.key_cols, masks):
+            if row[c] & ~msk:
+                bad += 1
+    assert bad == 0
+    t0, seq = 101, world["genomes"][101]
+    reads = spark.createDataFrame(
+        [(f"rw{i}", seq[i * 53 : i * 53 + 250]) for i in range(10)],
+        "header string, nucleotides string",
+    )
+    out = Classifier(re3).classify(
+        reads, ClassifyParams(min_hit_groups=1)
+    ).collect()
+    n_cls = 0
+    for r in out:
+        if r["classified"]:
+            n_cls += 1
+            assert tax.has_ancestor(t0, r["taxon"])
+    assert n_cls >= 5
+
+
+def test_wide_respace_hashed_rejected(spark):
+    from slacken_spark.kernels.minimizers import MinimizerConfig as MC
+
+    with pytest.raises(ValueError):
+        MC(k=50, m=45, spaces=3, masked=True, wide="hashed")
+    # masked + exact wide is the supported storage for respace
+    cfg = MC(k=50, m=45, spaces=3, masked=True, wide="exact")
+    assert cfg.word_masks and len(cfg.word_masks) == 2
