@@ -49,6 +49,8 @@ _EARLY = [
     "sessionize_events",
     "streaming_window_counts",
     "streaming_session_windows",
+    # new this round — record a row immediately:
+    "asof_event_order_forward",
 ]
 _TAIL = [
     "scalar_funcs",

@@ -41,13 +41,36 @@ def decoder_available() -> bool:
         return False
 
 
-def _decode_image_real(payload: bytes) -> dict:  # pragma: no cover
-    """Real decode path (requires Pillow). Not available in this
-    container — see module docstring."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "install Pillow and route decode_images(use_real=True)"
-    )
+def _decode_image_real(payload: bytes) -> dict:
+    """Real decode path (requires Pillow): decode any PIL-supported
+    format, grayscale, mean luma + 64-bit average-hash (8×8 downsample
+    thresholded against its mean — same output contract as the fake).
+    Skipped-if-absent tests exercise this when the environment has a
+    codec (tests/test_multimodal.py::test_image_features_real_codec)."""
+    from io import BytesIO
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "install Pillow to use decode with use_real=True"
+        ) from e
+
+    img = Image.open(BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.float64)
+    mean_luma = float(arr.mean()) if arr.size else 0.0
+    small = np.asarray(
+        img.resize((8, 8), Image.BILINEAR), dtype=np.float64
+    ).ravel()
+    bits = (small > small.mean()).astype(np.uint64)
+    phash = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return {
+        "mean_luma": mean_luma,
+        "phash": phash - (1 << 64) if phash >= 1 << 63 else phash,
+    }
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int) -> dict:

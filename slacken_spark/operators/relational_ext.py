@@ -19,17 +19,18 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (direction='backward') sharing the ``on`` key.
+    ``right_ts <= left_ts`` (direction='backward') or the earliest right
+    row with ``right_ts >= left_ts`` (direction='forward') sharing the
+    ``on`` key.
 
     Implementation: union-tag + window last_value, the scale-safe plan —
     ONE shuffle on the key (no range cross-product). Right-side ties on
-    (ts) break by the last of ``right_cols`` ordering (we order by ts,
-    then monotonic tag), matching `pd.merge_asof` semantics closely
-    enough for pipeline use; exact tie policy: latest ts wins, among
-    equal ts the max of the first right col wins (deterministic).
+    (ts) break deterministically: backward takes the max right_cols
+    tuple among equal-ts rights, forward the min (both directions match
+    a right row with ts == left_ts, like ``pd.merge_asof``).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of supported")
+    if direction not in ("backward", "forward"):
+        raise NotImplementedError("direction must be 'backward' or 'forward'")
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -46,11 +47,19 @@ def asof_join(
     rt = rt.withColumn("_lrow", F.lit(None).cast(lt.schema["_lrow"].dataType))
     both = lt.unionByName(rt.select(lt.columns))
     # right rows sort before left rows at equal ts (_side desc → right=1
-    # first); among equal-ts right rows the LAST one (max right_cols
-    # tuple) wins, so order _rrow ascending
+    # first), so an equal-ts right is visible to the left row in both
+    # directions. Scanning order flips with the direction: backward scans
+    # ts ascending (last right seen = latest right ≤ left_ts; among
+    # equal-ts rights the max _rrow tuple is nearest), forward scans ts
+    # descending (last right seen = earliest right ≥ left_ts; min _rrow
+    # nearest).
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").desc(), F.col("_rrow").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").desc(), F.col("_rrow").desc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_rrow").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = both.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))

@@ -914,6 +914,39 @@ def asof_event_order(spark, sf_dir):
     )
 
 
+@register(
+    "asof_event_order_forward",
+    """
+    SELECT e.event_id,
+           coalesce((SELECT o_orderkey FROM orders
+                     WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
+                     ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1),
+                    -1) AS order_key
+    FROM events e
+    """,
+)
+def asof_event_order_forward(spark, sf_dir):
+    """Forward as-of: each event matched to the EARLIEST order at-or-
+    after it (direction='forward'; same one-shuffle union-tag plan as
+    backward, scan order flipped)."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate", "o_orderkey"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("order_key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range join via bucketization (range_bucket_join operator)
 # ---------------------------------------------------------------------------

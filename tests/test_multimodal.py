@@ -70,3 +70,36 @@ def test_phash_near_dup_banding(spark, images):
     pairs = M.phash_near_dup_pairs(feats, max_hamming=0).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 6)}
     assert pairs[0]["hamming"] == 0
+
+
+@pytest.mark.skipif(
+    not M.decoder_available(), reason="Pillow not installed in this env"
+)
+def test_image_features_real_codec(spark):
+    """Real decode path: a generated PNG decodes to its known mean luma
+    and a stable 64-bit average-hash (runs wherever Pillow exists)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png_bytes(fill):
+        img = Image.new("L", (16, 16), color=fill)
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(10), {"width": 16, "height": 16}),
+            (2, png_bytes(200), {"width": 16, "height": 16})]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, meta struct<width:int,height:int>"
+    )
+    out = {r["media_id"]: r for r in M.image_features(df, use_real=True).collect()}
+    assert abs(out[1]["mean_luma"] - 10.0) < 1e-9
+    assert abs(out[2]["mean_luma"] - 200.0) < 1e-9
+    # constant image → no pixel above the mean → all-zero hash bits
+    assert out[1]["phash"] == 0 and out[2]["phash"] == 0
+    # deterministic across runs
+    again = {r["media_id"]: r for r in M.image_features(df, use_real=True).collect()}
+    assert {k: v["phash"] for k, v in out.items()} == {
+        k: v["phash"] for k, v in again.items()
+    }

@@ -85,3 +85,34 @@ def test_classification_write_and_report(spark, tmp_path):
     assert int(root_line.split("\t")[1]) == sum(
         c for t, c in counts if t != 0
     )
+
+
+def test_asof_join_directions(spark):
+    """Backward takes the latest right <= left_ts; forward the earliest
+    right >= left_ts; equal timestamps match in both directions with
+    deterministic tie-breaks (backward: max right tuple; forward: min)."""
+    from slacken_spark.operators.relational_ext import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 101), (1, 20, 102), (2, 7, 103)],
+        "k int, rts int, val int",
+    )
+    back = {
+        r["tag"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rts", "val"],
+        ).collect()
+    }
+    assert back == {"a": 101, "b": 102, "c": None}  # tie at 10 → max val
+    fwd = {
+        r["tag"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rts", "val"], direction="forward",
+        ).collect()
+    }
+    assert fwd == {"a": 100, "b": None, "c": 103}  # tie at 10 → min val
