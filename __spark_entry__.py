@@ -51,6 +51,7 @@ _EARLY = [
     "streaming_session_windows",
     # new this round — record a row immediately:
     "asof_event_order_forward",
+    "dedup_components",
 ]
 _TAIL = [
     "scalar_funcs",

@@ -206,3 +206,78 @@ def simhash64(toks: Column, bits: int = 16) -> Column:
 def hamming_distance64(a: Column, b: Column) -> Column:
     """Hamming distance between two long-encoded bit signatures."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Weakly-connected components of an undirected candidate-pair graph
+    (LSH/SimHash near-dup pairs): every node labeled with the minimum
+    node id of its component — the cluster key a keep-one-per-cluster
+    dedup pass groups on.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round a node takes the min of (its label, its neighbors'
+    labels), then labels are re-resolved through the label table
+    (lbl := lbl[lbl]), which collapses chains exponentially, so rounds
+    are O(log diameter), each round two key-shuffles. The driver loop
+    runs one convergence-count action per round and truncates lineage
+    with localCheckpoint — the standard Spark shape for iterative graph
+    algorithms (same round structure as large-star/small-star).
+    Materialized state per round is one (node, lbl) row per node —
+    never the transitive closure.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = e.persist()
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        # pointer jump: resolve each label through the stepped table
+        lmap = stepped.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        jumped = (
+            stepped.join(lmap, "lbl", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))

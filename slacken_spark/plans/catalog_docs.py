@@ -274,6 +274,61 @@ def minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
 
 
+_BANDED_PAIRS_SQL = """
+    , banded AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                 WHEN 0 THEN coalesce(CAST(sig_0 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_1 AS VARCHAR),'null')
+                 WHEN 1 THEN coalesce(CAST(sig_2 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_3 AS VARCHAR),'null')
+                 WHEN 2 THEN coalesce(CAST(sig_4 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_5 AS VARCHAR),'null')
+                 ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
+               END AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_components",
+    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + _BANDED_PAIRS_SQL
+    + """
+    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTER labels: weakly-connected components over the
+    MinHash-LSH candidate-pair graph, every document labeled with its
+    component's min doc_id (singletons label themselves). This is the
+    operator a keep-one-per-cluster dedup pass groups on; the oracle
+    recomputes components with a recursive-CTE closure (tractable at
+    oracle scale only — the engine side materializes one (node, lbl)
+    row per node per round, never the closure)."""
+    docs = tp(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
+    pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+    comp = D.connected_components(pairs)
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.col("doc_id"),
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+
+
 @register(
     "ngram_jaccard_adjacent",
     f"""

@@ -116,3 +116,30 @@ def test_asof_join_directions(spark):
         ).collect()
     }
     assert fwd == {"a": 100, "b": None, "c": 103}  # tie at 10 → min val
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation: a 5-node chain (worst case for label
+    hopping — pointer jumping must collapse it), a triangle, and an
+    isolated pair all resolve to min-id components within max_iter."""
+    from slacken_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),  # chain
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # longer chain, tight iteration budget: pointer jumping gives
+    # O(log n) rounds, so 64 nodes must converge well under 10 rounds
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components(long_chain, max_iter=10).collect()
+    }
+    assert set(got2.values()) == {1}
