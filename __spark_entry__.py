@@ -52,6 +52,9 @@ _EARLY = [
     # new this round — record a row immediately:
     "asof_event_order_forward",
     "dedup_components",
+    "doc_pii_redact",
+    "doc_vocab_top50",
+    "pack_sequences",
 ]
 _TAIL = [
     "scalar_funcs",

@@ -691,3 +691,172 @@ def embedding_neardup_pairs(spark, sf_dir):
         )
         .where(F.col("sim") >= 0.2)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing: regex ops, exact string output)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_PHONE_RE = "\\+1-555-[0-9][0-9][0-9][0-9]"
+
+
+@register(
+    "doc_pii_redact",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                 AS enriched
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(enriched, '{email}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(enriched, '{phone}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(enriched, '{email}', '<EMAIL>', 'g'),
+                              '{phone}', '<PHONE>', 'g')) AS redacted_digest
+    FROM d
+    """.format(email=_EMAIL_RE, phone=_PHONE_RE),
+)
+def doc_pii_redact(spark, sf_dir):
+    """PII scrubbing: count and redact emails/phones with codegen'd
+    regex ops (regexp_extract_all + regexp_replace — JVM-side, no UDF).
+    The synthetic corpus carries no PII, so deterministic addresses are
+    appended first; the digest of the redacted text is compared
+    bit-for-bit against the oracle (regex dialect kept to the
+    Java∩RE2 common subset)."""
+    docs = t(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    d = docs.select("doc_id", enriched.alias("enriched"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("enriched", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("enriched", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("enriched", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (top-k terms by document frequency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_vocab_top50",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS term FROM d)
+    SELECT term,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df
+    FROM e GROUP BY term
+    ORDER BY df DESC, tf DESC, term ASC LIMIT 50
+    """,
+)
+def doc_vocab_top50(spark, sf_dir):
+    """Vocabulary build: global term/document frequencies, top 50 by df
+    (tokenizer-training precursor). Explode + two-level count — partial
+    aggregation map-side, one shuffle on the term; the top-k order is
+    fully deterministic (df, tf, term) so the LIMIT boundary is
+    engine-independent."""
+    docs = tp(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    return (
+        e.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (greedy per-group sample packing for training)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               len({SQL_TOKENS.format(expr='text')}) AS ntok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, source, ntok, rn, ntok AS acc, 0 AS pack_id
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.source, d.ntok, d.rn,
+               CASE WHEN p.acc + d.ntok > {_PACK_BUDGET}
+                    THEN d.ntok ELSE p.acc + d.ntok END,
+               CASE WHEN p.acc + d.ntok > {_PACK_BUDGET}
+                    THEN p.pack_id + 1 ELSE p.pack_id END
+        FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, source, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(ntok AS BIGINT) AS n_tokens
+    FROM p
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy sample packing: within each source (ordered by doc_id),
+    documents fill a pack until the next one would exceed the token
+    budget, then a new pack starts — the standard pretraining sample-
+    packing shape. The scan is inherently sequential PER GROUP, so the
+    engine runs it as one applyInPandas pass per source — parallel
+    across sources, single-pass within; at warehouse scale the group
+    key is (source, shard-range) so no group outgrows one task. The
+    oracle replays the same greedy recurrence as a recursive CTE."""
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+    budget = _PACK_BUDGET
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        acc, pid, out = 0, 0, []
+        for ntok in pdf["n_tokens"]:
+            if acc > 0 and acc + ntok > budget:
+                pid += 1
+                acc = ntok
+            else:
+                acc += ntok
+            out.append(pid)
+        pdf["pack_id"] = pd.array(out, dtype="int64")
+        return pdf[["doc_id", "source", "pack_id", "n_tokens"]]
+
+    return docs.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, pack_id long, n_tokens long"
+    )
