@@ -213,6 +213,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Weakly-connected components of an undirected candidate-pair graph
     (LSH/SimHash near-dup pairs): every node labeled with the minimum
@@ -221,63 +222,75 @@ def connected_components(
 
     Algorithm: iterative min-label propagation with pointer jumping —
     each round a node takes the min of (its label, its neighbors'
-    labels), then labels are re-resolved through the label table
-    (lbl := lbl[lbl]), which collapses chains exponentially, so rounds
-    are O(log diameter), each round two key-shuffles. The driver loop
-    runs one convergence-count action per round and truncates lineage
-    with localCheckpoint — the standard Spark shape for iterative graph
-    algorithms (same round structure as large-star/small-star).
-    Materialized state per round is one (node, lbl) row per node —
-    never the transitive closure.
+    labels), then labels re-resolve through the label table
+    (lbl := lbl[lbl]), collapsing chains exponentially: O(log diameter)
+    rounds. Each round is ONE Spark action (the new label table is
+    persisted and a changed-count aggregate materializes it) over two
+    key-shuffles; label-table joins broadcast automatically once stats
+    are known. State is one (node, lbl) row per node — never the
+    transitive closure. ``loop_partitions`` sizes the per-round
+    shuffles to the label-table cardinality (defaults to the session
+    setting — size it to |V| / target-partition-rows on a cluster).
     """
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    e = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    e = e.persist()
-    labels = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            e.join(labels, e["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+    spark = pairs.sparkSession
+    prev_parts = None
+    if loop_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        e = e.persist()
+        init = (
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .persist()
         )
-        stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
+        init.count()
+        labels = init
+        for _ in range(max_iter):
+            # neighbor-min ∪ self, one groupBy
+            cand = e.join(labels, e["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), "lbl"
             )
-        )
-        # pointer jump: resolve each label through the stepped table
-        lmap = stepped.select(
-            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
-        )
-        jumped = (
-            stepped.join(lmap, "lbl", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
-                ).alias("lbl"),
+            stepped = (
+                cand.unionByName(labels.select("node", "lbl"))
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
-    e.unpersist()
-    return labels.select("node", F.col("lbl").alias("component"))
+            # pointer jump: resolve each label through the stepped table
+            lmap = stepped.select(
+                F.col("node").alias("lbl"), F.col("lbl").alias("jump")
+            )
+            jumped = stepped.join(lmap, "lbl", "left").select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("jump", "lbl")).alias("lbl"),
+            )
+            # lazy localCheckpoint: truncates the logical plan (stepped
+            # appears twice per round — without truncation the plan tree
+            # doubles every round) and materializes under the SINGLE
+            # changed-count action below
+            nxt = (
+                jumped.join(
+                    labels.select("node", F.col("lbl").alias("old_lbl")), "node"
+                )
+                .select(
+                    "node",
+                    "lbl",
+                    (F.col("lbl") != F.col("old_lbl")).cast("int").alias("chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = nxt.agg(F.sum("chg")).first()[0] or 0
+            labels = nxt.select("node", "lbl")
+            if changed == 0:
+                break
+        e.unpersist()
+        init.unpersist()
+        return labels.select("node", F.col("lbl").alias("component"))
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

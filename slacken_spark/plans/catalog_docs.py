@@ -320,7 +320,9 @@ def dedup_components(spark, sf_dir):
     docs = tp(spark, sf_dir, "documents")
     sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
     pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
-    comp = D.connected_components(pairs)
+    # loop shuffles sized to the label-table cardinality (≤ |docs|
+    # rows), not the scan-sized session setting
+    comp = D.connected_components(pairs, loop_partitions=8)
     return docs.select("doc_id").join(
         comp, docs["doc_id"] == comp["node"], "left"
     ).select(
