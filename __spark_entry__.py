@@ -55,6 +55,7 @@ _EARLY = [
     "doc_pii_redact",
     "doc_vocab_top50",
     "pack_sequences",
+    "doc_chunks",
 ]
 _TAIL = [
     "scalar_funcs",

@@ -862,3 +862,63 @@ def pack_sequences(spark, sf_dir):
     return docs.groupBy("source").applyInPandas(
         pack, "doc_id long, source string, pack_id long, n_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (map-only explode; pretraining doc → window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 range(0, greatest(CAST(ceil((len(toks) - {_CHUNK_LEN}) * 1.0
+                                             / {_CHUNK_STRIDE}) AS BIGINT), 0) + 1)
+                   AS starts
+          FROM d)
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_no,
+           CAST(s * {_CHUNK_STRIDE} AS BIGINT) AS tok_start,
+           CAST(least(s * {_CHUNK_STRIDE} + {_CHUNK_LEN}, len(toks)) AS BIGINT)
+             AS tok_end,
+           md5(array_to_string(
+               toks[CAST(s * {_CHUNK_STRIDE} + 1 AS BIGINT)
+                    :CAST(least(s * {_CHUNK_STRIDE} + {_CHUNK_LEN}, len(toks)) AS BIGINT)],
+               ' ')) AS chunk_digest
+    FROM c, unnest(starts) AS u(s)
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Sliding context-window chunking (len 64, stride 48): every doc
+    explodes into overlapping token windows, the pretraining doc→sample
+    prep step. Map-only: tokenize once, posexplode the window starts,
+    slice — no shuffle at all; chunk content is digest-compared."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    n_starts = F.greatest(
+        F.ceil((n - F.lit(_CHUNK_LEN)) / F.lit(_CHUNK_STRIDE)).cast("long"),
+        F.lit(0),
+    ) + 1
+    d = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("s"),
+    )
+    start = F.col("s") * _CHUNK_STRIDE
+    end = F.least(start + _CHUNK_LEN, F.size("toks"))
+    return d.select(
+        "doc_id",
+        F.col("s").cast("long").alias("chunk_no"),
+        start.cast("long").alias("tok_start"),
+        end.cast("long").alias("tok_end"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", start + 1, end - start))
+        ).alias("chunk_digest"),
+    )
