@@ -56,6 +56,7 @@ _EARLY = [
     "doc_vocab_top50",
     "pack_sequences",
     "doc_chunks",
+    "embedding_kmeans_clusters",  # rows-only (iterative trainer)
 ]
 _TAIL = [
     "scalar_funcs",

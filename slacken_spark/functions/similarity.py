@@ -172,3 +172,51 @@ def ivf_assign(
         .withColumn("centroid_id", centroid_id)
         .drop("_ivf_sims", "_ivf_norm")
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means — the trainer that produces
+    ``ivf_assign``'s centroids (the docstring's "in production they come
+    from a sampled k-means", now in-repo).
+
+    Per iteration: assignment is the broadcast linear-argmax plan of
+    ``ivf_assign`` (map-only); the update explodes vector positions and
+    mean-aggregates per (cluster, position) — one shuffle keyed on
+    k×dim cells with map-side partials — then collects exactly k×dim
+    cells to the driver (centroids are driver-side literals by design;
+    k×dim is tiny regardless of corpus size). Initialization is
+    deterministic: the k vectors with the smallest md5(id) — a seeded
+    spread sample, reproducible across runs and engines.
+
+    Returns the trained centroids as plain Python lists, ready for
+    ``ivf_assign`` / ``ivf_topk``. Empty clusters keep their previous
+    centroid.
+    """
+    init_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, centroids)
+        cells = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in cells:
+            new[r["centroid_id"]][r["pos"]] = float(r["m"])
+        centroids = new
+    return centroids

@@ -922,3 +922,29 @@ def doc_chunks(spark, sf_dir):
             F.concat_ws(" ", F.slice("toks", start + 1, end - start))
         ).alias("chunk_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid training (distributed Lloyd's k-means — iterative, so
+# rows-only driver check; determinism/invariants are pytest-gated in
+# tests/test_kmeans.py)
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_kmeans_clusters", None)
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Train IVF centroids with distributed k-means (k=8, 3 Lloyd
+    rounds on a deterministic 20% sample: broadcast linear-argmax
+    assignment, per-(cluster,position) mean update, k×dim driver
+    collect) and return the full corpus's final cluster occupancy. Genuinely iterative — no SQL oracle; the driver records
+    a rows-only check and pytest pins determinism, coverage, and
+    objective improvement."""
+    emb = t(spark, sf_dir, "embeddings")
+    # train on a deterministic 20% sample — the production shape for IVF
+    # centroid training (assignment below still covers the full corpus)
+    sample = emb.where(F.col("vec_id") % 5 == 0)
+    cents = SIM.kmeans_train(sample, "embedding", "vec_id", k=8, iters=3)
+    assigned = SIM.ivf_assign(emb, "embedding", cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
