@@ -288,6 +288,16 @@ def connected_components(
             labels = nxt.select("node", "lbl")
             if changed == 0:
                 break
+        else:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: no fixpoint after {max_iter} rounds"
+                f" ({changed} labels still changing) — labels are an"
+                " upper-bound partition (components may be split);"
+                " raise max_iter",
+                stacklevel=2,
+            )
         e.unpersist()
         init.unpersist()
         return labels.select("node", F.col("lbl").alias("component"))
