@@ -57,6 +57,7 @@ _EARLY = [
     "pack_sequences",
     "doc_chunks",
     "embedding_kmeans_clusters",  # rows-only (iterative trainer)
+    "streaming_genomic_classify",
 ]
 _TAIL = [
     "scalar_funcs",

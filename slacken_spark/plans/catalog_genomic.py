@@ -193,9 +193,7 @@ def _reads(spark, sf_dir):
     return reads
 
 
-@register(
-    "genomic_classify",
-    f"""
+_CLASSIFY_ORACLE_SQL = f"""
     WITH parts AS (
         SELECT p_partkey, {_BRAND_TAXON_SQL} AS brand
         FROM part WHERE p_partkey % 40 = 0
@@ -215,8 +213,10 @@ def _reads(spark, sf_dir):
     )
     SELECT header, TRUE AS classified, CAST(expect AS INT) AS taxon
     FROM reads
-    """,
-)
+    """
+
+
+@register("genomic_classify", _CLASSIFY_ORACLE_SQL)
 def genomic_classify(spark, sf_dir):
     """End-to-end: index build + classify three reads per genome. The
     oracle predicts every read's taxon from the genome layout (see
@@ -397,3 +397,55 @@ def genomic_clade_rollup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("count"))
     )
     return clade_rollup(spark, idx.taxonomy, counts)
+
+
+@register("streaming_genomic_classify", _CLASSIFY_ORACLE_SQL)
+def streaming_genomic_classify(spark, sf_dir):
+    """Stream ≡ batch differential for the FLAGSHIP pipeline: the same
+    reads as genomic_classify arrive as a two-file parquet STREAM and
+    are classified per micro-batch by the foreachBatch stream-static
+    join against the bucketed index (streaming/ops.classify_stream) —
+    then hash-compared against the very same oracle that gates the
+    batch path. Proves micro-batch boundaries don't change a single
+    classification."""
+    import os
+    import shutil
+    import tempfile
+
+    from slacken_spark.streaming import ops
+
+    idx = _build_index(spark, sf_dir)
+    reads = _reads(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sgc_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        # two files → two micro-batches (maxFilesPerTrigger=1)
+        reads.where(F.col("header").startswith("r_core")).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        reads.where(~F.col("header").startswith("r_core")).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = ops.file_stream(
+            spark,
+            in_dir,
+            "header string, nucleotides string",
+            max_files_per_trigger=1,
+        )
+        rows: list = []
+
+        def sink(df, _epoch):
+            rows.extend(df.select("header", "classified", "taxon").collect())
+
+        q = (
+            ops.classify_stream(idx, stream, sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(
+            rows, "header string, classified boolean, taxon int"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
