@@ -97,13 +97,28 @@ def _taxonomy(spark, sf_dir) -> Taxonomy:
     return Taxonomy.from_edges(ids, parents)
 
 
+# One deterministic index per (session, sf_dir): five catalog queries
+# classify against the SAME index, and real usage is build-once /
+# classify-many, so rebuilding it inside every query would bench the
+# build five times over. The records DataFrame is persisted; the cache
+# is keyed on the session id so a fresh session (new tests, new bench
+# run) rebuilds from scratch.
+_INDEX_CACHE: dict = {}
+
+
 def _build_index(spark, sf_dir) -> KeyValueIndex:
-    g = _genomes(spark, sf_dir)
-    labels = g.select("header", "taxon")
-    genomes = g.select("header", "nucleotides")
-    return KeyValueIndex.build(
-        spark, genomes, labels, _taxonomy(spark, sf_dir), CFG, buckets=32
-    )
+    key = (id(spark), sf_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        g = _genomes(spark, sf_dir)
+        labels = g.select("header", "taxon")
+        genomes = g.select("header", "nucleotides")
+        idx = KeyValueIndex.build(
+            spark, genomes, labels, _taxonomy(spark, sf_dir), CFG, buckets=32
+        )
+        idx.records = idx.records.persist()
+        _INDEX_CACHE[key] = idx
+    return idx
 
 
 # ---------------------------------------------------------------------------
