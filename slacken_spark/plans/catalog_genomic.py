@@ -106,15 +106,16 @@ def _taxonomy(spark, sf_dir) -> Taxonomy:
 _INDEX_CACHE: dict = {}
 
 
-def _build_index(spark, sf_dir) -> KeyValueIndex:
-    key = (id(spark), sf_dir)
+def _build_index(spark, sf_dir, cfg=None) -> KeyValueIndex:
+    cfg = cfg or CFG
+    key = (id(spark), sf_dir, cfg.to_dict().__str__())
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         g = _genomes(spark, sf_dir)
         labels = g.select("header", "taxon")
         genomes = g.select("header", "nucleotides")
         idx = KeyValueIndex.build(
-            spark, genomes, labels, _taxonomy(spark, sf_dir), CFG, buckets=32
+            spark, genomes, labels, _taxonomy(spark, sf_dir), cfg, buckets=32
         )
         idx.records = idx.records.persist()
         _INDEX_CACHE[key] = idx
@@ -280,11 +281,7 @@ _WIDE_ORACLE_SQL = f"""
 
 def _classify_wide(spark, sf_dir, cfg):
     g = _genomes(spark, sf_dir)
-    labels = g.select("header", "taxon")
-    genomes = g.select("header", "nucleotides")
-    idx = KeyValueIndex.build(
-        spark, genomes, labels, _taxonomy(spark, sf_dir), cfg, buckets=32
-    )
+    idx = _build_index(spark, sf_dir, cfg)
     reads = None
     for tag, off, ln in _WIDE_READ_DEFS:
         r = g.select(
