@@ -58,6 +58,8 @@ _EARLY = [
     "doc_chunks",
     "embedding_kmeans_clusters",  # rows-only (iterative trainer)
     "streaming_genomic_classify",
+    "embedding_quantize_int8",
+    "dataset_split_counts",
 ]
 _TAIL = [
     "scalar_funcs",

@@ -948,3 +948,96 @@ def embedding_kmeans_clusters(spark, sf_dir):
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (storage compression for vector corpora)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH b AS (
+        SELECT vec_id, embedding,
+               list_min(embedding) AS lo, list_max(embedding) AS hi
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(round(CAST(lo AS DOUBLE) * 1000000) AS BIGINT) AS lo_micro,
+           CAST(round(CAST(hi AS DOUBLE) * 1000000) AS BIGINT) AS hi_micro,
+           md5(array_to_string(list_transform(embedding,
+               x -> CAST(CASE WHEN hi > lo
+                              THEN round((x - lo) / (hi - lo) * 255)
+                              ELSE 0 END AS BIGINT)), ',')) AS codes_digest
+    FROM b
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector min-max int8 scalar quantization — the storage
+    compression step for large vector corpora (4× smaller than float32;
+    dequantize = lo + code/255*(hi-lo)). Map-only codegen'd array
+    expressions; codes are exact integers so the digest compares
+    bit-for-bit. Scale params surface as micro-units (exact ints)."""
+    emb = t(spark, sf_dir, "embeddings")
+    lo, hi = F.array_min("embedding"), F.array_max("embedding")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        lo.alias("lo"),
+        hi.alias("hi"),
+    )
+    code = lambda x: F.when(  # noqa: E731
+        F.col("hi") > F.col("lo"),
+        F.round((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255),
+    ).otherwise(F.lit(0.0)).cast("long")
+    return b.select(
+        "vec_id",
+        F.round(F.col("lo").cast("double") * 1_000_000).cast("long").alias(
+            "lo_micro"
+        ),
+        F.round(F.col("hi").cast("double") * 1_000_000).cast("long").alias(
+            "hi_micro"
+        ),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("embedding"), lambda x: code(x).cast("string"))
+            )
+        ).alias("codes_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified dataset split (train/val/test by deterministic hash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_split_counts",
+    """
+    WITH a AS (
+        SELECT source,
+               CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT source,
+                     CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 AS h
+              FROM documents) x
+    )
+    SELECT source, split, count(*) AS n
+    FROM a GROUP BY source, split
+    """,
+)
+def dataset_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by content-
+    independent hash of the doc id — reproducible across engines and
+    runs, no shuffle for the assignment itself (map-only); the count
+    summarizes occupancy per source stratum."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return docs.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count(F.lit(1)).alias("n"))

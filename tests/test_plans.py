@@ -143,3 +143,46 @@ def test_connected_components_chain_and_singleton(spark):
         for r in connected_components(long_chain, max_iter=10).collect()
     }
     assert set(got2.values()) == {1}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized differential: the distributed label propagation must
+    equal a naive union-find on arbitrary graphs (not just the cliquish
+    LSH shape)."""
+    import numpy as np
+
+    rng = np.random.default_rng(4242)
+    from slacken_spark.functions.dedup import connected_components
+
+    for trial in range(3):
+        n = 60
+        m = int(rng.integers(20, 80))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        nodes = {x for e in edges for x in e}
+        for x in nodes:
+            expected[x] = find(x)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial} mismatch"
