@@ -968,7 +968,8 @@ def embedding_kmeans_clusters(spark, sf_dir):
            CAST(round(CAST(hi AS DOUBLE) * 1000000) AS BIGINT) AS hi_micro,
            md5(array_to_string(list_transform(embedding,
                x -> CAST(CASE WHEN hi > lo
-                              THEN round((x - lo) / (hi - lo) * 255)
+                              THEN round((CAST(x AS DOUBLE) - CAST(lo AS DOUBLE))
+                                         / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * 255)
                               ELSE 0 END AS BIGINT)), ',')) AS codes_digest
     FROM b
     """,
@@ -987,9 +988,15 @@ def embedding_quantize_int8(spark, sf_dir):
         lo.alias("lo"),
         hi.alias("hi"),
     )
+    # promote to double BEFORE the arithmetic: float32 division rounds
+    # differently from DuckDB's double-promoted division at .5 edges
     code = lambda x: F.when(  # noqa: E731
         F.col("hi") > F.col("lo"),
-        F.round((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255),
+        F.round(
+            (x.cast("double") - F.col("lo").cast("double"))
+            / (F.col("hi").cast("double") - F.col("lo").cast("double"))
+            * 255
+        ),
     ).otherwise(F.lit(0.0)).cast("long")
     return b.select(
         "vec_id",
