@@ -186,3 +186,35 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial} mismatch"
+
+
+def test_round4_map_only_queries_have_no_exchange(spark, sf_dir):
+    """doc_pii_redact and doc_chunks are map-only by design (codegen'd
+    regex / explode+slice): any Exchange in their plans is a
+    regression; both scans must prune to (doc_id, text)."""
+    import re as _re
+
+    for name in ("doc_pii_redact", "doc_chunks"):
+        fn, _ = REGISTRY[name]
+        plan = _plan(fn(spark, sf_dir))
+        assert not _re.search(r"Exchange hashpartitioning", plan), name
+        read_schema = plan.split("ReadSchema")[1][:300]
+        assert "text" in read_schema and "lang" not in read_schema, name
+
+
+def test_round4_single_shuffle_queries(spark, sf_dir):
+    """vocab/pack/split shuffle exactly once (term agg / group packing /
+    stratum agg) — partial aggregation handles the rest map-side."""
+    import re as _re
+
+    for name, max_ex in (
+        # exact count_distinct(doc_id) is inherently two-phase:
+        # dedup-shuffle on (term, doc_id), then count-shuffle on term
+        ("doc_vocab_top50", 2),
+        ("pack_sequences", 1),
+        ("dataset_split_counts", 1),
+    ):
+        fn, _ = REGISTRY[name]
+        plan = _plan(fn(spark, sf_dir))
+        n = len(_re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= max_ex, f"{name}: {n} exchanges"
