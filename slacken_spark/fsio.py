@@ -63,7 +63,10 @@ def list_dir(path: str, prefix: str | None = None) -> list[str]:
     base name (the any-FS replacement for ``glob('sample=*')``)."""
     filesystem, p = any_fs(path)
     infos = filesystem.get_file_info(pafs.FileSelector(p, recursive=False))
-    scheme_prefix = path[: len(path) - len(p)] if path.endswith(p) else ""
+    # Children come back as fs-local paths; re-attach the caller's scheme
+    # from the URI itself (suffix-matching `path.endswith(p)` breaks when
+    # from_uri normalizes, e.g. a trailing slash in 's3://bucket/dir/').
+    scheme_prefix = path.split("://", 1)[0] + "://" if "://" in path else ""
     out = []
     for info in sorted(infos, key=lambda i: i.path):
         base = posixpath.basename(info.path.rstrip("/"))

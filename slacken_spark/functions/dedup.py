@@ -208,6 +208,24 @@ def hamming_distance64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _unpersist_local_ckpt(df: DataFrame) -> None:
+    """Best-effort release of the blocks behind a materialized
+    ``localCheckpoint(eager=False)`` DataFrame.
+
+    The checkpoint lives on the plan's backing RDD (``LogicalRDD.rdd``),
+    not in the CacheManager, so ``DataFrame.unpersist`` can't reach it;
+    without an explicit release the blocks survive until the JVM
+    garbage-collects the RDD handle — linear storage growth across an
+    iterative loop's rounds. Only call this once no future plan
+    references the DataFrame (an unpersisted local checkpoint cannot be
+    recomputed). Silently a no-op if the JVM internals differ.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -228,9 +246,15 @@ def connected_components(
     persisted and a changed-count aggregate materializes it) over two
     key-shuffles; label-table joins broadcast automatically once stats
     are known. State is one (node, lbl) row per node — never the
-    transitive closure. ``loop_partitions`` sizes the per-round
-    shuffles to the label-table cardinality (defaults to the session
-    setting — size it to |V| / target-partition-rows on a cluster).
+    transitive closure; each round's checkpoint blocks are freed once
+    the next round materializes, so peak storage is two label tables
+    (the returned DataFrame keeps the final one alive).
+    ``loop_partitions`` sizes the per-round shuffles to the label-table
+    cardinality (defaults to the session setting — size it to
+    |V| / target-partition-rows on a cluster). NOTE: it is applied via
+    ``spark.sql.shuffle.partitions`` for the duration of the loop
+    (restored after), which is not safe with CONCURRENT queries on the
+    same session — pass ``None`` there and size via AQE instead.
     """
     spark = pairs.sparkSession
     prev_parts = None
@@ -251,6 +275,8 @@ def connected_components(
         )
         init.count()
         labels = init
+        changed = None
+        prev_ckpt = None
         for _ in range(max_iter):
             # neighbor-min ∪ self, one groupBy
             cand = e.join(labels, e["src"] == labels["node"]).select(
@@ -285,6 +311,13 @@ def connected_components(
                 .localCheckpoint(eager=False)
             )
             changed = nxt.agg(F.sum("chg")).first()[0] or 0
+            # the aggregate scanned every partition, so this round's
+            # checkpoint is fully materialized — the previous round's
+            # blocks are now unreferenced by any future plan; free them
+            # instead of letting them pile up for the session lifetime
+            if prev_ckpt is not None:
+                _unpersist_local_ckpt(prev_ckpt)
+            prev_ckpt = nxt
             labels = nxt.select("node", "lbl")
             if changed == 0:
                 break
@@ -293,9 +326,9 @@ def connected_components(
 
             warnings.warn(
                 f"connected_components: no fixpoint after {max_iter} rounds"
-                f" ({changed} labels still changing) — labels are an"
-                " upper-bound partition (components may be split);"
-                " raise max_iter",
+                f" ({'unknown' if changed is None else changed} labels"
+                " still changing) — labels are an upper-bound partition"
+                " (components may be split); raise max_iter",
                 stacklevel=2,
             )
         e.unpersist()

@@ -77,12 +77,13 @@ def sessionize(
     Adds ``session_id`` (0-based per user).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    # TIMESTAMP_NTZ (parquet timestamp-without-tz) cannot be cast straight
-    # to BIGINT; route through TIMESTAMP first (no-op for TIMESTAMP, and
-    # only the *difference* is used, so the session-tz offset cancels).
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # timestampdiff is pure field arithmetic on both TIMESTAMP and
+    # TIMESTAMP_NTZ — no session-timezone involvement, so gaps are exact
+    # across DST transitions (a cast-to-epoch route is off by ±3600s
+    # when the two events straddle a transition in a DST session tz).
+    prev = F.lag(ts_col).over(w)
+    gap = F.timestamp_diff("SECOND", prev, F.col(ts_col))
+    new_sess = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,

@@ -97,18 +97,27 @@ def _taxonomy(spark, sf_dir) -> Taxonomy:
     return Taxonomy.from_edges(ids, parents)
 
 
-# One deterministic index per (session, sf_dir): five catalog queries
+# One deterministic index per (application, sf_dir): five catalog queries
 # classify against the SAME index, and real usage is build-once /
 # classify-many, so rebuilding it inside every query would bench the
-# build five times over. The records DataFrame is persisted; the cache
-# is keyed on the session id so a fresh session (new tests, new bench
-# run) rebuilds from scratch.
+# build five times over (classify timings therefore EXCLUDE the shared
+# build; genomic_index_lca_histogram's first run is the build-inclusive
+# number). The records DataFrame is persisted; the cache is keyed on
+# the Spark applicationId — stable for the life of the SparkContext,
+# never reused after a stop/start (unlike id(spark), which a new
+# session can legitimately collide with after GC) — and entries from
+# dead applications are evicted on the next lookup (their persisted
+# blocks died with the old context, so popping the reference is the
+# whole cleanup).
 _INDEX_CACHE: dict = {}
 
 
 def _build_index(spark, sf_dir, cfg=None) -> KeyValueIndex:
     cfg = cfg or CFG
-    key = (id(spark), sf_dir, cfg.to_dict().__str__())
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _INDEX_CACHE if k[0] != app_id]:
+        _INDEX_CACHE.pop(stale)
+    key = (app_id, sf_dir, cfg.to_dict().__str__())
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         g = _genomes(spark, sf_dir)

@@ -34,9 +34,12 @@ def _event_stream(spark, sf_dir):
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        # withWatermark requires TIMESTAMP (not NTZ); the NTZ→LTZ cast and
-        # the later date_format both use the session tz, so wall-clock
-        # values round-trip unchanged.
+        # withWatermark requires TIMESTAMP (not NTZ). The NTZ→LTZ cast and
+        # the later date_format both use the session tz; wall-clock values
+        # only round-trip when that zone has a fixed offset (a DST zone
+        # shifts window alignment and drops/duplicates spring-forward
+        # times), so pin the session to UTC for the streaming paths.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
