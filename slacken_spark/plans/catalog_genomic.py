@@ -252,12 +252,95 @@ def genomic_classify(spark, sf_dir):
     return out.select("header", "classified", "taxon")
 
 
-@register("genomic_classify_detail", None)  # Kraken line format: rows-only
+# The Kraken line's hit string is predictable whenever every k-mer in a
+# read resolves to ONE taxon: run-merging (TaxonCounts.fromHits)
+# collapses the whole read to a single 'taxon:count' island with
+# count = len − k + 1, erasing the (minimizer-position-dependent, NOT
+# SQL-expressible) super-mer boundaries. So the detail query draws
+# single-region reads only — core (→ brand or leaf), uniq (→ leaf),
+# absent DNA (→ all-miss, 'U … 0:130') — plus a core+uniq mate PAIR,
+# whose line exercises the '|:|' border and the 'len1|len2' length
+# format while staying a concatenation of two predictable islands.
+# (The boundary-SPANNING read stays in genomic_classify, where only the
+# final taxon — not the island split point — is asserted.)
+_DETAIL_KMERS = 150 - CFG.k + 1  # 130 k-mers per 150bp read
+
+
+_DETAIL_ORACLE_SQL = f"""
+    WITH parts AS (
+        SELECT p_partkey, {_BRAND_TAXON_SQL} AS brand
+        FROM part WHERE p_partkey % 40 = 0
+    ),
+    bc AS (SELECT brand, count(*) AS n FROM parts GROUP BY brand),
+    base AS (
+        SELECT p.p_partkey,
+               CAST(p.p_partkey + 1000 AS INT) AS leaf,
+               CASE WHEN bc.n >= 2 THEN CAST(p.brand AS INT)
+                    ELSE p.p_partkey + 1000 END AS core_taxon
+        FROM parts p JOIN bc ON p.brand = bc.brand
+    ),
+    lines AS (
+        SELECT concat_ws(chr(9), 'C', 'r_core_g' || p_partkey,
+                         CAST(core_taxon AS VARCHAR), '150',
+                         core_taxon || ':{_DETAIL_KMERS}') AS classification
+        FROM base
+        UNION ALL
+        SELECT concat_ws(chr(9), 'C', 'r_uniq_g' || p_partkey,
+                         CAST(leaf AS VARCHAR), '150',
+                         leaf || ':{_DETAIL_KMERS}')
+        FROM base
+        UNION ALL
+        SELECT concat_ws(chr(9), 'U', 'r_none_g' || p_partkey, '0', '150',
+                         '0:{_DETAIL_KMERS}')
+        FROM base
+        UNION ALL
+        SELECT concat_ws(chr(9), 'C', 'r_pair_g' || p_partkey,
+                         CAST(leaf AS VARCHAR), '150|150',
+                         core_taxon || ':{_DETAIL_KMERS} |:| '
+                           || leaf || ':{_DETAIL_KMERS}')
+        FROM base
+    )
+    SELECT classification, 'all' AS sample FROM lines
+    """
+
+
+def _detail_reads(spark, sf_dir):
+    g = _genomes(spark, sf_dir)
+    key = (F.col("taxon") - 1000).cast("int")  # p_partkey back out of the leaf id
+    no2 = F.lit(None).cast("string")
+    core = F.substring("nucleotides", 40, 150)
+    uniq = F.substring("nucleotides", 320, 150)
+    reads = None
+    for tag, r1, r2 in [
+        ("core", core, no2),
+        ("uniq", uniq, no2),
+        # 5 md5 blocks = 160bp of DNA present in NO genome → every
+        # minimizer misses the index
+        ("none", F.substring(_dna_expr("none", key, 5), 1, 150), no2),
+        ("pair", core, uniq),
+    ]:
+        r = g.select(
+            F.concat(F.lit(f"r_{tag}_"), F.col("header")).alias("header"),
+            r1.alias("nucleotides"),
+            r2.alias("nucleotides2"),
+        )
+        reads = r if reads is None else reads.unionByName(r)
+    return reads
+
+
+@register("genomic_classify_detail", _DETAIL_ORACLE_SQL)
 def genomic_classify_detail(spark, sf_dir):
-    """Per-read Kraken output lines (hit details aren't SQL-expressible)."""
+    """Per-read Kraken 2 output lines — 'C/U␉header␉taxon␉len␉hits'
+    with run-merged 'taxid:count' islands, the '|:|' mate-pair border
+    and 'len1|len2' pair lengths (ClassifiedRead.outputLine +
+    TaxonCounts.pairsInOrderString, Classifier.scala:29-45,
+    TaxonCounts.scala:92-121). The oracle reconstructs every byte of
+    the line from the genome layout (see _DETAIL_ORACLE_SQL comment)."""
     idx = _build_index(spark, sf_dir)
     cls = Classifier(idx)
-    out = cls.classify(_reads(spark, sf_dir), ClassifyParams(min_hit_groups=2))
+    out = cls.classify(
+        _detail_reads(spark, sf_dir), ClassifyParams(min_hit_groups=2)
+    )
     return cls.output_lines(out)
 
 
