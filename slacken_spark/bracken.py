@@ -45,6 +45,12 @@ from slacken_spark.kernels.taxonomy import NONE, Taxonomy, member_mask_udf
 
 FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:300-303
 
+# Fragments shorter than this go through the whole-batch kernel
+# (_batch_classify_reads); longer ones keep the per-fragment numpy path.
+# Measured crossover ≈ 600 bp on local[32] (NOTES round 5); 2048 keeps a
+# margin for slower Python/faster numpy environments.
+_BATCH_FRAG_CUTOFF = 2048
+
 
 def split_fragments(df: DataFrame, read_len: int, max_len: int = FRAGMENT_MAX) -> DataFrame:
     """Split (taxon, nucleotides, header, location) rows into ≤max_len
@@ -219,6 +225,136 @@ def classify_all_reads(
     return dest.astype(np.int64)
 
 
+def _batch_classify_reads(
+    seqs: list[str],
+    cfg: MinimizerConfig,
+    lk_words: list[np.ndarray],
+    lk_taxa: np.ndarray,
+    lk_lens: np.ndarray,
+    taxonomy: Taxonomy,
+    read_len: int,
+    rng: np.random.Generator,
+    min_hit_groups: int = 2,
+    priority_table: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Every simulated read of every fragment in a batch, classified in
+    ONE vectorized pass — the whole-batch form of
+    :func:`classify_all_reads` (FragmentWindow, BrackenWeights.scala:35-137).
+
+    Replaces the per-fragment Python loop with:
+      - one ``batch_span_words`` scan over the ``\\x00``-joined batch;
+      - one ``searchsorted`` LCA lookup over (fragment, id1..idN)
+        struct keys — each fragment resolves only against its OWN
+        joined minimizer list (``lk_*``, flattened per-fragment arrays
+        with the -1 no-minimizer sentinel already meaningful);
+      - a batch-wide per-position taxon array: positions not covered by
+        a supermer span (ambiguous runs, short segments, the k−1 tail
+        of every valid segment) stay NONE — identical to the explicit
+        NONE slots the per-fragment path emits;
+      - ONE sparse-table sliding-window pass (``window_minimizers`` on
+        inverted keys) for the deepest-taxon-per-read — O(total·log W)
+        vs the per-fragment strided-view max's O(L·W);
+      - the hit-group gate as a batch-wide difference array.
+
+    Returns aggregated ``(frag_id, dest, count)`` arrays (the map-side
+    combine the shuffle sees).
+    """
+    from slacken_spark.kernels.minimizers import (
+        FLAG_SEQUENCE,
+        batch_span_words,
+        window_minimizers,
+    )
+
+    n_frag = len(seqs)
+    e64 = np.empty(0, dtype=np.int64)
+    if n_frag == 0:
+        return e64, e64.copy(), e64.copy()
+    L = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n_frag)
+    nw = np.maximum(L - read_len + 1, 0)  # simulated reads per fragment
+    if not nw.any():
+        return e64, e64.copy(), e64.copy()
+    n_ids = len(cfg.id_cols)
+    W = read_len - cfg.k + 1  # k-mers per read window
+
+    counts, words, dist, kmers, flags, pos = batch_span_words(
+        seqs, cfg, rng, None, priority_table, return_pos=True
+    )
+    unit_of = np.repeat(np.arange(n_frag, dtype=np.int64), counts)
+    seq_sel = flags == FLAG_SEQUENCE
+    u = unit_of[seq_sel]
+    p = pos[seq_sel]
+    km = kmers[seq_sel]
+    ds = dist[seq_sel]
+
+    # ---- LCA lookup on (fragment, words) keys: one sort+searchsorted
+    # for the whole batch; -1 sentinel rows (no-minimizer fragments)
+    # can never match a real span key ----
+    lk_u = np.repeat(np.arange(n_frag, dtype=np.int64), lk_lens)
+    lkeys = _words_struct([lk_u] + list(lk_words))
+    order = np.argsort(lkeys)
+    lkeys = lkeys[order]
+    lt = np.asarray(lk_taxa, dtype=np.int64)[order]
+    qkeys = _words_struct([u] + [w[seq_sel] for w in words[:n_ids]])
+    t = np.full(len(qkeys), NONE, dtype=np.int64)
+    if len(lkeys) and len(qkeys):
+        idx = np.searchsorted(lkeys, qkeys)
+        ok = idx < len(lkeys)
+        hit = np.zeros(len(qkeys), dtype=bool)
+        hit[ok] = lkeys[idx[ok]] == qkeys[ok]
+        t[hit] = lt[idx[hit]]
+
+    # ---- per-position taxon over the unit-major concatenation:
+    # NONE everywhere a supermer span doesn't cover ----
+    B = np.zeros(n_frag, dtype=np.int64)
+    np.cumsum(L[:-1], out=B[1:])
+    total = int(L.sum())
+    tax_at = np.full(total, NONE, dtype=np.int64)
+    if len(p):
+        tot_km = int(km.sum())
+        span_off = np.cumsum(km) - km
+        flat = np.repeat(B[u] + p - span_off, km) + np.arange(
+            tot_km, dtype=np.int64
+        )
+        tax_at[flat] = np.repeat(t, km)
+
+    sd = taxonomy.sdepth
+    safe = np.clip(tax_at, 0, len(sd) - 1)
+    depth_at = np.where((tax_at > 0) & (tax_at < len(sd)), sd[safe], 0)
+    key = depth_at.astype(np.int64) * (1 << 32) + tax_at
+
+    # ---- deepest taxon per read: window MAX as a window MIN over
+    # inverted keys (rank order flipped; ties keep the same VALUE) ----
+    if total < W:
+        return e64, e64.copy(), e64.copy()
+    inv = (np.uint64(1) << np.uint64(63)) - key.astype(np.uint64)
+    vals, _ = window_minimizers(inv, W)
+    best = ((np.uint64(1) << np.uint64(63)) - vals).astype(np.int64)
+    C = np.zeros(n_frag, dtype=np.int64)
+    np.cumsum(nw[:-1], out=C[1:])
+    n_reads = int(nw.sum())
+    win_u = np.repeat(np.arange(n_frag, dtype=np.int64), nw)
+    j = np.arange(n_reads, dtype=np.int64) - np.repeat(C, nw)
+    dest = best[B[win_u] + j] & ((1 << 32) - 1)
+
+    # ---- hit-group gate (min distinct groups per window) ----
+    groups = np.zeros(n_reads + 1, dtype=np.int64)
+    gsel = ds & (t != NONE) & (nw[u] > 0)
+    if gsel.any():
+        gu, gs = u[gsel], p[gsel]
+        ge = gs + km[gsel]
+        lo = np.clip(gs - W + 1, 0, nw[gu] - 1)
+        hi = np.clip(ge, 0, nw[gu])
+        np.add.at(groups, C[gu] + lo, 1)
+        np.add.at(groups, C[gu] + hi, -1)
+    n_groups = np.cumsum(groups[:-1])
+    dest = np.where(n_groups >= min_hit_groups, dest, NONE)
+
+    # ---- map-side combine: (fragment, dest) → count ----
+    comb = win_u * (np.int64(1) << np.int64(32)) + dest
+    uq, cnt = np.unique(comb, return_counts=True)
+    return uq >> np.int64(32), uq & ((1 << 32) - 1), cnt
+
+
 class BrackenWeights:
     def __init__(self, index: KeyValueIndex, read_len: int):
         self.index = index
@@ -340,9 +476,62 @@ class BrackenWeights:
             cfg = MinimizerConfig.from_dict(cfg_dict)
             tax: Taxonomy = bc_tax.value
             table = table_bc2.value if table_bc2 is not None else None
+            rng = np.random.default_rng(0x5EED)
             for pdf in batches:
+                # Hybrid routing (measured, NOTES round 5): fragments
+                # under ~2 kb are dominated by per-call Python overhead
+                # (~0.3 ms each) — the whole-batch kernel scans them all
+                # in one \x00-joined pass, ~2× faster at 300 bp. Above
+                # the cutoff the per-fragment numpy path is already
+                # amortized and its strided-view window max has a lower
+                # per-base constant than the batch kernel's struct-key
+                # lookup, so big fragments keep the per-fragment path.
+                # Either way the shuffle sees only (source, dest, n)
+                # partials — a 1 MiB fragment simulates ~10⁶ reads but
+                # hits a handful of distinct dest taxa (the reference
+                # also aggregates in the kernel,
+                # BrackenWeights.scala:345-353).
                 src_a, dst_a, cnt_a = [], [], []
-                for r in pdf.itertuples(index=False):
+                nts = pdf["nucleotides"]
+                is_small = nts.str.len().to_numpy() < _BATCH_FRAG_CUTOFF
+                small = pdf[is_small]
+                if len(small):
+                    lk_lens = np.fromiter(
+                        (len(x) for x in small[min_cols[0]]),
+                        dtype=np.int64,
+                        count=len(small),
+                    )
+                    tot = int(lk_lens.sum())
+                    lk_words = [
+                        np.concatenate(
+                            [np.asarray(x, dtype=np.int64) for x in small[mc]]
+                        )
+                        if tot
+                        else np.empty(0, dtype=np.int64)
+                        for mc in min_cols
+                    ]
+                    lk_taxa = (
+                        np.concatenate(
+                            [np.asarray(x, dtype=np.int64) for x in small["taxa"]]
+                        )
+                        if tot
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    frag_ids, dests, cnts = _batch_classify_reads(
+                        small["nucleotides"].tolist(),
+                        cfg,
+                        lk_words,
+                        lk_taxa,
+                        lk_lens,
+                        tax,
+                        read_len,
+                        rng,
+                        priority_table=table,
+                    )
+                    src_a.append(small["taxon"].to_numpy()[frag_ids])
+                    dst_a.append(dests)
+                    cnt_a.append(cnts)
+                for r in pdf[~is_small].itertuples(index=False):
                     ws = [
                         np.asarray(getattr(r, mc), dtype=np.int64)
                         for mc in min_cols
@@ -356,12 +545,6 @@ class BrackenWeights:
                         tax, read_len, priority_table=table,
                     )
                     if len(dests):
-                        # map-side combine: a 1 MiB fragment simulates
-                        # ~10⁶ reads but hits only a handful of distinct
-                        # dest taxa — shuffle the (source, dest, n)
-                        # partials, never the per-read rows (the
-                        # reference also aggregates inside the kernel,
-                        # BrackenWeights.scala:345-353)
                         uq, n = np.unique(dests, return_counts=True)
                         src_a.append(np.full(len(uq), r.taxon, dtype=np.int64))
                         dst_a.append(uq)

@@ -706,7 +706,8 @@ def batch_span_words(
     rng: np.random.Generator,
     seqs2: list | None = None,
     priority_table: np.ndarray | None = None,
-) -> tuple[np.ndarray, list[np.ndarray], np.ndarray, np.ndarray, np.ndarray]:
+    return_pos: bool = False,
+) -> tuple:
     """Whole-batch read_span_arrays: ONE encode/scan/window-min/supermer
     pass over every read of an Arrow batch instead of ~30 small numpy
     calls per 150 bp read (whose fixed overhead dominated classification
@@ -728,6 +729,12 @@ def batch_span_words(
     minimizers of ambiguous/border spans are drawn batch-at-once, so
     their VALUES differ from the per-read path — they are shuffle-
     spreading keys only, Supermers.scala:34-42.)
+
+    With ``return_pos=True`` a sixth array is appended: each span's
+    START position local to its unit string — the k-mer start for
+    sequence spans, the run start for ambiguous spans, the border index
+    for mate borders. For paired units the position counts the one
+    ``\\x00`` separator, so R2 positions are offset by len(R1)+1.
     """
     n_units = len(seqs)
     counts = np.zeros(n_units, dtype=np.int64)
@@ -736,13 +743,14 @@ def batch_span_words(
     n_key = len(cfg.key_cols)
 
     def empty():
-        return (
+        out = (
             counts,
             [e64.copy() for _ in range(n_ids)],
             np.empty(0, dtype=bool),
             e64.copy(),
             e64.copy(),
         )
+        return out + (e64.copy(),) if return_pos else out
 
     if n_units == 0:
         return empty()
@@ -865,6 +873,9 @@ def batch_span_words(
         distinct[vi] = d
     # pad to the physical column count (id2 rides along as zero)
     words += [np.zeros(total, dtype=np.int64) for _ in range(n_ids - n_key)]
+    if return_pos:
+        local = pos - unit_starts[unit_of]
+        return counts, words, distinct, kmers, flags, local
     return counts, words, distinct, kmers, flags
 
 

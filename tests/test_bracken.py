@@ -244,3 +244,52 @@ def test_lexicographic_all_a_minimizer_kept(spark):
         for r in bw.build_weights(gdf, ldf).collect()
     }
     assert got == dict(expected)
+
+
+def test_batch_classify_matches_per_fragment(world):
+    """The whole-batch kernel (_batch_classify_reads) must agree with the
+    per-fragment reference path (classify_all_reads) on every (fragment,
+    dest) count — across ambiguous runs, short fragments, no-minimizer
+    fragments and plain genomes."""
+    from slacken_spark.bracken import (
+        _batch_classify_reads,
+        lookup_arrays,
+    )
+
+    tax = world["tax"]
+    records = {(r["id1"], 0): r["taxon"] for r in world["idx"].records.collect()}
+    g101, g102 = world["genomes"][101], world["genomes"][102]
+    frags = [
+        g101,
+        g102[:80],                      # one window's worth
+        g101[:59],                      # < read_len → zero reads
+        g102[100:400],
+        "ACGT" * 10 + "N" * 20 + g101[300:500],   # ambiguous run ≥ k
+        "N" * 70,                       # no valid minimizer at all
+        "ACGTNNA" * 30,                 # short valid runs (< k) only
+        g102,
+    ]
+    n_ids = 2
+    keys, taxa_sorted = lookup_arrays(records, n_ids)
+
+    expected = {}
+    for i, s in enumerate(frags):
+        dests = classify_all_reads(s, CFG, records, tax, READ_LEN)
+        for d, c in zip(*np.unique(dests, return_counts=True)):
+            expected[(i, int(d))] = int(c)
+
+    n_frag = len(frags)
+    per = len(keys)
+    lk_words = [
+        np.tile(keys[f"w{j}"], n_frag) for j in range(n_ids)
+    ]
+    lk_taxa = np.tile(taxa_sorted, n_frag)
+    lk_lens = np.full(n_frag, per, dtype=np.int64)
+    frag_ids, dests, cnts = _batch_classify_reads(
+        frags, CFG, lk_words, lk_taxa, lk_lens, tax, READ_LEN,
+        np.random.default_rng(0),
+    )
+    got = {
+        (int(f), int(d)): int(c) for f, d, c in zip(frag_ids, dests, cnts)
+    }
+    assert got == expected
