@@ -1,0 +1,70 @@
+"""Greedy sequence packing — the pretraining sample-packing operator.
+
+Documents scan in a deterministic order within a group and fill a pack
+until the next one would exceed the token budget, then a new pack
+starts. The scan is inherently sequential PER GROUP, so it runs as one
+``applyInPandas`` pass per group — parallel across groups, single-pass
+within. ``shards`` bounds the per-task group size for hot groups: the
+group splits into ``ntile`` ranges of the scan order (contiguous, so
+the greedy chain only restarts at the shard boundary — the standard
+warehouse trade for unbounded groups), and packing runs per
+(group, shard). Output pack ids are local to a (group, shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    shards: int = 1,
+) -> DataFrame:
+    """→ (group, order, size, shard_id, pack_id) with the greedy pack
+    assignment; deterministic given (group, order) uniqueness.
+
+    One key-shuffle (on the group key, or the composite (group, shard)
+    key when ``shards > 1`` — which is the point: a hot group spreads
+    over ``shards`` tasks instead of serializing on one).
+    """
+    import pandas as pd
+
+    base = df.select(group_col, order_col, size_col)
+    if shards > 1:
+        w = Window.partitionBy(group_col).orderBy(order_col)
+        base = base.withColumn(
+            "shard_id", (F.ntile(shards).over(w) - 1).cast("long")
+        )
+        keys = [group_col, "shard_id"]
+    else:
+        base = base.withColumn("shard_id", F.lit(0).cast("long"))
+        keys = [group_col]
+
+    fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    out_schema = (
+        f"{group_col} {fields[group_col]}, "
+        f"{order_col} {fields[order_col]}, "
+        f"{size_col} {fields[size_col]}, "
+        "shard_id long, pack_id long"
+    )
+    b, gc, oc, sc = budget, group_col, order_col, size_col
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(oc).reset_index(drop=True)
+        acc, pid, out = 0, 0, []
+        for ntok in pdf[sc]:
+            if acc > 0 and acc + ntok > b:
+                pid += 1
+                acc = ntok
+            else:
+                acc += ntok
+            out.append(pid)
+        pdf["pack_id"] = pd.array(out, dtype="int64")
+        return pdf[[gc, oc, sc, "shard_id", "pack_id"]]
+
+    return base.groupBy(*keys).applyInPandas(pack, out_schema)

@@ -831,36 +831,67 @@ def pack_sequences(spark, sf_dir):
     """Greedy sample packing: within each source (ordered by doc_id),
     documents fill a pack until the next one would exceed the token
     budget, then a new pack starts — the standard pretraining sample-
-    packing shape. The scan is inherently sequential PER GROUP, so the
-    engine runs it as one applyInPandas pass per source — parallel
-    across sources, single-pass within; at warehouse scale the group
-    key is (source, shard-range) so no group outgrows one task. The
-    oracle replays the same greedy recurrence as a recursive CTE."""
-    import pandas as pd
+    packing shape (functions.packing.pack_greedy, shards=1). The oracle
+    replays the same greedy recurrence as a recursive CTE."""
+    from slacken_spark.functions.packing import pack_greedy
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    return pack_greedy(docs, _PACK_BUDGET).select(
+        "doc_id", "source", "pack_id", "n_tokens"
+    )
 
-    budget = _PACK_BUDGET
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        acc, pid, out = 0, 0, []
-        for ntok in pdf["n_tokens"]:
-            if acc > 0 and acc + ntok > budget:
-                pid += 1
-                acc = ntok
-            else:
-                acc += ntok
-            out.append(pid)
-        pdf["pack_id"] = pd.array(out, dtype="int64")
-        return pdf[["doc_id", "source", "pack_id", "n_tokens"]]
+@register(
+    "pack_sequences_sharded",
+    f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               len({SQL_TOKENS.format(expr='text')}) AS ntok,
+               CAST(ntile(4) OVER (PARTITION BY source ORDER BY doc_id) - 1
+                    AS BIGINT) AS shard_id
+        FROM documents
+    ),
+    d2 AS (
+        SELECT *, row_number()
+                    OVER (PARTITION BY source, shard_id ORDER BY doc_id) AS rn
+        FROM d
+    ),
+    p AS (
+        SELECT doc_id, source, shard_id, ntok, rn, ntok AS acc, 0 AS pack_id
+        FROM d2 WHERE rn = 1
+        UNION ALL
+        SELECT d2.doc_id, d2.source, d2.shard_id, d2.ntok, d2.rn,
+               CASE WHEN p.acc + d2.ntok > {_PACK_BUDGET}
+                    THEN d2.ntok ELSE p.acc + d2.ntok END,
+               CASE WHEN p.acc + d2.ntok > {_PACK_BUDGET}
+                    THEN p.pack_id + 1 ELSE p.pack_id END
+        FROM d2 JOIN p ON d2.source = p.source AND d2.shard_id = p.shard_id
+                      AND d2.rn = p.rn + 1
+    )
+    SELECT doc_id, source, shard_id, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(ntok AS BIGINT) AS n_tokens
+    FROM p
+    """,
+)
+def pack_sequences_sharded(spark, sf_dir):
+    """Sharded greedy packing (pack_greedy, shards=4): each source
+    splits into 4 contiguous ntile ranges of the doc_id order and packs
+    per (source, shard) — the hot-group bound (no single task owns a
+    whole source; the greedy chain restarts only at shard boundaries).
+    The oracle replays ntile + the per-(source, shard) recurrence."""
+    from slacken_spark.functions.packing import pack_greedy
 
-    return docs.groupBy("source").applyInPandas(
-        pack, "doc_id long, source string, pack_id long, n_tokens long"
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_greedy(docs, _PACK_BUDGET, shards=4).select(
+        "doc_id", "source", "shard_id", "pack_id", "n_tokens"
     )
 
 

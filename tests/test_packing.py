@@ -1,0 +1,77 @@
+"""pack_greedy: greedy invariants, shard coverage, and the hot-group
+shape — one source spread across shards instead of one task."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from slacken_spark.functions.packing import pack_greedy
+
+BUDGET = 100
+
+
+def _ref_pack(sizes):
+    acc, pid, out = 0, 0, []
+    for n in sizes:
+        if acc > 0 and acc + n > BUDGET:
+            pid += 1
+            acc = n
+        else:
+            acc += n
+        out.append(pid)
+    return out
+
+
+@pytest.fixture(scope="module")
+def hot(spark):
+    rng = np.random.default_rng(99)
+    rows = [
+        ("hot", int(i), int(rng.integers(5, 60))) for i in range(200)
+    ] + [("cold", int(i), int(rng.integers(5, 60))) for i in range(10)]
+    return spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+
+
+def test_sharded_pack_matches_per_shard_reference(hot):
+    out = (
+        pack_greedy(hot, BUDGET, shards=4)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # every doc exactly once
+    assert len(out) == 210
+    assert out.groupby(["source", "doc_id"]).size().max() == 1
+    # the hot source really spreads across 4 shards, contiguous ranges
+    hot_rows = out[out["source"] == "hot"]
+    assert sorted(hot_rows["shard_id"].unique()) == [0, 1, 2, 3]
+    assert hot_rows.groupby("shard_id").size().tolist() == [50, 50, 50, 50]
+    bounds = hot_rows.groupby("shard_id")["doc_id"].agg(["min", "max"])
+    assert (bounds["max"].to_numpy()[:-1] < bounds["min"].to_numpy()[1:]).all()
+    # greedy recurrence holds independently per (source, shard)
+    for (_, _), grp in out.groupby(["source", "shard_id"]):
+        grp = grp.sort_values("doc_id")
+        assert grp["pack_id"].tolist() == _ref_pack(grp["n_tokens"].tolist())
+
+
+def test_unsharded_is_one_chain_per_group(hot):
+    out = (
+        pack_greedy(hot, BUDGET)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert (out["shard_id"] == 0).all()
+    for _, grp in out.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        assert grp["pack_id"].tolist() == _ref_pack(grp["n_tokens"].tolist())
+
+
+def test_pack_never_overflows_unless_single_doc(hot):
+    out = pack_greedy(hot, BUDGET, shards=4).toPandas()
+    sums = out.groupby(["source", "shard_id", "pack_id"]).agg(
+        total=("n_tokens", "sum"), n=("doc_id", "count")
+    )
+    over = sums[sums["total"] > BUDGET]
+    assert (over["n"] == 1).all()
