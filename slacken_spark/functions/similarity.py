@@ -100,19 +100,29 @@ def ivf_topk(
     c_id: str = "c_id",
     c_vec: str = "c_vec",
     round_digits: int | None = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via IVF coarse quantization (nprobe=1).
+    """Approximate top-k via IVF coarse quantization.
 
     Both sides are assigned to their nearest centroid; candidates are the
     corpus vectors sharing the query's centroid — an EQUI-join on
     centroid_id instead of a cross join, which is what survives a
     billion-vector corpus. Recall < 1 by construction (vectors straddling
-    centroid boundaries are missed); raise nprobe by unioning the
-    next-nearest assignments when needed.
+    centroid boundaries are missed); ``nprobe > 1`` unions the query's
+    next-nearest centroid assignments for recall control — the CORPUS
+    assignment is unchanged (each corpus vector lives in exactly one
+    inverted list, so probe candidate sets are disjoint and need no
+    dedup), only the tiny broadcast query side fans out ×nprobe.
     """
-    qa = ivf_assign(queries, q_vec, centroids).withColumn(
-        "_qnorm", l2_norm(F.col(q_vec))
-    )
+    if nprobe > 1:
+        qa = (
+            ivf_assign_probes(queries, q_vec, centroids, nprobe)
+            .withColumn("centroid_id", F.explode("probe_ids"))
+            .drop("probe_ids")
+        )
+    else:
+        qa = ivf_assign(queries, q_vec, centroids)
+    qa = qa.withColumn("_qnorm", l2_norm(F.col(q_vec)))
     ca = ivf_assign(corpus, c_vec, centroids).withColumn(
         "_cnorm", l2_norm(F.col(c_vec))
     )
@@ -130,6 +140,47 @@ def ivf_topk(
         joined.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select(q_id, c_id, "sim", "rnk")
+    )
+
+
+def _centroid_sims(vec_col: str, centroids: list[list[float]], norm_col: str) -> Column:
+    """Array of cosine similarities of a row's vector to every centroid
+    literal; the row norm is read from ``norm_col`` (materialized once
+    per row by the caller)."""
+    cnorms = [sum(float(x) * float(x) for x in c) ** 0.5 for c in centroids]
+    return F.array(
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            / (F.col(norm_col) * F.lit(cn))
+            for c, cn in zip(centroids, cnorms)
+        ]
+    )
+
+
+def ivf_assign_probes(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per row as an array column
+    ``probe_ids`` (nearest first; ties resolve to the smallest centroid
+    index, consistent with ``ivf_assign``'s first-occurrence argmax).
+
+    Map-only codegen: the sims array sorts as (−sim, idx) structs —
+    no per-row Python, cost linear in len(centroids)·log(len(centroids)).
+    """
+    if not centroids:
+        return df.withColumn("probe_ids", F.array().cast("array<int>"))
+    pairs = F.transform(
+        F.col("_ivf_sims"),
+        lambda v, i: F.struct((-v).alias("neg"), i.alias("idx")),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["idx"].cast("int")
+    )
+    return (
+        df.withColumn("_ivf_norm", l2_norm(F.col(vec_col)))
+        .withColumn("_ivf_sims", _centroid_sims(vec_col, centroids, "_ivf_norm"))
+        .withColumn("probe_ids", probes)
+        .drop("_ivf_sims", "_ivf_norm")
     )
 
 
@@ -156,14 +207,7 @@ def ivf_assign(
     # the row's own norm is materialized once; centroid norms are plain
     # Python float literals (sum is left-to-right, matching the SQL
     # oracle's list_sum fold)
-    cnorms = [sum(float(x) * float(x) for x in c) ** 0.5 for c in centroids]
-    sims = F.array(
-        *[
-            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            / (F.col("_ivf_norm") * F.lit(cn))
-            for c, cn in zip(centroids, cnorms)
-        ]
-    )
+    sims = _centroid_sims(vec_col, centroids, "_ivf_norm")
     arr = F.col("_ivf_sims")
     centroid_id = (F.array_position(arr, F.array_max(arr)) - F.lit(1)).cast("int")
     return (
@@ -180,6 +224,8 @@ def kmeans_train(
     id_col: str,
     k: int = 8,
     iters: int = 5,
+    tol: float = 1e-9,
+    reseed_empty: bool = True,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means — the trainer that produces
     ``ivf_assign``'s centroids (the docstring's "in production they come
@@ -194,9 +240,16 @@ def kmeans_train(
     deterministic: the k vectors with the smallest md5(id) — a seeded
     spread sample, reproducible across runs and engines.
 
+    Stops early once the max centroid movement (L2) drops below
+    ``tol``. With ``reseed_empty`` (default), a cluster that won no
+    points is reseeded from the worst-served point — the one least
+    similar to its assigned centroid (deterministic ascending-(sim, id)
+    pick; one extra small action only on the rounds where a cluster
+    actually empties). ``reseed_empty=False`` keeps the old behavior:
+    empty clusters retain their previous centroid.
+
     Returns the trained centroids as plain Python lists, ready for
-    ``ivf_assign`` / ``ivf_topk``. Empty clusters keep their previous
-    centroid.
+    ``ivf_assign`` / ``ivf_topk``.
     """
     init_rows = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -216,7 +269,31 @@ def kmeans_train(
             .collect()
         )
         new = [list(c) for c in centroids]
+        seen = set()
         for r in cells:
             new[r["centroid_id"]][r["pos"]] = float(r["m"])
+            seen.add(int(r["centroid_id"]))
+        empty = [c for c in range(len(centroids)) if c not in seen]
+        if empty and reseed_empty:
+            far_rows = (
+                df.withColumn("_n", l2_norm(F.col(vec_col)))
+                .withColumn("_best", F.array_max(
+                    _centroid_sims(vec_col, centroids, "_n")
+                ))
+                .orderBy(F.asc("_best"), F.col(id_col))
+                .limit(len(empty))
+                .collect()
+            )
+            for c, r in zip(empty, far_rows):
+                new[c] = [float(x) for x in r[vec_col]]
+        moved = max(
+            (
+                sum((a - b) ** 2 for a, b in zip(n_c, o_c)) ** 0.5
+                for n_c, o_c in zip(new, centroids)
+            ),
+            default=0.0,
+        )
         centroids = new
+        if moved < tol:
+            break
     return centroids

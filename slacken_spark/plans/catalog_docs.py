@@ -590,6 +590,71 @@ def embedding_ivf_topk(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def _ivf_probe_union_sql() -> str:
+    """Per-(query, centroid) similarity rows — the oracle's probe-ranking
+    input (one SELECT per centroid literal, same fold as _cos_sql)."""
+    cents = _centroids()
+    return " UNION ALL ".join(
+        f"SELECT q_id, q_vec, CAST({i} AS INT) AS cid,"
+        f" {_cos_sql('q_vec', c)} AS sim FROM q"
+        for i, c in enumerate(cents)
+    )
+
+
+@register(
+    "embedding_ivf_topk_nprobe2",
+    f"""
+    WITH assigned AS (
+        SELECT vec_id, embedding, {_ivf_assign_sql("embedding")} AS centroid_id
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    qs AS ({_ivf_probe_union_sql()}),
+    qp AS (
+        SELECT q_id, cid FROM (
+            SELECT q_id, cid,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM qs) t
+        WHERE rn <= 2
+    ),
+    sims AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               round(
+                 list_sum(list_transform(range(1, len(q.q_vec)+1),
+                   i -> CAST(q.q_vec[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+                 4) AS sim
+        FROM q JOIN qp ON q.q_id = qp.q_id
+               JOIN assigned c ON qp.cid = c.centroid_id
+        WHERE q.q_id != c.vec_id
+    ),
+    r AS (SELECT q_id, c_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+          FROM sims)
+    SELECT q_id, c_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """,
+)
+def embedding_ivf_topk_nprobe2(spark, sf_dir):
+    """IVF top-k with nprobe=2: the query side probes its two nearest
+    centroids (recall control for boundary-straddling queries); the
+    corpus keeps one inverted list per vector, so candidates stay an
+    equi-join and need no dedup. The oracle ranks the probe centroids
+    per query with the same (sim DESC, cid) tiebreak."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = tp(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    out = SIM.ivf_topk(
+        queries, corpus, _centroids(), k=3, round_digits=4, nprobe=2
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def _planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from integer arithmetic
     (identical literals are embedded in the oracle SQL — no libm calls)."""

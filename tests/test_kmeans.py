@@ -46,3 +46,112 @@ def test_kmeans_improves_objective(emb):
     init = SIM.kmeans_train(emb, "embedding", "vec_id", k=4, iters=0)
     trained = SIM.kmeans_train(emb, "embedding", "vec_id", k=4, iters=3)
     assert _objective(emb, trained) >= _objective(emb, init) - 1e-9
+
+
+def test_kmeans_converges_to_fixpoint(spark):
+    """Well-separated clusters: once movement < tol the early stop fires,
+    so a large iteration budget returns the same centroids as a small
+    sufficient one."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for cid, base in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for i in range(30):
+            v = np.array(base) + rng.normal(0, 0.01, 3)
+            rows.append((cid * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = SIM.kmeans_train(df, "embedding", "vec_id", k=3, iters=8, tol=1e-6)
+    b = SIM.kmeans_train(df, "embedding", "vec_id", k=3, iters=50, tol=1e-6)
+    assert a == b, "extra iterations past convergence must be no-ops"
+
+
+def test_kmeans_reseeds_empty_cluster(spark):
+    """The three md5-smallest init vectors are IDENTICAL, so after the
+    first assignment clusters 1 and 2 are empty (first-occurrence argmax
+    gives everything to cluster 0). With reseed they must re-anchor
+    EXACTLY on the two worst-served points (ascending (sim-to-own-
+    centroid, id)); without reseed they stay on the stale init vector.
+    Over more rounds the reseeded run must reach the far group."""
+    import hashlib
+
+    import numpy as np
+
+    ids = list(range(40))
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    init_ids = set(order[:3])
+    init_vec = [1.0, 0.05, 0.0]
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in ids:
+        if i in init_ids:
+            v = list(init_vec)
+        elif i % 2 == 0:
+            v = (np.array([1.0, 0.0, 0.0]) + rng.normal(0, 0.02, 3)).tolist()
+        else:
+            v = (np.array([0.0, 1.0, 0.0]) + rng.normal(0, 0.02, 3)).tolist()
+        rows.append((i, [float(np.float32(x)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    c = np.array(init_vec)
+    sims = {
+        i: float(np.dot(np.array(v, dtype=np.float64), c)
+                 / (np.linalg.norm(np.array(v, dtype=np.float64)) * np.linalg.norm(c)))
+        for i, v in rows
+    }
+    worst = sorted(ids, key=lambda i: (sims[i], i))[:2]
+
+    one_noreseed = SIM.kmeans_train(
+        df, "embedding", "vec_id", k=3, iters=1, reseed_empty=False
+    )
+    assert one_noreseed[1] == pytest.approx(init_vec)
+    assert one_noreseed[2] == pytest.approx(init_vec)
+
+    one = SIM.kmeans_train(
+        df, "embedding", "vec_id", k=3, iters=1, reseed_empty=True
+    )
+    vecs = dict(rows)
+    assert one[1] == pytest.approx(vecs[worst[0]], rel=1e-6)
+    assert one[2] == pytest.approx(vecs[worst[1]], rel=1e-6)
+
+    trained = SIM.kmeans_train(
+        df, "embedding", "vec_id", k=3, iters=6, reseed_empty=True
+    )
+    near_y = max(cn[1] / (sum(x * x for x in cn) ** 0.5) for cn in trained)
+    assert near_y > 0.9
+
+
+def test_ivf_nprobe2_recall_not_worse(spark):
+    """Boundary-straddling fixture: the query's true nearest neighbor is
+    assigned to the OTHER centroid, so nprobe=1 misses it and nprobe=2
+    finds it — recall(nprobe=2) ≥ recall(nprobe=1), strictly better here."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    queries = spark.createDataFrame(
+        [(0, [0.72, 0.69])], "q_id long, q_vec array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.69, 0.72]),   # true NN — lands in centroid 1
+            (11, [1.0, 0.05]),    # centroid 0
+            (12, [0.95, 0.2]),    # centroid 0
+            (13, [0.05, 1.0]),    # centroid 1
+        ],
+        "c_id long, c_vec array<float>",
+    )
+    exact = {
+        r["c_id"]
+        for r in SIM.cosine_topk(queries, corpus, k=2).collect()
+    }
+    got1 = {
+        r["c_id"]
+        for r in SIM.ivf_topk(queries, corpus, cents, k=2, nprobe=1).collect()
+    }
+    got2 = {
+        r["c_id"]
+        for r in SIM.ivf_topk(queries, corpus, cents, k=2, nprobe=2).collect()
+    }
+    r1 = len(got1 & exact) / len(exact)
+    r2 = len(got2 & exact) / len(exact)
+    assert r2 >= r1
+    assert 10 not in got1 and 10 in got2
+    assert r2 == 1.0
