@@ -332,6 +332,44 @@ def dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_canonical",
+    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + _BANDED_PAIRS_SQL
+    + """
+    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup: LSH pairs → connected components →
+    keep ONE document per cluster (the min doc_id, which IS the
+    component label) with its cluster size — the row set a dedup pass
+    would retain. Composes the banded self-join and the O(log d) label
+    loop; one extra key-shuffle on the component label."""
+    docs = tp(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
+    pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+    comp = D.connected_components(pairs, loop_partitions=8)
+    labeled = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    ).select(F.col("component").alias("doc_id"), "cluster_size")
+
+
+@register(
     "ngram_jaccard_adjacent",
     f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),

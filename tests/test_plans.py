@@ -218,3 +218,49 @@ def test_round4_single_shuffle_queries(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         n = len(_re.findall(r"Exchange hashpartitioning", plan))
         assert n <= max_ex, f"{name}: {n} exchanges"
+
+
+def test_connected_components_large_graph_log_rounds(spark):
+    """Scale stress: a 100k-node chain (diameter 10^5) plus
+    exponentially-skewed star components must reach fixpoint within
+    ~2·log2(n) rounds — pointer jumping collapses the chain
+    logarithmically, where plain min-label propagation would need 10^5
+    rounds (the max_iter=24 budget is the proof: no fixpoint warning may
+    fire)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions.dedup import connected_components
+
+    n = 100_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    # star j has 2^j spokes (heavy-tailed component sizes); hub ids sit
+    # below their spokes so the expected label is the hub
+    stars = spark.range(16_000).select(
+        (F.lit(200_000) + F.floor(F.log2(F.col("id") + 2))).alias("id_a"),
+        (F.lit(300_000) + F.col("id")).alias("id_b"),
+    )
+    pairs = chain.unionByName(stars)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        comp = connected_components(
+            pairs, max_iter=24, loop_partitions=8
+        ).persist()
+        n_rows = comp.count()
+    assert not [w for w in caught if "no fixpoint" in str(w.message)], (
+        "chain did not collapse within the O(log d) round budget"
+    )
+    assert n_rows == n + 16_000 + 13  # chain + spokes + hubs (log2 ∈ 1..13)
+    # every chain node labels to 0
+    assert comp.where((F.col("node") < n) & (F.col("component") != 0)).count() == 0
+    # every spoke labels to its hub
+    bad = comp.where(
+        (F.col("node") >= 300_000)
+        & (F.col("component")
+           != F.lit(200_000) + F.floor(F.log2(F.col("node") - 300_000 + 2)))
+    ).count()
+    assert bad == 0
+    comp.unpersist()
