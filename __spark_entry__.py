@@ -35,38 +35,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness gate records exactly the first 50 registered queries
 # and silently drops the rest, so the order is rotated each round until
-# every catalog entry has a green CORRECTNESS row. Round 4: promote the
-# 5 entries dropped in r2+r3 to the front; demote 5 entries that are
-# green in BOTH CORRECTNESS_r02 and _r03 (cheapest to lose — their
-# correctness is already on record twice, plus pytest parity).
+# every catalog entry has a green CORRECTNESS row. Round 5: promote the
+# 15 queries with no r4 row (green in r1-r3, rotated out by the cap —
+# the flagship genomic set, the four media queries, and the r4-demoted
+# tail), the three new queries, genomic_classify_detail (first round
+# WITH an oracle), and the 8 queries whose code changed this round.
+# Demoted: 18 queries green in r4 AND at least one earlier round, with
+# code untouched this round (correctness on record ≥2×, plus the local
+# pytest oracle suite re-runs them at sf0.01 every session).
 _EARLY = [
-    "doc_token_stats",
-    "deterministic_sample",
-    "salted_skew_agg",
-    "genomic_classify_wide_hashed",
-    "genomic_classify_detail",
-    # r3's three red rows — keep them in-gate to prove the fixes:
-    "sessionize_events",
-    "streaming_window_counts",
-    "streaming_session_windows",
-    # new this round — record a row immediately:
-    "asof_event_order_forward",
-    "dedup_components",
-    "doc_pii_redact",
-    "doc_vocab_top50",
-    "pack_sequences",
-    "doc_chunks",
-    "embedding_kmeans_clusters",  # rows-only (iterative trainer)
-    "streaming_genomic_classify",
-    "embedding_quantize_int8",
-    "dataset_split_counts",
-]
-_TAIL = [
+    # aging: no CORRECTNESS_r04 row — cycle back in (VERDICT r4 item 1)
+    "genomic_classify",
+    "genomic_classify_wide",
+    "genomic_kmer_totals",
+    "genomic_index_lca_histogram",
+    "genomic_clade_rollup",
+    "bracken_weights",  # also: batched small-fragment kernel this round
+    "media_image_stats",
+    "media_phash_neardup",
+    "media_audio_stats",
+    "video_frame_plan",
     "scalar_funcs",
     "set_ops_nations",
     "topk_per_group",
     "two_level_agg",
     "size_histogram",
+    # new this round — record a row immediately:
+    "pack_sequences_sharded",
+    "embedding_ivf_topk_nprobe2",
+    "dedup_keep_canonical",
+    "genomic_classify_detail",  # byte-exact Kraken-line oracle now
+    # code changed this round — keep under the hash gate:
+    "sessionize_events",
+    "streaming_window_counts",
+    "streaming_session_windows",
+    "streaming_genomic_classify",
+    "pack_sequences",
+    "embedding_ivf_topk",
+    "embedding_kmeans_clusters",  # rows-only (iterative trainer)
+    "dedup_components",
+]
+_TAIL = [
+    "pricing_summary",
+    "scan_filter_project",
+    "classification_join",
+    "star_broadcast_join",
+    "nullsafe_join",
+    "semi_anti_join",
+    "order_rejoin",
+    "lca_fold",
+    "hit_regroup",
+    "count_distinct_multi",
+    "multi_stat_per_user",
+    "weights_rollup",
+    "fastq_window",
+    "salted_skew_join",
+    "rollup_revenue",
+    "doc_token_stats",
+    "deterministic_sample",
+    "salted_skew_agg",
 ]
 
 
