@@ -64,6 +64,8 @@ _EARLY = [
     "pack_sequences_sharded",
     "embedding_ivf_topk_nprobe2",
     "dedup_keep_canonical",
+    "doc_decontaminate",
+    "source_quota_sample",
     "genomic_classify_detail",  # byte-exact Kraken-line oracle now
     # code changed this round — keep under the hash gate:
     "sessionize_events",
@@ -94,6 +96,8 @@ _TAIL = [
     "doc_token_stats",
     "deterministic_sample",
     "salted_skew_agg",
+    "event_type_pivot",
+    "asof_event_order",
 ]
 
 

@@ -208,6 +208,37 @@ def hamming_distance64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (id, n_shared) for every training doc
+    sharing at least one word n-gram with the eval/benchmark set —
+    the overlap count a decontamination pass filters or audits on.
+
+    The eval side reduces to its DISTINCT shingle set and (by default)
+    broadcasts — benchmark suites are tiny next to a pretraining corpus,
+    so the scan stays map-side: exploded train shingles hash-join the
+    broadcast set, then one shuffle on the doc id for the count.
+    Shingles are exploded ROWS (codegen'd), never array lambdas.
+    """
+    from slacken_spark.functions.text import shingle_rows
+
+    tr = shingle_rows(train, text_col, id_col, n=n)
+    ev = shingle_rows(eval_df, text_col, id_col, n=n).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def _unpersist_local_ckpt(df: DataFrame) -> None:
     """Best-effort release of the blocks behind a materialized
     ``localCheckpoint(eager=False)`` DataFrame.

@@ -370,6 +370,88 @@ def dedup_keep_canonical(spark, sf_dir):
 
 
 @register(
+    "doc_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(0, greatest(len(toks) - 2, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                           || ' ' || toks[CAST(i+3 AS INT)]))) AS shingle
+           FROM d),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing a word 3-gram
+    with the (deterministic doc_id%97) eval set, with the shared-shingle
+    count — the audit row a decontamination filter drops on. Eval
+    shingles dedupe and broadcast (benchmarks are tiny next to the
+    corpus), so the corpus scan stays map-side + one doc-id shuffle."""
+    docs = tp(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return D.contamination_overlap(tr, ev, "text", "doc_id", n=3).select(
+        "doc_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+# below every source's total (~1.1-1.6k tokens at the gate SFs) so the
+# quota genuinely truncates — roughly half of each source survives
+_QUOTA_TOKENS = 800
+
+
+@register(
+    "source_quota_sample",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len({SQL_TOKENS.format(expr='text')}) AS ntok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    r AS (
+        SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens
+    FROM r WHERE cum <= {_QUOTA_TOKENS}
+    GROUP BY source
+    """,
+)
+def source_quota_sample(spark, sf_dir):
+    """Per-source token-quota downsampling — the dataset-mixer step:
+    rank each source's docs by a deterministic hash (seeded, engine-
+    reproducible spread sample), keep docs while the running token sum
+    stays within the quota, and report kept docs/tokens per source.
+    One shuffle on source; cumsum is a window, never a driver loop."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = docs.withColumn("cum", F.sum("ntok").over(w)).where(
+        F.col("cum") <= _QUOTA_TOKENS
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+    )
+
+
+@register(
     "ngram_jaccard_adjacent",
     f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),

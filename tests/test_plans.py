@@ -264,3 +264,22 @@ def test_connected_components_large_graph_log_rounds(spark):
     ).count()
     assert bad == 0
     comp.unpersist()
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Round-5 shuffle budgets: sharded packing shuffles once for the
+    ntile window and once for the (source, shard) pack groups; nprobe=2
+    IVF keeps the corpus side shuffle-free (broadcast query fan-out +
+    one window shuffle for the per-query top-k)."""
+    import re as _re
+
+    fn, _ = REGISTRY["pack_sequences_sharded"]
+    plan = _plan(fn(spark, sf_dir))
+    n = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 2, f"pack_sequences_sharded: {n} exchanges"
+
+    fn, _ = REGISTRY["embedding_ivf_topk_nprobe2"]
+    plan = _plan(fn(spark, sf_dir))
+    n = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 1, f"embedding_ivf_topk_nprobe2: {n} corpus-side exchanges"
+    assert "BroadcastExchange" in plan, "query fan-out must broadcast"
