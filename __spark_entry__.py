@@ -66,6 +66,7 @@ _EARLY = [
     "dedup_keep_canonical",
     "doc_decontaminate",
     "source_quota_sample",
+    "doc_repetition",
     "genomic_classify_detail",  # byte-exact Kraken-line oracle now
     # code changed this round — keep under the hash gate:
     "sessionize_events",
@@ -98,6 +99,7 @@ _TAIL = [
     "salted_skew_agg",
     "event_type_pivot",
     "asof_event_order",
+    "range_bucket_join",
 ]
 
 

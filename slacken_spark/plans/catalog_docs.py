@@ -452,6 +452,40 @@ def source_quota_sample(spark, sf_dir):
 
 
 @register(
+    "doc_repetition",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_transform(
+                      range(0, greatest(len(toks) - 1, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]))
+                    AS shingle
+           FROM d),
+    c AS (SELECT doc_id, shingle, count(*) AS n FROM sh GROUP BY doc_id, shingle)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_2grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(n) AS BIGINT) AS top_n
+    FROM c GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    """Repetition-based quality signal (the Gopher-style duplicate-
+    n-gram rule): per doc, total 2-gram count, distinct count, and the
+    top 2-gram's count — consumers derive dup ratios; the catalog emits
+    exact integers so the hash gate is float-free. One shuffle: the
+    shingle window partitions on doc_id and both aggregations reuse
+    that partitioning (doc_id ⊂ both grouping keys → no re-exchange)."""
+    docs = tp(spark, sf_dir, "documents")
+    sh = X.shingle_rows(docs, "text", "doc_id", n=2, distinct=False)
+    c = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("doc_id").agg(
+        F.sum("n").alias("n_2grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    )
+
+
+@register(
     "ngram_jaccard_adjacent",
     f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
