@@ -40,6 +40,12 @@ def pack_greedy(
         base = base.withColumn(
             "shard_id", (F.ntile(shards).over(w) - 1).cast("long")
         )
+        # Force the composite-key exchange: without it Catalyst reuses
+        # the window's hashpartitioning(group) for the (group, shard)
+        # grouping — semantically fine, but every shard of a hot group
+        # would pack inside ONE task, defeating the whole point of
+        # sharding. The explicit repartition is the spread.
+        base = base.repartition(group_col, "shard_id")
         keys = [group_col, "shard_id"]
     else:
         base = base.withColumn("shard_id", F.lit(0).cast("long"))
