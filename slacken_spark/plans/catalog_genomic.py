@@ -538,6 +538,11 @@ def streaming_genomic_classify(spark, sf_dir):
         )
         rows: list = []
 
+        # GATE-HARNESS SINK — NOT the scale pattern: this differential
+        # check collects each (150-row) micro-batch to the driver so the
+        # result can hash against the batch oracle. A production sink
+        # for ops.classify_stream writes files/tables per epoch
+        # (e.g. df.write.parquet) — never driver collect.
         def sink(df, _epoch):
             rows.extend(df.select("header", "classified", "taxon").collect())
 

@@ -1,0 +1,80 @@
+"""Document-corpus ingestion for the training-data pipeline layer.
+
+The genomic sources (sources/fasta.py) cover the reference's formats;
+real pretraining corpora arrive as JSONL(.gz), CSV or raw text files.
+This module normalizes any of them to the catalog's ``documents``
+shape — ``(doc_id long, source string, text string)`` — so every
+pipeline operator (dedup, quality, packing, decontamination, …)
+composes unchanged.
+
+All readers are plain ``spark.read`` DataFrame sources: schema applied
+up front (no inference scans at 100 TB), compression handled natively
+by the format (``.gz``/``.zst`` JSONL just works), partition
+parallelism = file splits. Nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, source string, text string"
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Read a document corpus in ``fmt`` ∈ {parquet, jsonl, csv, text}
+    and normalize to ``DOC_SCHEMA``.
+
+    - ``parquet`` / ``jsonl`` / ``csv``: columns are renamed from
+      (``id_col``, ``source_col``, ``text_col``). A missing id column
+      (``id_col=None``) derives a deterministic 64-bit id from
+      (file, text) via xxhash64; a missing source column falls back to
+      the source file's base name — both content-addressed, stable
+      across reruns and cluster layouts (never zipWithIndex, whose ids
+      depend on partitioning).
+    - ``text``: one document per line; id/source always derived.
+    """
+    if fmt == "parquet":
+        raw = spark.read.parquet(path)
+    elif fmt == "jsonl":
+        raw = spark.read.schema(_read_schema(text_col, id_col, source_col)).json(path)
+    elif fmt == "csv":
+        raw = spark.read.schema(_read_schema(text_col, id_col, source_col)).option(
+            "header", "true"
+        ).csv(path)
+    elif fmt == "text":
+        raw = spark.read.text(path).select(F.col("value").alias(text_col))
+        id_col = None
+        source_col = None
+    else:
+        raise ValueError(f"unsupported document format: {fmt!r}")
+
+    text = F.col(text_col).cast("string")
+    if id_col is not None:
+        doc_id = F.col(id_col).cast("long")
+    else:
+        doc_id = F.xxhash64(F.input_file_name(), text)
+    if source_col is not None:
+        src = F.col(source_col).cast("string")
+    else:
+        src = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return raw.select(
+        doc_id.alias("doc_id"), src.alias("source"), text.alias("text")
+    )
+
+
+def _read_schema(text_col: str, id_col: str | None, source_col: str | None) -> str:
+    fields = []
+    if id_col is not None:
+        fields.append(f"{id_col} long")
+    if source_col is not None:
+        fields.append(f"{source_col} string")
+    fields.append(f"{text_col} string")
+    return ", ".join(fields)

@@ -1,0 +1,91 @@
+"""Document ingestion (sources/docs.py): every format normalizes to the
+documents shape and derived ids are deterministic."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from slacken_spark.sources.docs import read_documents
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    rows = [
+        {"doc_id": 1, "source": "web", "text": "alpha beta gamma"},
+        {"doc_id": 2, "source": "web", "text": "delta epsilon"},
+        {"doc_id": 3, "source": "books", "text": "zeta eta theta iota"},
+    ]
+    return rows, tmp_path
+
+
+def test_jsonl_gz_roundtrip(spark, corpus):
+    rows, tmp = corpus
+    p = tmp / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    got = read_documents(spark, str(p), fmt="jsonl").orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["source"], r["text"]) for r in got] == [
+        (1, "web", "alpha beta gamma"),
+        (2, "web", "delta epsilon"),
+        (3, "books", "zeta eta theta iota"),
+    ]
+    assert got[0].__fields__ == ["doc_id", "source", "text"]
+
+
+def test_csv_roundtrip(spark, corpus):
+    rows, tmp = corpus
+    p = tmp / "docs.csv"
+    with open(p, "w") as fh:
+        fh.write("doc_id,source,text\n")
+        for r in rows:
+            fh.write(f"{r['doc_id']},{r['source']},{r['text']}\n")
+    got = read_documents(spark, str(p), fmt="csv").orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["source"], r["text"]) for r in got] == [
+        (1, "web", "alpha beta gamma"),
+        (2, "web", "delta epsilon"),
+        (3, "books", "zeta eta theta iota"),
+    ]
+
+
+def test_text_lines_derive_stable_ids(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("first document line\nsecond document line\n")
+    a = read_documents(spark, str(p), fmt="text").collect()
+    b = read_documents(spark, str(p), fmt="text").collect()
+    assert len(a) == 2
+    assert {r["source"] for r in a} == {"corpus.txt"}
+    # content-addressed ids: identical across reads, distinct per line
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert len({r["doc_id"] for r in a}) == 2
+
+
+def test_jsonl_without_id_derives_ids(spark, corpus):
+    rows, tmp = corpus
+    p = tmp / "noid.jsonl"
+    with open(p, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps({"source": r["source"], "text": r["text"]}) + "\n")
+    got = read_documents(spark, str(p), fmt="jsonl", id_col=None).collect()
+    assert len({r["doc_id"] for r in got}) == 3
+    assert {r["source"] for r in got} == {"web", "books"}
+
+
+def test_pipeline_composes_on_ingested_docs(spark, corpus):
+    """The ingested frame drops straight into a pipeline operator."""
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions.packing import pack_greedy
+
+    rows, tmp = corpus
+    p = tmp / "docs.jsonl"
+    with open(p, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    docs = read_documents(spark, str(p), fmt="jsonl").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    )
+    packed = pack_greedy(docs, budget=5).collect()
+    assert len(packed) == 3
