@@ -24,6 +24,7 @@ def pack_greedy(
     order_col: str = "doc_id",
     size_col: str = "n_tokens",
     shards: int = 1,
+    shard_by: str = "range",
 ) -> DataFrame:
     """→ (group, order, size, shard_id, pack_id) with the greedy pack
     assignment; deterministic given (group, order) uniqueness.
@@ -31,15 +32,38 @@ def pack_greedy(
     One key-shuffle (on the group key, or the composite (group, shard)
     key when ``shards > 1`` — which is the point: a hot group spreads
     over ``shards`` tasks instead of serializing on one).
+
+    ``shard_by`` picks how a group splits:
+
+    - ``"range"``: contiguous ntile ranges of the scan order — packs
+      read like the unsharded output with restarts only at shard
+      boundaries, but the ntile WINDOW itself sorts each group in one
+      task, so the hot group still serializes once before spreading.
+      Right when groups are merely large, wrong when one group is the
+      dataset.
+    - ``"hash"``: map-only deterministic ``xxhash64(order) % shards``
+      — no window, no per-group sort, nothing ever serializes on the
+      group; each shard still packs in scan order, but consecutive
+      docs land in different shards (pack composition differs from the
+      unsharded chain; the budget invariant is identical). This is the
+      100 TB path.
     """
     import pandas as pd
 
+    if shard_by not in ("range", "hash"):
+        raise ValueError(f"shard_by must be 'range' or 'hash', got {shard_by!r}")
     base = df.select(group_col, order_col, size_col)
     if shards > 1:
-        w = Window.partitionBy(group_col).orderBy(order_col)
-        base = base.withColumn(
-            "shard_id", (F.ntile(shards).over(w) - 1).cast("long")
-        )
+        if shard_by == "range":
+            w = Window.partitionBy(group_col).orderBy(order_col)
+            base = base.withColumn(
+                "shard_id", (F.ntile(shards).over(w) - 1).cast("long")
+            )
+        else:
+            base = base.withColumn(
+                "shard_id",
+                F.pmod(F.xxhash64(F.col(order_col)), F.lit(shards)).cast("long"),
+            )
         # Force the composite-key exchange: without it Catalyst reuses
         # the window's hashpartitioning(group) for the (group, shard)
         # grouping — semantically fine, but every shard of a hot group

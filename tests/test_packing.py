@@ -75,3 +75,28 @@ def test_pack_never_overflows_unless_single_doc(hot):
     )
     over = sums[sums["total"] > BUDGET]
     assert (over["n"] == 1).all()
+
+
+def test_hash_sharding_is_map_only_and_covers(hot):
+    """shard_by='hash' must not introduce a window (no per-group
+    serialization): the plan has exactly one exchange (the composite
+    repartition) and no Window/Sort before it; coverage and the budget
+    invariant still hold."""
+    import re
+
+    out_df = pack_greedy(hot, BUDGET, shards=4, shard_by="hash")
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "hash sharding must not sort per group"
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    out = out_df.toPandas()
+    assert len(out) == 210
+    assert out.groupby(["source", "doc_id"]).size().max() == 1
+    assert sorted(out[out["source"] == "hot"]["shard_id"].unique()) == [0, 1, 2, 3]
+    for (_, _), grp in out.groupby(["source", "shard_id"]):
+        grp = grp.sort_values("doc_id")
+        assert grp["pack_id"].tolist() == _ref_pack(grp["n_tokens"].tolist())
+
+
+def test_bad_shard_by_rejected(hot):
+    with pytest.raises(ValueError):
+        pack_greedy(hot, BUDGET, shards=4, shard_by="rand")
