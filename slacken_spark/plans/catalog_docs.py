@@ -430,7 +430,15 @@ def source_quota_sample(spark, sf_dir):
     rank each source's docs by a deterministic hash (seeded, engine-
     reproducible spread sample), keep docs while the running token sum
     stays within the quota, and report kept docs/tokens per source.
-    One shuffle on source; cumsum is a window, never a driver loop."""
+    One shuffle on source; cumsum is a window, never a driver loop.
+
+    SCALE NOTE: the cumsum window sorts each source in one task — fine
+    while every source fits a task (this catalog's shape), but when one
+    source IS the dataset, the scalable form is a hash-threshold
+    search: binary-search a cutoff t with log-rounds of map-only
+    ``sum(ntok) WHERE hash <= t`` aggregates, then keep ``hash <= t`` —
+    same deterministic kept-set up to the boundary doc, no per-source
+    sort anywhere."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
