@@ -38,11 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # every catalog entry has a green CORRECTNESS row. Round 5: promote the
 # 15 queries with no r4 row (green in r1-r3, rotated out by the cap —
 # the flagship genomic set, the four media queries, and the r4-demoted
-# tail), the three new queries, genomic_classify_detail (first round
-# WITH an oracle), and the 8 queries whose code changed this round.
-# Demoted: 18 queries green in r4 AND at least one earlier round, with
-# code untouched this round (correctness on record ≥2×, plus the local
-# pytest oracle suite re-runs them at sf0.01 every session).
+# tail), the new queries (pack_sequences_sharded, ivf nprobe2,
+# dedup_keep_canonical, doc_decontaminate, source_quota_sample,
+# doc_repetition, events_rolling_stats, doc_unigram_rarity,
+# doc_boilerplate_scrub — the last three sit mid-list inside the cap),
+# genomic_classify_detail (first round WITH an oracle), and the queries
+# whose code changed this round. Demoted: 24 queries green in r4 AND at
+# least one earlier round, with code untouched this round (correctness
+# on record ≥2×, plus the local pytest oracle suite re-runs them at
+# sf0.01 every session; the full demoted list is in NOTES.md).
 _EARLY = [
     # aging: no CORRECTNESS_r04 row — cycle back in (VERDICT r4 item 1)
     "genomic_classify",

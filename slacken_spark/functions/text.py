@@ -169,3 +169,94 @@ def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
         lambda i: F.array_min(F.slice(hashes, i + 1, window)),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def boilerplate_scrub(
+    df,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    min_df_frac: float = 0.04,
+    n_docs: int | None = None,
+):
+    """Corpus-level boilerplate span removal (CCNet-style, word n-grams).
+
+    A word ``n``-gram occurring in at least ``ceil(min_df_frac * n_docs)``
+    distinct documents is boilerplate; every token position covered by
+    any boilerplate gram is dropped and the survivors are reassembled in
+    original order. Returns (id, clean_text, n_kept, n_removed).
+
+    Scale shape: positioned grams come from the posexplode + lead-window
+    plan (one id-shuffle, shared with ``shingle_rows``); the gram
+    document-frequency count is a partial-agg shuffle on the gram; the
+    boilerplate set is small BY DEFINITION (grams above a df threshold —
+    at 100 TB it is header/footer/license text, thousands of grams, not
+    millions) so it broadcasts back onto the positioned grams; covered
+    positions anti-join the token rows on (id, pos). No step holds a
+    whole document's corpus-frequency context anywhere but the broadcast.
+
+    ``n_docs`` (corpus size) is one driver-side count when not supplied —
+    callers that already know it (or want a fixed absolute threshold via
+    ``min_df_frac * n_docs``) pass it in and the extra action disappears.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    min_df = max(1, math.ceil(min_df_frac * n_docs))
+
+    pos_toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    grams = (
+        pos_toks.select(id_col, "pos", "tok", *leads)
+        .where(F.col(f"t{n-1}").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("gram"),
+        )
+    )
+    frequent = (
+        grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(frequent), "gram")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pos_toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

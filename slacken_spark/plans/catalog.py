@@ -879,6 +879,48 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+@register(
+    "events_rolling_stats",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value*100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n,
+           date_diff('microseconds',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS us_since_prev
+    FROM events
+    """,
+)
+def events_rolling_stats(spark, sf_dir):
+    """Frame-based window aggregates — the rolling-metric query class
+    (7-row trailing sum/count per user) plus the lag-delta in exact
+    integer microseconds. All three window functions share one
+    (partition, order) spec, so the physical plan is a single user_id
+    exchange + sort feeding one Window node; values stay integer (cents
+    quantization, µs field arithmetic) so the hash gate is float-free
+    and DST-immune (timestamp_diff is pure field arithmetic, per the
+    sessionize fix)."""
+    ev = t(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents(F.col("value"))).over(wf).cast("long").alias("roll_cents"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("roll_n"),
+        F.timestamp_diff("MICROSECOND", F.lag("ts").over(wl), F.col("ts")).alias(
+            "us_since_prev"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (backward): each event matched to the user's latest order at
 # or before the event time. Union+window plan — one shuffle, no range blowup.

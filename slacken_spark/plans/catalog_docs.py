@@ -518,6 +518,85 @@ def doc_repetition(spark, sf_dir):
 
 
 @register(
+    "doc_unigram_rarity",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    f AS (SELECT tok, count(DISTINCT doc_id) AS df FROM e GROUP BY tok)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f.df) AS BIGINT) AS sum_df,
+           CAST(sum(f.df) AS BIGINT) * 1.0 / count(*) AS mean_df
+    FROM e JOIN f USING (tok)
+    GROUP BY e.doc_id
+    """,
+)
+def doc_unigram_rarity(spark, sf_dir):
+    """Corpus-statistics quality signal: per-token document frequency is
+    computed over the whole corpus, broadcast back onto the token rows,
+    and aggregated per doc — low mean_df means the doc is full of rare
+    tokens (OCR noise, code, another language), the unigram analog of a
+    LM perplexity filter but exactly reproducible (integer sums + ONE
+    int/int division). Scale shape: token df is a partial-agg shuffle;
+    the df table is vocabulary-sized (Heaps' law: ~millions of rows at
+    100 TB, megabytes serialized) so it broadcasts; per-doc aggregation
+    is the only other shuffle. A trillion-token vocab outlier would flip
+    the broadcast to a shuffle join — the plan degrades, not breaks."""
+    docs = tp(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    dfreq = e.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        e.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            (F.sum("df") * F.lit(1.0) / F.count(F.lit(1))).alias("mean_df"),
+        )
+    )
+
+
+@register(
+    "doc_boilerplate_scrub",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    nd AS (SELECT CAST(ceil(0.065 * count(*)) AS BIGINT) AS min_df FROM d),
+    g AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM d),
+    gr AS (SELECT g.doc_id, g.pos,
+                  d.toks[CAST(g.pos + 1 AS INT)] || ' ' || d.toks[CAST(g.pos + 2 AS INT)] AS gram
+           FROM g JOIN d ON g.doc_id = d.doc_id),
+    freq AS (SELECT gram FROM gr GROUP BY gram
+             HAVING count(DISTINCT doc_id) >= (SELECT min_df FROM nd)),
+    cov AS (SELECT DISTINCT gr.doc_id, gr.pos + o.o AS pos
+            FROM gr JOIN freq USING (gram), (SELECT unnest([0, 1]) AS o) o),
+    tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos FROM d),
+    tok AS (SELECT tk.doc_id, tk.pos, d.toks[CAST(tk.pos + 1 AS INT)] AS tok
+            FROM tk JOIN d ON tk.doc_id = d.doc_id),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+             LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             WHERE cov.doc_id IS NULL),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(d.toks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """,
+)
+def doc_boilerplate_scrub(spark, sf_dir):
+    """Boilerplate span removal (the CCNet/RefinedWeb line-dedup rule,
+    adapted to word 2-grams because this corpus has no line structure):
+    any 2-gram present in ≥6.5% of documents is boilerplate; covered token
+    positions are dropped and each document's survivors are reassembled
+    in order. Emits the cleaned text plus kept/removed counts — the row
+    a cleaning pass writes. See functions/text.boilerplate_scrub for the
+    broadcast-threshold scale design."""
+    docs = tp(spark, sf_dir, "documents")
+    return X.boilerplate_scrub(docs, "text", "doc_id", n=2, min_df_frac=0.065)
+
+
+@register(
     "ngram_jaccard_adjacent",
     f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
