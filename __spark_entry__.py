@@ -72,6 +72,9 @@ _EARLY = [
     "source_quota_sample",
     "doc_repetition",
     "genomic_classify_detail",  # byte-exact Kraken-line oracle now
+    # green only once (new in r4) — keep under the gate a second round:
+    "doc_vocab_top50",
+    "doc_chunks",
     # code changed this round — keep under the hash gate:
     "sessionize_events",
     "streaming_window_counts",
@@ -83,6 +86,8 @@ _EARLY = [
     "dedup_components",
 ]
 _TAIL = [
+    "dedup_exact",
+    "minhash_signatures",
     "pricing_summary",
     "scan_filter_project",
     "classification_join",

@@ -239,6 +239,89 @@ def contamination_overlap(
     )
 
 
+def bloom_bitmap(
+    df: DataFrame, col: str, m_bits: int = 8192, k: int = 2
+) -> DataFrame:
+    """Distributed Bloom-filter build over a string column: each value
+    sets ``k`` md5-derived bit positions in an ``m_bits`` bitmap, stored
+    as (word_idx, bits) rows of 32-bit words packed in longs.
+
+    This is the FIXED-MEMORY membership structure for when the filter
+    side is too big to broadcast exactly (e.g. 'seen in a previous crawl'
+    with billions of keys): the build is explode + one bit_or partial-agg
+    shuffle onto ≤ m_bits/32 rows, and the result broadcasts at
+    m_bits/8 bytes no matter how many values went in. All hashes are
+    md5-based (portable), so false positives are DETERMINISTIC and any
+    engine reproduces the identical bitmap. 32-bit words keep every
+    shift ≤ 31 — no sign-bit overflow disagreements between engines.
+    """
+    from slacken_spark.functions.text import token_hash64
+
+    pos = [
+        F.pmod(token_hash64(F.concat(F.lit(f"bloom{i}_"), F.col(col))), F.lit(m_bits))
+        for i in range(k)
+    ]
+    return (
+        df.select(F.explode(F.array(*pos)).alias("p"))
+        .selectExpr(
+            "p div 32 AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)) AS mask",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_membership_count(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    words: DataFrame,
+    m_bits: int = 8192,
+    k: int = 2,
+) -> DataFrame:
+    """(id, n_maybe) per id: how many of its ``col`` values the Bloom
+    bitmap reports present (an upper bound on true membership — false
+    positives possible, false negatives not; FP rate is set by
+    m_bits/k vs the build cardinality).
+
+    The words table broadcasts (≤ m_bits/32 rows); each probe is k
+    broadcast joins + a bitwise check, so the scan side stays map-only
+    until the final id-count shuffle.
+    """
+    from slacken_spark.functions.text import token_hash64
+
+    cur = df
+    cond = F.lit(True)
+    for i in range(k):
+        p = F.pmod(
+            token_hash64(F.concat(F.lit(f"bloom{i}_"), F.col(col))), F.lit(m_bits)
+        )
+        cur = (
+            cur.withColumn(f"_p{i}", p)
+            .withColumn(f"_w{i}", F.expr(f"_p{i} div 32"))
+            .withColumn(
+                f"_m{i}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 32 AS INT))"),
+            )
+        )
+    for i in range(k):
+        w = words.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        cur = cur.join(F.broadcast(w), F.col(f"_w{i}") == F.col(f"_wi{i}"), "left")
+        cond = cond & (
+            F.coalesce(F.col(f"_b{i}"), F.lit(0))
+            .bitwiseAND(F.col(f"_m{i}"))
+            != 0
+        )
+    return (
+        cur.where(cond)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe"))
+    )
+
+
 def _unpersist_local_ckpt(df: DataFrame) -> None:
     """Best-effort release of the blocks behind a materialized
     ``localCheckpoint(eager=False)`` DataFrame.

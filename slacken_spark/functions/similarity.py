@@ -297,3 +297,77 @@ def kmeans_train(
         if moved < tol:
             break
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss, ±1 / Achlioptas signs)
+# ---------------------------------------------------------------------------
+
+
+def rp_signs(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 sign matrix from md5 — the SAME literals are
+    embedded in the Spark plan and in any SQL oracle, so projections are
+    reproducible bit-for-bit across engines and runs."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(in_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: str = "rp",
+) -> DataFrame:
+    """JL dimensionality reduction: out_j = (1/√out_dim) · Σ_i ±vec_i.
+
+    The sign matrix is folded into the plan as literal +/− terms, so the
+    whole projection is ONE codegen'd map-only projection — no shuffle,
+    no UDF, no per-element interpreted lambda. Every element is cast to
+    double BEFORE accumulation (the float→double promotion rule) and the
+    terms accumulate left-to-right, so any engine that evaluates the
+    same expression produces the identical IEEE doubles. At 100 TB this
+    is a pure scan→project stage that pushes only the id and vector
+    columns.
+    """
+    import math
+
+    signs = rp_signs(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        expr = None
+        for i in range(in_dim):
+            term = F.element_at(F.col(vec_col), i + 1).cast("double")
+            if signs[i][j] < 0:
+                term = -term
+            expr = term if expr is None else expr + term
+        cols.append((F.lit(scale) * expr).alias(f"p{j}"))
+    return df.select(*cols)
+
+
+def rp_sql(vec_expr: str, in_dim: int, out_dim: int = 16, seed: str = "rp") -> str:
+    """ANSI-SQL select-list for the SAME projection (oracle side)."""
+    import math
+
+    signs = rp_signs(in_dim, out_dim, seed)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = []
+    for j in range(out_dim):
+        terms = "".join(
+            ("-" if signs[i][j] < 0 else ("+" if i > 0 else ""))
+            + f"CAST({vec_expr}[{i + 1}] AS DOUBLE)"
+            for i in range(in_dim)
+        )
+        cols.append(f"{scale} * ({terms}) AS p{j}")
+    return ",\n           ".join(cols)

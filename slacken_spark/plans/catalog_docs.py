@@ -423,6 +423,78 @@ def doc_decontaminate(spark, sf_dir):
     )
 
 
+def _bloom_h(i: int, m_bits: int) -> str:
+    return SQL_H64.format(expr=f"'bloom{i}_' || shingle") + f" % {m_bits}"
+
+
+@register(
+    "doc_bloom_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(0, greatest(len(toks) - 2, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                           || ' ' || toks[CAST(i+3 AS INT)]))) AS shingle
+           FROM d),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    pos AS (SELECT unnest([{_bloom_h(0, 8192)}, {_bloom_h(1, 8192)}]) AS p FROM ev),
+    words AS (SELECT p // 32 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              FROM pos GROUP BY p // 32),
+    tr AS (SELECT doc_id, shingle,
+                  {_bloom_h(0, 8192)} AS h0,
+                  {_bloom_h(1, 8192)} AS h1
+           FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+    FROM tr
+    JOIN words w0 ON w0.word_idx = tr.h0 // 32
+                 AND (w0.bits & (CAST(1 AS BIGINT) << CAST(tr.h0 % 32 AS INT))) <> 0
+    JOIN words w1 ON w1.word_idx = tr.h1 // 32
+                 AND (w1.bits & (CAST(1 AS BIGINT) << CAST(tr.h1 % 32 AS INT))) <> 0
+    GROUP BY tr.doc_id
+    """,
+)
+def doc_bloom_decontaminate(spark, sf_dir):
+    """Fixed-memory decontamination: the eval set's 3-gram shingles
+    build an 8192-bit / k=2 Bloom bitmap (one bit_or shuffle onto ≤256
+    word rows), which broadcasts at constant size; training shingles
+    probe it map-side and docs report how many of their shingles the
+    bitmap flags (an upper bound on the exact doc_decontaminate count —
+    md5-derived positions make even the false positives deterministic,
+    so the hash gate holds). This is the membership plan for filter
+    sets too large to broadcast exactly — bitmap size is a knob, not a
+    function of the filter cardinality."""
+    docs = tp(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    ev_sh = X.shingle_rows(ev, "text", "doc_id", n=3).select("shingle").distinct()
+    words = D.bloom_bitmap(ev_sh, "shingle", m_bits=8192, k=2)
+    tr_sh = X.shingle_rows(tr, "text", "doc_id", n=3)
+    return D.bloom_membership_count(
+        tr_sh, "shingle", "doc_id", words, m_bits=8192, k=2
+    ).select("doc_id", F.col("n_maybe").cast("long").alias("n_maybe"))
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    SELECT vec_id,
+           {SIM.rp_sql('embedding', 64, 16)}
+    FROM embeddings
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss 64→16 reduction with md5-derived ±1 signs
+    folded into the plan as literals: ONE codegen'd map-only projection
+    (no shuffle, no UDF, no interpreted array lambda), elements promoted
+    to double before left-to-right accumulation so Spark and the oracle
+    produce identical IEEE doubles. The cheap front half of any
+    ANN/clustering pipeline at 100 TB — a pure scan→project stage."""
+    return SIM.random_projection(
+        t(spark, sf_dir, "embeddings"), "embedding", "vec_id", in_dim=64, out_dim=16
+    )
+
+
 # below every source's total (~1.1-1.6k tokens at the gate SFs) so the
 # quota genuinely truncates — roughly half of each source survives
 _QUOTA_TOKENS = 800

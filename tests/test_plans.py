@@ -283,3 +283,25 @@ def test_round5_plan_shapes(spark, sf_dir):
     n = len(_re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 1, f"embedding_ivf_topk_nprobe2: {n} corpus-side exchanges"
     assert "BroadcastExchange" in plan, "query fan-out must broadcast"
+
+
+def test_round5_new_query_plan_shapes(spark, sf_dir):
+    """Round-5 additions: random projection is pure map (zero
+    exchanges); rolling stats is ONE user_id exchange + one Window node
+    (all three window functions share the (partition, order) spec);
+    bloom probe joins are broadcast (the bitmap is constant-size)."""
+    import re as _re
+
+    fn, _ = REGISTRY["embedding_random_projection"]
+    plan = _plan(fn(spark, sf_dir))
+    assert not _re.search(r"Exchange hashpartitioning", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["events_rolling_stats"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(_re.findall(r"\bWindow\b", plan)) == 1
+
+    fn, _ = REGISTRY["doc_bloom_decontaminate"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "bloom probes must broadcast"
