@@ -80,6 +80,7 @@ _EARLY = [
     "streaming_window_counts",
     "streaming_session_windows",
     "streaming_genomic_classify",
+    "streaming_dedup_keys",
     "pack_sequences",
     "embedding_ivf_topk",
     "embedding_kmeans_clusters",  # rows-only (iterative trainer)
@@ -88,6 +89,7 @@ _EARLY = [
 _TAIL = [
     "dedup_exact",
     "minhash_signatures",
+    "minhash_lsh_pairs",
     "pricing_summary",
     "scan_filter_project",
     "classification_join",

@@ -115,3 +115,31 @@ def streaming_session_windows(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "streaming_dedup_keys",
+    """
+    SELECT user_id, count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_dedup_keys(spark, sf_dir):
+    """Streaming exact dedup: ``dropDuplicates`` on (user_id,
+    event_type) inside a real availableNow stream — the streaming form
+    of the batch dedup operator, proven equivalent to batch DISTINCT by
+    the oracle. Only the deduped KEYS are emitted (which physical row
+    wins a key is arrival-order dependent; the key set is not), then a
+    batch rollup counts types per user. State is one entry per distinct
+    key — bounded by the key domain, not the stream length; at real
+    retention requirements dropDuplicatesWithinWatermark bounds it by
+    time instead. Keyed state shuffles are sized to key cardinality via
+    shuffle_partitions, decoupled from the batch scan setting."""
+    stream = _event_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    done = ops.run_to_completion(dd, output_mode="append", shuffle_partitions=8)
+    return done.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_types"))
