@@ -72,6 +72,13 @@ _EARLY = [
     "source_quota_sample",
     "doc_repetition",
     "genomic_classify_detail",  # byte-exact Kraken-line oracle now
+    # new late round 5 — record a row immediately:
+    "tfidf_top_terms",
+    "doc_dupspan_scrub",
+    "bpe_top_pairs",
+    "bpe_learned_merges",  # rows-only (iterative trainer)
+    "dataset_shard_manifest",
+    "streaming_doc_quality",
     # green only once (new in r4) — keep under the gate a second round:
     "doc_vocab_top50",
     "doc_chunks",
@@ -87,6 +94,14 @@ _EARLY = [
     "dedup_components",
 ]
 _TAIL = [
+    # demoted late round 5 to make room for the six new queries (green
+    # in r4, code untouched since):
+    "ngram_jaccard_adjacent",
+    "simhash_docs",
+    "doc_fingerprints",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "embedding_neardup_pairs",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -98,3 +98,53 @@ def pack_greedy(
         return pdf[[gc, oc, sc, "shard_id", "pack_id"]]
 
     return base.groupBy(*keys).applyInPandas(pack, out_schema)
+
+
+def shard_assign(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Deterministic training-shard assignment: md5-derived
+    ``shard_id = h(id) % n_shards`` as a map-only column. md5 (not
+    xxhash64) so shard membership reproduces on ANY engine — the shard
+    layout of a published dataset is part of its contract.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("shard_id", (h % n_shards).cast("long"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Write a training corpus as ``n_shards`` deterministic parquet
+    shards (``shard_id=K/`` partitions) and return the shard manifest
+    (shard_id, n_rows[, n_tokens]) — the publish step of a data
+    pipeline.
+
+    ``repartition(shard_id)`` before ``partitionBy`` gives exactly one
+    task per shard writing one file set (without it every task writes a
+    sliver of every shard — n_tasks × n_shards small files, the classic
+    write amplification). The manifest recomputes from the written data
+    so it certifies what readers will actually see.
+    """
+    shards = shard_assign(df, id_col, n_shards)
+    (
+        shards.repartition(n_shards, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    written = df.sparkSession.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).cast("long").alias("n_tokens"))
+    return written.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        *aggs
+    )

@@ -143,3 +143,40 @@ def streaming_dedup_keys(spark, sf_dir):
     )
     done = ops.run_to_completion(dd, output_mode="append", shuffle_partitions=8)
     return done.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_types"))
+
+
+@register(
+    "streaming_doc_quality",
+    """
+    WITH d AS (SELECT doc_id,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               FROM documents)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM d WHERE n_tokens >= 40
+    """,
+)
+def streaming_doc_quality(spark, sf_dir):
+    """Streaming ingest quality gate: the documents table consumed AS A
+    STREAM with a stateless map-only token-count filter (≥40 tokens) —
+    the continuous-ingestion form of the batch quality filters
+    (doc_quality / doc_token_stats), proven ≡ the batch predicate by
+    the oracle. No watermark and no state: a stateless selection
+    streams at source rate on any cluster; micro-batch boundaries
+    cannot change a per-row predicate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions import text as X
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+    )
+    filtered = raw.select(
+        "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") >= 40)
+    return ops.run_to_completion(filtered, output_mode="append")

@@ -100,3 +100,41 @@ def test_hash_sharding_is_map_only_and_covers(hot):
 def test_bad_shard_by_rejected(hot):
     with pytest.raises(ValueError):
         pack_greedy(hot, BUDGET, shards=4, shard_by="rand")
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    from slacken_spark.functions.packing import shard_assign, write_training_shards
+
+    rows = [("s", i, 10 + i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, path, "doc_id", n_shards=4, size_col="n_tokens"
+    ).toPandas().sort_values("shard_id").reset_index(drop=True)
+
+    # one partition directory per shard, every shard occupied
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard_id="))
+    assert dirs == [f"shard_id={i}" for i in range(4)]
+
+    # manifest certifies the written data: counts match the assignment
+    expect = (
+        shard_assign(df, "doc_id", 4)
+        .groupBy("shard_id")
+        .count()
+        .toPandas()
+        .set_index("shard_id")["count"]
+    )
+    assert manifest["n_rows"].sum() == 100
+    for _, r in manifest.iterrows():
+        assert r["n_rows"] == expect[r["shard_id"]]
+
+    # round-trip: written rows identical to the input
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == list(range(100))
+
+    # assignment is md5-deterministic: same ids → same shards on re-run
+    again = shard_assign(df, "doc_id", 4).select("doc_id", "shard_id")
+    assert again.subtract(shard_assign(df, "doc_id", 4).select("doc_id", "shard_id")).count() == 0

@@ -305,3 +305,26 @@ def test_round5_new_query_plan_shapes(spark, sf_dir):
     fn, _ = REGISTRY["doc_bloom_decontaminate"]
     plan = _plan(fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, "bloom probes must broadcast"
+
+
+def test_late_round5_query_plan_shapes(spark, sf_dir):
+    """Late round-5 additions: the shard manifest is map-only assignment
+    + ONE aggregation shuffle; tfidf broadcasts the vocabulary-sized df
+    side back onto tf (no third key-shuffle for the join); BPE pair
+    counting is explode + partial-agg (no Python in the oracle-backed
+    pair path)."""
+    import re as _re
+
+    fn, _ = REGISTRY["dataset_shard_manifest"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["tfidf_top_terms"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "df side must broadcast onto tf"
+    assert "SortMergeJoin" not in plan
+
+    fn, _ = REGISTRY["bpe_top_pairs"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
