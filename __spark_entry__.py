@@ -79,6 +79,9 @@ _EARLY = [
     "bpe_learned_merges",  # rows-only (iterative trainer)
     "dataset_shard_manifest",
     "streaming_doc_quality",
+    "inverted_index_digest",
+    "corpus_upsert_latest",
+    "events_zorder_layout",
     # green only once (new in r4) — keep under the gate a second round:
     "doc_vocab_top50",
     "doc_chunks",
@@ -98,6 +101,9 @@ _TAIL = [
     # in r4, code untouched since):
     "ngram_jaccard_adjacent",
     "simhash_docs",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_langid",
     "doc_fingerprints",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",

@@ -1018,3 +1018,60 @@ def range_bucket_join_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_in_range"),
         F.sum("l_quantity").cast("long").alias("qty_in_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics (multi-dimensional data clustering)
+# ---------------------------------------------------------------------------
+
+
+def _zorder_sql() -> str:
+    """16-bit Morton interleave of (user_id mod 256, cents mod 256) as
+    pure integer shifts — identical literals on both engines."""
+    x = "((user_id % 256) + 256) % 256"
+    y = "((CAST(round(value * 100) AS BIGINT) % 256) + 256) % 256"
+    terms = [
+        f"((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "events_zorder_layout",
+    f"""
+    WITH z AS (SELECT {_zorder_sql()} AS zval FROM events)
+    SELECT CAST(zval >> 10 AS BIGINT) AS zbucket,
+           count(*) AS n_rows,
+           CAST(min(zval) AS BIGINT) AS z_min,
+           CAST(max(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def events_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout assignment: interleave the bits of two
+    filter dimensions (user ring, value cents ring) into one clustering
+    key and roll up occupancy per 64-row zbucket — the data-layout
+    optimization (Delta/Iceberg OPTIMIZE ZORDER) that makes BOTH
+    ``user_id`` and ``value`` range filters prune files at 100 TB.
+    The interleave is a codegen'd integer expression (map-only); the
+    rollup is the only shuffle. Writing ``repartitionByRange(zval)``
+    + sorted parquet is the production sink; the bucket histogram here
+    is the layout's verifiable fingerprint."""
+    ev = t(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    y = F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(256))
+    z = None
+    for b in range(8):
+        t_b = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b) + \
+            F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        z = t_b if z is None else z + t_b
+    return (
+        ev.select(z.alias("zval"))
+        .groupBy(F.shiftright("zval", 10).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").cast("long").alias("z_min"),
+            F.max("zval").cast("long").alias("z_max"),
+        )
+    )

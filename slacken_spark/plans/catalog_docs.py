@@ -1684,3 +1684,96 @@ def dataset_shard_manifest(spark, sf_dir):
             F.sum("ntok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (retrieval-side posting lists)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_digest",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
+    p AS (SELECT term, count(*) AS df,
+                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                   AS postings_digest
+          FROM e GROUP BY term)
+    SELECT term, CAST(df AS BIGINT) AS df, postings_digest FROM p
+    """,
+)
+def inverted_index_digest(spark, sf_dir):
+    """Inverted-index build: one posting list (sorted doc ids) per term
+    — the retrieval-side structure a corpus search needs. Explode +
+    distinct collapses per-doc repeats, then ONE term-shuffle builds
+    each posting list; lists are compared by digest so the gate stays
+    row-shaped. At 100 TB posting lists for stopword-grade terms are
+    the classic skew — they stay distributed here (sort_array over a
+    grouped collect_list, no driver materialization), and a production
+    sink would range-shard the hottest terms' lists."""
+    docs = tp(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    return e.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            )
+        ).alias("postings_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus upsert (CDC latest-wins merge — dataset versioning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_upsert_latest",
+    """
+    WITH base AS (SELECT doc_id, text, 1 AS version FROM documents),
+    updates AS (SELECT doc_id, 'v2 ' || text AS text, 2 AS version
+                FROM documents WHERE doc_id % 10 = 0),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+    r AS (SELECT doc_id, text, version,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY version DESC) AS rn
+          FROM unioned)
+    SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS text_digest
+    FROM r WHERE rn = 1
+    """,
+)
+def corpus_upsert_latest(spark, sf_dir):
+    """CDC-style corpus upsert: merge an update batch into the base
+    corpus, latest version per doc_id wins (the MERGE INTO / dataset-
+    versioning shape every continuously-refreshed training corpus
+    needs). Union + one doc_id window — a single key-shuffle; at
+    warehouse scale the same plan expresses incremental refreshes where
+    the update batch is a stream micro-batch or a daily drop. The
+    deterministic 'v2' update batch (every 10th doc) lets the oracle
+    replay the merge exactly."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.lit(1).alias("version"))
+    updates = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+    return (
+        base.unionAll(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("version").cast("long").alias("version"),
+            F.md5("text").alias("text_digest"),
+        )
+    )

@@ -328,3 +328,26 @@ def test_late_round5_query_plan_shapes(spark, sf_dir):
     fn, _ = REGISTRY["bpe_top_pairs"]
     plan = _plan(fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_layout_and_upsert_plan_shapes(spark, sf_dir):
+    """events_zorder_layout: codegen'd integer interleave + ONE rollup
+    shuffle; corpus_upsert_latest: union + ONE doc_id window shuffle;
+    inverted_index_digest: distinct + term agg (≤2 shuffles), no Python
+    anywhere."""
+    import re as _re
+
+    fn, _ = REGISTRY["events_zorder_layout"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["corpus_upsert_latest"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Union" in plan
+
+    fn, _ = REGISTRY["inverted_index_digest"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
