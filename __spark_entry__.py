@@ -82,6 +82,7 @@ _EARLY = [
     "inverted_index_digest",
     "corpus_upsert_latest",
     "events_zorder_layout",
+    "bpe_tokenized_counts",  # rows-only (train+apply loop)
     # green only once (new in r4) — keep under the gate a second round:
     "doc_vocab_top50",
     "doc_chunks",
@@ -104,6 +105,7 @@ _TAIL = [
     "doc_pii_redact",
     "doc_quality",
     "doc_langid",
+    "doc_bpe_token_stats",
     "doc_fingerprints",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",

@@ -203,3 +203,74 @@ def bpe_train_reference(texts: list[str], n_merges: int) -> list[tuple[str, str,
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+    out_col: str = "n_bpe_symbols",
+) -> DataFrame:
+    """Tokenize with a learned merge list: per-document BPE symbol count
+    after applying ``merges`` in learned order (the apply half of the
+    tokenizer loop; counts are what a token-budget planner needs).
+
+    Map-only: one Arrow-batched UDF pass over the documents — each word
+    replays the merge list greedily, memoized per distinct word within
+    the batch (Zipf makes the per-batch word set tiny relative to the
+    token stream). No shuffle is introduced; whatever partitioning the
+    caller has stays intact.
+    """
+    merge_list = [(lf, rt) for lf, rt, *_ in merges]
+
+    def apply_batch(texts: pd.Series) -> pd.Series:
+        import re
+
+        cache: dict[str, int] = {}
+
+        def word_len(word: str) -> int:
+            n = cache.get(word)
+            if n is None:
+                syms = list(word)
+                for lf, rt in merge_list:
+                    merged = []
+                    i, m = 0, len(syms)
+                    while i < m:
+                        if i + 1 < m and syms[i] == lf and syms[i + 1] == rt:
+                            merged.append(lf + rt)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                cache[word] = n = len(syms)
+            return n
+
+        return texts.map(
+            lambda t: sum(word_len(w) for w in re.findall(BPE_PATTERN, t))
+        )
+
+    udf = pandas_udf(apply_batch, "long")
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def bpe_apply_reference(text: str, merges: list[tuple[str, str, int]]) -> int:
+    """Pure-Python apply (test model for ``bpe_apply``)."""
+    import re
+
+    total = 0
+    for word in re.findall(BPE_PATTERN, text):
+        syms = list(word)
+        for lf, rt, *_ in merges:
+            merged = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lf and syms[i + 1] == rt:
+                    merged.append(lf + rt)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        total += len(syms)
+    return total

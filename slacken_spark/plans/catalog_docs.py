@@ -1777,3 +1777,20 @@ def corpus_upsert_latest(spark, sf_dir):
             F.md5("text").alias("text_digest"),
         )
     )
+
+
+@register("bpe_tokenized_counts", None)
+def bpe_tokenized_counts(spark, sf_dir):
+    """The full tokenizer loop in one query: train 4 BPE merges on the
+    corpus (iterative — hence rows-only), then apply them corpus-wide
+    and return per-doc BPE symbol counts (the token-budget planner's
+    input). Apply is one map-only Arrow-batched pass, memoized per
+    distinct word; tests/test_bpe.py pins Spark apply ≡ the pure-Python
+    reference on every doc."""
+    from slacken_spark.functions import bpe as B
+
+    docs = tp(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, "text", n_merges=4)
+    return B.bpe_apply(docs, "text", merges).select(
+        "doc_id", F.col("n_bpe_symbols")
+    )

@@ -76,3 +76,25 @@ def test_reference_trainer_merge_changes_pair_landscape():
     merges = B.bpe_train_reference(["aaaa aaaa"], n_merges=2)
     assert merges[0][:2] == ("a", "a")
     assert merges[1][:2] == ("aa", "aa")
+
+
+def test_apply_matches_reference_per_doc(spark):
+    df = _docs(spark, TEXTS)
+    merges = B.bpe_train_reference(TEXTS, n_merges=4)
+    got = {
+        r["doc_id"]: r["n_bpe_symbols"]
+        for r in B.bpe_apply(df, "text", merges).collect()
+    }
+    want = {
+        i: B.bpe_apply_reference(t, merges) for i, t in enumerate(TEXTS)
+    }
+    assert got == want
+    # merges genuinely compress: fewer symbols than characters-in-words
+    assert all(v > 0 for v in got.values())
+
+
+def test_apply_with_no_merges_counts_chars_of_pretokens(spark):
+    df = _docs(spark, ["ab cd!"])
+    out = B.bpe_apply(df, "text", []).collect()[0]
+    # "ab"(2) + "cd"(2) + "!"(1) = 5 single-char symbols
+    assert out["n_bpe_symbols"] == 5

@@ -62,3 +62,45 @@ def test_owner_loses_other_grams_it_does_not_own(spark):
     assert out[2]["clean_text"] == "k l m"
     # doc 3 loses "k l m" (owned by doc 2)
     assert out[3]["clean_text"] == "z z2 z3"
+
+
+def test_random_corpora_match_python_model(spark):
+    """Model-based check: dupspan_scrub ≡ a direct python reference on
+    random small corpora with heavy cross-doc overlap."""
+    import random
+
+    def model(texts, n):
+        toks = {i: t.split() for i, t in enumerate(texts)}
+        owners = {}
+        docs_of = {}
+        for i, ts in toks.items():
+            for p in range(len(ts) - n + 1):
+                g = " ".join(ts[p : p + n])
+                owners.setdefault(g, i)
+                docs_of.setdefault(g, set()).add(i)
+        out = {}
+        for i, ts in toks.items():
+            cov = set()
+            for p in range(len(ts) - n + 1):
+                g = " ".join(ts[p : p + n])
+                if len(docs_of[g]) >= 2 and owners[g] != i:
+                    cov.update(range(p, p + n))
+            kept = [t for p, t in enumerate(ts) if p not in cov]
+            out[i] = (" ".join(kept), len(kept), len(ts) - len(kept))
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(12)]
+    for trial in range(5):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+            for _ in range(8)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in dupspan_scrub(df, "text", "doc_id", n=3).collect()
+        }
+        assert got == model(texts, 3), f"trial {trial}"
