@@ -57,16 +57,41 @@ def exists(path: str) -> bool:
     return filesystem.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def _uri_prefix(path: str, fs_local: str) -> str:
+    """The string to prepend to an fs-local child path so it round-trips
+    through ``any_fs`` in the caller's original scheme.
+
+    Two URI families behave differently under ``from_uri``: bucket
+    filesystems (s3://, gs://) keep the bucket INSIDE the fs-local path
+    ('s3://b/d' → 'b/d'), while authority filesystems (hdfs://host:port)
+    drop the authority from it ('hdfs://nn:8020/d' → '/d'). Re-attach
+    the authority only when it is not already part of the fs path —
+    otherwise 'hdfs://nn:8020/d/x' would come back as 'hdfs:///d/x' and
+    reconnect to the wrong (default) namenode."""
+    from urllib.parse import urlsplit
+
+    if "://" not in path:
+        return ""
+    parts = urlsplit(path)
+    stripped = fs_local.lstrip("/")
+    if parts.netloc and (
+        stripped == parts.netloc or stripped.startswith(parts.netloc + "/")
+    ):
+        return parts.scheme + "://"
+    return f"{parts.scheme}://{parts.netloc}"
+
+
 def list_dir(path: str, prefix: str | None = None) -> list[str]:
     """Non-recursive children of a directory, as full paths in the
     caller's original scheme, sorted by name. ``prefix`` filters on the
     base name (the any-FS replacement for ``glob('sample=*')``)."""
     filesystem, p = any_fs(path)
     infos = filesystem.get_file_info(pafs.FileSelector(p, recursive=False))
-    # Children come back as fs-local paths; re-attach the caller's scheme
-    # from the URI itself (suffix-matching `path.endswith(p)` breaks when
-    # from_uri normalizes, e.g. a trailing slash in 's3://bucket/dir/').
-    scheme_prefix = path.split("://", 1)[0] + "://" if "://" in path else ""
+    # Children come back as fs-local paths; re-attach scheme (and, for
+    # authority-style URIs, host:port) from the URI itself
+    # (suffix-matching `path.endswith(p)` breaks when from_uri
+    # normalizes, e.g. a trailing slash in 's3://bucket/dir/').
+    scheme_prefix = _uri_prefix(path, p)
     out = []
     for info in sorted(infos, key=lambda i: i.path):
         base = posixpath.basename(info.path.rstrip("/"))

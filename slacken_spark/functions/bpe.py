@@ -123,10 +123,21 @@ def bpe_train(
     soon as the next round materializes. Stops early when no adjacent
     pair remains.
     """
+    from slacken_spark.functions.dedup import _unpersist_local_ckpt
+
     wf = word_frequencies(df, text_col)
     cur = wf.select(_chars(F.col("word")).alias("symbols"), "wc").persist()
-    prev = None
+    prev, prev_is_ckpt, cur_is_ckpt = None, False, False
     merges: list[tuple[str, str, int]] = []
+
+    def release(df_, is_ckpt):
+        # localCheckpoint blocks live on the plan's backing RDD, out of
+        # DataFrame.unpersist's reach — release them explicitly (same
+        # contract as connected_components)
+        df_.unpersist()
+        if is_ckpt:
+            _unpersist_local_ckpt(df_)
+
     try:
         for round_no in range(n_merges):
             # ONE action per round: this collect materializes cur's
@@ -139,7 +150,7 @@ def bpe_train(
                 .collect()
             )
             if prev is not None:
-                prev.unpersist()
+                release(prev, prev_is_ckpt)
                 prev = None
             if not top:
                 break
@@ -151,13 +162,15 @@ def bpe_train(
                 _merge_pair_udf("symbols", F.lit(lf), F.lit(rt)).alias("symbols"),
                 "wc",
             )
-            if (round_no + 1) % checkpoint_every == 0:
+            nxt_is_ckpt = (round_no + 1) % checkpoint_every == 0
+            if nxt_is_ckpt:
                 nxt = nxt.localCheckpoint(eager=False)
-            prev, cur = cur, nxt.persist()
+            prev, prev_is_ckpt = cur, cur_is_ckpt
+            cur, cur_is_ckpt = nxt.persist(), nxt_is_ckpt
     finally:
-        cur.unpersist()
+        release(cur, cur_is_ckpt)
         if prev is not None:
-            prev.unpersist()
+            release(prev, prev_is_ckpt)
     return merges
 
 

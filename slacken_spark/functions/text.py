@@ -171,36 +171,23 @@ def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
     return F.array_sort(F.array_distinct(mins))
 
 
-def dupspan_scrub(df, text_col: str, id_col: str, n: int = 5):
-    """Cross-document exact duplicate-span removal (the substring-dedup
-    step of training-data pipelines, after Lee et al., "Deduplicating
-    Training Data Makes Language Models Better", ACL 2022 — re-expressed
-    as a relational plan instead of a suffix array).
-
-    A word ``n``-gram that occurs in ≥2 distinct documents is a
-    duplicated span. The document with the smallest id containing the
-    gram OWNS it and keeps its copy; every other document drops all
-    token positions covered by that gram. Survivors are reassembled in
-    original order. Returns (id, clean_text, n_kept, n_removed).
-
-    Scale shape: positioned grams come from the shared posexplode +
-    lead-window plan (one id-shuffle); ownership is a partial-agg
-    shuffle on the gram. Unlike ``boilerplate_scrub``'s frequent set,
-    the duplicated-gram set is NOT small (it grows with corpus overlap),
-    so ownership joins back shuffle-side on the gram key — never a
-    broadcast. Coverage then anti-joins the token rows on (id, pos).
-    Each step is linear in gram rows; nothing materializes per-pair
-    state, so the plan survives corpora where a suffix array would not
-    shard.
-    """
-    from pyspark.sql import Window
-
-    pos_toks = df.select(
+def positioned_tokens(df, text_col: str, id_col: str):
+    """(id, pos, tok) rows via posexplode — the shared entry of every
+    position-aware scrub plan."""
+    return df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
+
+
+def positioned_grams(pos_toks, id_col: str, n: int):
+    """(id, pos, gram) word n-grams from positioned tokens: the
+    posexplode + lead-window plan (one id-shuffle, codegen'd — the scale
+    alternative to interpreted array lambdas; see ``shingle_rows``)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    grams = (
+    return (
         pos_toks.select(id_col, "pos", "tok", *leads)
         .where(F.col(f"t{n-1}").isNotNull())
         .select(
@@ -209,24 +196,19 @@ def dupspan_scrub(df, text_col: str, id_col: str, n: int = 5):
             F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("gram"),
         )
     )
-    owners = (
-        grams.groupBy("gram")
-        .agg(
-            F.min(id_col).alias("owner"),
-            F.count_distinct(id_col).alias("df"),
-        )
-        .where(F.col("df") >= 2)
-        .select("gram", "owner")
-    )
-    covered = (
-        grams.join(owners, "gram")
-        .where(F.col(id_col) != F.col("owner"))
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
-        )
-        .distinct()
-    )
+
+
+def _scrub_rebuild(df, pos_toks, covered, text_col: str, id_col: str, n: int):
+    """Drop covered positions, reassemble survivors in order, and attach
+    kept/removed counts — the shared tail of every span scrub.
+
+    ``covered`` is (id, pos) of gram STARTS; the position union
+    (explode pos..pos+n−1, distinct) happens here so overlapping spans
+    never double-count."""
+    covered = covered.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
+    ).distinct()
     kept = pos_toks.join(covered, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
@@ -250,6 +232,47 @@ def dupspan_scrub(df, text_col: str, id_col: str, n: int = 5):
             .alias("n_removed"),
         )
     )
+
+
+def dupspan_scrub(df, text_col: str, id_col: str, n: int = 5):
+    """Cross-document exact duplicate-span removal (the substring-dedup
+    step of training-data pipelines, after Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — re-expressed
+    as a relational plan instead of a suffix array).
+
+    A word ``n``-gram that occurs in ≥2 distinct documents is a
+    duplicated span. The document with the smallest id containing the
+    gram OWNS it and keeps its copy; every other document drops all
+    token positions covered by that gram. Survivors are reassembled in
+    original order. Returns (id, clean_text, n_kept, n_removed).
+
+    Scale shape: positioned grams come from the shared posexplode +
+    lead-window plan (one id-shuffle); ownership is a partial-agg
+    shuffle on the gram. Unlike ``boilerplate_scrub``'s frequent set,
+    the duplicated-gram set is NOT small (it grows with corpus overlap),
+    so ownership joins back shuffle-side on the gram key — never a
+    broadcast. Coverage then anti-joins the token rows on (id, pos).
+    Each step is linear in gram rows; nothing materializes per-pair
+    state, so the plan survives corpora where a suffix array would not
+    shard.
+    """
+    pos_toks = positioned_tokens(df, text_col, id_col)
+    grams = positioned_grams(pos_toks, id_col, n)
+    owners = (
+        grams.groupBy("gram")
+        .agg(
+            F.min(id_col).alias("owner"),
+            F.count_distinct(id_col).alias("df"),
+        )
+        .where(F.col("df") >= 2)
+        .select("gram", "owner")
+    )
+    covered_starts = (
+        grams.join(owners, "gram")
+        .where(F.col(id_col) != F.col("owner"))
+        .select(id_col, "pos")
+    )
+    return _scrub_rebuild(df, pos_toks, covered_starts, text_col, id_col, n)
 
 
 def boilerplate_scrub(
@@ -282,26 +305,12 @@ def boilerplate_scrub(
     """
     import math
 
-    from pyspark.sql import Window
-
     if n_docs is None:
         n_docs = df.count()
     min_df = max(1, math.ceil(min_df_frac * n_docs))
 
-    pos_toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    grams = (
-        pos_toks.select(id_col, "pos", "tok", *leads)
-        .where(F.col(f"t{n-1}").isNotNull())
-        .select(
-            id_col,
-            "pos",
-            F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("gram"),
-        )
-    )
+    pos_toks = positioned_tokens(df, text_col, id_col)
+    grams = positioned_grams(pos_toks, id_col, n)
     frequent = (
         grams.select(id_col, "gram")
         .distinct()
@@ -310,34 +319,7 @@ def boilerplate_scrub(
         .where(F.col("df") >= min_df)
         .select("gram")
     )
-    covered = (
-        grams.join(F.broadcast(frequent), "gram")
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
-        )
-        .distinct()
+    covered_starts = grams.join(F.broadcast(frequent), "gram").select(
+        id_col, "pos"
     )
-    kept = pos_toks.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-    )
+    return _scrub_rebuild(df, pos_toks, covered_starts, text_col, id_col, n)

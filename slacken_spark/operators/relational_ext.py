@@ -81,9 +81,15 @@ def sessionize(
     # TIMESTAMP_NTZ — no session-timezone involvement, so gaps are exact
     # across DST transitions (a cast-to-epoch route is off by ±3600s
     # when the two events straddle a transition in a DST session tz).
+    # Compared at MICROSECOND precision: a SECOND diff truncates, which
+    # would silently merge sessions whose true gap is in
+    # (gap_seconds, gap_seconds + 1) — with sub-second timestamps that
+    # boundary is live data, not a corner case.
     prev = F.lag(ts_col).over(w)
-    gap = F.timestamp_diff("SECOND", prev, F.col(ts_col))
-    new_sess = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    new_sess = F.when(
+        prev.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
     return df.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,

@@ -857,9 +857,9 @@ def event_type_pivot(spark, sf_dir):
     """
     WITH s AS (
         SELECT user_id, ts,
-               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events

@@ -1611,7 +1611,7 @@ def bpe_top_pairs(spark, sf_dir):
     from slacken_spark.functions import bpe as B
 
     wf = B.word_frequencies(tp(spark, sf_dir, "documents"), "text")
-    syms = wf.select(F.split("word", "(?!^)(?=.)").alias("symbols"), "wc")
+    syms = wf.select(B._chars(F.col("word")).alias("symbols"), "wc")
     return (
         B.pair_counts(syms)
         .select(

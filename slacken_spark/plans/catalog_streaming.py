@@ -7,10 +7,31 @@ the batch engine would — the micro-batch boundary changes nothing.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import functions as F
 
 from slacken_spark.plans.catalog import register
 from slacken_spark.streaming import ops
+
+
+@contextmanager
+def _utc_session(spark):
+    """Scoped UTC session timezone for the streaming runs: watermarks,
+    NTZ→LTZ casts and date_format must all read one fixed-offset zone,
+    but an externally-created session's timezone is the CALLER's state —
+    restore it so timezone-sensitive batch queries don't depend on
+    whether a streaming query ran first."""
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
 
 def _event_stream(spark, sf_dir):
     """Stream the events table with whatever ts encoding the parquet
@@ -38,8 +59,7 @@ def _event_stream(spark, sf_dir):
         # the later date_format both use the session tz; wall-clock values
         # only round-trip when that zone has a fixed offset (a DST zone
         # shifts window alignment and drops/duplicates spring-forward
-        # times), so pin the session to UTC for the streaming paths.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # times) — callers run this inside _utc_session(spark).
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
@@ -58,25 +78,30 @@ def _event_stream(spark, sf_dir):
 def streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window counts computed BY A REAL STREAM
     (availableNow run), compared against batch SQL over the same data."""
-    stream = _event_stream(spark, sf_dir).select(
-        "ts",
-        (F.col("user_id") % 10).alias("user_ring"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "user_ring")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents"))
-        .select(
-            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "user_ring",
-            "n",
-            "value_cents",
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir).select(
+            "ts",
+            (F.col("user_id") % 10).alias("user_ring"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
-    )
-    # 10 key-ring × 24 windows of state: size the state store to the key
-    # cardinality, not the session's batch shuffle setting
-    return ops.run_to_completion(agg, output_mode="complete", shuffle_partitions=8)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "user_ring")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "user_ring",
+                "n",
+                "value_cents",
+            )
+        )
+        # 10 key-ring × 24 windows of state: size the state store to the
+        # key cardinality, not the session's batch shuffle setting
+        return ops.run_to_completion(
+            agg, output_mode="complete", shuffle_partitions=8
+        )
 
 
 @register(
@@ -84,9 +109,9 @@ def streaming_window_counts(spark, sf_dir):
     """
     WITH s AS (
         SELECT user_id, ts,
-               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
@@ -99,18 +124,24 @@ def streaming_window_counts(spark, sf_dir):
 )
 def streaming_session_windows(spark, sf_dir):
     """session_window aggregation in a real stream; the oracle recomputes
-    sessions with the batch lag+cumsum formulation (same 30-min gap)."""
-    stream = _event_stream(spark, sf_dir).select("user_id", "ts")
-    sess = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(
-            F.session_window("ts", "30 minutes").alias("sess"), F.col("user_id")
+    sessions with the batch lag+cumsum formulation at exact microsecond
+    precision (new session iff gap STRICTLY exceeds 30 min — pinned
+    against session_window's boundary behavior in
+    tests/test_streaming.py; a floored-whole-second oracle agrees or
+    disagrees at the boundary depending on fractional alignment)."""
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir).select("user_id", "ts")
+        sess = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("sess"),
+                F.col("user_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
         )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    done = ops.run_to_completion(
-        sess, output_mode="complete", shuffle_partitions=8
-    )
+        done = ops.run_to_completion(
+            sess, output_mode="complete", shuffle_partitions=8
+        )
     return done.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
@@ -135,13 +166,18 @@ def streaming_dedup_keys(spark, sf_dir):
     retention requirements dropDuplicatesWithinWatermark bounds it by
     time instead. Keyed state shuffles are sized to key cardinality via
     shuffle_partitions, decoupled from the batch scan setting."""
-    stream = _event_stream(spark, sf_dir).select("user_id", "event_type", "ts")
-    dd = (
-        stream.withWatermark("ts", "1 hour")
-        .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    done = ops.run_to_completion(dd, output_mode="append", shuffle_partitions=8)
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir).select(
+            "user_id", "event_type", "ts"
+        )
+        dd = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        done = ops.run_to_completion(
+            dd, output_mode="append", shuffle_partitions=8
+        )
     return done.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_types"))
 
 

@@ -46,9 +46,14 @@ def read_documents(
     elif fmt == "jsonl":
         raw = spark.read.schema(_read_schema(text_col, id_col, source_col)).json(path)
     elif fmt == "csv":
-        raw = spark.read.schema(_read_schema(text_col, id_col, source_col)).option(
-            "header", "true"
-        ).csv(path)
+        # Header-driven, NOT schema-positional: an explicit schema with
+        # header=true is applied by POSITION (header names ignored), so a
+        # file whose columns arrive in a different order — or with extra
+        # columns — would silently misassign text into doc_id. Reading
+        # header-named string columns (no inference scan) and selecting
+        # by name below makes column order irrelevant and a missing
+        # column a loud AnalysisException instead of silent garbage.
+        raw = spark.read.option("header", "true").csv(path)
     elif fmt == "text":
         raw = spark.read.text(path).select(F.col("value").alias(text_col))
         id_col = None

@@ -89,3 +89,31 @@ def test_pipeline_composes_on_ingested_docs(spark, corpus):
     )
     packed = pack_greedy(docs, budget=5).collect()
     assert len(packed) == 3
+
+
+def test_csv_reordered_columns_land_by_name(spark, corpus):
+    # columns arrive as (text, doc_id, source) — header-driven ingestion
+    # must land them by NAME, never by position
+    rows, tmp = corpus
+    p = tmp / "reordered.csv"
+    with open(p, "w") as fh:
+        fh.write("text,doc_id,source\n")
+        for r in rows:
+            fh.write(f"{r['text']},{r['doc_id']},{r['source']}\n")
+    got = read_documents(spark, str(p), fmt="csv").orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["source"], r["text"]) for r in got] == [
+        (1, "web", "alpha beta gamma"),
+        (2, "web", "delta epsilon"),
+        (3, "books", "zeta eta theta iota"),
+    ]
+
+
+def test_csv_missing_column_raises(spark, corpus):
+    rows, tmp = corpus
+    p = tmp / "missing.csv"
+    with open(p, "w") as fh:
+        fh.write("doc_id,text\n1,hello there\n")
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        read_documents(spark, str(p), fmt="csv").collect()

@@ -112,3 +112,21 @@ def test_bracken_kmer_distrib_via_uri(spark, tmp_path):
     BrackenWeights(idx, 60).build_and_write(gdf, ldf, {101, 102}, out)
     text = fsio.read_text(out)
     assert text.strip(), "kmer_distrib must not be empty"
+
+
+def test_uri_prefix_families():
+    from slacken_spark.fsio import _uri_prefix
+
+    # bucket-style: bucket lives inside the fs-local path
+    assert _uri_prefix("s3://bucket/dir", "bucket/dir") == "s3://"
+    assert _uri_prefix("s3://bucket/dir/", "bucket/dir") == "s3://"
+    assert _uri_prefix("gs://b", "b") == "gs://"
+    # authority-style: host:port must be re-attached
+    assert _uri_prefix("hdfs://nn:8020/data", "/data") == "hdfs://nn:8020"
+    assert (
+        _uri_prefix("hdfs://nn:8020/data", "/data") + "/data/x"
+        == "hdfs://nn:8020/data/x"
+    )
+    # local URIs and bare paths
+    assert _uri_prefix("file:///tmp/x", "/tmp/x") == "file://"
+    assert _uri_prefix("/tmp/x", "/tmp/x") == ""

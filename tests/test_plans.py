@@ -351,3 +351,29 @@ def test_layout_and_upsert_plan_shapes(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    """Gap semantics at microsecond precision: a true gap of
+    1800.000001 s splits, 1800.000000 s and 1799.999999 s merge — a
+    whole-second truncation would merge all three (the engine/oracle
+    divergence caught in the round-5 review)."""
+    import datetime as dt
+
+    from slacken_spark.operators.relational_ext import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    rows = [
+        (1, base), (1, base + dt.timedelta(microseconds=1_800_000_001)),
+        (2, base), (2, base + dt.timedelta(microseconds=1_800_000_000)),
+        (3, base), (3, base + dt.timedelta(microseconds=1_799_999_999)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = (
+        sessionize(df, "user_id", "ts", 1800)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("last_sess"))
+        .collect()
+    )
+    got = {r["user_id"]: r["last_sess"] for r in out}
+    assert got == {1: 1, 2: 0, 3: 0}
