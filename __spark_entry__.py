@@ -83,6 +83,7 @@ _EARLY = [
     "corpus_upsert_latest",
     "events_zorder_layout",
     "bpe_tokenized_counts",  # rows-only (train+apply loop)
+    "ann_retrieve_docs",
     # green only once (new in r4) — keep under the gate a second round:
     "doc_vocab_top50",
     "doc_chunks",
@@ -106,6 +107,7 @@ _TAIL = [
     "doc_quality",
     "doc_langid",
     "doc_bpe_token_stats",
+    "value_percentiles",
     "doc_fingerprints",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",

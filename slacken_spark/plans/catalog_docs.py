@@ -1794,3 +1794,49 @@ def bpe_tokenized_counts(spark, sf_dir):
     return B.bpe_apply(docs, "text", merges).select(
         "doc_id", F.col("n_bpe_symbols")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end retrieval: ANN top-k + document metadata join
+# ---------------------------------------------------------------------------
+
+from slacken_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+
+_IVF_TOPK_SQL = _Q["embedding_ivf_topk"][1]
+
+
+@register(
+    "ann_retrieve_docs",
+    f"""
+    WITH topk AS ({_IVF_TOPK_SQL})
+    SELECT t.q_id, t.rnk, t.c_id, t.sim, d.source, d.lang
+    FROM topk t JOIN documents d ON t.c_id = d.doc_id
+    """,
+)
+def ann_retrieve_docs(spark, sf_dir):
+    """The full retrieval stack in one query: IVF ANN top-k over the
+    embedding corpus, then the tiny (queries × k) hit list joins BACK to
+    the documents table for display metadata — broadcast on the hit
+    side, so the metadata fetch is a map-only pass over the documents
+    scan (the exact shape of serving-time candidate hydration at
+    corpus scale; vec_id ≡ doc_id in the test tables)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = tp(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    topk = SIM.ivf_topk(queries, corpus, _centroids(), k=3, round_digits=4)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (
+        docs.join(F.broadcast(topk), docs.doc_id == topk.c_id)
+        .select(
+            "q_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "c_id",
+            "sim",
+            "source",
+            "lang",
+        )
+    )
