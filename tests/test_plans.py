@@ -377,3 +377,13 @@ def test_sessionize_subsecond_gap_boundary(spark):
     )
     got = {r["user_id"]: r["last_sess"] for r in out}
     assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_ann_retrieve_docs_broadcasts_hits(spark, sf_dir):
+    """Candidate hydration must broadcast the (queries × k) hit list
+    onto the documents scan — a SortMergeJoin here would shuffle the
+    whole corpus to fetch 30 rows of metadata."""
+    fn, _ = REGISTRY["ann_retrieve_docs"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
