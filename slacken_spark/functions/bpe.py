@@ -80,25 +80,31 @@ def pair_counts(symbols_df: DataFrame) -> DataFrame:
     return pairs.groupBy("left", "right").agg(F.sum("wc").alias("cnt"))
 
 
+def merge_once(syms, lf: str, rt: str) -> list[str]:
+    """Greedy left-to-right replacement of one (lf, rt) pair — the
+    textbook BPE rule, shared by training (``_merge_pair_batch``) and
+    apply (``bpe_apply``) so the two paths can never drift. (The
+    ``*_reference`` test models deliberately keep their own copies.)"""
+    merged = []
+    i, m = 0, len(syms)
+    while i < m:
+        if i + 1 < m and syms[i] == lf and syms[i + 1] == rt:
+            merged.append(lf + rt)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
 def _merge_pair_batch(symbols: pd.Series, left: pd.Series, right: pd.Series) -> pd.Series:
-    """Greedy left-to-right merge of one (left, right) pair in each
-    symbol array — the textbook BPE replacement rule. Runs per WORD
+    """One merge applied to each symbol array. Runs per WORD
     (vocabulary-sized input), Arrow-batched; the hot loop is short
     because words are short.
     """
-    out = []
-    for syms, lf, rt in zip(symbols, left, right):
-        merged = []
-        i, m = 0, len(syms)
-        while i < m:
-            if i + 1 < m and syms[i] == lf and syms[i + 1] == rt:
-                merged.append(lf + rt)
-                i += 2
-            else:
-                merged.append(syms[i])
-                i += 1
-        out.append(merged)
-    return pd.Series(out)
+    return pd.Series(
+        [merge_once(syms, lf, rt) for syms, lf, rt in zip(symbols, left, right)]
+    )
 
 
 def _merge_pair_udf(*cols):
@@ -246,16 +252,7 @@ def bpe_apply(
             if n is None:
                 syms = list(word)
                 for lf, rt in merge_list:
-                    merged = []
-                    i, m = 0, len(syms)
-                    while i < m:
-                        if i + 1 < m and syms[i] == lf and syms[i + 1] == rt:
-                            merged.append(lf + rt)
-                            i += 2
-                        else:
-                            merged.append(syms[i])
-                            i += 1
-                    syms = merged
+                    syms = merge_once(syms, lf, rt)
                 cache[word] = n = len(syms)
             return n
 

@@ -87,8 +87,12 @@ def pack_greedy(
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(oc).reset_index(drop=True)
         acc, pid, out = 0, 0, []
-        for ntok in pdf[sc]:
-            if acc > 0 and acc + ntok > b:
+        # guard on "not the first row", NOT on acc > 0: with zero-size
+        # rows an acc>0 guard would silently co-pack a later over-budget
+        # row, diverging from the documented recurrence (first row opens
+        # pack 0; any later row that would overflow opens a new pack)
+        for idx, ntok in enumerate(pdf[sc]):
+            if idx > 0 and acc + ntok > b:
                 pid += 1
                 acc = ntok
             else:

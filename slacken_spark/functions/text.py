@@ -81,27 +81,15 @@ def word_ngrams(toks: Column, n: int) -> Column:
 def shingle_rows(df, text_col: str, id_col: str, n: int = 3, distinct: bool = True):
     """Word n-gram shingles as ROWS: (id, shingle) — the scale path.
 
-    posexplode tokens → window lead(n−1) → concat: fully codegen'd, one
-    shuffle on the id. Spark's array higher-order functions
-    (transform/filter) evaluate interpreted per element, so building
-    shingles inside an array lambda is ~5× slower on the same data and
-    falls off a cliff at corpus scale; use this for anything big.
+    posexplode tokens → window lead(n−1) → concat (the shared
+    ``positioned_grams`` plan): fully codegen'd, one shuffle on the id.
+    Spark's array higher-order functions (transform/filter) evaluate
+    interpreted per element, so building shingles inside an array
+    lambda is ~5× slower on the same data and falls off a cliff at
+    corpus scale; use this for anything big.
     """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    sh = (
-        toks.select(id_col, "pos", "tok", *leads)
-        .where(F.col(f"t{n-1}").isNotNull())
-        .select(
-            id_col,
-            F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("shingle"),
-        )
-    )
+    grams = positioned_grams(positioned_tokens(df, text_col, id_col), id_col, n)
+    sh = grams.select(id_col, F.col("gram").alias("shingle"))
     return sh.distinct() if distinct else sh
 
 
@@ -182,9 +170,15 @@ def positioned_tokens(df, text_col: str, id_col: str):
 def positioned_grams(pos_toks, id_col: str, n: int):
     """(id, pos, gram) word n-grams from positioned tokens: the
     posexplode + lead-window plan (one id-shuffle, codegen'd — the scale
-    alternative to interpreted array lambdas; see ``shingle_rows``)."""
+    alternative to interpreted array lambdas; see ``shingle_rows``).
+
+    ``n=1`` degenerates to the tokens themselves (no window at all)."""
     from pyspark.sql import Window
 
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return pos_toks.select(id_col, "pos", F.col("tok").alias("gram"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
     return (
@@ -307,7 +301,10 @@ def boilerplate_scrub(
 
     if n_docs is None:
         n_docs = df.count()
-    min_df = max(1, math.ceil(min_df_frac * n_docs))
+    # floor at 2, not 1: boilerplate must by definition occur in at
+    # least two documents — a floor of 1 makes EVERY gram frequent on a
+    # corpus of <= 1/min_df_frac docs and silently deletes all text
+    min_df = max(2, math.ceil(min_df_frac * n_docs))
 
     pos_toks = positioned_tokens(df, text_col, id_col)
     grams = positioned_grams(pos_toks, id_col, n)

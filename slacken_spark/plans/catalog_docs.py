@@ -306,20 +306,17 @@ _COMPONENTS_CACHE: dict = {}
 
 
 def _doc_components(spark, sf_dir):
-    app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _COMPONENTS_CACHE if k[0] != app_id]:
-        _COMPONENTS_CACHE.pop(stale)
-    key = (app_id, sf_dir)
-    comp = _COMPONENTS_CACHE.get(key)
-    if comp is None:
+    from slacken_spark.appcache import app_scoped_get
+
+    def build():
         docs = tp(spark, sf_dir, "documents")
         sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
         pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
         # loop shuffles sized to the label-table cardinality (≤ |docs|
         # rows), not the scan-sized session setting
-        comp = D.connected_components(pairs, loop_partitions=8).persist()
-        _COMPONENTS_CACHE[key] = comp
-    return comp
+        return D.connected_components(pairs, loop_partitions=8).persist()
+
+    return app_scoped_get(_COMPONENTS_CACHE, spark, sf_dir, build)
 
 
 @register(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from slacken_spark.appcache import app_scoped_get
 from slacken_spark.classify import Classifier, ClassifyParams
 from slacken_spark.index import KeyValueIndex, extract_spans
 from slacken_spark.kernels.minimizers import MinimizerConfig
@@ -114,12 +115,8 @@ _INDEX_CACHE: dict = {}
 
 def _build_index(spark, sf_dir, cfg=None) -> KeyValueIndex:
     cfg = cfg or CFG
-    app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _INDEX_CACHE if k[0] != app_id]:
-        _INDEX_CACHE.pop(stale)
-    key = (app_id, sf_dir, cfg.to_dict().__str__())
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
+
+    def build() -> KeyValueIndex:
         g = _genomes(spark, sf_dir)
         labels = g.select("header", "taxon")
         genomes = g.select("header", "nucleotides")
@@ -127,8 +124,11 @@ def _build_index(spark, sf_dir, cfg=None) -> KeyValueIndex:
             spark, genomes, labels, _taxonomy(spark, sf_dir), cfg, buckets=32
         )
         idx.records = idx.records.persist()
-        _INDEX_CACHE[key] = idx
-    return idx
+        return idx
+
+    return app_scoped_get(
+        _INDEX_CACHE, spark, (sf_dir, str(cfg.to_dict())), build
+    )
 
 
 # ---------------------------------------------------------------------------

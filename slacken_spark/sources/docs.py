@@ -61,17 +61,34 @@ def read_documents(
     else:
         raise ValueError(f"unsupported document format: {fmt!r}")
 
+    from pyspark.sql import Window
+
     text = F.col(text_col).cast("string")
-    if id_col is not None:
-        doc_id = F.col(id_col).cast("long")
-    else:
-        doc_id = F.xxhash64(F.input_file_name(), text)
     if source_col is not None:
         src = F.col(source_col).cast("string")
     else:
         src = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    return raw.select(
-        doc_id.alias("doc_id"), src.alias("source"), text.alias("text")
+    if id_col is not None:
+        doc_id = F.col(id_col).cast("long")
+        return raw.select(
+            doc_id.alias("doc_id"), src.alias("source"), text.alias("text")
+        )
+    # Derived ids: salt the content hash with an occurrence index so
+    # REPEATED identical rows (blank lines, repeated boilerplate lines)
+    # stay distinct — downstream operators (scrubs, packing, dedup)
+    # assume doc_id uniqueness, and a bare (file, text) hash would merge
+    # such rows into one corrupted document. Rows inside an occurrence
+    # partition are fully identical in the output schema, so which copy
+    # receives which index is irrelevant: the output is deterministic as
+    # a multiset. Costs one window shuffle, only on the derived-id path.
+    base = raw.select(
+        F.input_file_name().alias("_file"), src.alias("source"), text.alias("text")
+    )
+    w = Window.partitionBy("_file", "source", "text").orderBy(F.lit(1))
+    return base.withColumn("_occ", F.row_number().over(w)).select(
+        F.xxhash64("_file", "text", "_occ").alias("doc_id"),
+        "source",
+        "text",
     )
 
 

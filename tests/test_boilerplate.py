@@ -70,3 +70,26 @@ def test_explicit_n_docs_matches_counted(spark):
     # "spam spam" df=2 ≥ ceil(0.6*3)=2 → scrubbed from both docs
     assert counted[1]["clean_text"] == "ham"
     assert counted[3]["n_removed"] == 0
+
+
+def test_tiny_corpus_does_not_scrub_everything(spark):
+    # min_df floors at 2: on a 3-doc corpus with min_df_frac=0.04 a
+    # floor of 1 would mark EVERY gram frequent and delete all text
+    rows = [(1, "aa bb cc"), (2, "dd ee ff"), (3, "gg hh ii")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           boilerplate_scrub(df, "text", "doc_id", n=2, min_df_frac=0.04).collect()}
+    # no gram is shared by >= 2 docs -> nothing removed
+    assert all(v["n_removed"] == 0 for v in out.values())
+    assert out[1]["clean_text"] == "aa bb cc"
+
+
+def test_unigram_boilerplate_n1(spark):
+    # n=1 must degenerate to single-token scrubbing, not crash
+    rows = [(1, "spam alpha"), (2, "spam beta"), (3, "spam gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           boilerplate_scrub(df, "text", "doc_id", n=1, min_df_frac=1.0).collect()}
+    assert out[1]["clean_text"] == "alpha"
+    assert out[2]["clean_text"] == "beta"
+    assert all(v["n_removed"] == 1 for v in out.values())

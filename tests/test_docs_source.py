@@ -117,3 +117,17 @@ def test_csv_missing_column_raises(spark, corpus):
 
     with pytest.raises(pyspark.errors.AnalysisException):
         read_documents(spark, str(p), fmt="csv").collect()
+
+
+def test_repeated_identical_lines_get_distinct_ids(spark, tmp_path):
+    p = tmp_path / "dups.txt"
+    p.write_text("same line\nsame line\nother line\nsame line\n")
+    got = read_documents(spark, str(p), fmt="text").collect()
+    assert len(got) == 4
+    ids = [r["doc_id"] for r in got]
+    assert len(set(ids)) == 4, "derived ids must be unique per occurrence"
+    # deterministic as a multiset across reruns
+    again = sorted(
+        r["doc_id"] for r in read_documents(spark, str(p), fmt="text").collect()
+    )
+    assert sorted(ids) == again

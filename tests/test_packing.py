@@ -12,8 +12,8 @@ BUDGET = 100
 
 def _ref_pack(sizes):
     acc, pid, out = 0, 0, []
-    for n in sizes:
-        if acc > 0 and acc + n > BUDGET:
+    for i, n in enumerate(sizes):
+        if i > 0 and acc + n > BUDGET:
             pid += 1
             acc = n
         else:
@@ -138,3 +138,15 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     # assignment is md5-deterministic: same ids → same shards on re-run
     again = shard_assign(df, "doc_id", 4).select("doc_id", "shard_id")
     assert again.subtract(shard_assign(df, "doc_id", 4).select("doc_id", "shard_id")).count() == 0
+
+
+def test_zero_size_docs_do_not_absorb_overflow(spark):
+    # a zero-size doc before an over-budget doc: the recurrence opens a
+    # new pack for the overflow row (an acc>0 guard would co-pack them)
+    rows = [("s", 0, 0), ("s", 1, BUDGET + 1), ("s", 2, 5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_greedy(df, BUDGET).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2}
