@@ -344,6 +344,61 @@ def cmd_display_report(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Training-data pipeline driver: ingest → quality filter → dedup →
+    pack → deterministic shard publish, each stage the library operator
+    the catalog gates (beyond-reference surface; the genomic commands
+    above mirror the reference CLI). Prints the shard manifest as JSON
+    lines."""
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions import text as X
+    from slacken_spark.functions.dedup import exact_dedup
+    from slacken_spark.functions.packing import pack_greedy, write_training_shards
+    from slacken_spark.sources.docs import read_documents
+
+    spark = _spark(args)
+    docs = read_documents(
+        spark,
+        args.input,
+        fmt=args.format,
+        id_col=None if args.derive_ids else "doc_id",
+    )
+    if args.min_tokens:
+        docs = docs.where(
+            F.size(X.tokens(F.col("text"))) >= args.min_tokens
+        )
+    if args.dedup == "exact":
+        keep = exact_dedup(docs, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+    elif args.dedup == "dupspan":
+        scrubbed = X.dupspan_scrub(docs, "text", "doc_id", n=args.dupspan_n)
+        docs = (
+            docs.select("doc_id", "source")
+            .join(scrubbed.select("doc_id", "clean_text"), "doc_id")
+            .select("doc_id", "source", F.col("clean_text").alias("text"))
+        )
+    sized = docs.withColumn(
+        "n_tokens", F.size(X.tokens(F.col("text"))).cast("long")
+    )
+    if args.pack_budget:
+        packed = pack_greedy(
+            sized.select("source", "doc_id", "n_tokens"),
+            args.pack_budget,
+            shards=args.pack_shards,
+            shard_by="hash" if args.pack_shards > 1 else "range",
+        ).withColumnRenamed("shard_id", "pack_shard")
+        sized = sized.join(packed.select("doc_id", "pack_shard", "pack_id"), "doc_id")
+    manifest = write_training_shards(
+        sized, args.output, "doc_id", args.shards, size_col="n_tokens"
+    )
+    for row in manifest.orderBy("shard_id").collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="slacken_spark",
@@ -447,6 +502,29 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--min-percent", type=float)
     dr.add_argument("--clades", help="file with one taxon id per line")
     dr.set_defaults(fn=cmd_display_report)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="training-data pipeline: ingest -> filter -> dedup -> pack -> shards",
+    )
+    pl.add_argument("--input", required=True, help="corpus path/glob")
+    pl.add_argument(
+        "--format", default="jsonl", choices=("parquet", "jsonl", "csv", "text")
+    )
+    pl.add_argument("--output", required=True, help="shard output directory")
+    pl.add_argument(
+        "--derive-ids",
+        action="store_true",
+        help="derive content-addressed doc ids (input has no doc_id column)",
+    )
+    pl.add_argument("--min-tokens", type=int, default=0)
+    pl.add_argument("--dedup", choices=("none", "exact", "dupspan"), default="none")
+    pl.add_argument("--dupspan-n", type=int, default=5)
+    pl.add_argument("--pack-budget", type=int, default=0)
+    pl.add_argument("--pack-shards", type=int, default=1)
+    pl.add_argument("--shards", type=int, default=8)
+    pl.add_argument("--partitions", type=int, default=8)
+    pl.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -161,3 +161,53 @@ def test_respace_cli_multi(workdir):
     assert r.returncode == 0, r.stderr[-3000:]
     for s in (4, 5):
         assert os.path.exists(out + f"_s{s}/_index_params.json")
+
+
+def test_pipeline_cli(tmp_path, spark):
+    """pipeline subcommand end-to-end: jsonl ingest → min-token filter →
+    exact dedup → pack → shard publish, manifest on stdout."""
+    import io
+    from contextlib import redirect_stdout
+
+    from slacken_spark.cli import main
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        for i in range(40):
+            text = f"doc {i} " + " ".join(f"w{j}" for j in range(12))
+            f.write(json.dumps({"doc_id": i, "source": "web", "text": text}) + "\n")
+        # short doc (filtered) and an exact duplicate of doc 0 (deduped)
+        f.write(json.dumps({"doc_id": 100, "source": "web", "text": "tiny"}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "doc_id": 101,
+                    "source": "web",
+                    "text": "doc 0 " + " ".join(f"w{j}" for j in range(12)),
+                }
+            )
+            + "\n"
+        )
+    out_dir = tmp_path / "shards"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "pipeline",
+                "--input", str(src),
+                "--format", "jsonl",
+                "--output", str(out_dir),
+                "--min-tokens", "5",
+                "--dedup", "exact",
+                "--pack-budget", "64",
+                "--shards", "4",
+            ]
+        )
+    assert rc == 0
+    manifest = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert sum(m["n_rows"] for m in manifest) == 40  # 42 − tiny − duplicate
+    assert {m["shard_id"] for m in manifest} <= {0, 1, 2, 3}
+    assert all(m["n_tokens"] > 0 for m in manifest)
+    back = spark.read.parquet(str(out_dir))
+    assert back.count() == 40
+    assert "pack_id" in back.columns
