@@ -1621,6 +1621,31 @@ def bpe_top_pairs(spark, sf_dir):
     )
 
 
+# One BPE training per (application, sf_dir): the merge sequence is
+# prefix-consistent (round k depends only on rounds < k), so any query
+# needing n merges slices the longest list trained so far — the same
+# build-once/use-many shape as the index and components caches. The
+# cached value is a plain driver-side list (no persisted blocks).
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(spark, sf_dir, n: int):
+    from slacken_spark.appcache import app_scoped_get
+    from slacken_spark.functions import bpe as B
+
+    def build():
+        return B.bpe_train(tp(spark, sf_dir, "documents"), "text", n_merges=n)
+
+    merges = app_scoped_get(_BPE_MERGES_CACHE, spark, sf_dir, build)
+    if len(merges) < n:
+        # cached training was shorter than requested — retrain longer
+        # and replace (prefix consistency keeps earlier users valid)
+        merges = build()
+        app_id = spark.sparkContext.applicationId
+        _BPE_MERGES_CACHE[(app_id, sf_dir)] = merges
+    return merges[:n]
+
+
 @register("bpe_learned_merges", None)
 def bpe_learned_merges(spark, sf_dir):
     """Six learned BPE merges over the corpus (functions.bpe.bpe_train
@@ -1630,10 +1655,9 @@ def bpe_learned_merges(spark, sf_dir):
     reference trainer). Returned as (merge_rank, left_sym, right_sym,
     cnt) rows. Bench note: one action per round; the wall cost is this
     VM's ~1 s/round scheduling floor (vocabulary-sized data), the same
-    amortizing floor as dedup_components' rounds."""
-    from slacken_spark.functions import bpe as B
-
-    merges = B.bpe_train(tp(spark, sf_dir, "documents"), "text", n_merges=6)
+    amortizing floor as dedup_components' rounds. Training is shared
+    with bpe_tokenized_counts via the app-scoped merge cache."""
+    merges = _bpe_merges(spark, sf_dir, 6)
     return spark.createDataFrame(
         [
             (i, lf, rt, cnt)
@@ -1787,7 +1811,7 @@ def bpe_tokenized_counts(spark, sf_dir):
     from slacken_spark.functions import bpe as B
 
     docs = tp(spark, sf_dir, "documents")
-    merges = B.bpe_train(docs, "text", n_merges=4)
+    merges = _bpe_merges(spark, sf_dir, 4)
     return B.bpe_apply(docs, "text", merges).select(
         "doc_id", F.col("n_bpe_symbols")
     )

@@ -98,3 +98,11 @@ def test_apply_with_no_merges_counts_chars_of_pretokens(spark):
     out = B.bpe_apply(df, "text", []).collect()[0]
     # "ab"(2) + "cd"(2) + "!"(1) = 5 single-char symbols
     assert out["n_bpe_symbols"] == 5
+
+
+def test_merge_sequence_is_prefix_consistent(spark):
+    # round k depends only on rounds < k, so shorter trainings are
+    # prefixes of longer ones — the property the catalog's app-scoped
+    # merge cache slices on
+    df = _docs(spark, TEXTS)
+    assert B.bpe_train(df, "text", n_merges=3) == B.bpe_train(df, "text", n_merges=6)[:3]
