@@ -153,3 +153,21 @@ def test_running_user_totals_accumulate(spark, tmp_path):
     run_once()
     u1 = [r for r in emitted if r["user_id"] == 1]
     assert any(r["n_events_total"] == 2 and r["value_total"] == 11.0 for r in u1)
+
+
+def test_streaming_queries_restore_session_timezone(spark, sf_dir):
+    """The streaming catalog entries pin UTC for their run but must
+    restore the caller's session timezone — batch results would
+    otherwise depend on whether a streaming query ran first."""
+    from slacken_spark.plans import load_all
+
+    reg = load_all()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        reg["streaming_window_counts"][0](spark, sf_dir).count()
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
