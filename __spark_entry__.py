@@ -84,9 +84,10 @@ _EARLY = [
     "events_zorder_layout",
     "bpe_tokenized_counts",  # rows-only (train+apply loop)
     "ann_retrieve_docs",
+    "events_json_extract",
+    "corpus_diff",
     # green only once (new in r4) — keep under the gate a second round:
     "doc_vocab_top50",
-    "doc_chunks",
     # code changed this round — keep under the hash gate:
     "sessionize_events",
     "streaming_window_counts",
@@ -108,6 +109,8 @@ _TAIL = [
     "doc_langid",
     "doc_bpe_token_stats",
     "value_percentiles",
+    "doc_chunks",
+    "asof_event_order_forward",
     "doc_fingerprints",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",

@@ -1075,3 +1075,46 @@ def events_zorder_layout(spark, sf_dir):
             F.max("zval").cast("long").alias("z_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction (JSON props column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON ``props`` column with
+    a typed ``from_json`` schema (schema-on-read, codegen'd Jackson
+    parse — never a UDF) and aggregate the extracted field per event
+    type. The parse happens ONCE per row in a named column; at 100 TB
+    the win over repeated get_json_object calls is one parse instead of
+    one per extraction site, and malformed rows turn into NULLs that
+    the filter drops rather than failing the job."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k long").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )

@@ -1861,3 +1861,65 @@ def ann_retrieve_docs(spark, sf_dir):
             "lang",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff (dataset release comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_diff",
+    """
+    WITH a AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    b AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 10 = 0 THEN 'v2 ' || text ELSE text END)
+                   AS digest
+          FROM documents WHERE doc_id % 7 != 3
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, md5('new ' || text) AS digest
+          FROM documents WHERE doc_id % 13 = 0),
+    j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 CASE WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN a.digest != b.digest THEN 'changed'
+                      ELSE 'same' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT status, count(*) AS n FROM j GROUP BY status
+    """,
+)
+def corpus_diff(spark, sf_dir):
+    """Dataset release diff: full outer join of two corpus versions on
+    doc_id, digest comparison → added/removed/changed/same counts (the
+    audit every corpus refresh publishes next to its manifest). One
+    key-shuffle join on slim (id, digest) rows — text never moves, only
+    its hash. Version B is derived deterministically (every 10th doc
+    edited, every 7th-mod-3 dropped, every 13th re-added under a new
+    id) so the oracle replays the exact diff."""
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5("text").alias("digest"))
+    b_kept = docs.where(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.lit("v2 "), F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    b_new = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.lit("new "), F.col("text"))).alias("digest"),
+    )
+    b = b_kept.unionAll(b_new)
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.digest") != F.col("b.digest"), "changed")
+        .otherwise("same")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
