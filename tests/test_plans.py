@@ -387,3 +387,26 @@ def test_ann_retrieve_docs_broadcasts_hits(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_json_extract_tolerates_malformed_props(spark):
+    """from_json turns malformed/missing JSON into NULLs that the
+    filter drops — a bad row must never fail the job."""
+    rows = [
+        (1, "a", '{"k": 5}'),
+        (2, "a", "not json"),
+        (3, "a", "{}"),
+        (4, "b", '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    parsed = df.select(
+        "event_type", F.from_json("props", "k long").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    got = {
+        r["event_type"]: r["n"]
+        for r in parsed.where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"a": 1, "b": 1}
