@@ -150,3 +150,27 @@ def test_zero_size_docs_do_not_absorb_overflow(spark):
         for r in pack_greedy(df, BUDGET).collect()
     }
     assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_pack_matches_reference_on_random_sizes_including_zeros(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=150), min_size=1, max_size=40
+        )
+    )
+    def check(sizes):
+        rows = [("g", i, int(s)) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, n_tokens long"
+        )
+        got = {
+            r["doc_id"]: r["pack_id"] for r in pack_greedy(df, BUDGET).collect()
+        }
+        want = dict(enumerate(_ref_pack(sizes)))
+        assert got == want
+
+    check()
