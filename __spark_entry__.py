@@ -86,8 +86,7 @@ _EARLY = [
     "ann_retrieve_docs",
     "events_json_extract",
     "corpus_diff",
-    # green only once (new in r4) — keep under the gate a second round:
-    "doc_vocab_top50",
+    "inverted_index_sharded",
     # code changed this round — keep under the hash gate:
     "sessionize_events",
     "streaming_window_counts",
@@ -111,6 +110,7 @@ _TAIL = [
     "value_percentiles",
     "doc_chunks",
     "asof_event_order_forward",
+    "doc_vocab_top50",
     "doc_fingerprints",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",

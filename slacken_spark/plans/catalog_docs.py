@@ -1941,3 +1941,45 @@ def corpus_diff(spark, sf_dir):
     return j.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "inverted_index_sharded",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
+    p AS (SELECT term, doc_id // 100 AS segment, doc_id FROM e)
+    SELECT term, CAST(segment AS BIGINT) AS segment,
+           count(*) AS df_segment,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS segment_digest
+    FROM p GROUP BY term, segment
+    """,
+)
+def inverted_index_sharded(spark, sf_dir):
+    """Range-sharded posting lists: the hot-term answer the flat
+    inverted index's docstring promises. Posting lists build per
+    (term, doc_id-range segment), so a stopword-grade term that appears
+    in EVERY document reduces across |docs|/100 bounded tasks instead
+    of one — no single reducer ever holds a full hot list. Readers
+    merge segments in segment order (they are disjoint, pre-sorted
+    ranges); the oracle reproduces each segment digest exactly."""
+    docs = tp(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    seg = e.select(
+        "term", (F.col("doc_id") / 100).cast("long").alias("segment"), "doc_id"
+    )
+    return seg.groupBy("term", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("df_segment"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            )
+        ).alias("segment_digest"),
+    )

@@ -171,3 +171,50 @@ def test_streaming_queries_restore_session_timezone(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streaming_shard_publish(spark, sf_dir, tmp_path):
+    """Continuous publish: the documents table consumed as a stream,
+    shard-assigned map-side, and written partitionBy(shard_id) with an
+    availableNow trigger — the streaming form of write_training_shards.
+    The written layout must match the batch assignment exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions.packing import shard_assign
+    from slacken_spark.plans.catalog import t
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+        .select("doc_id", "source")
+    )
+    sharded = shard_assign(stream, "doc_id", 4)
+    out = str(tmp_path / "stream_shards")
+    q = (
+        sharded.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .partitionBy("shard_id")
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    batch = shard_assign(
+        t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id", 4
+    )
+    assert written.count() == batch.count()
+    assert (
+        written.select("doc_id", "shard_id")
+        .exceptAll(batch.select("doc_id", "shard_id"))
+        .count()
+        == 0
+    )
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard_id=")
+    )
+    assert dirs == [f"shard_id={i}" for i in range(4)]
