@@ -364,10 +364,13 @@ def cmd_pipeline(args) -> int:
         fmt=args.format,
         id_col=None if args.derive_ids else "doc_id",
     )
-    if args.min_tokens:
-        docs = docs.where(
-            F.size(X.tokens(F.col("text"))) >= args.min_tokens
+    if not args.derive_ids and docs.where(F.col("doc_id").isNull()).limit(1).count():
+        print(
+            "pipeline: input has null doc_id values — pass --derive-ids"
+            " to derive content-addressed ids",
+            file=sys.stderr,
         )
+        return 2
     if args.dedup == "exact":
         keep = exact_dedup(docs, "text", "doc_id").select(
             F.col("keep_id").alias("doc_id")
@@ -377,12 +380,19 @@ def cmd_pipeline(args) -> int:
         scrubbed = X.dupspan_scrub(docs, "text", "doc_id", n=args.dupspan_n)
         docs = (
             docs.select("doc_id", "source")
-            .join(scrubbed.select("doc_id", "clean_text"), "doc_id")
+            .join(scrubbed.select("doc_id", "clean_text", "n_kept"), "doc_id")
+            .where(F.col("n_kept") > 0)  # fully-scrubbed docs don't publish
             .select("doc_id", "source", F.col("clean_text").alias("text"))
         )
+    # token counting happens ONCE, after dedup/scrub, so the quality gate
+    # judges the content actually being published (a doc scrubbed below
+    # the threshold is dropped here, not smuggled into the shards)
     sized = docs.withColumn(
-        "n_tokens", F.size(X.tokens(F.col("text"))).cast("long")
+        "n_tokens", X.token_count(F.col("text")).cast("long")
     )
+    if args.min_tokens:
+        sized = sized.where(F.col("n_tokens") >= args.min_tokens)
+    shard_key = "doc_id"
     if args.pack_budget:
         packed = pack_greedy(
             sized.select("source", "doc_id", "n_tokens"),
@@ -391,8 +401,16 @@ def cmd_pipeline(args) -> int:
             shard_by="hash" if args.pack_shards > 1 else "range",
         ).withColumnRenamed("shard_id", "pack_shard")
         sized = sized.join(packed.select("doc_id", "pack_shard", "pack_id"), "doc_id")
+        # shard on the PACK identity: a pack is the training unit, so all
+        # its members must land in one shard (hashing doc_id would
+        # scatter each pack across every output shard)
+        sized = sized.withColumn(
+            "pack_key",
+            F.concat_ws("|", "source", "pack_shard", "pack_id"),
+        )
+        shard_key = "pack_key"
     manifest = write_training_shards(
-        sized, args.output, "doc_id", args.shards, size_col="n_tokens"
+        sized, args.output, shard_key, args.shards, size_col="n_tokens"
     )
     for row in manifest.orderBy("shard_id").collect():
         print(json.dumps(row.asDict()))
@@ -523,7 +541,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--pack-budget", type=int, default=0)
     pl.add_argument("--pack-shards", type=int, default=1)
     pl.add_argument("--shards", type=int, default=8)
-    pl.add_argument("--partitions", type=int, default=8)
+    # NOTE: no --partitions here — the global -p flag covers it (a
+    # subparser redefinition would clobber a user-supplied global value
+    # with the subparser default)
     pl.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)

@@ -1652,15 +1652,21 @@ def _bpe_merges(spark, sf_dir, n: int):
     from slacken_spark.functions import bpe as B
 
     def build():
-        return B.bpe_train(tp(spark, sf_dir, "documents"), "text", n_merges=n)
+        # cache (target, merges): the target distinguishes "trained for
+        # fewer rounds" (retrain longer) from "corpus exhausted its
+        # mergeable pairs early" (never retrain — it cannot grow)
+        return (
+            n,
+            B.bpe_train(tp(spark, sf_dir, "documents"), "text", n_merges=n),
+        )
 
-    merges = app_scoped_get(_BPE_MERGES_CACHE, spark, sf_dir, build)
-    if len(merges) < n:
-        # cached training was shorter than requested — retrain longer
-        # and replace (prefix consistency keeps earlier users valid)
-        merges = build()
+    target, merges = app_scoped_get(_BPE_MERGES_CACHE, spark, sf_dir, build)
+    if len(merges) < n and target < n:
+        # trained for fewer rounds than requested — retrain longer and
+        # replace (prefix consistency keeps earlier users valid)
+        target, merges = build()
         app_id = spark.sparkContext.applicationId
-        _BPE_MERGES_CACHE[(app_id, sf_dir)] = merges
+        _BPE_MERGES_CACHE[(app_id, sf_dir)] = (target, merges)
     return merges[:n]
 
 

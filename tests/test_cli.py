@@ -190,19 +190,26 @@ def test_pipeline_cli(tmp_path, spark):
         )
     out_dir = tmp_path / "shards"
     buf = io.StringIO()
-    with redirect_stdout(buf):
-        rc = main(
-            [
-                "pipeline",
-                "--input", str(src),
-                "--format", "jsonl",
-                "--output", str(out_dir),
-                "--min-tokens", "5",
-                "--dedup", "exact",
-                "--pack-budget", "64",
-                "--shards", "4",
-            ]
-        )
+    # main() reuses the session via getOrCreate and would leave its
+    # shuffle-partitions conf behind — restore it for later tests
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with redirect_stdout(buf):
+            rc = main(
+                [
+                    "-p", "4",
+                    "pipeline",
+                    "--input", str(src),
+                    "--format", "jsonl",
+                    "--output", str(out_dir),
+                    "--min-tokens", "5",
+                    "--dedup", "exact",
+                    "--pack-budget", "64",
+                    "--shards", "4",
+                ]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     assert rc == 0
     manifest = [json.loads(l) for l in buf.getvalue().splitlines()]
     assert sum(m["n_rows"] for m in manifest) == 40  # 42 − tiny − duplicate
@@ -211,3 +218,32 @@ def test_pipeline_cli(tmp_path, spark):
     back = spark.read.parquet(str(out_dir))
     assert back.count() == 40
     assert "pack_id" in back.columns
+    # pack cohesion: a pack is the training unit — all its members must
+    # land in ONE shard (sharding keys on the pack identity)
+    from pyspark.sql import functions as F
+
+    spread = (
+        back.groupBy("source", "pack_shard", "pack_id")
+        .agg(F.count_distinct("shard_id").alias("n_shards"))
+        .where(F.col("n_shards") > 1)
+        .count()
+    )
+    assert spread == 0
+
+
+def test_pipeline_cli_null_ids_fail_loudly(tmp_path, capsys):
+    from slacken_spark.cli import main
+
+    src = tmp_path / "noid.jsonl"
+    with open(src, "w") as f:
+        f.write(json.dumps({"source": "web", "text": "hello world"}) + "\n")
+    rc = main(
+        [
+            "pipeline",
+            "--input", str(src),
+            "--format", "jsonl",
+            "--output", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 2
+    assert "--derive-ids" in capsys.readouterr().err

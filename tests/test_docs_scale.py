@@ -68,8 +68,6 @@ def test_dupspan_scrubs_planted_copies_only(spark, big_docs):
 
 
 def test_tfidf_shape_and_determinism(spark, big_docs):
-    from slacken_spark.plans import load_all  # noqa: F401 (registry import side effect)
-
     e = big_docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
