@@ -42,11 +42,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_keep_canonical, doc_decontaminate, source_quota_sample,
 # doc_repetition, events_rolling_stats, doc_unigram_rarity,
 # doc_boilerplate_scrub — the last three sit mid-list inside the cap),
-# genomic_classify_detail (first round WITH an oracle), and the queries
-# whose code changed this round. Demoted: 24 queries green in r4 AND at
-# least one earlier round, with code untouched this round (correctness
-# on record ≥2×, plus the local pytest oracle suite re-runs them at
-# sf0.01 every session; the full demoted list is in NOTES.md).
+# genomic_classify_detail (first round WITH an oracle), every operator
+# added during round 5 (TF-IDF, dupspan, BPE ×3, shard manifest,
+# streaming quality gate, inverted index ×2, upsert, z-order, ANN
+# retrieval, JSON extract, corpus diff), and the queries whose code
+# changed this round. Demoted: queries green in r4 (most also in an
+# earlier round) with code untouched since (the local pytest oracle
+# suite re-runs ALL of them at sf0.01 every session; the full demoted
+# list and the r6 re-promotion plan are in NOTES.md). The gate
+# composition — all r5-new and all aging queries inside the cap — is
+# validated programmatically before each rotation commit.
 _EARLY = [
     # aging: no CORRECTNESS_r04 row — cycle back in (VERDICT r4 item 1)
     "genomic_classify",
