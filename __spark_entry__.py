@@ -12,23 +12,60 @@ registry in the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
 # Importing the catalog modules populates the registry.
-from slacken_spark.plans import catalog as _catalog
-from slacken_spark.plans import load_all as _load_all
+from slacken_spark.plans import catalog as _catalog  # noqa: E402
+from slacken_spark.plans import load_all as _load_all  # noqa: E402
 
 _load_all()
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+_SHIPPED: set[str] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors via addPyFile.
+
+    A driver that found this module through a runtime ``sys.path`` edit
+    (or a cwd inside the repo) runs fine driver-side, but executor
+    Python workers inherit only the PYTHONPATH environment — Arrow/
+    pandas-UDF stages then die with ModuleNotFoundError. Zipping the
+    package once per application and ``addPyFile``-ing it makes the
+    driver contract work from ANY working directory."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.join(_REPO_DIR, "slacken_spark")
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="slacken_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full genomic pipeline — deterministic genome
     construction → minimizer scan → LCA index build → classification
     join → per-read resolve (SURVEY §3 E1+E2) — on sf0.001."""
+    _ensure_shipped(spark)
     fn, _ = _catalog.QUERIES["genomic_classify"]
     return fn(spark, DEFAULT_SF_DIR)
 
@@ -155,8 +192,19 @@ def _ordered_names() -> list[str]:
     return early + mid + tail
 
 
+def _with_shipping(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _catalog.QUERIES[name][0] for name in _ordered_names()}
+    return {
+        name: _with_shipping(_catalog.QUERIES[name][0])
+        for name in _ordered_names()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
