@@ -30,35 +30,9 @@ _load_all()
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-_SHIPPED: set[str] = set()
-
-
-def _ensure_shipped(spark: SparkSession) -> None:
-    """Ship the package to executors via addPyFile.
-
-    A driver that found this module through a runtime ``sys.path`` edit
-    (or a cwd inside the repo) runs fine driver-side, but executor
-    Python workers inherit only the PYTHONPATH environment — Arrow/
-    pandas-UDF stages then die with ModuleNotFoundError. Zipping the
-    package once per application and ``addPyFile``-ing it makes the
-    driver contract work from ANY working directory."""
-    app_id = spark.sparkContext.applicationId
-    if app_id in _SHIPPED:
-        return
-    import tempfile
-    import zipfile
-
-    pkg = os.path.join(_REPO_DIR, "slacken_spark")
-    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="slacken_spark_")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, _REPO_DIR))
-    spark.sparkContext.addPyFile(zpath)
-    _SHIPPED.add(app_id)
+# Executor-side package shipping (addPyFile) — the driver contract must
+# work from ANY working directory; see session.ensure_package_shipped.
+from slacken_spark.session import ensure_package_shipped as _ensure_shipped  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -62,7 +62,46 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_shipped(spark)
     return spark
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via ``addPyFile`` (once per app).
+
+    Executor Python workers inherit only the PYTHONPATH environment — a
+    driver that imported the package through a runtime ``sys.path`` edit
+    or its working directory runs fine driver-side while every
+    Arrow/pandas-UDF stage dies with ModuleNotFoundError. Zipping the
+    package and registering it makes every entry point (driver contract,
+    bench, CLI, library use) location-independent. No-op when shipping
+    fails (e.g. a read-only temp dir): the common same-environment case
+    still works exactly as before.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg)
+    try:
+        fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="slacken_spark_")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, parent))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass
+    _SHIPPED_APPS.add(app_id)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
