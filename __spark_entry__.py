@@ -115,6 +115,11 @@ _EARLY = [
     "dedup_components",
 ]
 _TAIL = [
+    # added at round end with the 50-slot gate already full of r5-new +
+    # aging entries: pytest-gated at sf0.001 AND sf0.01 this round,
+    # promoted for a driver row in r6 (NOTES rotation plan)
+    "cube_source_lang",
+    "doc_length_quartiles",
     # demoted late round 5 to make room for the six new queries (green
     # in r4, code untouched since):
     "ngram_jaccard_adjacent",

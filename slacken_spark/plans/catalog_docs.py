@@ -1989,3 +1989,75 @@ def inverted_index_sharded(spark, sf_dir):
             )
         ).alias("segment_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining relational surface: CUBE and ntile window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_source_lang",
+    """
+    SELECT coalesce(source, '<all>') AS source,
+           coalesce(lang, '<all>') AS lang,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+)
+def cube_source_lang(spark, sf_dir):
+    """CUBE aggregation (all 2^k grouping sets in one pass — partial-agg
+    per set, single shuffle): corpus occupancy by source × lang with
+    both margins and the grand total. NULL grouping placeholders are
+    coalesced to a literal so the hash gate never compares engine NULL
+    conventions."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n",
+            "chars",
+        )
+    )
+
+
+@register(
+    "doc_length_quartiles",
+    f"""
+    WITH d AS (SELECT doc_id, len({SQL_TOKENS.format(expr='text')}) AS ntok
+               FROM documents),
+    q AS (SELECT doc_id, ntok,
+                 ntile(4) OVER (ORDER BY ntok, doc_id) AS quartile
+          FROM d)
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           count(*) AS n,
+           CAST(min(ntok) AS BIGINT) AS min_tokens,
+           CAST(max(ntok) AS BIGINT) AS max_tokens
+    FROM q GROUP BY quartile
+    """,
+)
+def doc_length_quartiles(spark, sf_dir):
+    """ntile window: documents ranked into 4 equal-size length buckets
+    (the curriculum / length-bucketing primitive). The order key is
+    (ntok, doc_id) so tile boundaries are fully deterministic across
+    engines. A single global window is the point of the operator; at
+    warehouse scale the same statistic comes from approx quantiles or a
+    two-pass range partitioner — this is the exact small-N form."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(X.tokens(F.col("text"))).alias("ntok")
+    )
+    w = Window.orderBy("ntok", "doc_id")
+    q = docs.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ntok").cast("long").alias("min_tokens"),
+        F.max("ntok").cast("long").alias("max_tokens"),
+    )
