@@ -120,6 +120,7 @@ _TAIL = [
     # promoted for a driver row in r6 (NOTES rotation plan)
     "cube_source_lang",
     "doc_length_quartiles",
+    "unpivot_part_metrics",
     # demoted late round 5 to make room for the six new queries (green
     # in r4, code untouched since):
     "ngram_jaccard_adjacent",

@@ -1118,3 +1118,50 @@ def events_json_extract(spark, sf_dir):
             F.max("k").cast("long").alias("k_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide → long normalization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    WITH long AS (
+        SELECT p_brand, 'size' AS metric, CAST(p_size AS BIGINT) AS value
+        FROM part
+        UNION ALL
+        SELECT p_brand, 'retail_cents' AS metric,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS value
+        FROM part
+    )
+    SELECT p_brand, metric, count(*) AS n,
+           CAST(sum(value) AS BIGINT) AS total
+    FROM long GROUP BY p_brand, metric
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Unpivot (melt): wide per-part metric columns normalize to
+    (brand, metric, value) long rows via DataFrame.unpivot — a map-only
+    row expansion (each input row emits one row per metric, no
+    shuffle), then one partial-agg rollup. The long form is what metric
+    stores and plotting layers consume; the oracle expresses the same
+    reshape as a UNION ALL."""
+    part = t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("size"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("retail_cents"),
+    )
+    long = part.unpivot(
+        ids=["p_brand"],
+        values=["size", "retail_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("long").alias("total"),
+    )
