@@ -1099,24 +1099,24 @@ def events_json_extract(spark, sf_dir):
     """Semi-structured extraction: parse the JSON ``props`` column with
     a typed ``from_json`` schema (schema-on-read, codegen'd Jackson
     parse — never a UDF) and aggregate the extracted field per event
-    type. The parse happens ONCE per row in a named column; at 100 TB
-    the win over repeated get_json_object calls is one parse instead of
-    one per extraction site, and malformed rows turn into NULLs that
-    the filter drops rather than failing the job."""
+    type. Malformed rows parse to NULL, and every aggregate here is
+    null-ignoring (count(k)/sum/min/max), so bad rows drop out without
+    a separate filter — which also keeps the parse SINGLE-EVALUATED:
+    a pre-aggregation null filter would be inlined by CollapseProject
+    and re-run the parse once per consumer (observed: 3 JsonToStructs
+    sites in that plan shape vs 1 here)."""
     ev = t(spark, sf_dir, "events")
-    parsed = ev.select(
-        "event_type",
-        F.from_json(F.col("props"), "k long").alias("p"),
-    ).select("event_type", F.col("p.k").alias("k"))
+    k = F.from_json(F.col("props"), "k long")["k"]
     return (
-        parsed.where(F.col("k").isNotNull())
+        ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n"),
             F.sum("k").cast("long").alias("k_sum"),
             F.min("k").cast("long").alias("k_min"),
             F.max("k").cast("long").alias("k_max"),
         )
+        .where(F.col("n") > 0)
     )
 
 
