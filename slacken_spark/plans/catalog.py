@@ -1165,3 +1165,27 @@ def unpivot_part_metrics(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("value").cast("long").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct-count sketches (HLL++)
+# ---------------------------------------------------------------------------
+
+
+@register("events_approx_distinct", None)
+def events_approx_distinct(spark, sf_dir):
+    """Sketch-based cardinality: per event type, HyperLogLog++ distinct
+    users (``approx_count_distinct``, rsd 2%) next to the exact count.
+    The sketch is THE 100 TB answer — constant memory per group and
+    mergeable partials, where exact distinct shuffles every key. No SQL
+    oracle (DuckDB's approx_distinct is a different sketch, so values
+    legitimately differ engine-to-engine); the driver records rows-only
+    and tests/test_plans.py bounds the relative error against the exact
+    count. HLL++ is deterministic for a given dataset, so the rows are
+    stable run-to-run."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -410,3 +410,16 @@ def test_json_extract_tolerates_malformed_props(spark):
         .collect()
     }
     assert got == {"a": 1, "b": 1}
+
+
+def test_approx_distinct_bounds_and_determinism(spark, sf_dir):
+    """HLL++ sketch counts stay within the configured error of exact,
+    and repeat runs produce identical rows (deterministic sketch)."""
+    fn, _ = REGISTRY["events_approx_distinct"]
+    rows = {r["event_type"]: r.asDict() for r in fn(spark, sf_dir).collect()}
+    assert rows, "no groups returned"
+    for et, r in rows.items():
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel <= 0.05, f"{et}: {r['approx_users']} vs {r['exact_users']}"
+    again = {r["event_type"]: r.asDict() for r in fn(spark, sf_dir).collect()}
+    assert rows == again
