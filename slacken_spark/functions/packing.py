@@ -145,10 +145,32 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
-    written = df.sparkSession.read.parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if size_col is not None:
         aggs.append(F.sum(size_col).cast("long").alias("n_tokens"))
-    return written.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
-        *aggs
+    counts = written.groupBy(
+        F.col("shard_id").cast("long").alias("shard_id")
+    ).agg(*aggs)
+    # A shard that received zero rows writes no partition directory, so
+    # it would be silently absent from the recomputed manifest — readers
+    # expecting n_shards entries couldn't tell a gap from a lost shard.
+    # Left-join against the full shard range to emit explicit zero rows.
+    all_shards = spark.range(n_shards).select(F.col("id").alias("shard_id"))
+    fills = {"n_rows": 0}
+    if size_col is not None:
+        fills["n_tokens"] = 0
+    return (
+        all_shards.join(counts, "shard_id", "left")
+        .fillna(fills)
+        .select(
+            "shard_id",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            *(
+                [F.col("n_tokens").cast("long").alias("n_tokens")]
+                if size_col is not None
+                else []
+            ),
+        )
     )

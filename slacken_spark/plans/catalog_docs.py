@@ -1975,7 +1975,12 @@ def inverted_index_sharded(spark, sf_dir):
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     ).distinct()
     seg = e.select(
-        "term", (F.col("doc_id") / 100).cast("long").alias("segment"), "doc_id"
+        "term",
+        # Exact integer FLOOR division (matches DuckDB's //): double
+        # division would truncate toward zero and lose exactness past
+        # 2^53 for hash-derived ids.
+        F.expr("(doc_id - pmod(doc_id, 100L)) div 100L").alias("segment"),
+        "doc_id",
     )
     return seg.groupBy("term", "segment").agg(
         F.count(F.lit(1)).cast("long").alias("df_segment"),

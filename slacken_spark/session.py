@@ -90,14 +90,36 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     pkg = os.path.dirname(os.path.abspath(__file__))
     parent = os.path.dirname(pkg)
     try:
-        fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="slacken_spark_")
-        os.close(fd)
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        import hashlib
+        import io
+
+        # Build the zip in memory, then publish it at a CONTENT-ADDRESSED
+        # stable path. Unlinking after addPyFile is NOT safe: local-mode
+        # executors lazily re-fetch from the original path, and a recycled
+        # mkstemp name with different contents aborts the fetching task
+        # ("exists and does not match contents"). A stable hash-derived
+        # name instead (a) is reused by every subsequent app on the same
+        # package state — no per-app temp-file growth — and (b) can only
+        # collide with identical bytes.
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg):
-                for f in files:
+                for f in sorted(files):
                     if f.endswith(".py"):
                         full = os.path.join(root, f)
                         zf.write(full, os.path.relpath(full, parent))
+        data = buf.getvalue()
+        digest = hashlib.md5(data).hexdigest()[:16]
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"slacken_spark_pkg_{digest}.zip"
+        )
+        if not os.path.exists(zpath):
+            fd, tmp = tempfile.mkstemp(
+                suffix=".zip", prefix="slacken_spark_", dir=tempfile.gettempdir()
+            )
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, zpath)
         spark.sparkContext.addPyFile(zpath)
     except Exception:
         pass

@@ -86,7 +86,7 @@ def read_documents(
     )
     w = Window.partitionBy("_file", "source", "text").orderBy(F.lit(1))
     return base.withColumn("_occ", F.row_number().over(w)).select(
-        F.xxhash64("_file", "text", "_occ").alias("doc_id"),
+        F.xxhash64("_file", "source", "text", "_occ").alias("doc_id"),
         "source",
         "text",
     )

@@ -140,6 +140,27 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     assert again.subtract(shard_assign(df, "doc_id", 4).select("doc_id", "shard_id")).count() == 0
 
 
+def test_manifest_emits_zero_row_entries_for_empty_shards(spark, tmp_path):
+    # 2 docs across 16 shards: most shards get no rows and hence no
+    # partition directory — the manifest must still carry an explicit
+    # zero entry for each so a gap is distinguishable from a lost shard.
+    from slacken_spark.functions.packing import write_training_shards
+
+    df = spark.createDataFrame(
+        [("s", 1, 5), ("s", 2, 7)], "source string, doc_id long, n_tokens long"
+    )
+    manifest = (
+        write_training_shards(df, str(tmp_path / "sparse"), "doc_id", 16, "n_tokens")
+        .toPandas()
+        .sort_values("shard_id")
+        .reset_index(drop=True)
+    )
+    assert manifest["shard_id"].tolist() == list(range(16))
+    assert manifest["n_rows"].sum() == 2
+    assert manifest["n_tokens"].sum() == 12
+    assert (manifest[manifest["n_rows"] == 0]["n_tokens"] == 0).all()
+
+
 def test_zero_size_docs_do_not_absorb_overflow(spark):
     # a zero-size doc before an over-budget doc: the recurrence opens a
     # new pack for the overflow row (an acc>0 guard would co-pack them)
