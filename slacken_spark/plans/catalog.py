@@ -1172,20 +1172,40 @@ def unpivot_part_metrics(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("events_approx_distinct", None)
+@register(
+    "events_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_distinct(spark, sf_dir):
     """Sketch-based cardinality: per event type, HyperLogLog++ distinct
-    users (``approx_count_distinct``, rsd 2%) next to the exact count.
-    The sketch is THE 100 TB answer — constant memory per group and
-    mergeable partials, where exact distinct shuffles every key. No SQL
-    oracle (DuckDB's approx_distinct is a different sketch, so values
-    legitimately differ engine-to-engine); the driver records rows-only
-    and tests/test_plans.py bounds the relative error against the exact
-    count. HLL++ is deterministic for a given dataset, so the rows are
-    stable run-to-run."""
+    users (``approx_count_distinct``, rsd 2%) checked against the exact
+    count. The sketch is THE 100 TB answer — constant memory per group
+    and mergeable partials, where exact distinct shuffles every key.
+    The raw sketch value can't be oracle-hashed (DuckDB's
+    approx_distinct is a different sketch, so values legitimately
+    differ engine-to-engine), but HLL++ IS deterministic per dataset,
+    so the hash-stable shape is the exact count plus a deterministic
+    loose error flag: ``within_bound`` asserts the sketch landed within
+    10% (5× the configured rsd) of truth — the oracle predicts TRUE.
+    tests/test_plans.py additionally bounds the error at the tight 3σ
+    level."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            <= F.greatest(
+                F.lit(1), (F.count_distinct("user_id") * F.lit(0.10)).cast("long")
+            )
+        ).alias("within_bound"),
     )

