@@ -1639,6 +1639,96 @@ def bpe_top_pairs(spark, sf_dir):
     )
 
 
+def _bpe_unrolled_ctes(n_rounds: int) -> list[str]:
+    """Fixed-round BPE training unrolled as DuckDB CTEs — the SQL oracle
+    for the iterative trainer. Each round is the same four relational
+    steps the distributed trainer runs (pair count → deterministic
+    argmax → greedy merge → renumber), expressed over a long-form
+    (word-id, position, symbol) state table:
+
+    - ``p{k}``: adjacent pairs via ``lead`` per word;
+    - ``m{k}``: the round's merge — argmax on (cnt DESC, left, right),
+      identical tie-break to ``functions.bpe``;
+    - ``c{k}``/``g{k}``: greedy left-to-right selection. Candidates for
+      a pair (a, b) with a != b are never adjacent, so all are merged;
+      for a == b (a symbol run) the textbook rule merges alternating
+      candidates, which is exactly odd-rank-within-consecutive-run;
+    - ``t{k}``/``s{k+1}``: selected positions become the merged symbol,
+      their right partners drop, positions renumber.
+
+    When a round finds no pair (all words single-symbol), ``m{k}`` is
+    empty and the state passes through unchanged — matching the
+    trainer's early stop.
+
+    Every CTE is MATERIALIZED: each round's state is referenced more
+    than once, and DuckDB's default CTE inlining would re-evaluate the
+    whole prefix per reference — exponential in the round count.
+    """
+    ctes = [
+        "d AS (SELECT doc_id, regexp_extract_all(text, '"
+        + X.BPE_PATTERN
+        + "') AS ws FROM documents)",
+        "w0 AS (SELECT unnest(ws) AS word FROM d)",
+        "wf AS (SELECT word, count(*) AS wc FROM w0 GROUP BY 1)",
+        "wid AS (SELECT row_number() OVER (ORDER BY word) AS wid, word, wc FROM wf)",
+        "s0 AS (SELECT wid, wc, CAST(i AS BIGINT) AS pos,"
+        " substr(word, CAST(i AS INT), 1) AS sym"
+        " FROM wid, unnest(range(1, len(word) + 1)) AS u(i))",
+    ]
+    for k in range(n_rounds):
+        ctes += [
+            f"p{k} AS (SELECT wid, wc, pos, sym AS l,"
+            f" lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS r FROM s{k})",
+            f"m{k} AS (SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt FROM p{k}"
+            " WHERE r IS NOT NULL GROUP BY l, r"
+            " ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)",
+            f"c{k} AS (SELECT p.wid, p.pos,"
+            " p.pos - row_number() OVER (PARTITION BY p.wid ORDER BY p.pos) AS run"
+            f" FROM p{k} p JOIN m{k} m ON p.l = m.l AND p.r = m.r)",
+            f"g{k} AS (SELECT wid, pos FROM ("
+            "SELECT wid, pos, row_number() OVER (PARTITION BY wid, run ORDER BY pos) AS rn"
+            f" FROM c{k}) WHERE rn % 2 = 1)",
+            f"t{k} AS (SELECT s.wid, s.wc, s.pos,"
+            f" CASE WHEN gs.pos IS NOT NULL THEN (SELECT l || r FROM m{k})"
+            " ELSE s.sym END AS sym"
+            f" FROM s{k} s"
+            f" LEFT JOIN g{k} gs ON s.wid = gs.wid AND s.pos = gs.pos"
+            f" LEFT JOIN g{k} gd ON s.wid = gd.wid AND s.pos = gd.pos + 1"
+            " WHERE gd.pos IS NULL)",
+            f"s{k + 1} AS (SELECT wid, wc,"
+            " CAST(row_number() OVER (PARTITION BY wid ORDER BY pos) AS BIGINT) AS pos,"
+            f" sym FROM t{k})",
+        ]
+    return [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+
+
+def _bpe_merges_sql(n_rounds: int) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, cnt FROM m{k}"
+        for k in range(n_rounds)
+    )
+    return "WITH " + ",\n".join(_bpe_unrolled_ctes(n_rounds)) + "\n" + union
+
+
+def _bpe_apply_counts_sql(n_rounds: int) -> str:
+    ctes = _bpe_unrolled_ctes(n_rounds) + [
+        f"wlen AS MATERIALIZED (SELECT wid, count(*) AS n_syms"
+        f" FROM s{n_rounds} GROUP BY wid)",
+        "wmap AS MATERIALIZED (SELECT w.word, l.n_syms"
+        " FROM wid w JOIN wlen l USING (wid))",
+        "dw AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word FROM d)",
+        "dc AS MATERIALIZED (SELECT dw.doc_id, CAST(sum(m.n_syms) AS BIGINT) AS n"
+        " FROM dw JOIN wmap m USING (word) GROUP BY dw.doc_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT d2.doc_id, coalesce(dc.n, CAST(0 AS BIGINT)) AS n_bpe_symbols"
+        + "\nFROM documents d2 LEFT JOIN dc USING (doc_id)"
+    )
+
+
 # One BPE training per (application, sf_dir): the merge sequence is
 # prefix-consistent (round k depends only on rounds < k), so any query
 # needing n merges slices the longest list trained so far — the same
@@ -1670,17 +1760,21 @@ def _bpe_merges(spark, sf_dir, n: int):
     return merges[:n]
 
 
-@register("bpe_learned_merges", None)
+@register("bpe_learned_merges", _bpe_merges_sql(6))
 def bpe_learned_merges(spark, sf_dir):
-    """Six learned BPE merges over the corpus (functions.bpe.bpe_train
-    — genuinely iterative: each round's merge decision feeds the next
-    round's pair counts, so no SQL oracle; the driver records rows-only
-    and tests/test_bpe.py pins the merge sequence against a pure-Python
-    reference trainer). Returned as (merge_rank, left_sym, right_sym,
-    cnt) rows. Bench note: one action per round; the wall cost is this
-    VM's ~1 s/round scheduling floor (vocabulary-sized data), the same
-    amortizing floor as dedup_components' rounds. Training is shared
-    with bpe_tokenized_counts via the app-scoped merge cache."""
+    """Six learned BPE merges over the corpus (functions.bpe.bpe_train).
+    The trainer is genuinely iterative — each round's merge decision
+    feeds the next round's pair counts — but FIXED-round training is
+    SQL-expressible by unrolling: the oracle chains six rounds of
+    pair-count → (cnt DESC, left, right) argmax → greedy merge as CTEs
+    (``_bpe_unrolled_ctes``), so the learned sequence is now hash-gated,
+    not rows-only. tests/test_bpe.py additionally pins the sequence
+    against a pure-Python reference trainer. Returned as (merge_rank,
+    left_sym, right_sym, cnt) rows. Bench note: one action per round;
+    the wall cost is this VM's ~1 s/round scheduling floor
+    (vocabulary-sized data), the same amortizing floor as
+    dedup_components' rounds. Training is shared with
+    bpe_tokenized_counts via the app-scoped merge cache."""
     merges = _bpe_merges(spark, sf_dir, 6)
     return spark.createDataFrame(
         [
@@ -1824,14 +1918,17 @@ def corpus_upsert_latest(spark, sf_dir):
     )
 
 
-@register("bpe_tokenized_counts", None)
+@register("bpe_tokenized_counts", _bpe_apply_counts_sql(4))
 def bpe_tokenized_counts(spark, sf_dir):
     """The full tokenizer loop in one query: train 4 BPE merges on the
-    corpus (iterative — hence rows-only), then apply them corpus-wide
-    and return per-doc BPE symbol counts (the token-budget planner's
-    input). Apply is one map-only Arrow-batched pass, memoized per
-    distinct word; tests/test_bpe.py pins Spark apply ≡ the pure-Python
-    reference on every doc."""
+    corpus, then apply them corpus-wide and return per-doc BPE symbol
+    counts (the token-budget planner's input). Apply is one map-only
+    Arrow-batched pass, memoized per distinct word. The oracle unrolls
+    the 4 training rounds as CTEs and exploits that applying the merge
+    list to a word IS the training state after round 4 — per-word symbol
+    counts join back to the doc → word explosion (docs with no words
+    coalesce to 0). tests/test_bpe.py additionally pins Spark apply ≡
+    the pure-Python reference on every doc."""
     from slacken_spark.functions import bpe as B
 
     docs = tp(spark, sf_dir, "documents")
