@@ -104,6 +104,103 @@ def pack_greedy(
     return base.groupBy(*keys).applyInPandas(pack, out_schema)
 
 
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "ntok",
+    mode: str = "window",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-group token-quota downsampling: rank each group's rows by a
+    deterministic md5 hash of ``id_col`` (a seeded, engine-reproducible
+    spread sample), keep rows while the running ``size_col`` sum stays
+    within ``quota``. Returns the KEPT rows of ``df`` (original columns).
+
+    ``mode`` picks the physical strategy — both produce the IDENTICAL
+    kept set:
+
+    - ``"window"``: cumulative sum over a per-group window. One
+      key-shuffle, but the window sorts each group in one task — right
+      while every group fits a task, wrong when one group IS the
+      dataset.
+    - ``"hash"``: bucketed-threshold search, the 100 TB path. One
+      map-only pass histograms ``sum(size)`` per (group, hash-bucket)
+      — ``n_groups × n_buckets`` rows to the driver, corpus-size
+      independent. The driver prefix-sums each group's histogram to
+      find the boundary bucket: every bucket strictly below it is kept
+      whole via a broadcast map-side join (NO sort, NO window on that
+      branch — the bulk of the data), and only the boundary bucket's
+      rows (~1/n_buckets of the group) flow through the cumulative
+      window. Buckets are the high bits of the hash, so bucket order
+      refines hash order and the kept set matches ``"window"`` exactly,
+      ties included.
+    """
+    if mode not in ("window", "hash"):
+        raise ValueError(f"unknown quota_sample mode: {mode!r}")
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.withColumn("_h", h)
+    w_full = Window.partitionBy(group_col).orderBy("_h", id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    if mode == "window":
+        return (
+            base.withColumn("_cum", F.sum(size_col).over(w_full))
+            .where(F.col("_cum") <= quota)
+            .drop("_h", "_cum")
+        )
+
+    # hash mode: bucket = first 3 hex chars of the hash (high bits →
+    # bucket order refines full-hash string order; hex strings compare
+    # bytewise so string order == value order)
+    n_hex = max(1, -(-(n_buckets - 1).bit_length() // 4))
+    bucket = F.conv(F.substring("_h", 1, n_hex), 16, 10).cast("long")
+    bucketed = base.withColumn("_bkt", bucket)
+    hist = (
+        bucketed.groupBy(group_col, "_bkt")
+        .agg(F.sum(size_col).cast("long").alias("_btok"))
+        .collect()
+    )
+    # driver-side prefix sum per group over the tiny histogram: find the
+    # boundary bucket (first bucket where the running total crosses the
+    # quota) and the tokens consumed strictly before it
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[group_col], []).append((r["_bkt"], r["_btok"]))
+    rows = []
+    for g, buckets in per_group.items():
+        cum = 0
+        boundary, before = None, 0
+        for b, tok in sorted(buckets):
+            if cum + tok > quota:
+                boundary, before = b, cum
+                break
+            cum += tok
+        if boundary is None:
+            boundary, before = (max(b for b, _ in buckets) + 1), cum
+        rows.append((g, boundary, before))
+    if not rows:
+        return df.where(F.lit(False))
+    spark = df.sparkSession
+    bounds = F.broadcast(
+        spark.createDataFrame(rows, [group_col, "_boundary", "_before"])
+    )
+    joined = bucketed.join(bounds, group_col)
+    whole = joined.where(F.col("_bkt") < F.col("_boundary"))
+    w_bkt = Window.partitionBy(group_col).orderBy("_h", id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    edge = (
+        joined.where(F.col("_bkt") == F.col("_boundary"))
+        .withColumn("_cum", F.sum(size_col).over(w_bkt))
+        .where(F.col("_before") + F.col("_cum") <= quota)
+        .drop("_cum")
+    )
+    out_cols = df.columns
+    return whole.select(*out_cols).unionByName(edge.select(*out_cols))
+
+
 def shard_assign(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     """Deterministic training-shard assignment: md5-derived
     ``shard_id = h(id) % n_shards`` as a map-only column. md5 (not

@@ -522,30 +522,66 @@ def source_quota_sample(spark, sf_dir):
     """Per-source token-quota downsampling — the dataset-mixer step:
     rank each source's docs by a deterministic hash (seeded, engine-
     reproducible spread sample), keep docs while the running token sum
-    stays within the quota, and report kept docs/tokens per source.
-    One shuffle on source; cumsum is a window, never a driver loop.
+    stays within the quota, and report kept docs/tokens per source
+    (functions.packing.quota_sample, window mode). One shuffle on
+    source; cumsum is a window, never a driver loop — but the window
+    sorts each source in one task, so when one source IS the dataset
+    use the hash mode (``source_quota_sample_hash``)."""
+    from slacken_spark.functions.packing import quota_sample
 
-    SCALE NOTE: the cumsum window sorts each source in one task — fine
-    while every source fits a task (this catalog's shape), but when one
-    source IS the dataset, the scalable form is a hash-threshold
-    search: binary-search a cutoff t with log-rounds of map-only
-    ``sum(ntok) WHERE hash <= t`` aggregates, then keep ``hash <= t`` —
-    same deterministic kept-set up to the boundary doc, no per-source
-    sort anywhere."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    kept = quota_sample(docs, _QUOTA_TOKENS, "source", "doc_id", "ntok", "window")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
     )
-    kept = docs.withColumn("cum", F.sum("ntok").over(w)).where(
-        F.col("cum") <= _QUOTA_TOKENS
+
+
+@register(
+    "source_quota_sample_hash",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len({SQL_TOKENS.format(expr='text')}) AS ntok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    r AS (
+        SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum
+        FROM d
     )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens
+    FROM r WHERE cum <= {_QUOTA_TOKENS}
+    GROUP BY source
+    """,
+)
+def source_quota_sample_hash(spark, sf_dir):
+    """The SAME quota downsampling through the 100 TB physical path
+    (functions.packing.quota_sample, hash mode): one map-only pass
+    histograms tokens per (source, hash-bucket), the driver prefix-sums
+    the corpus-size-independent histogram to a boundary bucket per
+    source, sub-boundary buckets are kept whole via a broadcast join
+    (no sort, no window on the bulk branch), and only the boundary
+    bucket's ~1/4096 of each source flows through the cumulative
+    window. Bucket order refines hash order, so the kept set — and
+    hence this rollup and its oracle — is byte-identical to the window
+    form, ties included (tests/test_packing.py pins whole-set equality;
+    tests/test_plans.py asserts the bulk branch carries no Sort)."""
+    from slacken_spark.functions.packing import quota_sample
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
+    )
+    kept = quota_sample(docs, _QUOTA_TOKENS, "source", "doc_id", "ntok", "hash")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").alias("n_tokens"),

@@ -161,6 +161,61 @@ def test_manifest_emits_zero_row_entries_for_empty_shards(spark, tmp_path):
     assert (manifest[manifest["n_rows"] == 0]["n_tokens"] == 0).all()
 
 
+def _quota_ref(rows, quota):
+    """Reference kept set: per group, hash order, prefix while cum<=quota."""
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, i, n in rows:
+        by_g[g].append((hashlib.md5(str(i).encode()).hexdigest(), i, n))
+    kept = set()
+    for g, lst in by_g.items():
+        cum = 0
+        for _h, i, n in sorted(lst):
+            cum += n
+            if cum > quota:
+                break
+            kept.add((g, i))
+    return kept
+
+
+def test_quota_sample_modes_agree_and_match_reference(spark):
+    """Window and hash modes must produce the IDENTICAL kept set (the
+    hash mode's bucket order refines hash order), and both must match
+    the pure-Python reference — including zero-size rows, a group fully
+    under quota, and a group where the first doc already overflows."""
+    from slacken_spark.functions.packing import quota_sample
+
+    rows = (
+        [("big", i, 7) for i in range(200)]  # quota cuts mid-way
+        + [("small", i + 1000, 3) for i in range(5)]  # fully under quota
+        + [("zero", i + 2000, 0) for i in range(10)]  # all zero-size kept
+        + [("fat", 3000, 10_000)]  # first doc overflows alone
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, ntok long")
+    quota = 170
+    ref = _quota_ref(rows, quota)
+    for mode in ("window", "hash"):
+        got = {
+            (r["source"], r["doc_id"])
+            for r in quota_sample(
+                df, quota, "source", "doc_id", "ntok", mode, n_buckets=16
+            ).collect()
+        }
+        assert got == ref, f"mode={mode}"
+    assert ("small", 1000) in ref and ("zero", 2000) in ref
+    assert not any(g == "fat" for g, _ in ref)
+
+
+def test_quota_sample_bad_mode_rejected(spark):
+    from slacken_spark.functions.packing import quota_sample
+
+    df = spark.createDataFrame([("s", 1, 1)], "source string, doc_id long, ntok long")
+    with pytest.raises(ValueError):
+        quota_sample(df, 10, mode="sorted")
+
+
 def test_zero_size_docs_do_not_absorb_overflow(spark):
     # a zero-size doc before an over-budget doc: the recurrence opens a
     # new pack for the overflow row (an acc>0 guard would co-pack them)

@@ -379,6 +379,29 @@ def test_sessionize_subsecond_gap_boundary(spark):
     assert got == {1: 1, 2: 0, 3: 0}
 
 
+def test_quota_hash_mode_bulk_branch_has_no_sort(spark, sf_dir):
+    """The hash-threshold quota path: the bulk branch (whole buckets
+    below the boundary) must reach the output through a broadcast join
+    with NO Sort/Window — only the boundary-bucket branch (~1/4096 of a
+    source) may window. The per-source histogram boundary arrives
+    broadcast."""
+    import re as _re
+
+    fn, _ = REGISTRY["source_quota_sample_hash"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"\bWindow\b", plan)) == 1, "one window: boundary only"
+    assert plan.count("BroadcastHashJoin") >= 2, "bounds must broadcast to both branches"
+    assert "SortMergeJoin" not in plan
+    # exactly ONE Sort in the whole plan — the boundary window's — and
+    # both branch filters present (bulk keeps _bkt < boundary whole,
+    # edge selects _bkt = boundary)
+    assert len(_re.findall(r"\bSort\b", plan)) == 1, "only the boundary bucket sorts"
+    assert "< _boundary" in plan, "bulk branch must filter _bkt < _boundary"
+    # Catalyst folds the edge branch's _bkt = _boundary equality into the
+    # broadcast join's keys — assert _boundary participates as a join key
+    assert _re.search(r"BroadcastHashJoin \[[^\]]*_bkt[^\]]*\], \[[^\]]*_boundary", plan)
+
+
 def test_ann_retrieve_docs_broadcasts_hits(spark, sf_dir):
     """Candidate hydration must broadcast the (queries × k) hit list
     onto the documents scan — a SortMergeJoin here would shuffle the
