@@ -558,3 +558,125 @@ def streaming_genomic_classify(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Input-layer round trip: FASTA / FASTQ / @list / indexed .fai under the gate
+# ---------------------------------------------------------------------------
+
+_FIO_SALT = "fio"
+_FIO_CHUNK, _FIO_K = 100, 21  # chunk 100bp, (k-1)=20bp overlap
+
+_FASTA_IO_SQL = f"""
+WITH src AS (
+    SELECT 'P' || CAST(p_partkey AS VARCHAR) AS header,
+           {_dna_sql(_FIO_SALT, "CAST(p_partkey AS VARCHAR)")} AS nt
+    FROM part WHERE p_partkey % 40 = 0
+),
+whole AS (
+    SELECT header, CAST(0 AS BIGINT) AS location,
+           CAST(len(nt) AS BIGINT) AS n_bases, md5(nt) AS seq_digest
+    FROM src
+),
+idx AS (
+    SELECT header, CAST(s AS BIGINT) AS location,
+           CAST(least({_FIO_CHUNK + _FIO_K - 1}, len(nt) - s) AS BIGINT) AS n_bases,
+           md5(substr(nt, CAST(s AS INT) + 1, {_FIO_CHUNK + _FIO_K - 1})) AS seq_digest
+    FROM src, unnest(range(0, len(nt), {_FIO_CHUNK})) AS u(s)
+)
+SELECT 'fasta' AS variant, * FROM whole
+UNION ALL SELECT 'fastq' AS variant, * FROM whole
+UNION ALL SELECT 'list' AS variant, * FROM whole
+UNION ALL SELECT 'list' AS variant, * FROM whole
+UNION ALL SELECT 'indexed' AS variant, * FROM idx
+"""
+
+
+def _write_sequence_fixture(spark, sf_dir):
+    """Materialize deterministic FASTA (+ .fai sidecar), FASTQ and @list
+    files derived from the part table — the gate fixture for the input
+    layer. The driver-side collect is the FIXTURE WRITER only (bounded:
+    the p_partkey % 40 sample), not a query pattern; layout is 60-base
+    FASTA lines so the .fai line_bases/line_bytes arithmetic is real."""
+    import hashlib
+    import os
+    import tempfile
+
+    rows = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 40 == 0)
+        .select(
+            F.col("p_partkey").alias("key"),
+            F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("header"),
+            _dna_expr(_FIO_SALT, F.col("p_partkey")).alias("nt"),
+        )
+        .orderBy("key")
+        .collect()
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"slacken_fio_{tag}")
+    os.makedirs(d, exist_ok=True)
+    width = 60
+    fasta_parts, fai_lines, fastq_parts = [], [], []
+    offset = 0
+    for r in rows:
+        h, nt = r["header"], r["nt"]
+        rec_header = f">{h}\n"
+        offset += len(rec_header)
+        fai_lines.append(f"{h}\t{len(nt)}\t{offset}\t{width}\t{width + 1}\n")
+        body = "".join(
+            nt[i : i + width] + "\n" for i in range(0, len(nt), width)
+        )
+        fasta_parts.append(rec_header + body)
+        offset += len(body)
+        fastq_parts.append(f"@{h}\n{nt}\n+\n{'I' * len(nt)}\n")
+    fasta_p = os.path.join(d, "genomes.fasta")
+    fastq_p = os.path.join(d, "reads.fastq")
+    list_p = os.path.join(d, "inputs.txt")
+    with open(fasta_p, "w") as fh:
+        fh.write("".join(fasta_parts))
+    with open(fasta_p + ".fai", "w") as fh:
+        fh.write("".join(fai_lines))
+    with open(fastq_p, "w") as fh:
+        fh.write("".join(fastq_parts))
+    with open(list_p, "w") as fh:
+        fh.write(fasta_p + "\n" + fastq_p + "\n")
+    return fasta_p, fastq_p, list_p
+
+
+@register("fasta_input_roundtrip", _FASTA_IO_SQL)
+def fasta_input_roundtrip(spark, sf_dir):
+    """The FASTA/FASTQ input layer (SURVEY S1-S4) under the hash gate:
+    deterministic part-derived genomes are written as multi-line FASTA
+    (+ .fai), FASTQ and an @list file, read back through the real
+    sources (sources/fasta.py: extension dispatch, 4-line FASTQ window,
+    @list indirection, .fai-planned ranged reads with (k-1)-base
+    overlap — FileInputs.scala:156-274 semantics), and reduced to
+    (variant, header, location, n_bases, seq_digest) rows the oracle
+    predicts from the same table: whole sequences for fasta/fastq/list
+    (list yields both files' records), 120bp overlapped chunks at
+    100bp strides for the indexed scan."""
+    from slacken_spark.sources.fasta import read_indexed_fasta, read_sequences
+
+    fasta_p, fastq_p, list_p = _write_sequence_fixture(spark, sf_dir)
+
+    def shape(df, variant):
+        return df.select(
+            F.lit(variant).alias("variant"),
+            "header",
+            "location",
+            F.length("nucleotides").cast("long").alias("n_bases"),
+            F.md5("nucleotides").alias("seq_digest"),
+        )
+
+    return (
+        shape(read_sequences(spark, fasta_p), "fasta")
+        .unionByName(shape(read_sequences(spark, fastq_p), "fastq"))
+        .unionByName(shape(read_sequences(spark, "@" + list_p), "list"))
+        .unionByName(
+            shape(
+                read_indexed_fasta(spark, fasta_p, k=_FIO_K, max_chunk=_FIO_CHUNK),
+                "indexed",
+            )
+        )
+    )
