@@ -46,102 +46,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness gate records exactly the first 50 registered queries
 # and silently drops the rest, so the order is rotated each round until
-# every catalog entry has a green CORRECTNESS row. Round 5: promote the
-# 15 queries with no r4 row (green in r1-r3, rotated out by the cap —
-# the flagship genomic set, the four media queries, and the r4-demoted
-# tail), the new queries (pack_sequences_sharded, ivf nprobe2,
-# dedup_keep_canonical, doc_decontaminate, source_quota_sample,
-# doc_repetition, events_rolling_stats, doc_unigram_rarity,
-# doc_boilerplate_scrub — the last three sit mid-list inside the cap),
-# genomic_classify_detail (first round WITH an oracle), every operator
-# added during round 5 (TF-IDF, dupspan, BPE ×3, shard manifest,
-# streaming quality gate, inverted index ×2, upsert, z-order, ANN
-# retrieval, JSON extract, corpus diff), and the queries whose code
-# changed this round. Demoted: queries green in r4 (most also in an
-# earlier round) with code untouched since (the local pytest oracle
-# suite re-runs ALL of them at sf0.01 every session; the full demoted
-# list and the r6 re-promotion plan are in NOTES.md). The gate
-# composition — all r5-new and all aging queries inside the cap — is
-# validated programmatically before each rotation commit.
-_EARLY = [
-    # aging: no CORRECTNESS_r04 row — cycle back in (VERDICT r4 item 1)
-    "genomic_classify",
-    "genomic_classify_wide",
-    "genomic_kmer_totals",
-    "genomic_index_lca_histogram",
-    "genomic_clade_rollup",
-    "bracken_weights",  # also: batched small-fragment kernel this round
-    "media_image_stats",
-    "media_phash_neardup",
-    "media_audio_stats",
-    "video_frame_plan",
-    "scalar_funcs",
-    "set_ops_nations",
-    "topk_per_group",
-    "two_level_agg",
-    "size_histogram",
-    # new this round — record a row immediately:
-    "pack_sequences_sharded",
-    "embedding_ivf_topk_nprobe2",
-    "dedup_keep_canonical",
-    "doc_decontaminate",
-    "source_quota_sample",
-    "doc_repetition",
-    "genomic_classify_detail",  # byte-exact Kraken-line oracle now
-    # new late round 5 — record a row immediately:
-    "tfidf_top_terms",
-    "doc_dupspan_scrub",
-    "bpe_top_pairs",
-    "bpe_learned_merges",  # rows-only (iterative trainer)
-    "dataset_shard_manifest",
-    "streaming_doc_quality",
-    "inverted_index_digest",
-    "corpus_upsert_latest",
-    "events_zorder_layout",
-    "bpe_tokenized_counts",  # rows-only (train+apply loop)
-    "ann_retrieve_docs",
-    "events_json_extract",
-    "corpus_diff",
-    "inverted_index_sharded",
-    # code changed this round — keep under the hash gate:
-    "sessionize_events",
-    "streaming_window_counts",
-    "streaming_session_windows",
-    "streaming_genomic_classify",
-    "streaming_dedup_keys",
-    "pack_sequences",
-    "embedding_ivf_topk",
-    "embedding_kmeans_clusters",  # rows-only (iterative trainer)
-    "dedup_components",
-]
-_TAIL = [
-    # added at round end with the 50-slot gate already full of r5-new +
-    # aging entries: pytest-gated at sf0.001 AND sf0.01 this round,
-    # promoted for a driver row in r6 (NOTES rotation plan)
+# every catalog entry has a green CORRECTNESS row. Round 6 executes the
+# NOTES r5→r6 rotation plan: the four queries with no driver row in ANY
+# round (doc_boilerplate_scrub — dropped by the r5 off-by-one at
+# position 50 — plus the three round-end additions) go FIRST, then
+# every query that is new or whose code/oracle changed this round, then
+# the r5-demoted promotions (all with ≥1 earlier green row). Demoted:
+# the r5-gated set (green in CORRECTNESS_r05, code untouched) plus
+# pricing_summary and scan_filter_project (4 green rows each — the two
+# that didn't fit; first in line for r7). The must-gate set below is
+# ASSERTED inside the first 50 by tests/test_gate.py, so a rotation
+# commit can no longer silently drop a query (the r5 validator was a
+# comment, not a test — hence the off-by-one).
+
+# Queries that MUST land a CORRECTNESS row this round: never-gated ones
+# plus everything new/changed since the r5 file was recorded.
+_MUST_GATE = [
+    # never had a driver row in any round:
+    "doc_boilerplate_scrub",
     "cube_source_lang",
     "doc_length_quartiles",
     "unpivot_part_metrics",
-    # demoted late round 5 to make room for the six new queries (green
-    # in r4, code untouched since):
-    "ngram_jaccard_adjacent",
-    "simhash_docs",
-    "doc_pii_redact",
-    "doc_quality",
-    "doc_langid",
-    "doc_bpe_token_stats",
-    "value_percentiles",
-    "doc_chunks",
-    "asof_event_order_forward",
-    "doc_vocab_top50",
-    "doc_fingerprints",
-    "embedding_cosine_topk",
-    "embedding_lsh_buckets",
-    "embedding_neardup_pairs",
-    "dedup_exact",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "pricing_summary",
-    "scan_filter_project",
+    # new this round:
+    "fasta_input_roundtrip",
+    "source_quota_sample_hash",
+    # oracle upgraded this round (rows-only → hash-gated):
+    "events_approx_distinct",
+    "bpe_learned_merges",
+    "bpe_tokenized_counts",
+    # code changed this round:
+    "source_quota_sample",  # refactored onto functions.packing.quota_sample
+    "inverted_index_sharded",  # exact floor-division segment key
+    "bracken_weights",  # large-fragment batch kernel
+]
+_EARLY = _MUST_GATE + [
+    # r5-demoted promotions (NOTES rotation plan; every one green in
+    # ≥1 earlier round, most in 4):
     "classification_join",
     "star_broadcast_join",
     "nullsafe_join",
@@ -161,6 +101,74 @@ _TAIL = [
     "event_type_pivot",
     "asof_event_order",
     "range_bucket_join",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_adjacent",
+    "simhash_docs",
+    "doc_fingerprints",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "embedding_neardup_pairs",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_langid",
+    "doc_bpe_token_stats",
+    "value_percentiles",
+    "doc_chunks",
+    "asof_event_order_forward",
+    "embedding_quantize_int8",
+    "dataset_split_counts",
+    "genomic_classify_wide_hashed",
+]
+_TAIL = [
+    # deferred promotions — first in line for the r7 gate (4 green rows
+    # each, the two that didn't fit under the 50-row cap):
+    "pricing_summary",
+    "scan_filter_project",
+    # demoted: green in CORRECTNESS_r05, code untouched since
+    # (the local pytest oracle suite re-runs ALL of them at sf0.01):
+    "genomic_classify",
+    "genomic_classify_wide",
+    "genomic_kmer_totals",
+    "genomic_index_lca_histogram",
+    "genomic_clade_rollup",
+    "media_image_stats",
+    "media_phash_neardup",
+    "media_audio_stats",
+    "video_frame_plan",
+    "scalar_funcs",
+    "set_ops_nations",
+    "topk_per_group",
+    "two_level_agg",
+    "size_histogram",
+    "pack_sequences_sharded",
+    "embedding_ivf_topk_nprobe2",
+    "dedup_keep_canonical",
+    "doc_decontaminate",
+    "doc_repetition",
+    "genomic_classify_detail",
+    "tfidf_top_terms",
+    "doc_dupspan_scrub",
+    "bpe_top_pairs",
+    "dataset_shard_manifest",
+    "streaming_doc_quality",
+    "inverted_index_digest",
+    "corpus_upsert_latest",
+    "events_zorder_layout",
+    "ann_retrieve_docs",
+    "events_json_extract",
+    "corpus_diff",
+    "sessionize_events",
+    "streaming_window_counts",
+    "streaming_session_windows",
+    "streaming_genomic_classify",
+    "streaming_dedup_keys",
+    "pack_sequences",
+    "embedding_ivf_topk",
+    "embedding_kmeans_clusters",  # rows-only (iterative float trainer)
+    "dedup_components",
+    "doc_vocab_top50",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Gate-composition validator — the executable form of the rotation
+policy (VERDICT r5 item 1: the r5 rotation silently dropped
+doc_boilerplate_scrub at position 50 because the check was a comment,
+not a test).
+
+The driver records CORRECTNESS rows for exactly the FIRST 50 names in
+``__spark_entry__._ordered_names()``; everything here fails a rotation
+commit that would push a must-gate query past the cap.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry
+
+GATE_CAP = 50
+
+
+def test_must_gate_set_is_inside_the_cap():
+    gated = entry._ordered_names()[:GATE_CAP]
+    missing = [n for n in entry._MUST_GATE if n not in gated]
+    assert not missing, (
+        f"must-gate queries outside the first {GATE_CAP}: {missing} "
+        f"(positions: {[entry._ordered_names().index(n) for n in missing]})"
+    )
+
+
+def test_rotation_lists_are_consistent_with_the_catalog():
+    names = list(entry._catalog.QUERIES)
+    ordered = entry._ordered_names()
+    # rotation lists must not contain stale names or duplicates
+    for lst, label in ((entry._EARLY, "_EARLY"), (entry._TAIL, "_TAIL")):
+        stale = [n for n in lst if n not in names]
+        assert not stale, f"stale names in {label}: {stale}"
+        assert len(lst) == len(set(lst)), f"duplicates in {label}"
+    assert not set(entry._EARLY) & set(entry._TAIL), "_EARLY/_TAIL overlap"
+    # ordering is a permutation of the catalog — nothing silently dropped
+    assert sorted(ordered) == sorted(names)
+
+
+def test_gate_union_across_rounds_plus_this_round_covers_catalog():
+    """Every catalog entry either has a green row in some recorded
+    round or sits inside this round's first 50 (or is explicitly
+    rows-only by design)."""
+    covered = set()
+    for f in sorted(os.listdir(REPO)):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            d = json.load(open(os.path.join(REPO, f)))
+            covered |= {
+                k
+                for k, v in d.items()
+                if isinstance(v, dict) and v.get("hash_match")
+            }
+    covered |= set(entry._ordered_names()[:GATE_CAP])
+    rows_only = {
+        n for n, (_, sql) in entry._catalog.QUERIES.items() if sql is None
+    }
+    uncovered = set(entry._catalog.QUERIES) - covered - rows_only
+    assert not uncovered, f"queries with no driver row and not gated: {uncovered}"
