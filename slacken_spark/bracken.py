@@ -47,9 +47,17 @@ FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:300-303
 
 # Fragments shorter than this go through the whole-batch kernel
 # (_batch_classify_reads); longer ones keep the per-fragment numpy path.
-# Measured crossover ≈ 600 bp on local[32] (NOTES round 5); 2048 keeps a
-# margin for slower Python/faster numpy environments.
-_BATCH_FRAG_CUTOFF = 2048
+# Re-measured round 6 with realistic per-fragment minimizer lookups
+# (400 kb total per shape, local[32]): batch wins at 512 bp
+# (0.22 vs 0.30 s), the paths cross at ~700 bp, and per-fragment wins
+# from 1 kb up (4 kb: 0.12 vs 0.23 s; 200×5 kb: 0.17 vs 0.53 s;
+# 1 MiB: 0.36 vs 0.60 s) — the strided-view window max has a lower
+# per-base constant than the batch kernel's struct-key machinery, so
+# extending batching upward would REGRESS ~2× exactly where it was
+# proposed. The per-fragment loop's ~0.8 ms/call overhead is already
+# amortized at this size. Parity of the two paths is pinned on
+# mixed-size fixtures in tests/test_bracken.py.
+_BATCH_FRAG_CUTOFF = 1024
 
 
 def split_fragments(df: DataFrame, read_len: int, max_len: int = FRAGMENT_MAX) -> DataFrame:
@@ -413,9 +421,17 @@ class BrackenWeights:
         labels: DataFrame,
         taxa: set[int] | None = None,
         max_len: int = FRAGMENT_MAX,
+        batch_cutoff: int = _BATCH_FRAG_CUTOFF,
     ) -> DataFrame:
         """→ (dest, source, count): every simulated read of every genome
-        classified against the index (buildWeights, BrackenWeights.scala:311-353)."""
+        classified against the index (buildWeights, BrackenWeights.scala:311-353).
+
+        ``batch_cutoff`` routes fragments shorter than it through the
+        whole-batch kernel and the rest through the per-fragment path
+        (see _BATCH_FRAG_CUTOFF for the measured default); it is a
+        plain argument (captured into the executor closure) so tests
+        can force either path end-to-end — a module-global monkeypatch
+        would not reach executor workers."""
         read_len = self.read_len
         frags0 = genomes.join(F.broadcast(labels), "header").select(
             F.col("taxon"),
@@ -478,22 +494,21 @@ class BrackenWeights:
             table = table_bc2.value if table_bc2 is not None else None
             rng = np.random.default_rng(0x5EED)
             for pdf in batches:
-                # Hybrid routing (measured, NOTES round 5): fragments
-                # under ~2 kb are dominated by per-call Python overhead
-                # (~0.3 ms each) — the whole-batch kernel scans them all
-                # in one \x00-joined pass, ~2× faster at 300 bp. Above
-                # the cutoff the per-fragment numpy path is already
-                # amortized and its strided-view window max has a lower
-                # per-base constant than the batch kernel's struct-key
-                # lookup, so big fragments keep the per-fragment path.
-                # Either way the shuffle sees only (source, dest, n)
-                # partials — a 1 MiB fragment simulates ~10⁶ reads but
-                # hits a handful of distinct dest taxa (the reference
-                # also aggregates in the kernel,
-                # BrackenWeights.scala:345-353).
+                # Hybrid routing (re-measured round 6, see
+                # _BATCH_FRAG_CUTOFF): fragments under ~1 kb are
+                # dominated by per-call Python overhead — the
+                # whole-batch kernel scans them all in one \x00-joined
+                # pass. From 1 kb up the per-fragment numpy path wins
+                # (2-3× at 4 kb-1 MiB): its strided-view window max
+                # has a lower per-base constant than the batch
+                # kernel's struct-key lookup. Either way the shuffle
+                # sees only (source, dest, n) partials — a 1 MiB
+                # fragment simulates ~10⁶ reads but hits a handful of
+                # distinct dest taxa (the reference also aggregates in
+                # the kernel, BrackenWeights.scala:345-353).
                 src_a, dst_a, cnt_a = [], [], []
                 nts = pdf["nucleotides"]
-                is_small = nts.str.len().to_numpy() < _BATCH_FRAG_CUTOFF
+                is_small = nts.str.len().to_numpy() < batch_cutoff
                 small = pdf[is_small]
                 if len(small):
                     lk_lens = np.fromiter(

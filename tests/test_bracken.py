@@ -268,6 +268,10 @@ def test_batch_classify_matches_per_fragment(world):
         "N" * 70,                       # no valid minimizer at all
         "ACGTNNA" * 30,                 # short valid runs (< k) only
         g102,
+        # mixed sizes WELL past the routing cutoff — the batch kernel
+        # must agree with the per-fragment path on large fragments too
+        g101 + g102 + _genome(1500),    # 2.7 kb
+        _genome(5000),                  # 5 kb, mostly unindexed
     ]
     n_ids = 2
     keys, taxa_sorted = lookup_arrays(records, n_ids)
@@ -293,3 +297,37 @@ def test_batch_classify_matches_per_fragment(world):
         (int(f), int(d)): int(c) for f, d, c in zip(frag_ids, dests, cnts)
     }
     assert got == expected
+
+
+def test_build_weights_batch_and_per_fragment_routes_agree(world):
+    """End-to-end A/B of the two physical routes on a MIXED-size genome
+    set (0.3-5 kb): batch_cutoff=0 forces every fragment through the
+    per-fragment path, a huge cutoff forces the whole-batch kernel, and
+    the default hybrid must equal both."""
+    spark = world["spark"]
+    g101, g102 = world["genomes"][101], world["genomes"][102]
+    gdf = spark.createDataFrame(
+        [
+            ("m101", g101[:300]),                  # small → batch side
+            ("m102", g102 + _genome(2000)),        # 2.6 kb → per-fragment side
+            ("m103", g101 + g102 + _genome(4000)), # 5.2 kb
+        ],
+        "header string, nucleotides string",
+    )
+    ldf = spark.createDataFrame(
+        [("m101", 101), ("m102", 102), ("m103", 101)], "header string, taxon int"
+    )
+    bw = BrackenWeights(world["idx"], READ_LEN)
+
+    def run(cutoff):
+        return {
+            (r["dest"], r["source"]): r["count"]
+            for r in bw.build_weights(gdf, ldf, batch_cutoff=cutoff).collect()
+        }
+
+    per_fragment = run(0)
+    batch = run(1 << 30)
+    hybrid = run(1024)
+    assert per_fragment, "fixture must classify something"
+    assert batch == per_fragment
+    assert hybrid == per_fragment
