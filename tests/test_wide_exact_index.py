@@ -148,6 +148,54 @@ def test_wide_respace_projects_and_classifies(world):
     assert n_cls >= 5
 
 
+def test_wide_respace_to_storage_roundtrip(world, tmp_path_factory):
+    """A respaced WIDE index must also be STORABLE: write the masked
+    m=80 index as a bucketed table, reload it from the sidecar, and get
+    back identical records, the masked+exact cfg, and a working
+    classification join with no index-side Exchange
+    (KeyValueIndex.scala:347-404 storage semantics for m>31)."""
+    idx, tax, spark = world["idx"], world["tax"], world["spark"]
+    re3 = idx.respace(3)
+    loc = str(tmp_path_factory.mktemp("wide_respace") / "idx80s3")
+    stored = re3.write(loc)
+    loaded = KeyValueIndex.load(spark, loc)
+    # cfg round-trips: masked storage under the wider seed, exact words
+    assert loaded.cfg.spaces == 3
+    assert loaded.cfg.masked and loaded.cfg.wide_exact
+    assert loaded.cfg.key_cols == re3.cfg.key_cols
+    # records round-trip exactly
+    a = {tuple(r) for r in re3.records.collect()}
+    b = {tuple(r) for r in loaded.records.collect()}
+    assert a == b and len(a) > 0
+    # stored ids stay invariant under their own word masks
+    for row in loaded.records.select(*loaded.cfg.key_cols).limit(200).collect():
+        for c, msk in zip(loaded.cfg.key_cols, loaded.cfg.word_masks):
+            assert row[c] & ~msk == 0
+    # classification through the RELOADED masked index still works and
+    # the bucketed scan needs no Exchange
+    t0, seq = 101, world["genomes"][101]
+    reads = spark.createDataFrame(
+        [(f"rs{i}", seq[i * 53 : i * 53 + 250]) for i in range(10)],
+        "header string, nucleotides string",
+    )
+    spans = extract_spans(reads, loaded.cfg)
+    joined = spans.join(loaded.records, loaded.cfg.key_cols, "left")
+    import re as _re
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+    out = Classifier(loaded).classify(
+        reads, ClassifyParams(min_hit_groups=1)
+    ).collect()
+    n_cls = 0
+    for r in out:
+        if r["classified"]:
+            n_cls += 1
+            assert tax.has_ancestor(t0, r["taxon"])
+    assert n_cls >= 5
+    assert stored is re3 and stored.location == loc  # write rebinds in place
+
+
 def test_wide_respace_hashed_rejected(spark):
     from slacken_spark.kernels.minimizers import MinimizerConfig as MC
 
