@@ -76,13 +76,13 @@ _MUST_GATE = [
     "bpe_tokenized_counts",
     # code changed this round:
     "source_quota_sample",  # refactored onto functions.packing.quota_sample
-    "inverted_index_sharded",  # exact floor-division segment key
-    "bracken_weights",  # large-fragment batch kernel
+    "inverted_index_sharded",  # exact floor-division segment key + functions promotion
+    "inverted_index_digest",  # refactored onto functions.inverted
+    "bracken_weights",  # large-fragment routing re-measured, cutoff 1024
 ]
 _EARLY = _MUST_GATE + [
     # r5-demoted promotions (NOTES rotation plan; every one green in
     # ≥1 earlier round, most in 4):
-    "classification_join",
     "star_broadcast_join",
     "nullsafe_join",
     "semi_anti_join",
@@ -123,9 +123,10 @@ _EARLY = _MUST_GATE + [
 ]
 _TAIL = [
     # deferred promotions — first in line for the r7 gate (4 green rows
-    # each, the two that didn't fit under the 50-row cap):
+    # each, the three that didn't fit under the 50-row cap):
     "pricing_summary",
     "scan_filter_project",
+    "classification_join",
     # demoted: green in CORRECTNESS_r05, code untouched since
     # (the local pytest oracle suite re-runs ALL of them at sf0.01):
     "genomic_classify",
@@ -153,7 +154,6 @@ _TAIL = [
     "bpe_top_pairs",
     "dataset_shard_manifest",
     "streaming_doc_quality",
-    "inverted_index_digest",
     "corpus_upsert_latest",
     "events_zorder_layout",
     "ann_retrieve_docs",

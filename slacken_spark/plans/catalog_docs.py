@@ -1879,29 +1879,21 @@ def dataset_shard_manifest(spark, sf_dir):
     """,
 )
 def inverted_index_digest(spark, sf_dir):
-    """Inverted-index build: one posting list (sorted doc ids) per term
-    — the retrieval-side structure a corpus search needs. Explode +
-    distinct collapses per-doc repeats, then ONE term-shuffle builds
-    each posting list; lists are compared by digest so the gate stays
-    row-shaped. At 100 TB posting lists for stopword-grade terms are
-    the classic skew — they stay distributed here (sort_array over a
-    grouped collect_list, no driver materialization), and a production
-    sink would range-shard the hottest terms' lists."""
+    """Inverted-index build, flat shape
+    (functions.inverted.inverted_index, segment_rows=None): one posting
+    list (sorted doc ids) per term — the retrieval-side structure a
+    corpus search needs. Explode + distinct collapses per-doc repeats,
+    then ONE term-shuffle builds each posting list; lists are compared
+    by digest so the gate stays row-shaped. At 100 TB a stopword-grade
+    term's list reduces in one task (skew) — ``inverted_index_sharded``
+    is the bounded-per-task form; tests/test_inverted.py stress-pins
+    the bound on a 50k-doc hot-term corpus."""
+    from slacken_spark.functions.inverted import inverted_index, postings_digest
+
     docs = tp(spark, sf_dir, "documents")
-    e = docs.select(
-        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
-    ).distinct()
-    return e.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda d: d.cast("string"),
-                ),
-            )
-        ).alias("postings_digest"),
+    idx = inverted_index(docs, X.tokens(F.col("text")))
+    return idx.select(
+        "term", "df", postings_digest(F.col("postings")).alias("postings_digest")
     )
 
 
@@ -2096,36 +2088,24 @@ def corpus_diff(spark, sf_dir):
     """,
 )
 def inverted_index_sharded(spark, sf_dir):
-    """Range-sharded posting lists: the hot-term answer the flat
-    inverted index's docstring promises. Posting lists build per
-    (term, doc_id-range segment), so a stopword-grade term that appears
-    in EVERY document reduces across |docs|/100 bounded tasks instead
-    of one — no single reducer ever holds a full hot list. Readers
+    """Range-sharded posting lists
+    (functions.inverted.inverted_index, segment_rows=100): the hot-term
+    answer the flat inverted index's docstring promises. Posting lists
+    build per (term, doc_id-range segment), so a stopword-grade term
+    that appears in EVERY document reduces across |docs|/100 bounded
+    tasks instead of one — no single reducer ever holds a full hot
+    list (bound stress-pinned in tests/test_inverted.py). Readers
     merge segments in segment order (they are disjoint, pre-sorted
     ranges); the oracle reproduces each segment digest exactly."""
+    from slacken_spark.functions.inverted import inverted_index, postings_digest
+
     docs = tp(spark, sf_dir, "documents")
-    e = docs.select(
-        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
-    ).distinct()
-    seg = e.select(
+    idx = inverted_index(docs, X.tokens(F.col("text")), segment_rows=100)
+    return idx.select(
         "term",
-        # Exact integer FLOOR division (matches DuckDB's //): double
-        # division would truncate toward zero and lose exactness past
-        # 2^53 for hash-derived ids.
-        F.expr("(doc_id - pmod(doc_id, 100L)) div 100L").alias("segment"),
-        "doc_id",
-    )
-    return seg.groupBy("term", "segment").agg(
-        F.count(F.lit(1)).cast("long").alias("df_segment"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda d: d.cast("string"),
-                ),
-            )
-        ).alias("segment_digest"),
+        "segment",
+        "df_segment",
+        postings_digest(F.col("postings")).alias("segment_digest"),
     )
 
 
