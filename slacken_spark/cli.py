@@ -346,10 +346,10 @@ def cmd_display_report(args) -> int:
 
 def cmd_pipeline(args) -> int:
     """Training-data pipeline driver: ingest → quality filter → dedup →
-    pack → deterministic shard publish, each stage the library operator
-    the catalog gates (beyond-reference surface; the genomic commands
-    above mirror the reference CLI). Prints the shard manifest as JSON
-    lines."""
+    per-source quota sampling → pack → deterministic shard publish,
+    each stage the library operator the catalog gates (beyond-reference
+    surface; the genomic commands above mirror the reference CLI).
+    Prints the shard manifest as JSON lines."""
     from pyspark.sql import functions as F
 
     from slacken_spark.functions import text as X
@@ -392,6 +392,20 @@ def cmd_pipeline(args) -> int:
     )
     if args.min_tokens:
         sized = sized.where(F.col("n_tokens") >= args.min_tokens)
+    if args.quota_tokens:
+        # dataset-mixer step: deterministic hash-spread downsampling to a
+        # per-source token budget; "hash" is the no-per-source-sort path
+        # for when one source dominates (functions.packing.quota_sample)
+        from slacken_spark.functions.packing import quota_sample
+
+        sized = quota_sample(
+            sized,
+            args.quota_tokens,
+            "source",
+            "doc_id",
+            "n_tokens",
+            args.quota_mode,
+        )
     shard_key = "doc_id"
     if args.pack_budget:
         packed = pack_greedy(
@@ -536,6 +550,13 @@ def main(argv: list[str] | None = None) -> int:
         help="derive content-addressed doc ids (input has no doc_id column)",
     )
     pl.add_argument("--min-tokens", type=int, default=0)
+    pl.add_argument(
+        "--quota-tokens",
+        type=int,
+        default=0,
+        help="per-source token quota (0 = no quota sampling)",
+    )
+    pl.add_argument("--quota-mode", choices=("window", "hash"), default="hash")
     pl.add_argument("--dedup", choices=("none", "exact", "dupspan"), default="none")
     pl.add_argument("--dupspan-n", type=int, default=5)
     pl.add_argument("--pack-budget", type=int, default=0)

@@ -231,6 +231,66 @@ def test_pipeline_cli(tmp_path, spark):
     assert spread == 0
 
 
+def test_pipeline_cli_quota_stage(tmp_path, spark):
+    """--quota-tokens caps each source's published tokens via the
+    hash-threshold sampler: the hot source gets cut to the quota, the
+    small source publishes whole."""
+    import io
+    from contextlib import redirect_stdout
+
+    from slacken_spark.cli import main
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        for i in range(50):
+            f.write(
+                json.dumps(
+                    {"doc_id": i, "source": "hot", "text": "a b c d e f g h"}
+                )
+                + "\n"
+            )
+        for i in range(3):
+            f.write(
+                json.dumps(
+                    {"doc_id": 100 + i, "source": "cold", "text": "x y z"}
+                )
+                + "\n"
+            )
+    out_dir = tmp_path / "qshards"
+    buf = io.StringIO()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with redirect_stdout(buf):
+            rc = main(
+                [
+                    "-p", "4",
+                    "pipeline",
+                    "--input", str(src),
+                    "--format", "jsonl",
+                    "--output", str(out_dir),
+                    "--quota-tokens", "80",
+                    "--quota-mode", "hash",
+                    "--shards", "2",
+                ]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert rc == 0
+    manifest = [json.loads(l) for l in buf.getvalue().splitlines()]
+    back = spark.read.parquet(str(out_dir))
+    from pyspark.sql import functions as F
+
+    per_src = {
+        r["source"]: (r["n"], r["tok"])
+        for r in back.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert per_src["cold"] == (3, 9)  # under quota → published whole
+    assert per_src["hot"][0] == 10 and per_src["hot"][1] == 80  # 80//8 docs
+    assert sum(m["n_rows"] for m in manifest) == 13
+
+
 def test_pipeline_cli_null_ids_fail_loudly(tmp_path, capsys):
     from slacken_spark.cli import main
 
