@@ -201,10 +201,17 @@ def read_indexed_fasta(
                 out, columns=["header", "location", "nucleotides", "nucleotides2"]
             )
 
-    # repartition so each executor thread gets ranges — the planning rows
-    # are tiny but each expands to ~1 MB of sequence
+    # repartition by EXPANDED bytes, not plan rows: each plan row blows
+    # up to ≤ max_chunk bases, so size partitions at ~8 MB of sequence
+    # (one-partition-per-row would schedule thousands of micro-tasks
+    # when the index holds many small sequences, and starve threads
+    # when it holds a few huge ones)
     n = max(len(plans), 1)
-    return plan_df.repartition(min(n, 2048)).mapInPandas(
+    total_bases = sum(p["n_bases"] for p in plans)
+    by_bytes = total_bases // (8 << 20)
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(n, 2048, max(by_bytes, par)))
+    return plan_df.repartition(n_parts).mapInPandas(
         ranged_read, FRAGMENT_SCHEMA
     )
 
