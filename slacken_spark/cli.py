@@ -395,7 +395,11 @@ def cmd_pipeline(args) -> int:
     if args.quota_tokens:
         # dataset-mixer step: deterministic hash-spread downsampling to a
         # per-source token budget; "hash" is the no-per-source-sort path
-        # for when one source dominates (functions.packing.quota_sample)
+        # for when one source dominates (functions.packing.quota_sample).
+        # Persist first: hash mode evaluates the upstream lineage twice
+        # (histogram pass + kept-set output), and everything above —
+        # ingest, dedup/scrub, token counting — is the expensive part.
+        sized = sized.persist()
         from slacken_spark.functions.packing import quota_sample
 
         sized = quota_sample(

@@ -136,30 +136,47 @@ def quota_sample(
       window. Buckets are the high bits of the hash, so bucket order
       refines hash order and the kept set matches ``"window"`` exactly,
       ties included.
+
+    NULL handling (identical in both modes): a NULL group is one group
+    (SQL window-partition semantics), and NULL sizes count as 0 — a
+    raw window-sum would instead poison the running total until the
+    first non-null size and silently drop those leading rows.
+
+    Hash mode evaluates ``df``'s lineage twice (the eager histogram
+    pass, then the kept-set output); callers with expensive upstream
+    lineage should persist ``df`` first (the pipeline CLI does).
     """
     if mode not in ("window", "hash"):
         raise ValueError(f"unknown quota_sample mode: {mode!r}")
     h = F.md5(F.col(id_col).cast("string"))
-    base = df.withColumn("_h", h)
-    w_full = Window.partitionBy(group_col).orderBy("_h", id_col).rowsBetween(
+    # normalized group key: NULL-safe (inner joins on the raw group
+    # would silently drop NULL-group rows) and type-stable for the
+    # driver bounds table whatever the group column's type
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    base = df.withColumn("_h", h).withColumn("_gkey", gkey).withColumn(
+        "_sz", size
+    )
+    w_full = Window.partitionBy("_gkey").orderBy("_h", id_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    out_cols = df.columns
     if mode == "window":
         return (
-            base.withColumn("_cum", F.sum(size_col).over(w_full))
+            base.withColumn("_cum", F.sum("_sz").over(w_full))
             .where(F.col("_cum") <= quota)
-            .drop("_h", "_cum")
+            .select(*out_cols)
         )
 
-    # hash mode: bucket = first 3 hex chars of the hash (high bits →
+    # hash mode: bucket = high hex chars of the hash (high bits →
     # bucket order refines full-hash string order; hex strings compare
     # bytewise so string order == value order)
     n_hex = max(1, -(-(n_buckets - 1).bit_length() // 4))
     bucket = F.conv(F.substring("_h", 1, n_hex), 16, 10).cast("long")
     bucketed = base.withColumn("_bkt", bucket)
     hist = (
-        bucketed.groupBy(group_col, "_bkt")
-        .agg(F.sum(size_col).cast("long").alias("_btok"))
+        bucketed.groupBy("_gkey", "_bkt")
+        .agg(F.sum("_sz").cast("long").alias("_btok"))
         .collect()
     )
     # driver-side prefix sum per group over the tiny histogram: find the
@@ -167,7 +184,7 @@ def quota_sample(
     # quota) and the tokens consumed strictly before it
     per_group: dict = {}
     for r in hist:
-        per_group.setdefault(r[group_col], []).append((r["_bkt"], r["_btok"]))
+        per_group.setdefault(r["_gkey"], []).append((r["_bkt"], r["_btok"]))
     rows = []
     for g, buckets in per_group.items():
         cum = 0
@@ -184,20 +201,17 @@ def quota_sample(
         return df.where(F.lit(False))
     spark = df.sparkSession
     bounds = F.broadcast(
-        spark.createDataFrame(rows, [group_col, "_boundary", "_before"])
+        spark.createDataFrame(
+            rows, "_gkey string, _boundary long, _before long"
+        )
     )
-    joined = bucketed.join(bounds, group_col)
+    joined = bucketed.join(bounds, "_gkey")
     whole = joined.where(F.col("_bkt") < F.col("_boundary"))
-    w_bkt = Window.partitionBy(group_col).orderBy("_h", id_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     edge = (
         joined.where(F.col("_bkt") == F.col("_boundary"))
-        .withColumn("_cum", F.sum(size_col).over(w_bkt))
+        .withColumn("_cum", F.sum("_sz").over(w_full))
         .where(F.col("_before") + F.col("_cum") <= quota)
-        .drop("_cum")
     )
-    out_cols = df.columns
     return whole.select(*out_cols).unionByName(edge.select(*out_cols))
 
 

@@ -645,14 +645,20 @@ def _write_fixture_files(spark, sf_dir):
     fasta_p = os.path.join(d, "genomes.fasta")
     fastq_p = os.path.join(d, "reads.fastq")
     list_p = os.path.join(d, "inputs.txt")
-    with open(fasta_p, "w") as fh:
-        fh.write("".join(fasta_parts))
-    with open(fasta_p + ".fai", "w") as fh:
-        fh.write("".join(fai_lines))
-    with open(fastq_p, "w") as fh:
-        fh.write("".join(fastq_parts))
-    with open(list_p, "w") as fh:
-        fh.write(fasta_p + "\n" + fastq_p + "\n")
+    def publish(path: str, content: str):
+        # atomic replace: the path is shared across applications (keyed
+        # by sf_dir, not app), so a concurrent app must never observe a
+        # mid-truncate file; identical deterministic bytes make the
+        # replace itself invisible to readers
+        fd, tmp = tempfile.mkstemp(dir=d, prefix="._fio_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, path)
+
+    publish(fasta_p, "".join(fasta_parts))
+    publish(fasta_p + ".fai", "".join(fai_lines))
+    publish(fastq_p, "".join(fastq_parts))
+    publish(list_p, fasta_p + "\n" + fastq_p + "\n")
     return fasta_p, fastq_p, list_p
 
 

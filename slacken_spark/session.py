@@ -93,33 +93,58 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         import hashlib
         import io
 
-        # Build the zip in memory, then publish it at a CONTENT-ADDRESSED
-        # stable path. Unlinking after addPyFile is NOT safe: local-mode
-        # executors lazily re-fetch from the original path, and a recycled
-        # mkstemp name with different contents aborts the fetching task
-        # ("exists and does not match contents"). A stable hash-derived
-        # name instead (a) is reused by every subsequent app on the same
-        # package state — no per-app temp-file growth — and (b) can only
-        # collide with identical bytes.
+        # Build the zip in memory with DETERMINISTIC bytes (sorted walk,
+        # fixed entry timestamps — a zipfile.write would embed per-file
+        # mtimes, so a mere checkout/touch would mint a new digest and
+        # accumulate zips), then publish it at a CONTENT-ADDRESSED stable
+        # path. Unlinking after addPyFile is NOT safe: local-mode
+        # executors lazily re-fetch from the original path, and a
+        # recycled name with different contents aborts the fetching task
+        # ("exists and does not match contents"). A stable content-hash
+        # name is reused by every subsequent app on the same package
+        # bytes — no per-app temp-file growth — and byte-identical
+        # rewrites can't trip the executor mismatch check.
+        entries = []
+        for root, dirs, files in os.walk(pkg):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    with open(full, "rb") as fh:
+                        entries.append((os.path.relpath(full, parent), fh.read()))
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, parent))
+            for rel, content in entries:
+                zi = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+                zi.external_attr = 0o644 << 16
+                zf.writestr(zi, content, zipfile.ZIP_DEFLATED)
         data = buf.getvalue()
         digest = hashlib.md5(data).hexdigest()[:16]
         zpath = os.path.join(
             tempfile.gettempdir(), f"slacken_spark_pkg_{digest}.zip"
         )
-        if not os.path.exists(zpath):
+        # Trust nothing at the predictable path: VERIFY bytes before
+        # reuse (a stale/planted/unreadable file must never ship to
+        # executors), rewrite atomically and world-readable otherwise;
+        # if the path is unwritable (another user's file), fall back to
+        # a private unique name — correctness over dedup.
+        reuse = False
+        try:
+            with open(zpath, "rb") as fh:
+                reuse = fh.read() == data
+        except OSError:
+            reuse = False
+        if not reuse:
             fd, tmp = tempfile.mkstemp(
                 suffix=".zip", prefix="slacken_spark_", dir=tempfile.gettempdir()
             )
             with os.fdopen(fd, "wb") as fh:
                 fh.write(data)
-            os.replace(tmp, zpath)
+            os.chmod(tmp, 0o644)
+            try:
+                os.replace(tmp, zpath)
+            except OSError:
+                zpath = tmp
         spark.sparkContext.addPyFile(zpath)
     except Exception:
         pass

@@ -4,6 +4,7 @@ shape — one source spread across shards instead of one task."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from slacken_spark.functions.packing import pack_greedy
 
@@ -206,6 +207,39 @@ def test_quota_sample_modes_agree_and_match_reference(spark):
         assert got == ref, f"mode={mode}"
     assert ("small", 1000) in ref and ("zero", 2000) in ref
     assert not any(g == "fat" for g, _ in ref)
+
+
+def test_quota_sample_null_groups_and_sizes_agree_across_modes(spark):
+    """NULL source rows form ONE group (window-partition semantics) and
+    NULL sizes count as 0 — in BOTH modes. Regression: hash mode's
+    inner join on the raw group silently dropped every NULL-group row,
+    and a NULL histogram sum crashed the driver prefix scan."""
+    from slacken_spark.functions.packing import quota_sample
+
+    rows = [
+        (None, 1, 5),
+        (None, 2, None),  # NULL size → counts as 0, stays kept
+        (None, 3, 5),
+        ("s", 4, None),  # a (group, bucket) whose only size is NULL
+        ("s", 5, 3),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, ntok long")
+    for mode in ("window", "hash"):
+        got = {
+            (r["source"], r["doc_id"])
+            for r in quota_sample(
+                df, 100, "source", "doc_id", "ntok", mode, n_buckets=16
+            ).collect()
+        }
+        assert got == {(g, i) for g, i, _ in rows}, f"mode={mode}"
+    # and a quota that cuts inside the NULL group still agrees
+    for mode in ("window", "hash"):
+        kept = quota_sample(
+            df, 5, "source", "doc_id", "ntok", mode, n_buckets=16
+        ).where(F.col("source").isNull()).count()
+        assert kept == quota_sample(
+            df, 5, "source", "doc_id", "ntok", "window"
+        ).where(F.col("source").isNull()).count(), f"mode={mode}"
 
 
 def test_quota_sample_bad_mode_rejected(spark):
