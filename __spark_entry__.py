@@ -70,6 +70,7 @@ _MUST_GATE = [
     # new this round:
     "fasta_input_roundtrip",
     "source_quota_sample_hash",
+    "embedding_semdedup_keep",
     # oracle upgraded this round (rows-only → hash-gated):
     "events_approx_distinct",
     "bpe_learned_merges",
@@ -83,7 +84,6 @@ _MUST_GATE = [
 _EARLY = _MUST_GATE + [
     # r5-demoted promotions (NOTES rotation plan; every one green in
     # ≥1 earlier round, most in 4):
-    "star_broadcast_join",
     "nullsafe_join",
     "semi_anti_join",
     "order_rejoin",
@@ -123,10 +123,11 @@ _EARLY = _MUST_GATE + [
 ]
 _TAIL = [
     # deferred promotions — first in line for the r7 gate (4 green rows
-    # each, the three that didn't fit under the 50-row cap):
+    # each, the four that didn't fit under the 50-row cap):
     "pricing_summary",
     "scan_filter_project",
     "classification_join",
+    "star_broadcast_join",
     # demoted: green in CORRECTNESS_r05, code untouched since
     # (the local pytest oracle suite re-runs ALL of them at sf0.01):
     "genomic_classify",

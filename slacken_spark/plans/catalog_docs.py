@@ -1098,8 +1098,13 @@ def _bucket_sql() -> str:
 )
 def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate candidates: LSH-bucket equi-join
-    (one shuffle, no all-pairs) + exact cosine threshold (0.2) — the embedding
-    twin of MinHash dedup."""
+    (one shuffle, no all-pairs) + exact cosine threshold (0.2) — the
+    embedding twin of MinHash dedup. ``embedding_semdedup_keep`` builds
+    its component graph over these same pairs."""
+    return _emb_neardup_pairs(spark, sf_dir)
+
+
+def _emb_neardup_pairs(spark, sf_dir):
     emb = tp(spark, sf_dir, "embeddings")
     b = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes()).select(
         "vec_id",
@@ -1128,6 +1133,74 @@ def embedding_neardup_pairs(spark, sf_dir):
         )
         .where(F.col("sim") >= 0.2)
     )
+
+
+# SemDedup-style keep-one-per-embedding-cluster: components over the
+# near-dup pair graph, memoized per (application, sf_dir) like the text
+# component labels (tiny label table, persisted).
+_EMB_COMPONENTS_CACHE: dict = {}
+
+
+def _emb_components(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+
+    def build():
+        pairs = _emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+        return D.connected_components(pairs, loop_partitions=8).persist()
+
+    return app_scoped_get(_EMB_COMPONENTS_CACHE, spark, sf_dir, build)
+
+
+_EMB_PAIR_SQL_REF = "embedding_neardup_pairs"
+
+
+def _semdedup_sql() -> str:
+    from slacken_spark.plans.catalog import QUERIES as _QQ
+
+    pair_sql = _QQ[_EMB_PAIR_SQL_REF][1]
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS vec_id,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """
+
+
+def _register_semdedup():
+    @register("embedding_semdedup_keep", _semdedup_sql())
+    def embedding_semdedup_keep(spark, sf_dir):
+        """SemDedup-shaped embedding dedup: weakly-connected components
+        over the cosine near-dup pair graph (LSH-bucketed, never
+        all-pairs), keep ONE vector per cluster (the min vec_id — the
+        component label) with its cluster size — the embedding twin of
+        ``dedup_keep_canonical``. Composes the bucket equi-join with the
+        O(log d) label loop (functions.dedup.connected_components);
+        singletons keep themselves. The oracle replays the closure as a
+        recursive CTE over the SAME pair SQL, tractable at oracle scale
+        only."""
+        emb = tp(spark, sf_dir, "embeddings").select("vec_id")
+        comp = _emb_components(spark, sf_dir)
+        labeled = emb.join(
+            comp, emb["vec_id"] == comp["node"], "left"
+        ).select(
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component")
+        )
+        return (
+            labeled.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .select(F.col("component").alias("vec_id"), "cluster_size")
+        )
+
+
+_register_semdedup()
 
 
 # ---------------------------------------------------------------------------

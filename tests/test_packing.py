@@ -242,6 +242,48 @@ def test_quota_sample_null_groups_and_sizes_agree_across_modes(spark):
         ).where(F.col("source").isNull()).count(), f"mode={mode}"
 
 
+def test_quota_sample_modes_agree_on_random_inputs(spark):
+    """Property: window ≡ hash ≡ pure-Python reference for random
+    group/size layouts and quotas, across bucket counts (including
+    n_buckets small enough that many boundary buckets hold several
+    docs, and power-of-16 vs non-power-of-16)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from slacken_spark.functions.packing import quota_sample
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda r: r[1],
+        ),
+        quota=st.integers(min_value=0, max_value=400),
+        n_buckets=st.sampled_from([4, 16, 100]),
+    )
+    def check(rows, quota, n_buckets):
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, ntok long"
+        )
+        ref = _quota_ref(rows, quota)
+        for mode in ("window", "hash"):
+            got = {
+                (r["source"], r["doc_id"])
+                for r in quota_sample(
+                    df, quota, "source", "doc_id", "ntok", mode, n_buckets
+                ).collect()
+            }
+            assert got == ref, (mode, quota, n_buckets, sorted(rows)[:5])
+
+    check()
+
+
 def test_quota_sample_bad_mode_rejected(spark):
     from slacken_spark.functions.packing import quota_sample
 
