@@ -71,6 +71,7 @@ _MUST_GATE = [
     "fasta_input_roundtrip",
     "source_quota_sample_hash",
     "embedding_semdedup_keep",
+    "inverted_index_delta",
     # oracle upgraded this round (rows-only → hash-gated):
     "events_approx_distinct",
     "bpe_learned_merges",
@@ -84,7 +85,6 @@ _MUST_GATE = [
 _EARLY = _MUST_GATE + [
     # r5-demoted promotions (NOTES rotation plan; every one green in
     # ≥1 earlier round, most in 4):
-    "nullsafe_join",
     "semi_anti_join",
     "order_rejoin",
     "lca_fold",
@@ -128,6 +128,7 @@ _TAIL = [
     "scan_filter_project",
     "classification_join",
     "star_broadcast_join",
+    "nullsafe_join",
     # demoted: green in CORRECTNESS_r05, code untouched since
     # (the local pytest oracle suite re-runs ALL of them at sf0.01):
     "genomic_classify",

@@ -284,6 +284,52 @@ def test_quota_sample_modes_agree_on_random_inputs(spark):
     check()
 
 
+def test_quota_sample_hash_mode_hot_group_stress(spark):
+    """The hash mode's reason to exist: ONE group is the dataset (100k
+    rows). The kept token total must land exactly in (quota - max_size,
+    quota], the kept set must equal window mode's, and the boundary
+    bucket — the only rows that ever see a sort — must be a tiny
+    fraction of the group."""
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions.packing import quota_sample
+
+    n, quota = 100_000, 50_000
+    df = spark.range(n).select(
+        F.lit("the_corpus").alias("source"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("ntok"),
+    )
+    kept = quota_sample(df, quota, "source", "doc_id", "ntok", "hash")
+    row = kept.agg(
+        F.sum("ntok").alias("tok"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert quota - 7 < row["tok"] <= quota
+    # exact agreement with window mode on the kept ids
+    w_ids = {
+        r["doc_id"]
+        for r in quota_sample(
+            df, quota, "source", "doc_id", "ntok", "window"
+        ).select("doc_id").collect()
+    }
+    h_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert h_ids == w_ids and len(h_ids) == row["n"]
+    # the boundary bucket is ~n/4096 of the group (allow 5x headroom)
+    edge_bound = 5 * (n // 4096 + 1)
+    assert 0 < len(h_ids) < n
+    # reconstruct the boundary bucket size from the plan semantics:
+    # rows in the kept set whose bucket equals the max kept bucket
+    kept_with_bkt = kept.withColumn(
+        "_bkt",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10
+        ).cast("long"),
+    )
+    mx = kept_with_bkt.agg(F.max("_bkt")).first()[0]
+    edge_rows = kept_with_bkt.where(F.col("_bkt") == mx).count()
+    assert edge_rows <= edge_bound, f"boundary bucket {edge_rows} > {edge_bound}"
+
+
 def test_quota_sample_bad_mode_rejected(spark):
     from slacken_spark.functions.packing import quota_sample
 
