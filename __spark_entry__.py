@@ -53,8 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # every query that is new or whose code/oracle changed this round, then
 # the r5-demoted promotions (all with ≥1 earlier green row). Demoted:
 # the r5-gated set (green in CORRECTNESS_r05, code untouched) plus
-# pricing_summary and scan_filter_project (4 green rows each — the two
-# that didn't fit; first in line for r7). The must-gate set below is
+# five 4x-green promotions that no longer fit as late-round additions
+# claimed slots (pricing_summary, scan_filter_project,
+# classification_join, star_broadcast_join, nullsafe_join — first in
+# line for r7). The must-gate set below is
 # ASSERTED inside the first 50 by tests/test_gate.py, so a rotation
 # commit can no longer silently drop a query (the r5 validator was a
 # comment, not a test — hence the off-by-one).
@@ -123,7 +125,7 @@ _EARLY = _MUST_GATE + [
 ]
 _TAIL = [
     # deferred promotions — first in line for the r7 gate (4 green rows
-    # each, the four that didn't fit under the 50-row cap):
+    # each, the five that didn't fit under the 50-row cap):
     "pricing_summary",
     "scan_filter_project",
     "classification_join",

@@ -24,6 +24,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def segment_expr(id_col: str, segment_rows: int) -> Column:
+    """Exact integer FLOOR-division range-segment key (matches
+    engine-portable ``//``; stays exact past 2^53 for hash-derived
+    ids) — THE segment scheme of the sharded index; delta maintenance
+    must use the same one or its rebuilt lists patch the wrong rows."""
+    return F.expr(
+        f"({id_col} - pmod({id_col}, {segment_rows}L)) div {segment_rows}L"
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     tokens: Column,
@@ -43,11 +53,8 @@ def inverted_index(
         )
     if segment_rows <= 0:
         raise ValueError(f"segment_rows must be positive: {segment_rows}")
-    seg = F.expr(
-        f"({id_col} - pmod({id_col}, {segment_rows}L)) div {segment_rows}L"
-    )
     return (
-        e.withColumn("segment", seg)
+        e.withColumn("segment", segment_expr(id_col, segment_rows))
         .groupBy("term", "segment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df_segment"),

@@ -1076,9 +1076,7 @@ def _bucket_sql() -> str:
     return " + ".join(terms)
 
 
-@register(
-    "embedding_neardup_pairs",
-    f"""
+_NEARDUP_PAIR_SQL = f"""
     WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            round(
@@ -1094,8 +1092,10 @@ def _bucket_sql() -> str:
              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
               * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
              4) >= 0.2
-    """,
-)
+    """
+
+
+@register("embedding_neardup_pairs", _NEARDUP_PAIR_SQL)
 def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate candidates: LSH-bucket equi-join
     (one shuffle, no all-pairs) + exact cosine threshold (0.2) — the
@@ -1151,56 +1151,47 @@ def _emb_components(spark, sf_dir):
     return app_scoped_get(_EMB_COMPONENTS_CACHE, spark, sf_dir, build)
 
 
-_EMB_PAIR_SQL_REF = "embedding_neardup_pairs"
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_NEARDUP_PAIR_SQL}),
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                       UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+    SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+    UNION
+    SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS vec_id,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY component
+"""
 
 
-def _semdedup_sql() -> str:
-    from slacken_spark.plans.catalog import QUERIES as _QQ
-
-    pair_sql = _QQ[_EMB_PAIR_SQL_REF][1]
-    return f"""
-    WITH RECURSIVE pairs AS ({pair_sql}),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    reach AS (
-        SELECT vec_id AS node, vec_id AS lbl FROM embeddings
-        UNION
-        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
-    SELECT CAST(component AS BIGINT) AS vec_id,
-           CAST(count(*) AS BIGINT) AS cluster_size
-    FROM comp GROUP BY component
-    """
-
-
-def _register_semdedup():
-    @register("embedding_semdedup_keep", _semdedup_sql())
-    def embedding_semdedup_keep(spark, sf_dir):
-        """SemDedup-shaped embedding dedup: weakly-connected components
-        over the cosine near-dup pair graph (LSH-bucketed, never
-        all-pairs), keep ONE vector per cluster (the min vec_id — the
-        component label) with its cluster size — the embedding twin of
-        ``dedup_keep_canonical``. Composes the bucket equi-join with the
-        O(log d) label loop (functions.dedup.connected_components);
-        singletons keep themselves. The oracle replays the closure as a
-        recursive CTE over the SAME pair SQL, tractable at oracle scale
-        only."""
-        emb = tp(spark, sf_dir, "embeddings").select("vec_id")
-        comp = _emb_components(spark, sf_dir)
-        labeled = emb.join(
-            comp, emb["vec_id"] == comp["node"], "left"
-        ).select(
-            F.coalesce(F.col("component"), F.col("vec_id")).alias("component")
-        )
-        return (
-            labeled.groupBy("component")
-            .agg(F.count(F.lit(1)).alias("cluster_size"))
-            .select(F.col("component").alias("vec_id"), "cluster_size")
-        )
-
-
-_register_semdedup()
+@register("embedding_semdedup_keep", _SEMDEDUP_SQL)
+def embedding_semdedup_keep(spark, sf_dir):
+    """SemDedup-shaped embedding dedup: weakly-connected components
+    over the cosine near-dup pair graph (LSH-bucketed, never
+    all-pairs), keep ONE vector per cluster (the min vec_id — the
+    component label) with its cluster size — the embedding twin of
+    ``dedup_keep_canonical``. Composes the bucket equi-join with the
+    O(log d) label loop (functions.dedup.connected_components);
+    singletons keep themselves. The oracle replays the closure as a
+    recursive CTE over the SAME pair SQL (pairs/edges MATERIALIZED —
+    the recursive member re-evaluates inlined CTEs per iteration:
+    measured 62.6 s vs 5.0 s at sf0.01), tractable at oracle scale
+    only."""
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id")
+    comp = _emb_components(spark, sf_dir)
+    labeled = emb.join(
+        comp, emb["vec_id"] == comp["node"], "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component")
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("component").alias("vec_id"), "cluster_size")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2023,8 +2014,10 @@ def inverted_index_delta(spark, sf_dir):
     delete them. Segments use the same exact floor-division key scheme as
     ``inverted_index_sharded`` (10-doc segments here, so the gate data
     actually exercises the tombstone branch)."""
+    from slacken_spark.functions.inverted import postings_digest, segment_expr
+
     docs = tp(spark, sf_dir, "documents")
-    seg = F.expr("(doc_id - pmod(doc_id, 10L)) div 10L")
+    seg = segment_expr("doc_id", 10)
     upd = docs.where(F.col("doc_id") % 10 == 0).select(
         "doc_id",
         F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
@@ -2054,14 +2047,8 @@ def inverted_index_delta(spark, sf_dir):
         .groupBy("term", "segment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df_segment"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list("doc_id")),
-                        lambda d: d.cast("string"),
-                    ),
-                )
+            postings_digest(
+                F.sort_array(F.collect_list("doc_id"))
             ).alias("segment_digest"),
         )
     )
