@@ -53,10 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # every query that is new or whose code/oracle changed this round, then
 # the r5-demoted promotions (all with ≥1 earlier green row). Demoted:
 # the r5-gated set (green in CORRECTNESS_r05, code untouched) plus
-# five 4x-green promotions that no longer fit as late-round additions
+# six 4x-green promotions that no longer fit as late-round additions
 # claimed slots (pricing_summary, scan_filter_project,
-# classification_join, star_broadcast_join, nullsafe_join — first in
-# line for r7). The must-gate set below is
+# classification_join, star_broadcast_join, nullsafe_join,
+# semi_anti_join — first in line for r7). The must-gate set below is
 # ASSERTED inside the first 50 by tests/test_gate.py, so a rotation
 # commit can no longer silently drop a query (the r5 validator was a
 # comment, not a test — hence the off-by-one).
@@ -74,6 +74,7 @@ _MUST_GATE = [
     "source_quota_sample_hash",
     "embedding_semdedup_keep",
     "inverted_index_delta",
+    "source_temperature_mix",
     # oracle upgraded this round (rows-only → hash-gated):
     "events_approx_distinct",
     "bpe_learned_merges",
@@ -87,7 +88,6 @@ _MUST_GATE = [
 _EARLY = _MUST_GATE + [
     # r5-demoted promotions (NOTES rotation plan; every one green in
     # ≥1 earlier round, most in 4):
-    "semi_anti_join",
     "order_rejoin",
     "lca_fold",
     "hit_regroup",
@@ -125,12 +125,13 @@ _EARLY = _MUST_GATE + [
 ]
 _TAIL = [
     # deferred promotions — first in line for the r7 gate (4 green rows
-    # each, the five that didn't fit under the 50-row cap):
+    # each, the six that didn't fit under the 50-row cap):
     "pricing_summary",
     "scan_filter_project",
     "classification_join",
     "star_broadcast_join",
     "nullsafe_join",
+    "semi_anti_join",
     # demoted: green in CORRECTNESS_r05, code untouched since
     # (the local pytest oracle suite re-runs ALL of them at sf0.01):
     "genomic_classify",

@@ -106,7 +106,7 @@ def pack_greedy(
 
 def quota_sample(
     df: DataFrame,
-    quota: int,
+    quota,
     group_col: str = "source",
     id_col: str = "doc_id",
     size_col: str = "ntok",
@@ -117,6 +117,12 @@ def quota_sample(
     deterministic md5 hash of ``id_col`` (a seeded, engine-reproducible
     spread sample), keep rows while the running ``size_col`` sum stays
     within ``quota``. Returns the KEPT rows of ``df`` (original columns).
+
+    ``quota`` is one budget for every group (int), or a PER-GROUP dict
+    ``{group_value: budget}`` — the dataset-mixer form, where each
+    source gets its own allotment (e.g. temperature-scaled shares).
+    Groups absent from the dict are dropped (quota 0): an unlisted
+    source in a mixing recipe must not leak into the published set.
 
     ``mode`` picks the physical strategy — both produce the IDENTICAL
     kept set:
@@ -148,11 +154,18 @@ def quota_sample(
     """
     if mode not in ("window", "hash"):
         raise ValueError(f"unknown quota_sample mode: {mode!r}")
+    _NULL_KEY = "\x00<null>"
+    qmap = None
+    if isinstance(quota, dict):
+        qmap = {
+            (_NULL_KEY if k is None else str(k)): int(v)
+            for k, v in quota.items()
+        }
     h = F.md5(F.col(id_col).cast("string"))
     # normalized group key: NULL-safe (inner joins on the raw group
     # would silently drop NULL-group rows) and type-stable for the
     # driver bounds table whatever the group column's type
-    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_KEY))
     size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
     base = df.withColumn("_h", h).withColumn("_gkey", gkey).withColumn(
         "_sz", size
@@ -161,10 +174,23 @@ def quota_sample(
         Window.unboundedPreceding, 0
     )
     out_cols = df.columns
+    spark = df.sparkSession
     if mode == "window":
+        if qmap is None:
+            return (
+                base.withColumn("_cum", F.sum("_sz").over(w_full))
+                .where(F.col("_cum") <= quota)
+                .select(*out_cols)
+            )
+        if not qmap:
+            return df.where(F.lit(False))
+        quotas = F.broadcast(
+            spark.createDataFrame(list(qmap.items()), "_gkey string, _q long")
+        )
         return (
-            base.withColumn("_cum", F.sum("_sz").over(w_full))
-            .where(F.col("_cum") <= quota)
+            base.join(quotas, "_gkey")  # inner: unlisted groups drop
+            .withColumn("_cum", F.sum("_sz").over(w_full))
+            .where(F.col("_cum") <= F.col("_q"))
             .select(*out_cols)
         )
 
@@ -187,22 +213,22 @@ def quota_sample(
         per_group.setdefault(r["_gkey"], []).append((r["_bkt"], r["_btok"]))
     rows = []
     for g, buckets in per_group.items():
+        g_quota = quota if qmap is None else qmap.get(g, 0)
         cum = 0
         boundary, before = None, 0
         for b, tok in sorted(buckets):
-            if cum + tok > quota:
+            if cum + tok > g_quota:
                 boundary, before = b, cum
                 break
             cum += tok
         if boundary is None:
             boundary, before = (max(b for b, _ in buckets) + 1), cum
-        rows.append((g, boundary, before))
+        rows.append((g, boundary, before, g_quota))
     if not rows:
         return df.where(F.lit(False))
-    spark = df.sparkSession
     bounds = F.broadcast(
         spark.createDataFrame(
-            rows, "_gkey string, _boundary long, _before long"
+            rows, "_gkey string, _boundary long, _before long, _q long"
         )
     )
     joined = bucketed.join(bounds, "_gkey")
@@ -210,7 +236,7 @@ def quota_sample(
     edge = (
         joined.where(F.col("_bkt") == F.col("_boundary"))
         .withColumn("_cum", F.sum("_sz").over(w_full))
-        .where(F.col("_before") + F.col("_cum") <= quota)
+        .where(F.col("_before") + F.col("_cum") <= F.col("_q"))
     )
     return whole.select(*out_cols).unionByName(edge.select(*out_cols))
 

@@ -589,6 +589,80 @@ def source_quota_sample_hash(spark, sf_dir):
 
 
 @register(
+    "source_temperature_mix",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len({SQL_TOKENS.format(expr='text')}) AS ntok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    tot AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tot FROM d GROUP BY source),
+    q AS (SELECT source,
+                 CAST(floor(600 * sqrt(CAST(tot AS DOUBLE) /
+                                       (SELECT max(tot) FROM tot))) AS BIGINT)
+                   AS quota
+          FROM tot),
+    r AS (
+        SELECT d.*, q.quota,
+               sum(ntok) OVER (PARTITION BY d.source ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+        FROM d JOIN q USING (source)
+    )
+    SELECT source, quota, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens
+    FROM r WHERE cum <= quota
+    GROUP BY source, quota
+    """,
+)
+def source_temperature_mix(spark, sf_dir):
+    """Temperature-scaled dataset mixing — the rule real pretraining
+    mixes use: each source's token budget is proportional to
+    ``sqrt(its share)`` (temperature 2 sampling, normalized so the
+    largest source gets the full 600-token budget), flattening the
+    source distribution without starving small sources. Per-source
+    totals are one tiny aggregate to the driver; the quotas feed
+    ``quota_sample``'s per-group dict form on the HASH path (no
+    per-source sort), and the rollup reports (source, quota, kept
+    docs, kept tokens). Quota arithmetic is a single chain of
+    correctly-rounded IEEE double ops (divide, sqrt, multiply,
+    floor), so Python on the driver and the DuckDB oracle produce the
+    identical integer."""
+    import math
+
+    from slacken_spark.functions.packing import quota_sample
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
+    )
+    totals = {
+        r["source"]: r["tot"]
+        for r in docs.groupBy("source")
+        .agg(F.sum("ntok").cast("long").alias("tot"))
+        .collect()
+    }
+    tmax = max(totals.values())
+    quotas = {
+        s: math.floor(600 * math.sqrt(v / tmax)) for s, v in totals.items()
+    }
+    kept = quota_sample(docs, quotas, "source", "doc_id", "ntok", "hash")
+    qdf = F.broadcast(
+        spark.createDataFrame(list(quotas.items()), "source string, quota long")
+    )
+    return (
+        kept.join(qdf, "source")
+        .groupBy("source", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "doc_repetition",
     f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),

@@ -330,6 +330,36 @@ def test_quota_sample_hash_mode_hot_group_stress(spark):
     assert edge_rows <= edge_bound, f"boundary bucket {edge_rows} > {edge_bound}"
 
 
+def test_quota_sample_per_group_dict_quotas(spark):
+    """Dict quotas: each group gets its own budget, both modes agree
+    with the per-group reference, and an unlisted group is DROPPED
+    (quota 0), not passed through."""
+    from slacken_spark.functions.packing import quota_sample
+
+    rows = (
+        [("big", i, 7) for i in range(100)]
+        + [("mid", i + 1000, 5) for i in range(20)]
+        + [("unlisted", 2000, 1)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, ntok long")
+    quotas = {"big": 70, "mid": 1_000}
+    expect = _quota_ref([r for r in rows if r[0] == "big"], 70) | _quota_ref(
+        [r for r in rows if r[0] == "mid"], 1_000
+    )
+    for mode in ("window", "hash"):
+        got = {
+            (r["source"], r["doc_id"])
+            for r in quota_sample(
+                df, quotas, "source", "doc_id", "ntok", mode, n_buckets=16
+            ).collect()
+        }
+        assert got == expect, f"mode={mode}"
+        assert not any(g == "unlisted" for g, _ in got)
+    # empty dict → nothing kept
+    assert quota_sample(df, {}, "source", "doc_id", "ntok", "window").count() == 0
+    assert quota_sample(df, {}, "source", "doc_id", "ntok", "hash").count() == 0
+
+
 def test_quota_sample_bad_mode_rejected(spark):
     from slacken_spark.functions.packing import quota_sample
 
