@@ -402,6 +402,31 @@ def test_quota_hash_mode_bulk_branch_has_no_sort(spark, sf_dir):
     assert _re.search(r"BroadcastHashJoin \[[^\]]*_bkt[^\]]*\], \[[^\]]*_boundary", plan)
 
 
+def test_late_round6_query_plan_shapes(spark, sf_dir):
+    """Late round-6 additions: the delta index rebuild must join the
+    affected-pair set BEFORE aggregating (no full-index reduction, no
+    cartesian, no Python eval); temperature mixing reuses the quota
+    hash path (exactly one Window — the boundary bucket — and
+    broadcast bounds)."""
+    import re as _re
+
+    fn, _ = REGISTRY["inverted_index_delta"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the rebuild aggregation's input is the affected-pair join: at
+    # least two join nodes (pair restriction + tombstone anti-join),
+    # all broadcast at this scale
+    assert plan.count("Join") >= 2
+    assert "LeftAnti" in plan, "tombstones must come from an anti-join"
+
+    fn, _ = REGISTRY["source_temperature_mix"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"\bWindow\b", plan)) == 1, "only the boundary bucket windows"
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_ann_retrieve_docs_broadcasts_hits(spark, sf_dir):
     """Candidate hydration must broadcast the (queries × k) hit list
     onto the documents scan — a SortMergeJoin here would shuffle the
