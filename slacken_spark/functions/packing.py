@@ -121,8 +121,13 @@ def quota_sample(
     ``quota`` is one budget for every group (int), or a PER-GROUP dict
     ``{group_value: budget}`` — the dataset-mixer form, where each
     source gets its own allotment (e.g. temperature-scaled shares).
-    Groups absent from the dict are dropped (quota 0): an unlisted
-    source in a mixing recipe must not leak into the published set.
+    Groups absent from the dict are DROPPED entirely (even their
+    zero-size rows): an unlisted source in a mixing recipe must not
+    leak into the published set. Dict keys must be ``str`` or ``None``
+    (matching the group column's rendered value) — other key types are
+    rejected rather than silently failing to match Spark's
+    cast-to-string rendering (e.g. Python ``str(True)`` is ``'True'``
+    but Spark renders ``'true'``).
 
     ``mode`` picks the physical strategy — both produce the IDENTICAL
     kept set:
@@ -157,9 +162,14 @@ def quota_sample(
     _NULL_KEY = "\x00<null>"
     qmap = None
     if isinstance(quota, dict):
+        bad_keys = [k for k in quota if k is not None and not isinstance(k, str)]
+        if bad_keys:
+            raise ValueError(
+                "quota dict keys must be str or None (Spark's cast-to-string"
+                f" rendering differs from Python str() for {bad_keys[:3]})"
+            )
         qmap = {
-            (_NULL_KEY if k is None else str(k)): int(v)
-            for k, v in quota.items()
+            (_NULL_KEY if k is None else k): int(v) for k, v in quota.items()
         }
     h = F.md5(F.col(id_col).cast("string"))
     # normalized group key: NULL-safe (inner joins on the raw group
@@ -197,6 +207,8 @@ def quota_sample(
     # hash mode: bucket = high hex chars of the hash (high bits →
     # bucket order refines full-hash string order; hex strings compare
     # bytewise so string order == value order)
+    if qmap is not None and not qmap:
+        return df.where(F.lit(False))  # before paying the histogram job
     n_hex = max(1, -(-(n_buckets - 1).bit_length() // 4))
     bucket = F.conv(F.substring("_h", 1, n_hex), 16, 10).cast("long")
     bucketed = base.withColumn("_bkt", bucket)
@@ -213,7 +225,12 @@ def quota_sample(
         per_group.setdefault(r["_gkey"], []).append((r["_bkt"], r["_btok"]))
     rows = []
     for g, buckets in per_group.items():
-        g_quota = quota if qmap is None else qmap.get(g, 0)
+        if qmap is not None and g not in qmap:
+            # UNLISTED group: no bounds row at all, so the inner join
+            # drops every row — including zero-size ones, which a
+            # quota-0 bounds row would keep, diverging from window mode
+            continue
+        g_quota = quota if qmap is None else qmap[g]
         cum = 0
         boundary, before = None, 0
         for b, tok in sorted(buckets):

@@ -497,6 +497,17 @@ def embedding_random_projection(spark, sf_dir):
 _QUOTA_TOKENS = 800
 
 
+def _sized_docs(spark, sf_dir):
+    """(doc_id, source, ntok) — the shared input of the three quota /
+    mixing queries; one definition so a tokenizer or cast change can
+    never desynchronize them."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
+    )
+
+
 @register(
     "source_quota_sample",
     f"""
@@ -529,11 +540,7 @@ def source_quota_sample(spark, sf_dir):
     use the hash mode (``source_quota_sample_hash``)."""
     from slacken_spark.functions.packing import quota_sample
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
-    )
+    docs = _sized_docs(spark, sf_dir)
     kept = quota_sample(docs, _QUOTA_TOKENS, "source", "doc_id", "ntok", "window")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -576,11 +583,7 @@ def source_quota_sample_hash(spark, sf_dir):
     tests/test_plans.py asserts the bulk branch carries no Sort)."""
     from slacken_spark.functions.packing import quota_sample
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
-    )
+    docs = _sized_docs(spark, sf_dir)
     kept = quota_sample(docs, _QUOTA_TOKENS, "source", "doc_id", "ntok", "hash")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -633,11 +636,10 @@ def source_temperature_mix(spark, sf_dir):
 
     from slacken_spark.functions.packing import quota_sample
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(X.tokens(F.col("text"))).cast("long").alias("ntok"),
-    )
+    # persist: this query runs THREE jobs over the tokenized lineage
+    # (totals collect, quota_sample's histogram, the output) — exactly
+    # the case quota_sample's docstring says to persist for
+    docs = _sized_docs(spark, sf_dir).persist()
     totals = {
         r["source"]: r["tot"]
         for r in docs.groupBy("source")

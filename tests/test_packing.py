@@ -333,18 +333,28 @@ def test_quota_sample_hash_mode_hot_group_stress(spark):
 def test_quota_sample_per_group_dict_quotas(spark):
     """Dict quotas: each group gets its own budget, both modes agree
     with the per-group reference, and an unlisted group is DROPPED
-    (quota 0), not passed through."""
+    ENTIRELY — including its zero/NULL-size rows, which a quota-0
+    bounds row would leak (the convention: dual-mode identical-set
+    contracts need NULL-group and zero-size rows in the fixture)."""
+    import pyspark.sql.functions as SF
+
     from slacken_spark.functions.packing import quota_sample
 
     rows = (
         [("big", i, 7) for i in range(100)]
         + [("mid", i + 1000, 5) for i in range(20)]
         + [("unlisted", 2000, 1)]
+        + [("unlisted", 2001, 0), ("unlisted", 2002, None)]  # must NOT leak
+        + [(None, 3000, 2), (None, 3001, None)]  # NULL group, listed
     )
     df = spark.createDataFrame(rows, "source string, doc_id long, ntok long")
-    quotas = {"big": 70, "mid": 1_000}
-    expect = _quota_ref([r for r in rows if r[0] == "big"], 70) | _quota_ref(
-        [r for r in rows if r[0] == "mid"], 1_000
+    quotas = {"big": 70, "mid": 1_000, None: 100}
+    expect = (
+        _quota_ref([r for r in rows if r[0] == "big"], 70)
+        | _quota_ref([r for r in rows if r[0] == "mid"], 1_000)
+        | _quota_ref(
+            [(g, i, n or 0) for g, i, n in rows if g is None], 100
+        )
     )
     for mode in ("window", "hash"):
         got = {
@@ -355,9 +365,14 @@ def test_quota_sample_per_group_dict_quotas(spark):
         }
         assert got == expect, f"mode={mode}"
         assert not any(g == "unlisted" for g, _ in got)
-    # empty dict → nothing kept
+        assert (None, 3001) in got  # NULL size counts as 0, stays kept
+    # empty dict → nothing kept, either mode
     assert quota_sample(df, {}, "source", "doc_id", "ntok", "window").count() == 0
     assert quota_sample(df, {}, "source", "doc_id", "ntok", "hash").count() == 0
+    # non-str dict keys are rejected, not silently unmatched
+    bdf = df.withColumn("source", SF.col("doc_id") < 1000)
+    with pytest.raises(ValueError):
+        quota_sample(bdf, {True: 10}, "source", "doc_id", "ntok", "hash")
 
 
 def test_quota_sample_bad_mode_rejected(spark):
