@@ -137,25 +137,32 @@ def quota_sample(
       while every group fits a task, wrong when one group IS the
       dataset.
     - ``"hash"``: bucketed-threshold search, the 100 TB path. One
-      map-only pass histograms ``sum(size)`` per (group, hash-bucket)
-      — ``n_groups × n_buckets`` rows to the driver, corpus-size
-      independent. The driver prefix-sums each group's histogram to
-      find the boundary bucket: every bucket strictly below it is kept
-      whole via a broadcast map-side join (NO sort, NO window on that
-      branch — the bulk of the data), and only the boundary bucket's
-      rows (~1/n_buckets of the group) flow through the cumulative
-      window. Buckets are the high bits of the hash, so bucket order
-      refines hash order and the kept set matches ``"window"`` exactly,
-      ties included.
+      map-only pass histograms ``sum(size)`` per (group, hash-bucket);
+      a window + aggregate over that corpus-size-independent histogram
+      (``n_groups × n_buckets`` rows, all executor-side — NOTHING ever
+      collects to the driver, so group cardinality is bounded by the
+      shuffle, not driver memory) finds each group's boundary bucket.
+      Every bucket strictly below it is kept whole via a broadcast
+      map-side join (NO sort, NO window on that branch — the bulk of
+      the data), and only the boundary bucket's rows (~1/n_buckets of
+      the group) flow through the cumulative window. Buckets are the
+      high bits of the hash, so bucket order refines hash order and the
+      kept set matches ``"window"`` exactly, ties included.
 
     NULL handling (identical in both modes): a NULL group is one group
     (SQL window-partition semantics), and NULL sizes count as 0 — a
     raw window-sum would instead poison the running total until the
-    first non-null size and silently drop those leading rows.
+    first non-null size and silently drop those leading rows. NEGATIVE
+    sizes clamp to 0 in both modes: the window filter (``cum <=
+    quota`` over a non-monotone running sum) and the hash boundary
+    prefix scan would otherwise diverge, and a negative token count is
+    a caller bug either way — the clamp keeps the two modes
+    byte-identical by construction.
 
-    Hash mode evaluates ``df``'s lineage twice (the eager histogram
-    pass, then the kept-set output); callers with expensive upstream
-    lineage should persist ``df`` first (the pipeline CLI does).
+    Hash mode's plan scans ``df``'s lineage three times (the histogram
+    branch plus the whole/edge output branches); callers with
+    expensive upstream lineage should persist ``df`` first (the
+    pipeline CLI and the mixing catalog query do).
     """
     if mode not in ("window", "hash"):
         raise ValueError(f"unknown quota_sample mode: {mode!r}")
@@ -176,7 +183,9 @@ def quota_sample(
     # would silently drop NULL-group rows) and type-stable for the
     # driver bounds table whatever the group column's type
     gkey = F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_KEY))
-    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    size = F.greatest(
+        F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0)
+    )
     base = df.withColumn("_h", h).withColumn("_gkey", gkey).withColumn(
         "_sz", size
     )
@@ -212,42 +221,51 @@ def quota_sample(
     n_hex = max(1, -(-(n_buckets - 1).bit_length() // 4))
     bucket = F.conv(F.substring("_h", 1, n_hex), 16, 10).cast("long")
     bucketed = base.withColumn("_bkt", bucket)
-    hist = (
-        bucketed.groupBy("_gkey", "_bkt")
-        .agg(F.sum("_sz").cast("long").alias("_btok"))
-        .collect()
+    hist = bucketed.groupBy("_gkey", "_bkt").agg(
+        F.sum("_sz").cast("long").alias("_btok")
     )
-    # driver-side prefix sum per group over the tiny histogram: find the
-    # boundary bucket (first bucket where the running total crosses the
-    # quota) and the tokens consumed strictly before it
-    per_group: dict = {}
-    for r in hist:
-        per_group.setdefault(r["_gkey"], []).append((r["_bkt"], r["_btok"]))
-    rows = []
-    for g, buckets in per_group.items():
-        if qmap is not None and g not in qmap:
-            # UNLISTED group: no bounds row at all, so the inner join
-            # drops every row — including zero-size ones, which a
-            # quota-0 bounds row would keep, diverging from window mode
-            continue
-        g_quota = quota if qmap is None else qmap[g]
-        cum = 0
-        boundary, before = None, 0
-        for b, tok in sorted(buckets):
-            if cum + tok > g_quota:
-                boundary, before = b, cum
-                break
-            cum += tok
-        if boundary is None:
-            boundary, before = (max(b for b, _ in buckets) + 1), cum
-        rows.append((g, boundary, before, g_quota))
-    if not rows:
-        return df.where(F.lit(False))
-    bounds = F.broadcast(
-        spark.createDataFrame(
-            rows, "_gkey string, _boundary long, _before long, _q long"
+    if qmap is None:
+        hist = hist.withColumn("_q", F.lit(int(quota)).cast("long"))
+    else:
+        # inner join: an UNLISTED group gets no histogram row, hence no
+        # bounds row, hence (via the output inner join) drops every row
+        # — including zero-size ones, which a quota-0 bounds row would
+        # keep, diverging from window mode
+        quotas = F.broadcast(
+            spark.createDataFrame(list(qmap.items()), "_gkey string, _q long")
+        )
+        hist = hist.join(quotas, "_gkey")
+    # distributed prefix sum over the tiny histogram (n_groups ×
+    # n_buckets rows — corpus-size independent, and unlike a driver
+    # collect also group-CARDINALITY independent): the running bucket
+    # total is monotone (sizes clamp to ≥ 0), so the crossing rows form
+    # a suffix and min() over them recovers the FIRST crossing — the
+    # boundary bucket and the tokens consumed strictly before it. A
+    # group the quota never cuts gets boundary = max bucket + 1 (every
+    # bucket keeps whole, no edge rows).
+    w_hist = (
+        Window.partitionBy("_gkey")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_btok").over(w_hist))
+    crossed = F.col("_cum") > F.col("_q")
+    bounds = (
+        cum.groupBy("_gkey", "_q")
+        .agg(
+            F.min(F.when(crossed, F.col("_bkt"))).alias("_b0"),
+            F.min(F.when(crossed, F.col("_cum") - F.col("_btok"))).alias("_p0"),
+            F.max("_cum").alias("_total"),
+            F.max("_bkt").alias("_maxbkt"),
+        )
+        .select(
+            "_gkey",
+            F.coalesce("_b0", F.col("_maxbkt") + 1).alias("_boundary"),
+            F.coalesce("_p0", "_total").alias("_before"),
+            "_q",
         )
     )
+    bounds = F.broadcast(bounds)
     joined = bucketed.join(bounds, "_gkey")
     whole = joined.where(F.col("_bkt") < F.col("_boundary"))
     edge = (

@@ -508,6 +508,25 @@ def _sized_docs(spark, sf_dir):
     )
 
 
+_SIZED_CACHE: dict = {}
+
+
+def _sized_docs_persisted(spark, sf_dir):
+    """Persisted form for multi-action consumers (the mixing query runs
+    a totals collect plus the quota output over the same tokenized
+    lineage). Memoized per (application, sf_dir) like the index and
+    component caches — a bare ``.persist()`` per invocation would
+    accumulate one cached lineage per bench rerun and never free it."""
+    from slacken_spark.appcache import app_scoped_get
+
+    return app_scoped_get(
+        _SIZED_CACHE,
+        spark,
+        ("sized_docs", sf_dir),
+        lambda: _sized_docs(spark, sf_dir).persist(),
+    )
+
+
 @register(
     "source_quota_sample",
     f"""
@@ -572,15 +591,17 @@ def source_quota_sample(spark, sf_dir):
 def source_quota_sample_hash(spark, sf_dir):
     """The SAME quota downsampling through the 100 TB physical path
     (functions.packing.quota_sample, hash mode): one map-only pass
-    histograms tokens per (source, hash-bucket), the driver prefix-sums
-    the corpus-size-independent histogram to a boundary bucket per
-    source, sub-boundary buckets are kept whole via a broadcast join
-    (no sort, no window on the bulk branch), and only the boundary
-    bucket's ~1/4096 of each source flows through the cumulative
-    window. Bucket order refines hash order, so the kept set — and
-    hence this rollup and its oracle — is byte-identical to the window
-    form, ties included (tests/test_packing.py pins whole-set equality;
-    tests/test_plans.py asserts the bulk branch carries no Sort)."""
+    histograms tokens per (source, hash-bucket), a window + aggregate
+    over the corpus-size-independent histogram finds each source's
+    boundary bucket EXECUTOR-SIDE (nothing collects to the driver, so
+    group cardinality can't OOM it), sub-boundary buckets are kept
+    whole via a broadcast join (no sort, no window on the bulk branch),
+    and only the boundary bucket's ~1/4096 of each source flows through
+    the cumulative window. Bucket order refines hash order, so the kept
+    set — and hence this rollup and its oracle — is byte-identical to
+    the window form, ties included (tests/test_packing.py pins
+    whole-set equality; tests/test_plans.py asserts the bulk branch
+    carries no Sort)."""
     from slacken_spark.functions.packing import quota_sample
 
     docs = _sized_docs(spark, sf_dir)
@@ -636,10 +657,12 @@ def source_temperature_mix(spark, sf_dir):
 
     from slacken_spark.functions.packing import quota_sample
 
-    # persist: this query runs THREE jobs over the tokenized lineage
-    # (totals collect, quota_sample's histogram, the output) — exactly
-    # the case quota_sample's docstring says to persist for
-    docs = _sized_docs(spark, sf_dir).persist()
+    # persisted + app-scoped-memoized: this query runs two actions over
+    # the tokenized lineage (totals collect, then the output whose plan
+    # scans it three more times) — exactly the case quota_sample's
+    # docstring says to persist for, and the memoization keeps bench
+    # reruns from stacking a fresh cached lineage per invocation
+    docs = _sized_docs_persisted(spark, sf_dir)
     totals = {
         r["source"]: r["tot"]
         for r in docs.groupBy("source")

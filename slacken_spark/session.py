@@ -123,15 +123,21 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         zpath = os.path.join(
             tempfile.gettempdir(), f"slacken_spark_pkg_{digest}.zip"
         )
-        # Trust nothing at the predictable path: VERIFY bytes before
-        # reuse (a stale/planted/unreadable file must never ship to
-        # executors), rewrite atomically and world-readable otherwise;
-        # if the path is unwritable (another user's file), fall back to
-        # a private unique name — correctness over dedup.
+        # Trust nothing at the predictable path: the file must be OURS
+        # (another user who pre-created it — bytes are derivable from
+        # the public package — could rewrite it AFTER this verify-read,
+        # and lazily re-fetching executors would run the swapped code;
+        # owning the file closes that TOCTOU window since sticky /tmp
+        # forbids others replacing or reopening-for-write our file) AND
+        # byte-equal to what we'd ship. Rewrite atomically and
+        # world-readable otherwise; if the path is unwritable (another
+        # user's file), fall back to a private unique name —
+        # correctness over dedup.
         reuse = False
         try:
-            with open(zpath, "rb") as fh:
-                reuse = fh.read() == data
+            if os.stat(zpath).st_uid == os.getuid():
+                with open(zpath, "rb") as fh:
+                    reuse = fh.read() == data
         except OSError:
             reuse = False
         if not reuse:

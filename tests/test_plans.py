@@ -389,13 +389,21 @@ def test_quota_hash_mode_bulk_branch_has_no_sort(spark, sf_dir):
 
     fn, _ = REGISTRY["source_quota_sample_hash"]
     plan = _plan(fn(spark, sf_dir))
-    assert len(_re.findall(r"\bWindow\b", plan)) == 1, "one window: boundary only"
     assert plan.count("BroadcastHashJoin") >= 2, "bounds must broadcast to both branches"
     assert "SortMergeJoin" not in plan
-    # exactly ONE Sort in the whole plan — the boundary window's — and
-    # both branch filters present (bulk keeps _bkt < boundary whole,
-    # edge selects _bkt = boundary)
-    assert len(_re.findall(r"\bSort\b", plan)) == 1, "only the boundary bucket sorts"
+    # exactly TWO Sorts, distinguished by their keys — NEITHER touches
+    # raw corpus rows in bulk: the histogram prefix-sum sorts by bucket
+    # (n_groups × n_buckets AGGREGATED rows, corpus-size independent)
+    # and the boundary window sorts by hash (~1/n_buckets of a group).
+    # The whole-bucket branch reaches the output with no Sort at all.
+    sorts = _re.findall(r"\bSort \[([^\]]*)\]", plan)
+    assert sum("_h#" in s for s in sorts) == 1, "one boundary-bucket window sort"
+    # every other Sort is the histogram prefix-sum, keyed on the bucket —
+    # it sorts n_groups × n_buckets AGGREGATED rows, corpus-size
+    # independent (the subtree prints once per consuming branch in the
+    # pre-AQE string; runtime reuses the broadcast exchange)
+    assert all("_h#" in s or "_bkt" in s for s in sorts), sorts
+    assert len(sorts) <= 3
     assert "< _boundary" in plan, "bulk branch must filter _bkt < _boundary"
     # Catalyst folds the edge branch's _bkt = _boundary equality into the
     # broadcast join's keys — assert _boundary participates as a join key
@@ -422,7 +430,9 @@ def test_late_round6_query_plan_shapes(spark, sf_dir):
 
     fn, _ = REGISTRY["source_temperature_mix"]
     plan = _plan(fn(spark, sf_dir))
-    assert len(_re.findall(r"\bWindow\b", plan)) == 1, "only the boundary bucket windows"
+    sorts = _re.findall(r"\bSort \[([^\]]*)\]", plan)
+    assert sum("_h#" in s for s in sorts) == 1, "one boundary-bucket window sort"
+    assert all("_h#" in s or "_bkt" in s for s in sorts), sorts
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
