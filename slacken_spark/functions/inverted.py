@@ -63,6 +63,85 @@ def inverted_index(
     )
 
 
+def delta_index(
+    base: DataFrame,
+    upd: DataFrame,
+    tokens: Column,
+    id_col: str = "doc_id",
+    segment_rows: int = 10,
+) -> DataFrame:
+    """Incremental maintenance of the sharded index: given the base
+    corpus and a CDC update batch (replacement rows keyed by
+    ``id_col``), rebuild ONLY the affected (term, segment) posting
+    lists → ``(term, segment, df_segment, postings)``; a pair whose
+    list became empty (the changed doc was the term's sole holder in
+    its segment) returns with ``df_segment = 0`` and an empty postings
+    array — the maintainer's delete tombstone.
+
+    The 100 TB contract is that cost scales with the UPDATE BATCH, not
+    the corpus: the affected segment set (distinct segments of changed
+    docs — bounded by the batch size) broadcasts as a semi-join filter
+    on the corpus BELOW the tokenize/explode, so an un-touched
+    segment's rows are never tokenized, never exploded, and never
+    shuffled. Downstream, the (term, segment) pair join restricts the
+    aggregation exactly as a full rebuild would. Segments use the same
+    exact floor-division key as ``inverted_index(segment_rows=N)`` —
+    rebuilt lists must patch the rows of the index they maintain.
+    tests/test_plans.py pins the segment filter below the corpus
+    explode; tests/test_inverted.py pins delta ≡ full-rebuild-restricted
+    on clustered updates where most segments are untouched."""
+    seg = segment_expr(id_col, segment_rows)
+    upd_ids = F.broadcast(upd.select(id_col))
+    aff_segs = F.broadcast(upd.select(seg.alias("segment")).distinct())
+    # affected (term, segment) pairs: terms of the OLD version (fetched
+    # by a semi-join on changed ids) plus the NEW version, each in the
+    # changed doc's segment
+    old_t = (
+        base.join(upd_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.explode(tokens).alias("term"))
+        .distinct()
+    )
+    new_t = upd.select(F.col(id_col), F.explode(tokens).alias("term")).distinct()
+    aff = (
+        old_t.unionByName(new_t)
+        .select("term", seg.alias("segment"))
+        .distinct()
+    )
+    # merged corpus, PRUNED to affected segments before anything
+    # tokenizes: semi-join the broadcast segment set, then swap changed
+    # docs for their update rows (anti-join + union)
+    pruned = base.withColumn("segment", seg).join(
+        aff_segs, "segment", "left_semi"
+    )
+    merged = (
+        pruned.join(upd_ids, id_col, "left_anti")
+        .select(*upd.columns)
+        .unionByName(upd)
+    )
+    e = (
+        merged.select(F.col(id_col), F.explode(tokens).alias("term"))
+        .distinct()
+        .withColumn("segment", seg)
+    )
+    rebuilt = (
+        e.join(aff, ["term", "segment"])
+        .groupBy("term", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_segment"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+    )
+    tomb = aff.join(
+        rebuilt.select("term", "segment"), ["term", "segment"], "left_anti"
+    ).select(
+        "term",
+        "segment",
+        F.lit(0).cast("long").alias("df_segment"),
+        F.array().cast("array<long>").alias("postings"),
+    )
+    return rebuilt.unionByName(tomb)
+
+
 def postings_digest(postings: Column) -> Column:
     """md5 over the comma-joined sorted ids — the hash-gate shape for a
     posting list (engine-portable: DuckDB predicts it with string_agg

@@ -2069,11 +2069,12 @@ def inverted_index_digest(spark, sf_dir):
     "inverted_index_delta",
     f"""
     WITH upd AS (SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
-                 FROM documents WHERE doc_id % 10 = 0),
-    merged AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+                 FROM documents WHERE doc_id % 50 = 0),
+    merged AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 50 <> 0 AND (doc_id // 10) % 5 = 0
                UNION ALL SELECT doc_id, text FROM upd),
     old_t AS (SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
-              FROM documents WHERE doc_id % 10 = 0),
+              FROM documents WHERE doc_id % 50 = 0),
     new_t AS (SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
               FROM upd),
     aff AS (SELECT DISTINCT term, doc_id // 10 AS segment
@@ -2100,67 +2101,43 @@ def inverted_index_digest(spark, sf_dir):
 )
 def inverted_index_delta(spark, sf_dir):
     """Incremental inverted-index maintenance — the 100 TB answer to
-    "a 10% update batch must not rebuild the whole index". Given the
-    corpus and a deterministic CDC update batch (doc_id % 10 == 0,
-    text replaced by a truncated v2), compute ONLY the affected
-    (term, doc-id-range segment) posting lists: terms of the old OR
-    new version of each changed doc, in that doc's segment. Rebuilt
-    lists aggregate the merged corpus restricted BY THE JOIN to
-    affected pairs (the filter lands before the aggregation — only
-    touched segments' rows reduce); pairs whose list became empty
-    (the changed doc was the term's sole holder in its segment) emit
-    an explicit df=0 / md5('') tombstone so the index maintainer can
-    delete them. Segments use the same exact floor-division key scheme as
-    ``inverted_index_sharded`` (10-doc segments here, so the gate data
-    actually exercises the tombstone branch)."""
-    from slacken_spark.functions.inverted import postings_digest, segment_expr
+    "a small update batch must not rebuild (or even rescan) the whole
+    index" (functions.inverted.delta_index). The deterministic CDC
+    batch updates every 50th doc (text replaced by a truncated v2), so
+    with 10-doc segments only ONE segment in five is affected — and the
+    plan proves it matters: the affected segment set broadcasts as a
+    semi-join filter on the corpus BELOW the tokenize/explode, so the
+    four untouched segments' rows are never tokenized, never exploded,
+    never shuffled (the r6 shape tokenized + distinct-shuffled the FULL
+    merged corpus and only restricted the final aggregation — a 10%
+    batch paid a 100% scan). Affected (term, segment) pairs are the old
+    OR new version's terms in the changed doc's segment; pairs whose
+    rebuilt list is empty emit an explicit df=0 / md5('') tombstone.
+    Segments share ``inverted_index_sharded``'s exact floor-division
+    key scheme, so rebuilt lists patch the index they maintain. The
+    oracle mirrors the pruning in its merged CTE ((doc_id//10) % 5 = 0
+    ≡ membership in an affected segment — updates are every 50th doc,
+    so affected segments are exactly the multiples of 5)."""
+    from slacken_spark.functions.inverted import delta_index, postings_digest
 
     docs = tp(spark, sf_dir, "documents")
-    seg = segment_expr("doc_id", 10)
-    upd = docs.where(F.col("doc_id") % 10 == 0).select(
+    upd = docs.where(F.col("doc_id") % 50 == 0).select(
         "doc_id",
         F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
     )
-    merged = docs.where(F.col("doc_id") % 10 != 0).select(
-        "doc_id", "text"
-    ).unionByName(upd)
-    old_t = (
-        docs.where(F.col("doc_id") % 10 == 0)
-        .select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-        .distinct()
+    out = delta_index(
+        docs.select("doc_id", "text"),
+        upd,
+        X.tokens(F.col("text")),
+        "doc_id",
+        segment_rows=10,
     )
-    new_t = upd.select(
-        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
-    ).distinct()
-    aff = (
-        old_t.unionByName(new_t)
-        .select("term", seg.alias("segment"))
-        .distinct()
+    return out.select(
+        "term",
+        "segment",
+        "df_segment",
+        postings_digest(F.col("postings")).alias("segment_digest"),
     )
-    e = merged.select(
-        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
-    ).distinct()
-    rebuilt = (
-        e.withColumn("segment", seg)
-        .join(aff, ["term", "segment"])
-        .groupBy("term", "segment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df_segment"),
-            postings_digest(
-                F.sort_array(F.collect_list("doc_id"))
-            ).alias("segment_digest"),
-        )
-    )
-    tomb = (
-        aff.join(rebuilt.select("term", "segment"), ["term", "segment"], "left_anti")
-        .select(
-            "term",
-            "segment",
-            F.lit(0).cast("long").alias("df_segment"),
-            F.md5(F.lit("")).alias("segment_digest"),
-        )
-    )
-    return rebuilt.unionByName(tomb)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,34 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _generate_has_semi_join_on(plan: str, key: str) -> bool:
+    """True if some Generate (explode) node's SUBTREE contains a
+    LeftSemi join whose keys include ``key`` — i.e. the semi-join
+    filter executes below the explode. Subtrees are recovered from the
+    plan string's tree indentation (children indent deeper; a line at
+    the same or shallower depth ends the subtree)."""
+    import re
+
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.match(r"^[\s:+-]*", ln)
+        return len(m.group(0))
+
+    for i, ln in enumerate(lines):
+        if "Generate explode" not in ln:
+            continue
+        d = depth(ln)
+        for sub in lines[i + 1 :]:
+            if depth(sub) <= d and sub.strip():
+                break
+            if "LeftSemi" in sub and re.search(
+                rf"\[{key}#\d+L?\], \[{key}#\d+L?\]", sub
+            ):
+                return True
+    return False
+
+
 def test_filter_and_projection_pushdown(spark, sf_dir):
     fn, _ = REGISTRY["scan_filter_project"]
     df = fn(spark, sf_dir)
@@ -427,6 +455,13 @@ def test_late_round6_query_plan_shapes(spark, sf_dir):
     # all broadcast at this scale
     assert plan.count("Join") >= 2
     assert "LeftAnti" in plan, "tombstones must come from an anti-join"
+    # THE incremental claim (VERDICT r6 item 1): the corpus branch must
+    # prune to affected segments BELOW the tokenize/explode — some
+    # Generate(explode) node has a LeftSemi join ON SEGMENT in its
+    # subtree, so untouched segments' rows are never tokenized
+    assert _generate_has_semi_join_on(plan, "segment"), (
+        "corpus explode must sit above a broadcast segment semi-join"
+    )
 
     fn, _ = REGISTRY["source_temperature_mix"]
     plan = _plan(fn(spark, sf_dir))
