@@ -46,48 +46,106 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness gate records exactly the first 50 registered queries
 # and silently drops the rest, so the order is rotated each round until
-# every catalog entry has a green CORRECTNESS row. Round 6 executes the
-# NOTES r5→r6 rotation plan: the four queries with no driver row in ANY
-# round (doc_boilerplate_scrub — dropped by the r5 off-by-one at
-# position 50 — plus the three round-end additions) go FIRST, then
-# every query that is new or whose code/oracle changed this round, then
-# the r5-demoted promotions (all with ≥1 earlier green row). Demoted:
-# the r5-gated set (green in CORRECTNESS_r05, code untouched) plus
-# six 4x-green promotions that no longer fit as late-round additions
-# claimed slots (pricing_summary, scan_filter_project,
-# classification_join, star_broadcast_join, nullsafe_join,
-# semi_anti_join — first in line for r7). The must-gate set below is
-# ASSERTED inside the first 50 by tests/test_gate.py, so a rotation
-# commit can no longer silently drop a query (the r5 validator was a
-# comment, not a test — hence the off-by-one).
+# every catalog entry has a green CORRECTNESS row. Round 7 executes the
+# NOTES r6→r7 rotation plan: first the queries whose code or oracle
+# changed this round (embedding_kmeans_clusters gained its FIRST oracle
+# — the catalog's last rows-only entry; inverted_index_delta got the
+# segment-pruned rebuild + a clustered-update fixture; the three quota/
+# mixing queries moved to the distributed prefix-sum bounds path), then
+# the six deferred relational promotions (4 green rows each, queued at
+# the head of the r6 _TAIL), then the r5-gated set that sat out r6
+# (freshest green row is two rounds old — the rolling-green window).
+# Demoted: the r6-gated set (all 50 green in CORRECTNESS_r06, code
+# untouched unless re-listed above) plus the four many-times-green
+# genomic flagships, which head _TAIL as first in line for r8. The
+# must-gate set below is ASSERTED inside the first 50 by
+# tests/test_gate.py (the r5 off-by-one cannot recur).
 
-# Queries that MUST land a CORRECTNESS row this round: never-gated ones
-# plus everything new/changed since the r5 file was recorded.
+# Queries that MUST land a CORRECTNESS row this round: everything
+# new/changed since the r6 file was recorded, plus the six deferred
+# promotions the r6 NOTES queued.
 _MUST_GATE = [
-    # never had a driver row in any round:
+    # first oracle ever (was the only rows-only catalog entry —
+    # re-expressed as integer-exact quantized Lloyd's, SQL-unrolled):
+    "embedding_kmeans_clusters",
+    # code changed this round:
+    "inverted_index_delta",  # segment-pruned rebuild (functions.inverted.delta_index)
+    "source_quota_sample",  # negative-size clamp in quota_sample
+    "source_quota_sample_hash",  # distributed prefix-sum bounds (no driver collect)
+    "source_temperature_mix",  # memoized persisted input + new bounds path
+    # deferred promotions from the r6 rotation (4 green rows each):
+    "pricing_summary",
+    "scan_filter_project",
+    "classification_join",
+    "star_broadcast_join",
+    "nullsafe_join",
+    "semi_anti_join",
+]
+_EARLY = _MUST_GATE + [
+    # r5-gated set that sat out round 6 (green in CORRECTNESS_r05 or
+    # earlier, code untouched since; re-promoted per the rolling-green
+    # rotation policy):
+    "genomic_clade_rollup",
+    "media_image_stats",
+    "media_phash_neardup",
+    "media_audio_stats",
+    "video_frame_plan",
+    "scalar_funcs",
+    "set_ops_nations",
+    "topk_per_group",
+    "two_level_agg",
+    "size_histogram",
+    "pack_sequences_sharded",
+    "embedding_ivf_topk_nprobe2",
+    "dedup_keep_canonical",
+    "doc_decontaminate",
+    "doc_repetition",
+    "genomic_classify_detail",
+    "tfidf_top_terms",
+    "doc_dupspan_scrub",
+    "bpe_top_pairs",
+    "dataset_shard_manifest",
+    "streaming_doc_quality",
+    "corpus_upsert_latest",
+    "events_zorder_layout",
+    "ann_retrieve_docs",
+    "events_json_extract",
+    "corpus_diff",
+    "sessionize_events",
+    "streaming_window_counts",
+    "streaming_session_windows",
+    "streaming_genomic_classify",
+    "streaming_dedup_keys",
+    "pack_sequences",
+    "embedding_ivf_topk",
+    "dedup_components",
+    "doc_vocab_top50",
+    "events_rolling_stats",
+    "doc_bloom_decontaminate",
+    "embedding_random_projection",
+    "doc_unigram_rarity",
+]
+_TAIL = [
+    # many-times-green genomic flagships that gave their seats to the
+    # r5-gated re-promotions — first in line for the r8 gate:
+    "genomic_classify",
+    "genomic_classify_wide",
+    "genomic_kmer_totals",
+    "genomic_index_lca_histogram",
+    # demoted: green in CORRECTNESS_r06, code untouched since
+    # (the local pytest oracle suite re-runs ALL of them at sf0.01):
     "doc_boilerplate_scrub",
     "cube_source_lang",
     "doc_length_quartiles",
     "unpivot_part_metrics",
-    # new this round:
     "fasta_input_roundtrip",
-    "source_quota_sample_hash",
     "embedding_semdedup_keep",
-    "inverted_index_delta",
-    "source_temperature_mix",
-    # oracle upgraded this round (rows-only → hash-gated):
     "events_approx_distinct",
     "bpe_learned_merges",
     "bpe_tokenized_counts",
-    # code changed this round:
-    "source_quota_sample",  # refactored onto functions.packing.quota_sample
-    "inverted_index_sharded",  # exact floor-division segment key + functions promotion
-    "inverted_index_digest",  # refactored onto functions.inverted
-    "bracken_weights",  # large-fragment routing re-measured, cutoff 1024
-]
-_EARLY = _MUST_GATE + [
-    # r5-demoted promotions (NOTES rotation plan; every one green in
-    # ≥1 earlier round, most in 4):
+    "inverted_index_sharded",
+    "inverted_index_digest",
+    "bracken_weights",
     "order_rejoin",
     "lca_fold",
     "hit_regroup",
@@ -122,58 +180,6 @@ _EARLY = _MUST_GATE + [
     "embedding_quantize_int8",
     "dataset_split_counts",
     "genomic_classify_wide_hashed",
-]
-_TAIL = [
-    # deferred promotions — first in line for the r7 gate (4 green rows
-    # each, the six that didn't fit under the 50-row cap):
-    "pricing_summary",
-    "scan_filter_project",
-    "classification_join",
-    "star_broadcast_join",
-    "nullsafe_join",
-    "semi_anti_join",
-    # demoted: green in CORRECTNESS_r05, code untouched since
-    # (the local pytest oracle suite re-runs ALL of them at sf0.01):
-    "genomic_classify",
-    "genomic_classify_wide",
-    "genomic_kmer_totals",
-    "genomic_index_lca_histogram",
-    "genomic_clade_rollup",
-    "media_image_stats",
-    "media_phash_neardup",
-    "media_audio_stats",
-    "video_frame_plan",
-    "scalar_funcs",
-    "set_ops_nations",
-    "topk_per_group",
-    "two_level_agg",
-    "size_histogram",
-    "pack_sequences_sharded",
-    "embedding_ivf_topk_nprobe2",
-    "dedup_keep_canonical",
-    "doc_decontaminate",
-    "doc_repetition",
-    "genomic_classify_detail",
-    "tfidf_top_terms",
-    "doc_dupspan_scrub",
-    "bpe_top_pairs",
-    "dataset_shard_manifest",
-    "streaming_doc_quality",
-    "corpus_upsert_latest",
-    "events_zorder_layout",
-    "ann_retrieve_docs",
-    "events_json_extract",
-    "corpus_diff",
-    "sessionize_events",
-    "streaming_window_counts",
-    "streaming_session_windows",
-    "streaming_genomic_classify",
-    "streaming_dedup_keys",
-    "pack_sequences",
-    "embedding_ivf_topk",
-    "embedding_kmeans_clusters",  # rows-only (iterative float trainer)
-    "dedup_components",
-    "doc_vocab_top50",
 ]
 
 

@@ -299,6 +299,119 @@ def kmeans_train(
     return centroids
 
 
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iters: int = 3,
+    scale: int = 64,
+    dim: int = 64,
+) -> tuple[DataFrame, list[tuple[list[int], int]]]:
+    """Integer-exact Lloyd's k-means over quantized vectors — the
+    ENGINE-PORTABLE formulation that lets an iterative trainer sit
+    under a hash gate (the float trainer above stays the production
+    IVF path; this one exists so training itself is oracle-checkable).
+
+    Every quantity both engines compare is an exactly-representable
+    integer-valued double, so there is no cross-engine float hazard
+    anywhere:
+
+    - vectors quantize per-dimension to ``round(x * scale)`` (float →
+      double is exact, the product is exact, and Spark and DuckDB both
+      round half away from zero);
+    - a centroid is its members' INTEGER SUM vector plus a count —
+      never a float mean;
+    - the assignment score is ``dot(q, sum) / count``: the dot is an
+      exact integer (bounded by dim·scale·Σ|q| ≪ 2^53), and a single
+      IEEE division of exact operands is correctly rounded — bit-equal
+      on every engine. Ties break to the smallest cluster id.
+
+    Initialization: the ``k`` smallest ids' quantized vectors
+    (count 1). Fixed ``iters`` assignment rounds; each of the first
+    ``iters - 1`` re-aggregates sums/counts (one k×(dim+1)-cell
+    shuffle + driver collect per round — centroid state is literal by
+    design, like ``kmeans_train``); a cluster that wins no members
+    carries its previous state. The final round is assignment-only.
+
+    Returns ``(assigned, state)``: ``assigned`` is a LAZY map-only
+    plan — the quantization projection plus a codegen'd CASE argmax
+    with the final centroid state folded in as literals (no window, no
+    shuffle: the 100 TB assignment shape) — with columns of ``df``
+    plus ``cluster_id``; ``state`` is the final ``[(sum_vec, count)]``.
+    """
+    qcols = [
+        F.round(F.element_at(F.col(vec_col), i + 1).cast("double") * scale)
+        .cast("long")
+        .alias(f"_q{i}")
+        for i in range(dim)
+    ]
+    qdf = df.select("*", *qcols)
+
+    def with_assignment(frame, state, out_col):
+        # materialize the k scores as columns in their own projection:
+        # embedding each 64-term sum directly in the argmax CASE would
+        # repeat it O(k) times per comparison — past janino's method
+        # limit, so the whole stage falls out of codegen (CollapseProject
+        # leaves non-cheap expressions materialized, so this sticks)
+        scores = [
+            sum(
+                (F.col(f"_q{i}") * F.lit(int(s[i])) for i in range(1, dim)),
+                F.col("_q0") * F.lit(int(s[0])),
+            ).cast("double")
+            / F.lit(float(cnt))
+            for s, cnt in state
+        ]
+        sdf = frame.select(
+            "*", *[sc.alias(f"_sc{j}") for j, sc in enumerate(scores)]
+        )
+        # >= chain: the first cluster whose score is >= every later one
+        # — identical to argmax with smallest-index tie-break
+        expr = F.lit(k - 1)
+        for j in range(k - 2, -1, -1):
+            cond = None
+            for m in range(j + 1, k):
+                c = F.col(f"_sc{j}") >= F.col(f"_sc{m}")
+                cond = c if cond is None else (cond & c)
+            expr = F.when(cond, F.lit(j)).otherwise(expr)
+        return sdf.withColumn(out_col, expr.cast("long")).drop(
+            *[f"_sc{j}" for j in range(k)]
+        )
+
+    init = (
+        qdf.select(id_col, *[f"_q{i}" for i in range(dim)])
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init)}")
+    state = [
+        ([int(r[f"_q{i}"]) for i in range(dim)], 1) for r in init
+    ]
+    for _ in range(iters - 1):
+        sums = (
+            with_assignment(qdf, state, "_cid")
+            .groupBy("_cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"_q{i}").alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = list(state)  # empty clusters keep their previous state
+        for r in sums:
+            new[int(r["_cid"])] = (
+                [int(r[f"_s{i}"]) for i in range(dim)],
+                int(r["_n"]),
+            )
+        state = new
+    assigned = with_assignment(qdf, state, "cluster_id").drop(
+        *[f"_q{i}" for i in range(dim)]
+    )
+    return assigned, state
+
+
 # ---------------------------------------------------------------------------
 # Random projection (Johnson–Lindenstrauss, ±1 / Achlioptas signs)
 # ---------------------------------------------------------------------------

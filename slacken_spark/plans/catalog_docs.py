@@ -1554,46 +1554,127 @@ def doc_chunks(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# IVF centroid training (distributed Lloyd's k-means — iterative, so
-# rows-only driver check; determinism/invariants are pytest-gated in
-# tests/test_kmeans.py)
+# k-means training (distributed Lloyd's) — the INTEGER-EXACT quantized
+# formulation, so even the iterative trainer sits under the hash gate.
+# The float IVF trainer (similarity.kmeans_train: convergence, empty-
+# cluster reseed) remains the production centroid path, pytest-pinned
+# in tests/test_kmeans.py.
 # ---------------------------------------------------------------------------
 
 
-# Trained IVF centroids are a build artifact (like the genomic index
-# and the BPE merges): one training per (application, sf_dir), every
-# assignment reuses it. The cached value is a k×dim driver-side list.
-_KMEANS_CACHE: dict = {}
+_KMEANSQ_K, _KMEANSQ_ITERS, _KMEANSQ_DIM = 4, 3, 64
 
 
-def _kmeans_centroids(spark, sf_dir):
+def _kmeans_quantized_sql(k: int, iters: int, dim: int) -> str:
+    """DuckDB replay of similarity.kmeans_quantized: the fixed Lloyd's
+    rounds unroll as MATERIALIZED CTEs (default CTE inlining
+    re-evaluates the whole prefix per reference — exponential in
+    rounds, the BPE-unroll lesson). Every compared value is an
+    integer-valued double (quantized coords, integer sum-centroids,
+    one exact-operand IEEE division per score), so the hash gate is
+    float-hazard-free; ties break to the smallest cluster id, matching
+    the engine's >=-chain argmax."""
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+        FROM embeddings),
+    c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               qv AS s, CAST(1 AS BIGINT) AS cnt
+        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""sc{r} AS MATERIALIZED (
+        SELECT q.vec_id, c.cid,
+               CAST(sum(q.qv[CAST(i AS INT)] * c.s[CAST(i AS INT)]) AS DOUBLE)
+                 / CAST(min(c.cnt) AS DOUBLE) AS score
+        FROM q, c{r - 1} c, range(1, {dim + 1}) t(i)
+        GROUP BY q.vec_id, c.cid),
+    a{r} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT sc.vec_id, sc.cid,
+                   row_number() OVER (PARTITION BY sc.vec_id
+                                      ORDER BY sc.score DESC, sc.cid) AS rn
+            FROM sc{r} sc) WHERE rn = 1)"""
+        )
+        if r < iters:
+            parts.append(
+                f"""g{r} AS MATERIALIZED (
+        SELECT a.cid, i, CAST(sum(q.qv[CAST(i AS INT)]) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM a{r} a, q, range(1, {dim + 1}) t(i)
+        WHERE a.vec_id = q.vec_id
+        GROUP BY a.cid, i),
+    c{r} AS MATERIALIZED (
+        SELECT cid, list(sv ORDER BY i) AS s, min(cnt) AS cnt
+        FROM g{r} GROUP BY cid
+        UNION ALL
+        SELECT c.cid, c.s, c.cnt FROM c{r - 1} c
+        WHERE c.cid NOT IN (SELECT cid FROM g{r}))"""
+            )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+             AS members_digest
+    FROM a{iters} GROUP BY cid
+    """
+
+
+# Training is a build artifact (like the genomic index and the BPE
+# merges): one training per (application, sf_dir); the cached value is
+# the lazy assignment plan over the persisted quantized projection.
+_KMEANSQ_CACHE: dict = {}
+
+
+def _kmeans_quantized_assigned(spark, sf_dir):
     from slacken_spark.appcache import app_scoped_get
 
     def build():
         emb = t(spark, sf_dir, "embeddings")
-        # train on a deterministic 20% sample — the production shape for
-        # IVF centroid training (assignment still covers the full corpus)
-        sample = emb.where(F.col("vec_id") % 5 == 0)
-        return SIM.kmeans_train(sample, "embedding", "vec_id", k=8, iters=3)
+        assigned, _state = SIM.kmeans_quantized(
+            emb,
+            "embedding",
+            "vec_id",
+            k=_KMEANSQ_K,
+            iters=_KMEANSQ_ITERS,
+            dim=_KMEANSQ_DIM,
+        )
+        return assigned.persist()
 
-    return app_scoped_get(_KMEANS_CACHE, spark, sf_dir, build)
+    return app_scoped_get(_KMEANSQ_CACHE, spark, ("kmeansq", sf_dir), build)
 
 
-@register("embedding_kmeans_clusters", None)
+@register(
+    "embedding_kmeans_clusters",
+    _kmeans_quantized_sql(_KMEANSQ_K, _KMEANSQ_ITERS, _KMEANSQ_DIM),
+)
 def embedding_kmeans_clusters(spark, sf_dir):
-    """Train IVF centroids with distributed k-means (k=8, 3 Lloyd
-    rounds on a deterministic 20% sample: broadcast linear-argmax
-    assignment, per-(cluster,position) mean update, k×dim driver
-    collect) and return the full corpus's final cluster occupancy.
-    Genuinely iterative — no SQL oracle; the driver records a rows-only
-    check and pytest pins determinism, coverage, and objective
-    improvement. Training is app-scope cached (build-once/assign-many
-    — the first run is the build-inclusive number)."""
-    emb = t(spark, sf_dir, "embeddings")
-    cents = _kmeans_centroids(spark, sf_dir)
-    assigned = SIM.ivf_assign(emb, "embedding", cents)
-    return assigned.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_vectors")
+    """Distributed Lloyd's k-means training, hash-gated end to end
+    (similarity.kmeans_quantized, k=4, 3 fixed rounds): vectors
+    quantize to integers, centroids stay (integer-sum, count) pairs,
+    and each assignment score is one IEEE division of exact operands —
+    so the ITERATIVE TRAINER ITSELF is engine-portable and the oracle
+    replays all three rounds as unrolled MATERIALIZED CTEs (this was
+    the catalog's last rows-only entry). Assignment is a map-only
+    codegen'd argmax with the round's centroids folded in as literals
+    (no window, no shuffle — the plan that scales to 100 TB); each
+    update round is one k×(dim+1)-cell aggregate. Output: per-cluster
+    member counts + the md5 digest of the sorted member ids. The float
+    trainer (kmeans_train: convergence, reseed) remains the production
+    IVF path, pinned by tests/test_kmeans.py."""
+    from slacken_spark.functions.inverted import postings_digest
+
+    assigned = _kmeans_quantized_assigned(spark, sf_dir)
+    return assigned.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        postings_digest(
+            F.sort_array(F.collect_list("vec_id"))
+        ).alias("members_digest"),
     )
 
 

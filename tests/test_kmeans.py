@@ -155,3 +155,110 @@ def test_ivf_nprobe2_recall_not_worse(spark):
     assert r2 >= r1
     assert 10 not in got1 and 10 in got2
     assert r2 == 1.0
+
+
+def _kmq_reference(rows, k, iters, scale, dim):
+    """Pure-Python replay of kmeans_quantized: quantize (half away from
+    zero), integer-sum centroids, score = dot/count (one float div),
+    argmax with smallest-index tie-break, empty clusters carry state."""
+    import math
+
+    def q(v):
+        return [
+            int(math.floor(abs(float(x)) * scale + 0.5)) * (1 if x >= 0 else -1)
+            for x in v
+        ]
+
+    qrows = sorted((i, q(v)) for i, v in rows)
+    state = [(list(qv), 1) for _i, qv in qrows[:k]]
+
+    def assign(qv):
+        scores = [
+            sum(a * b for a, b in zip(qv, s)) / cnt for s, cnt in state
+        ]
+        best = max(range(k), key=lambda j: (scores[j], -j))
+        return best
+
+    for r in range(iters):
+        cids = {i: assign(qv) for i, qv in qrows}
+        if r == iters - 1:
+            return cids
+        new = list(state)
+        for c in range(k):
+            members = [qv for i, qv in qrows if cids[i] == c]
+            if members:
+                new[c] = (
+                    [sum(m[d] for m in members) for d in range(dim)],
+                    len(members),
+                )
+        state = new
+    return cids
+
+
+def test_kmeans_quantized_matches_pure_python(spark):
+    """The integer-exact trainer must replay exactly in pure Python —
+    same quantization, same integer-sum centroids, same tie-break —
+    on a fixture with negatives, exact .5 quantization points, and a
+    duplicate vector (guaranteed score tie)."""
+    dim, k = 4, 3
+    rows = [
+        (0, [0.5 / 4, -0.5 / 4, 0.1, 0.2]),   # ±0.5 rounding points at scale 4
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0, 0.0]),
+        (4, [0.9, 0.1, 0.0, 0.0]),            # duplicate of 3 → tie everywhere
+        (5, [-0.8, -0.7, 0.2, 0.1]),
+        (6, [0.05, 0.9, -0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    for iters in (1, 2, 3):
+        assigned, state = SIM.kmeans_quantized(
+            df, "embedding", "vec_id", k=k, iters=iters, scale=4, dim=dim
+        )
+        got = {
+            r["vec_id"]: r["cluster_id"] for r in assigned.collect()
+        }
+        assert got == _kmq_reference(rows, k, iters, 4, dim), f"iters={iters}"
+    # duplicate vectors always co-cluster (identical scores, same argmax)
+    assert got[3] == got[4]
+
+
+def test_kmeans_quantized_empty_cluster_carries_state(spark):
+    """A centroid that wins no members keeps its (sum, count) state:
+    seed 2 (an outlier among the k smallest ids) loses every point to
+    nearer centroids in round 1, and in round 2 must still score with
+    its ORIGINAL seed vector — pure-Python replay asserts the carry."""
+    dim, k = 2, 2
+    # ids 0,1 seed the two clusters; every later point sits near seed 0,
+    # so cluster 1 (seeded by id 1 far away) empties after round 1 only
+    # if seed 1 is strictly worse for every point — craft exactly that
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, -1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.95, 0.05]),
+        (4, [0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, state = SIM.kmeans_quantized(
+        df, "embedding", "vec_id", k=k, iters=3, scale=4, dim=dim
+    )
+    ref = _kmq_reference(rows, k, 3, 4, dim)
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got == ref
+    # cluster 1 emptied: its carried state is still the seed of id 1
+    assert state[1] == ([-4, -4], 1)
+
+
+def test_kmeans_quantized_needs_k_rows(spark):
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        SIM.kmeans_quantized(df, "embedding", "vec_id", k=4, iters=1, dim=2)
