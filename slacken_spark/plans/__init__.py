@@ -9,6 +9,9 @@ def load_all():
 
     # each import populates catalog.QUERIES
     from slacken_spark.plans import catalog_docs  # noqa: F401
+    from slacken_spark.plans import catalog_docs_dedup  # noqa: F401
+    from slacken_spark.plans import catalog_docs_embedding  # noqa: F401
+    from slacken_spark.plans import catalog_docs_pipeline  # noqa: F401
     from slacken_spark.plans import catalog_genomic  # noqa: F401
     from slacken_spark.plans import catalog_multimodal  # noqa: F401
     from slacken_spark.plans import catalog_streaming  # noqa: F401

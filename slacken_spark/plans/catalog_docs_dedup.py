@@ -1,0 +1,442 @@
+"""Query catalog, part 2b: DEDUPLICATION + decontamination over the
+``documents`` table — exact, MinHash/LSH, SimHash, n-gram Jaccard,
+fingerprints, connected components, n-gram and Bloom decontamination.
+Split from ``catalog_docs`` (round 7); registers into the same
+QUERIES registry and shares its portability constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from slacken_spark.functions import dedup as D
+from slacken_spark.functions import text as X
+from slacken_spark.plans.catalog import register, t, tp
+from slacken_spark.plans.catalog_docs import SQL_H64, SQL_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact, MinHash signatures, LSH candidate pairs, n-gram Jaccard,
+# SimHash, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_cte(n_hashes: int = 8, shingle_words: int = 3) -> str:
+    """WITH-clause producing CTE ``sig`` = (doc_id, sig_0..sig_{n-1}),
+    mirroring the engine's explode + hash-once + affine-permutation plan
+    (see functions.dedup.minhash_signature)."""
+    from slacken_spark.functions.dedup import MINHASH_P, minhash_perm_constants
+
+    sig_cols = ",\n           ".join(
+        f"min((h * {A} + {B}) % {MINHASH_P}) AS sig_{p}"
+        for p, (A, B) in enumerate(minhash_perm_constants(n_hashes))
+    )
+    base_h = SQL_H64.format(expr="s")
+    return f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(0, greatest(len(toks) - {shingle_words - 1}, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+{shingle_words} AS INT)]
+                  )) AS shingles
+           FROM d),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hh AS (SELECT doc_id, {base_h} % {MINHASH_P} AS h FROM e),
+    sig0 AS (SELECT doc_id,
+           {sig_cols}
+    FROM hh GROUP BY doc_id),
+    sig AS (SELECT d2.doc_id, sig0.* EXCLUDE (doc_id)
+            FROM documents d2 LEFT JOIN sig0 ON d2.doc_id = sig0.doc_id)
+    """
+
+
+@register("minhash_signatures", _minhash_cte() + "\n    SELECT * FROM sig")
+def minhash_signatures(spark, sf_dir):
+    return D.minhash_signature(
+        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_cte()
+    + """
+    , banded AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                 WHEN 0 THEN coalesce(CAST(sig_0 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_1 AS VARCHAR),'null')
+                 WHEN 1 THEN coalesce(CAST(sig_2 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_3 AS VARCHAR),'null')
+                 WHEN 2 THEN coalesce(CAST(sig_4 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_5 AS VARCHAR),'null')
+                 ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
+               END AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    sig = D.minhash_signature(
+        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+    return D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+
+
+_BANDED_PAIRS_SQL = """
+    , banded AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                 WHEN 0 THEN coalesce(CAST(sig_0 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_1 AS VARCHAR),'null')
+                 WHEN 1 THEN coalesce(CAST(sig_2 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_3 AS VARCHAR),'null')
+                 WHEN 2 THEN coalesce(CAST(sig_4 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_5 AS VARCHAR),'null')
+                 ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
+               END AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+"""
+
+
+# The LSH-pair graph's connected components are computed once per
+# corpus and reused by every downstream dedup consumer (labeling,
+# keep-one-per-cluster, audits) — exactly like the genomic index's
+# build-once/classify-many shape. Memoized per (applicationId, sf_dir)
+# with dead-application eviction (same rationale as
+# catalog_genomic._INDEX_CACHE: applicationId never outlives its
+# SparkContext, unlike id(spark)). The labels DataFrame is persisted —
+# it is one (node, component) row per non-singleton node, tiny next to
+# the corpus.
+_COMPONENTS_CACHE: dict = {}
+
+
+def _doc_components(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+
+    def build():
+        docs = tp(spark, sf_dir, "documents")
+        sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
+        pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+        # loop shuffles sized to the label-table cardinality (≤ |docs|
+        # rows), not the scan-sized session setting
+        return D.connected_components(pairs, loop_partitions=8).persist()
+
+    return app_scoped_get(_COMPONENTS_CACHE, spark, sf_dir, build)
+
+
+@register(
+    "dedup_components",
+    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + _BANDED_PAIRS_SQL
+    + """
+    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTER labels: weakly-connected components over the
+    MinHash-LSH candidate-pair graph, every document labeled with its
+    component's min doc_id (singletons label themselves). This is the
+    operator a keep-one-per-cluster dedup pass groups on; the oracle
+    recomputes components with a recursive-CTE closure (tractable at
+    oracle scale only — the engine side materializes one (node, lbl)
+    row per node per round, never the closure)."""
+    docs = tp(spark, sf_dir, "documents")
+    comp = _doc_components(spark, sf_dir)
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.col("doc_id"),
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + _BANDED_PAIRS_SQL
+    + """
+    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup: LSH pairs → connected components →
+    keep ONE document per cluster (the min doc_id, which IS the
+    component label) with its cluster size — the row set a dedup pass
+    would retain. Composes the banded self-join and the O(log d) label
+    loop (shared with dedup_components via the memoized component
+    labels); one extra key-shuffle on the component label."""
+    docs = tp(spark, sf_dir, "documents")
+    comp = _doc_components(spark, sf_dir)
+    labeled = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    ).select(F.col("component").alias("doc_id"), "cluster_size")
+
+
+@register(
+    "doc_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(0, greatest(len(toks) - 2, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                           || ' ' || toks[CAST(i+3 AS INT)]))) AS shingle
+           FROM d),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing a word 3-gram
+    with the (deterministic doc_id%97) eval set, with the shared-shingle
+    count — the audit row a decontamination filter drops on. Eval
+    shingles dedupe and broadcast (benchmarks are tiny next to the
+    corpus), so the corpus scan stays map-side + one doc-id shuffle."""
+    docs = tp(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return D.contamination_overlap(tr, ev, "text", "doc_id", n=3).select(
+        "doc_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+def _bloom_h(i: int, m_bits: int) -> str:
+    return SQL_H64.format(expr=f"'bloom{i}_' || shingle") + f" % {m_bits}"
+
+
+@register(
+    "doc_bloom_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(0, greatest(len(toks) - 2, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                           || ' ' || toks[CAST(i+3 AS INT)]))) AS shingle
+           FROM d),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    pos AS (SELECT unnest([{_bloom_h(0, 8192)}, {_bloom_h(1, 8192)}]) AS p FROM ev),
+    words AS (SELECT p // 32 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+              FROM pos GROUP BY p // 32),
+    tr AS (SELECT doc_id, shingle,
+                  {_bloom_h(0, 8192)} AS h0,
+                  {_bloom_h(1, 8192)} AS h1
+           FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+    FROM tr
+    JOIN words w0 ON w0.word_idx = tr.h0 // 32
+                 AND (w0.bits & (CAST(1 AS BIGINT) << CAST(tr.h0 % 32 AS INT))) <> 0
+    JOIN words w1 ON w1.word_idx = tr.h1 // 32
+                 AND (w1.bits & (CAST(1 AS BIGINT) << CAST(tr.h1 % 32 AS INT))) <> 0
+    GROUP BY tr.doc_id
+    """,
+)
+def doc_bloom_decontaminate(spark, sf_dir):
+    """Fixed-memory decontamination: the eval set's 3-gram shingles
+    build an 8192-bit / k=2 Bloom bitmap (one bit_or shuffle onto ≤256
+    word rows), which broadcasts at constant size; training shingles
+    probe it map-side and docs report how many of their shingles the
+    bitmap flags (an upper bound on the exact doc_decontaminate count —
+    md5-derived positions make even the false positives deterministic,
+    so the hash gate holds). This is the membership plan for filter
+    sets too large to broadcast exactly — bitmap size is a knob, not a
+    function of the filter cardinality."""
+    docs = tp(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    ev_sh = X.shingle_rows(ev, "text", "doc_id", n=3).select("shingle").distinct()
+    words = D.bloom_bitmap(ev_sh, "shingle", m_bits=8192, k=2)
+    tr_sh = X.shingle_rows(tr, "text", "doc_id", n=3)
+    return D.bloom_membership_count(
+        tr_sh, "shingle", "doc_id", words, m_bits=8192, k=2
+    ).select("doc_id", F.col("n_maybe").cast("long").alias("n_maybe"))
+
+
+@register(
+    "ngram_jaccard_adjacent",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      range(0, greatest(len(toks) - 2, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]
+                  )) AS shingles
+           FROM d)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 1.0
+             / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact n-gram Jaccard of adjacent doc pairs via exploded shingle
+    rows and a codegen'd equi-join — the scale plan (array-lambda
+    intersect/union runs interpreted per element and dies at corpus
+    scale; this shape shuffles once on the shingle and once on the pair).
+    """
+    docs = tp(spark, sf_dir, "documents")
+    sh = X.shingle_rows(docs, "text", "doc_id", n=3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("y.doc_id") == F.col("x.doc_id") + 1)
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    return (
+        pairs.join(inter, "id_a", "left")
+        .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a", "left")
+        .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0))
+                / F.greatest(
+                    F.coalesce(F.col("n_a"), F.lit(0))
+                    + F.coalesce(F.col("n_b"), F.lit(0))
+                    - F.coalesce(F.col("inter"), F.lit(0)),
+                    F.lit(1),
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, x -> {SQL_H64.format(expr='x')}) AS hashes FROM d)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {bits}), b ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                     CASE WHEN (h & (CAST(1 AS BIGINT) << CAST(b AS INT))) != 0 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+    """
+
+
+@register("simhash_docs", _simhash_sql())
+def simhash_docs(spark, sf_dir):
+    """Exploded-row simhash (codegen'd conditional sums; see
+    dedup.simhash_rows for why the array-lambda form is avoided)."""
+    return D.simhash_rows(tp(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH g AS (SELECT doc_id,
+                      list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                                     i -> {SQL_H64.format(expr='substr(text, CAST(i AS INT), 8)')}) AS hashes
+               FROM documents),
+    m AS (SELECT doc_id,
+                 list_sort(list_distinct(list_transform(
+                     range(0, greatest(len(hashes) - 3, 0)),
+                     i -> list_min(hashes[CAST(i+1 AS INT):CAST(i+4 AS INT)])
+                 ))) AS fps
+          FROM g)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           fps[1] AS min_fp,
+           fps[len(fps)] AS max_fp
+    FROM m
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints as an exploded window-min plan.
+
+    The array-expression form (X.winnow_fingerprints) re-evaluates the
+    k-gram hash array once per window position inside the lambda —
+    O(n²) md5 calls. The scale plan explodes grams to rows (hash
+    computed exactly once per gram, codegen'd) and takes a 4-row sliding
+    minimum with a window function; one shuffle on doc_id.
+    """
+    docs = tp(spark, sf_dir, "documents")
+    # n_grams derives from the text length BEFORE the explode — a second
+    # count-over-partition window pass just to bound full windows would
+    # re-sort every exploded row
+    grams = docs.select(
+        "doc_id",
+        (F.length("text") - F.lit(7)).alias("n_grams"),
+        F.posexplode(X.char_ngrams(F.col("text"), 8)).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id", "pos", "n_grams", X.token_hash64(F.col("gram")).alias("h")
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    mins = hashed.withColumn("fp", F.min("h").over(w_min)).where(
+        F.col("pos") <= F.col("n_grams") - 4  # full windows only
+    )
+    agg = mins.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_fingerprints"), F.lit(0)).cast("long").alias(
+                "n_fingerprints"
+            ),
+            "min_fp",
+            "max_fp",
+        )
+    )
+
+
