@@ -90,6 +90,8 @@ def delta_index(
     tests/test_plans.py pins the segment filter below the corpus
     explode; tests/test_inverted.py pins delta ≡ full-rebuild-restricted
     on clustered updates where most segments are untouched."""
+    if segment_rows <= 0:
+        raise ValueError(f"segment_rows must be positive: {segment_rows}")
     seg = segment_expr(id_col, segment_rows)
     upd_ids = F.broadcast(upd.select(id_col))
     aff_segs = F.broadcast(upd.select(seg.alias("segment")).distinct())
@@ -131,15 +133,22 @@ def delta_index(
             F.sort_array(F.collect_list(id_col)).alias("postings"),
         )
     )
-    tomb = aff.join(
-        rebuilt.select("term", "segment"), ["term", "segment"], "left_anti"
-    ).select(
+    # one LEFT join from the affected pairs, not union(rebuilt) +
+    # anti-join(rebuilt): Spark does not dedupe common subplans, so
+    # referencing `rebuilt` twice would tokenize and shuffle the pruned
+    # corpus twice per action — doubling exactly the cost this operator
+    # exists to bound. rebuilt ⊆ aff by construction, so the left join
+    # yields every affected pair once; unmatched pairs are tombstones.
+    return aff.join(rebuilt, ["term", "segment"], "left").select(
         "term",
         "segment",
-        F.lit(0).cast("long").alias("df_segment"),
-        F.array().cast("array<long>").alias("postings"),
+        F.coalesce(F.col("df_segment"), F.lit(0)).cast("long").alias(
+            "df_segment"
+        ),
+        F.coalesce(F.col("postings"), F.array().cast("array<long>")).alias(
+            "postings"
+        ),
     )
-    return rebuilt.unionByName(tomb)
 
 
 def postings_digest(postings: Column) -> Column:

@@ -322,10 +322,14 @@ def kmeans_quantized(
       round half away from zero);
     - a centroid is its members' INTEGER SUM vector plus a count —
       never a float mean;
-    - the assignment score is ``dot(q, sum) / count``: the dot is an
-      exact integer (bounded by dim·scale·Σ|q| ≪ 2^53), and a single
-      IEEE division of exact operands is correctly rounded — bit-equal
-      on every engine. Ties break to the smallest cluster id.
+    - assignment is NEAREST-CENTROID IN EUCLIDEAN DISTANCE (true
+      Lloyd's): argmin ‖q − s/c‖² = argmax (2c·dot(q,s) − ‖s‖²)/(2c²),
+      and both numerator and denominator are exact integers (bounded
+      well under 2^53), so the score is a single IEEE division of
+      exact operands — correctly rounded, bit-equal on every engine.
+      A raw dot(q, mean) argmax would NOT be k-means: it is monotone
+      in centroid norm, so the largest-norm cluster absorbs points.
+      Ties break to the smallest cluster id.
 
     Initialization: the ``k`` smallest ids' quantized vectors
     (count 1). Fixed ``iters`` assignment rounds; each of the first
@@ -354,14 +358,17 @@ def kmeans_quantized(
         # repeat it O(k) times per comparison — past janino's method
         # limit, so the whole stage falls out of codegen (CollapseProject
         # leaves non-cheap expressions materialized, so this sticks)
-        scores = [
-            sum(
+        scores = []
+        for s, cnt in state:
+            dot = sum(
                 (F.col(f"_q{i}") * F.lit(int(s[i])) for i in range(1, dim)),
                 F.col("_q0") * F.lit(int(s[0])),
-            ).cast("double")
-            / F.lit(float(cnt))
-            for s, cnt in state
-        ]
+            )
+            ss = sum(int(x) * int(x) for x in s)  # ‖s‖², exact Python int
+            scores.append(
+                (F.lit(2 * int(cnt)) * dot - F.lit(ss)).cast("double")
+                / F.lit(float(2 * int(cnt) * int(cnt)))
+            )
         sdf = frame.select(
             "*", *[sc.alias(f"_sc{j}") for j, sc in enumerate(scores)]
         )

@@ -398,11 +398,13 @@ def _kmeans_quantized_sql(k: int, iters: int, dim: int) -> str:
     """DuckDB replay of similarity.kmeans_quantized: the fixed Lloyd's
     rounds unroll as MATERIALIZED CTEs (default CTE inlining
     re-evaluates the whole prefix per reference — exponential in
-    rounds, the BPE-unroll lesson). Every compared value is an
-    integer-valued double (quantized coords, integer sum-centroids,
-    one exact-operand IEEE division per score), so the hash gate is
-    float-hazard-free; ties break to the smallest cluster id, matching
-    the engine's >=-chain argmax."""
+    rounds, the BPE-unroll lesson). Assignment is true
+    nearest-in-Euclidean: argmin ‖q − s/c‖² replayed as
+    argmax (2c·dot − ‖s‖²)/(2c²) — every compared value is an
+    integer-valued double (quantized coords, integer sum-centroids and
+    sum-of-squares, one exact-operand IEEE division per score), so the
+    hash gate is float-hazard-free; ties break to the smallest cluster
+    id, matching the engine's >=-chain argmax."""
     parts = [
         f"""q AS MATERIALIZED (
         SELECT vec_id, list_transform(embedding,
@@ -410,15 +412,17 @@ def _kmeans_quantized_sql(k: int, iters: int, dim: int) -> str:
         FROM embeddings),
     c0 AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-               qv AS s, CAST(1 AS BIGINT) AS cnt
+               qv AS s, CAST(1 AS BIGINT) AS cnt,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS ss
         FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}))"""
     ]
     for r in range(1, iters + 1):
         parts.append(
             f"""sc{r} AS MATERIALIZED (
         SELECT q.vec_id, c.cid,
-               CAST(sum(q.qv[CAST(i AS INT)] * c.s[CAST(i AS INT)]) AS DOUBLE)
-                 / CAST(min(c.cnt) AS DOUBLE) AS score
+               CAST(2 * min(c.cnt) * sum(q.qv[CAST(i AS INT)] * c.s[CAST(i AS INT)])
+                    - min(c.ss) AS DOUBLE)
+                 / CAST(2 * min(c.cnt) * min(c.cnt) AS DOUBLE) AS score
         FROM q, c{r - 1} c, range(1, {dim + 1}) t(i)
         GROUP BY q.vec_id, c.cid),
     a{r} AS MATERIALIZED (
@@ -437,10 +441,11 @@ def _kmeans_quantized_sql(k: int, iters: int, dim: int) -> str:
         WHERE a.vec_id = q.vec_id
         GROUP BY a.cid, i),
     c{r} AS MATERIALIZED (
-        SELECT cid, list(sv ORDER BY i) AS s, min(cnt) AS cnt
+        SELECT cid, list(sv ORDER BY i) AS s, min(cnt) AS cnt,
+               CAST(sum(sv * sv) AS BIGINT) AS ss
         FROM g{r} GROUP BY cid
         UNION ALL
-        SELECT c.cid, c.s, c.cnt FROM c{r - 1} c
+        SELECT c.cid, c.s, c.cnt, c.ss FROM c{r - 1} c
         WHERE c.cid NOT IN (SELECT cid FROM g{r}))"""
             )
     ctes = ",\n    ".join(parts)
@@ -486,7 +491,9 @@ def embedding_kmeans_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means training, hash-gated end to end
     (similarity.kmeans_quantized, k=4, 3 fixed rounds): vectors
     quantize to integers, centroids stay (integer-sum, count) pairs,
-    and each assignment score is one IEEE division of exact operands —
+    assignment is nearest-centroid in EUCLIDEAN distance (argmax
+    (2c·dot − ‖s‖²)/(2c²)), and each score is one IEEE division of
+    exact operands —
     so the ITERATIVE TRAINER ITSELF is engine-portable and the oracle
     replays all three rounds as unrolled MATERIALIZED CTEs (this was
     the catalog's last rows-only entry). Assignment is a map-only

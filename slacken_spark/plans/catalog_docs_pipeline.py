@@ -430,35 +430,38 @@ def inverted_index_digest(spark, sf_dir):
 @register(
     "inverted_index_delta",
     f"""
-    WITH upd AS (SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
-                 FROM documents WHERE doc_id % 50 = 0),
-    merged AS (SELECT doc_id, text FROM documents
-               WHERE doc_id % 50 <> 0 AND (doc_id // 10) % 5 = 0
-               UNION ALL SELECT doc_id, text FROM upd),
-    old_t AS (SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
-              FROM documents WHERE doc_id % 50 = 0),
-    new_t AS (SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
-              FROM upd),
-    aff AS (SELECT DISTINCT term, doc_id // 10 AS segment
+    WITH upd AS MATERIALIZED (
+        SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
+        FROM documents WHERE doc_id % 50 = 0),
+    merged AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 50 <> 0 AND (doc_id // 10) % 5 = 0
+        UNION ALL SELECT doc_id, text FROM upd),
+    old_t AS MATERIALIZED (
+        SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+        FROM documents WHERE doc_id % 50 = 0),
+    new_t AS MATERIALIZED (
+        SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+        FROM upd),
+    aff AS MATERIALIZED (SELECT DISTINCT term, doc_id // 10 AS segment
             FROM (SELECT * FROM old_t UNION ALL SELECT * FROM new_t)),
-    e AS (SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
-          FROM merged),
-    p AS (SELECT term, doc_id // 10 AS segment, doc_id FROM e),
-    rebuilt AS (SELECT p.term, p.segment,
-                       count(*) AS df_segment,
-                       md5(string_agg(CAST(p.doc_id AS VARCHAR), ','
-                                      ORDER BY p.doc_id)) AS segment_digest
-                FROM p JOIN aff ON p.term = aff.term AND p.segment = aff.segment
-                GROUP BY p.term, p.segment)
-    SELECT term, CAST(segment AS BIGINT) AS segment,
-           CAST(df_segment AS BIGINT) AS df_segment, segment_digest
-    FROM rebuilt
-    UNION ALL
+    e AS MATERIALIZED (
+        SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+        FROM merged),
+    p AS MATERIALIZED (
+        SELECT term, doc_id // 10 AS segment, doc_id FROM e),
+    rebuilt AS MATERIALIZED (
+        SELECT p.term, p.segment,
+               count(*) AS df_segment,
+               md5(string_agg(CAST(p.doc_id AS VARCHAR), ','
+                              ORDER BY p.doc_id)) AS segment_digest
+        FROM p JOIN aff ON p.term = aff.term AND p.segment = aff.segment
+        GROUP BY p.term, p.segment)
     SELECT a.term, CAST(a.segment AS BIGINT) AS segment,
-           CAST(0 AS BIGINT) AS df_segment, md5('') AS segment_digest
+           CAST(coalesce(r.df_segment, 0) AS BIGINT) AS df_segment,
+           coalesce(r.segment_digest, md5('')) AS segment_digest
     FROM aff a LEFT JOIN rebuilt r
       ON a.term = r.term AND a.segment = r.segment
-    WHERE r.term IS NULL
     """,
 )
 def inverted_index_delta(spark, sf_dir):

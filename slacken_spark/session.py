@@ -135,8 +135,14 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         # correctness over dedup.
         reuse = False
         try:
-            if os.stat(zpath).st_uid == os.getuid():
-                with open(zpath, "rb") as fh:
+            import stat as statmod
+
+            st = os.lstat(zpath)  # lstat + O_NOFOLLOW: an attacker-owned
+            # symlink pointing at a victim-owned byte-identical zip would
+            # pass a follow-the-link stat check and stay attacker-retargetable
+            if statmod.S_ISREG(st.st_mode) and st.st_uid == os.getuid():
+                fd = os.open(zpath, os.O_RDONLY | os.O_NOFOLLOW)
+                with os.fdopen(fd, "rb") as fh:
                     reuse = fh.read() == data
         except OSError:
             reuse = False

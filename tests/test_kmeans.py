@@ -159,8 +159,9 @@ def test_ivf_nprobe2_recall_not_worse(spark):
 
 def _kmq_reference(rows, k, iters, scale, dim):
     """Pure-Python replay of kmeans_quantized: quantize (half away from
-    zero), integer-sum centroids, score = dot/count (one float div),
-    argmax with smallest-index tie-break, empty clusters carry state."""
+    zero), integer-sum centroids, Euclidean score (2c·dot − ‖s‖²)/(2c²)
+    (one float div), argmax with smallest-index tie-break, empty
+    clusters carry state."""
     import math
 
     def q(v):
@@ -173,8 +174,13 @@ def _kmq_reference(rows, k, iters, scale, dim):
     state = [(list(qv), 1) for _i, qv in qrows[:k]]
 
     def assign(qv):
+        # nearest-in-Euclidean via the integer-exact form:
+        # argmin ‖q − s/c‖² = argmax (2c·dot − ‖s‖²) / (2c²)
         scores = [
-            sum(a * b for a, b in zip(qv, s)) / cnt for s, cnt in state
+            (2 * cnt * sum(a * b for a, b in zip(qv, s))
+             - sum(x * x for x in s))
+            / (2 * cnt * cnt)
+            for s, cnt in state
         ]
         best = max(range(k), key=lambda j: (scores[j], -j))
         return best
@@ -262,3 +268,24 @@ def test_kmeans_quantized_needs_k_rows(spark):
     )
     with pytest.raises(ValueError):
         SIM.kmeans_quantized(df, "embedding", "vec_id", k=4, iters=1, dim=2)
+
+
+def test_kmeans_quantized_is_euclidean_not_raw_dot(spark):
+    """A point sitting EXACTLY on centroid 0's mean must be assigned to
+    it. Raw dot(q, mean) argmax — monotone in centroid norm — would
+    hand it to the farther, larger-norm centroid 1 ([5,0] scores 5 vs
+    1); the Euclidean form (2c·dot − ‖s‖²)/(2c²) keeps it home."""
+    rows = [
+        (0, [0.25, 0.0]),   # seed 0 → q=[1,0] at scale 4
+        (1, [1.25, 0.0]),   # seed 1 → q=[5,0]
+        (2, [0.25, 0.0]),   # exactly on centroid 0
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, _ = SIM.kmeans_quantized(
+        df, "embedding", "vec_id", k=2, iters=1, scale=4, dim=2
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got[2] == 0, f"raw-dot bias: point on centroid 0 went to {got[2]}"

@@ -450,11 +450,14 @@ def test_late_round6_query_plan_shapes(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the rebuild aggregation's input is the affected-pair join: at
-    # least two join nodes (pair restriction + tombstone anti-join),
-    # all broadcast at this scale
+    # the rebuild aggregation's input is the affected-pair join; the
+    # changed-doc swap is an anti-join on update ids, and tombstones
+    # come from ONE left outer join of the affected pairs onto the
+    # aggregation (a union + anti-join would evaluate the pruned-corpus
+    # subplan twice)
     assert plan.count("Join") >= 2
-    assert "LeftAnti" in plan, "tombstones must come from an anti-join"
+    assert "LeftAnti" in plan, "changed docs swap out via an anti-join"
+    assert "LeftOuter" in plan, "tombstones come from one left join"
     # THE incremental claim (VERDICT r6 item 1): the corpus branch must
     # prune to affected segments BELOW the tokenize/explode — some
     # Generate(explode) node has a LeftSemi join ON SEGMENT in its
