@@ -68,6 +68,8 @@ _MUST_GATE = [
     # first oracle ever (was the only rows-only catalog entry —
     # re-expressed as integer-exact quantized Lloyd's, SQL-unrolled):
     "embedding_kmeans_clusters",
+    # new this round:
+    "streaming_index_delta",  # CDC stream patches the sharded index per micro-batch
     # code changed this round:
     "inverted_index_delta",  # segment-pruned rebuild (functions.inverted.delta_index)
     "source_quota_sample",  # negative-size clamp in quota_sample
@@ -119,13 +121,15 @@ _EARLY = _MUST_GATE + [
     "pack_sequences",
     "embedding_ivf_topk",
     "dedup_components",
-    "doc_vocab_top50",
     "events_rolling_stats",
     "doc_bloom_decontaminate",
     "embedding_random_projection",
     "doc_unigram_rarity",
 ]
 _TAIL = [
+    # demoted to seat the late-round streaming_index_delta (2 green
+    # rows, r4+r5) — rejoins the rotation in r8:
+    "doc_vocab_top50",
     # many-times-green genomic flagships that gave their seats to the
     # r5-gated re-promotions — first in line for the r8 gate:
     "genomic_classify",

@@ -427,9 +427,10 @@ def inverted_index_digest(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "inverted_index_delta",
-    f"""
+# shared with catalog_streaming.streaming_index_delta: one availableNow
+# micro-batch applies the identical delta, so the stream gates against
+# the SAME oracle (the streaming_genomic_classify differential pattern)
+DELTA_ORACLE_SQL = f"""
     WITH upd AS MATERIALIZED (
         SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
         FROM documents WHERE doc_id % 50 = 0),
@@ -462,8 +463,10 @@ def inverted_index_digest(spark, sf_dir):
            coalesce(r.segment_digest, md5('')) AS segment_digest
     FROM aff a LEFT JOIN rebuilt r
       ON a.term = r.term AND a.segment = r.segment
-    """,
-)
+    """
+
+
+@register("inverted_index_delta", DELTA_ORACLE_SQL)
 def inverted_index_delta(spark, sf_dir):
     """Incremental inverted-index maintenance — the 100 TB answer to
     "a small update batch must not rebuild (or even rescan) the whole

@@ -216,3 +216,87 @@ def streaming_doc_quality(spark, sf_dir):
         "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens")
     ).where(F.col("n_tokens") >= 40)
     return ops.run_to_completion(filtered, output_mode="append")
+
+
+def _delta_sql():
+    from slacken_spark.plans.catalog_docs_pipeline import DELTA_ORACLE_SQL
+
+    return DELTA_ORACLE_SQL
+
+
+@register("streaming_index_delta", _delta_sql())
+def streaming_index_delta(spark, sf_dir):
+    """Streaming incremental index maintenance
+    (streaming/ops.index_delta_stream): the CDC update batch (every
+    50th doc, truncated v2 text) arrives AS A REAL STREAM, and each
+    micro-batch patches the static corpus's sharded inverted index via
+    foreachBatch running functions.inverted.delta_index — only the
+    batch's affected (term, segment) posting lists rebuild, tombstones
+    included, and the in-memory base advances between batches
+    (sequential CDC application). availableNow over the single source
+    file yields one micro-batch, so the emitted delta set is proven
+    byte-identical to the batch operator against the SAME oracle — the
+    streaming_genomic_classify differential pattern applied to index
+    maintenance. Per-batch cost is bounded by the batch's affected
+    segments (the segment semi-join sits below the tokenize), never
+    the corpus — the shape a continuously-maintained 100 TB retrieval
+    index needs."""
+    import os
+
+    from slacken_spark.functions import text as X
+    from slacken_spark.functions.inverted import postings_digest
+    from slacken_spark.plans.catalog import t
+    from slacken_spark.streaming import ops
+
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    upd_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+        .where(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias(
+                "text"
+            ),
+        )
+    )
+    collected: list = []
+    schema_out = None
+
+    def sink(delta_df, _epoch):
+        nonlocal schema_out
+        out = delta_df.select(
+            "term",
+            "segment",
+            "df_segment",
+            postings_digest(F.col("postings")).alias("segment_digest"),
+        )
+        schema_out = out.schema
+        collected.extend(out.collect())
+
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt_dir = tempfile.mkdtemp(prefix="ss_ckpt_", dir=ckpt_base)
+    try:
+        q = (
+            ops.index_delta_stream(base, upd_stream, X.tokens(F.col("text")), sink)
+            .queryName("sid_" + _uuid.uuid4().hex[:12])
+            .option("checkpointLocation", os.path.join(ckpt_dir, "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    # each batch's delta is update-batch-sized (affected pairs only) —
+    # the driver-side accumulation here is the memory-sink stand-in for
+    # a production MERGE sink, bounded by the CDC batch, not the corpus
+    return spark.createDataFrame(collected, schema_out)

@@ -229,3 +229,45 @@ def classify_stream(index, read_stream: DataFrame, sink):
         sink(cls.classify(batch_df), epoch_id)
 
     return read_stream.writeStream.foreachBatch(process)
+
+
+def index_delta_stream(base: DataFrame, upd_stream: DataFrame, tokens, sink,
+                       id_col: str = "doc_id", segment_rows: int = 10):
+    """Streaming incremental index maintenance: a CDC stream of document
+    replacements patches a STATIC corpus's sharded inverted index — the
+    continuous form of ``functions.inverted.delta_index`` and the
+    standard Spark shape for streaming index upkeep (foreachBatch
+    applying the batch delta per micro-batch, like a streaming
+    MERGE INTO).
+
+    Per micro-batch: ``delta_index(current_base, batch)`` emits only the
+    affected (term, segment) posting lists (tombstones included) to
+    ``sink(delta_df, epoch_id)``, then the in-memory base advances by
+    the batch (anti-join + union) so later batches see earlier ones —
+    sequential CDC application, each batch atomic. In production the
+    base would be a storage-backed table the sink MERGEs into (the
+    lineage of the advancing in-memory base grows per batch; a real
+    deployment checkpoints it), but per-batch cost is the operator's
+    whole point: bounded by the batch's affected segments, never the
+    corpus.
+
+    Returns the DataStreamWriter (caller adds trigger and starts).
+    """
+    from slacken_spark.functions.inverted import delta_index
+
+    state = {"base": base}
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        delta = delta_index(
+            state["base"], batch_df, tokens, id_col, segment_rows
+        )
+        sink(delta, epoch_id)
+        state["base"] = (
+            state["base"]
+            .join(batch_df.select(id_col), id_col, "left_anti")
+            .unionByName(batch_df.select(*state["base"].columns))
+        )
+
+    return upd_stream.writeStream.foreachBatch(process)

@@ -218,3 +218,97 @@ def test_streaming_shard_publish(spark, sf_dir, tmp_path):
         d for d in os.listdir(out) if d.startswith("shard_id=")
     )
     assert dirs == [f"shard_id={i}" for i in range(4)]
+
+
+def test_index_delta_stream_applies_batches_sequentially(spark, tmp_path):
+    """Two CDC micro-batches touching the SAME doc: batch 2's delta must
+    be computed against the batch-1-patched base (sequential
+    application), so its posting digests reflect batch 1's text for
+    other docs and the final state equals applying both batches in
+    order. maxFilesPerTrigger=1 forces two real micro-batches."""
+    from slacken_spark.functions.inverted import delta_index
+
+    base = spark.createDataFrame(
+        [(i, f"tok{i % 3} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    b1 = [(0, "alpha common"), (10, "beta common")]
+    b2 = [(0, "gamma solo"), (5, "alpha common")]
+    up_dir = tmp_path / "updates"
+    up_dir.mkdir()
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(up_dir / "b1"))
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(up_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(str(up_dir))
+    )
+    batches = []
+
+    def sink(delta, epoch):
+        batches.append(
+            {
+                (r["term"], r["segment"]): (r["df_segment"], list(r["postings"]))
+                for r in delta.collect()
+            }
+        )
+
+    import os
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
+    try:
+        q = (
+            ops.index_delta_stream(
+                base, stream, F.split(F.col("text"), " "), sink, segment_rows=10
+            )
+            .option("checkpointLocation", os.path.join(ckpt, "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    assert len(batches) == 2, "maxFilesPerTrigger=1 must yield two batches"
+    # which file is batch 1 follows listing order; identify by content
+    first_is_b1 = any(("alpha", 0) in b for b in batches[:1])
+    fb1, fb2 = (batches if first_is_b1 else list(reversed(batches)))
+    # replay sequentially with the batch operator
+    ref_b1 = delta_index(
+        base,
+        spark.createDataFrame(b1, "doc_id long, text string"),
+        F.split(F.col("text"), " "),
+        segment_rows=10,
+    )
+    base2 = (
+        base.where(~F.col("doc_id").isin([i for i, _ in b1]))
+        .unionByName(spark.createDataFrame(b1, "doc_id long, text string"))
+    )
+    ref_b2 = delta_index(
+        base2,
+        spark.createDataFrame(b2, "doc_id long, text string"),
+        F.split(F.col("text"), " "),
+        segment_rows=10,
+    )
+    as_dict = lambda df: {
+        (r["term"], r["segment"]): (r["df_segment"], list(r["postings"]))
+        for r in df.collect()
+    }
+    assert fb1 == as_dict(ref_b1)
+    assert fb2 == as_dict(ref_b2)
+    # the sequential property is visible: batch 2 replaces doc 0 again,
+    # so its ('alpha', 0) row must account for doc 0's BATCH-1 text
+    # going away while doc 5's new 'alpha' arrives — a batch-2 delta
+    # computed against the ORIGINAL base would get this pair wrong
+    assert ("alpha", 0) in fb2
+    assert fb2[("alpha", 0)] == (1, [5])
