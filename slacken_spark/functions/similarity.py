@@ -419,6 +419,57 @@ def kmeans_quantized(
     return assigned, state
 
 
+def lsh_delta(
+    base: DataFrame,
+    upd: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental maintenance of the hyperplane-LSH bucket index — the
+    vector twin of ``inverted.delta_index``. Given the base corpus and
+    a CDC batch of replacement vectors, rebuild ONLY the affected
+    buckets' member lists → ``(bucket, n_vecs, members)``; a bucket
+    that empties returns n_vecs = 0 with an empty members array (the
+    delete tombstone).
+
+    Affected buckets = old ∪ new bucket of each changed vector
+    (≤ 2·|batch|), broadcast as a semi-join ahead of the per-bucket
+    shuffle. Bucket ids are map-only sign-bit hashes, so the corpus
+    scan is one cheap projection; the delta bound applies to the
+    SHUFFLE — collect_list reduces only affected buckets' rows, which
+    is the cost that matters at scale. One left outer join emits
+    rebuilt lists and tombstones without re-evaluating the aggregation
+    (the delta_index lesson)."""
+    base = base.select(id_col, vec_col)
+    upd = upd.select(id_col, vec_col)
+    base_b = lsh_hyperplane_buckets(base, vec_col, planes).select(
+        id_col, "bucket"
+    )
+    upd_b = lsh_hyperplane_buckets(upd, vec_col, planes).select(
+        id_col, "bucket"
+    )
+    upd_ids = F.broadcast(upd.select(id_col))
+    old_b = base_b.join(upd_ids, id_col, "left_semi").select("bucket")
+    aff = F.broadcast(old_b.unionByName(upd_b.select("bucket")).distinct())
+    merged_b = base_b.join(upd_ids, id_col, "left_anti").unionByName(upd_b)
+    rebuilt = (
+        merged_b.join(aff, "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+    )
+    return aff.join(rebuilt, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+        F.coalesce(F.col("members"), F.array().cast("array<long>")).alias(
+            "members"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random projection (Johnson–Lindenstrauss, ±1 / Achlioptas signs)
 # ---------------------------------------------------------------------------

@@ -226,19 +226,24 @@ def _planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
     return out
 
 
-def _lsh_sql() -> str:
-    planes = _planes()
+def _lsh_bucket_sql_expr(vec_expr: str) -> str:
+    """The hyperplane sign-bit bucket id of ``vec_expr``, as DuckDB SQL
+    with the plane literals inlined (mirrors
+    similarity.lsh_hyperplane_buckets bit for bit)."""
     terms = []
-    for i, p in enumerate(planes):
+    for i, p in enumerate(_planes()):
         lits = ", ".join(repr(x) for x in p)
         terms.append(
             f"(CASE WHEN list_sum(list_transform(range(1, 65), "
-            f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (ARRAY[{lits}])[CAST(i AS INT)])) >= 0 "
+            f"i -> CAST(({vec_expr})[CAST(i AS INT)] AS DOUBLE) * (ARRAY[{lits}])[CAST(i AS INT)])) >= 0 "
             f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _lsh_sql() -> str:
     return f"""
-    SELECT {bucket} AS bucket, count(*) AS n_vecs
+    SELECT {_lsh_bucket_sql_expr('embedding')} AS bucket, count(*) AS n_vecs
     FROM embeddings
     GROUP BY 1
     """
@@ -249,6 +254,62 @@ def embedding_lsh_buckets(spark, sf_dir):
     emb = tp(spark, sf_dir, "embeddings")
     bucketed = SIM.lsh_hyperplane_buckets(emb, "embedding", _planes())
     return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _lsh_delta_sql() -> str:
+    b = _lsh_bucket_sql_expr("embedding")
+    bu = _lsh_bucket_sql_expr("list_reverse(embedding)")
+    return f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, {b} AS bucket FROM embeddings),
+    u AS MATERIALIZED (
+        SELECT vec_id, {bu} AS bucket FROM embeddings WHERE vec_id % 50 = 0),
+    aff AS MATERIALIZED (
+        SELECT DISTINCT bucket FROM (
+            SELECT bucket FROM b WHERE vec_id % 50 = 0
+            UNION ALL SELECT bucket FROM u)),
+    m AS MATERIALIZED (
+        SELECT vec_id, bucket FROM b WHERE vec_id % 50 <> 0
+        UNION ALL SELECT vec_id, bucket FROM u),
+    rebuilt AS MATERIALIZED (
+        SELECT m.bucket, count(*) AS n_vecs,
+               md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+                 AS members_digest
+        FROM m JOIN aff USING (bucket) GROUP BY m.bucket)
+    SELECT a.bucket, CAST(coalesce(r.n_vecs, 0) AS BIGINT) AS n_vecs,
+           coalesce(r.members_digest, md5('')) AS members_digest
+    FROM aff a LEFT JOIN rebuilt r USING (bucket)
+    """
+
+
+@register("embedding_lsh_delta", _lsh_delta_sql())
+def embedding_lsh_delta(spark, sf_dir):
+    """Incremental maintenance of the LSH-bucket ANN index — the vector
+    twin of ``inverted_index_delta``. A CDC batch replaces every 50th
+    vector (deterministically: the reversed embedding), and only the
+    AFFECTED buckets' member lists rebuild: affected = old bucket ∪
+    new bucket of each changed vector (≤ 2·|batch| of the 2^6 = 64
+    buckets), broadcast as a semi-join filter ahead of the per-bucket
+    shuffle, with an explicit n=0 / md5('') tombstone when a bucket
+    empties. Bucket ids are map-only sign-bit hashes, so unlike the
+    token case the corpus scan is one cheap projection — the delta
+    bound applies to the SHUFFLE (collect_list reduces only affected
+    buckets' rows), which is what hurts at 100 TB. One left outer join
+    emits rebuilt lists and tombstones without re-evaluating the
+    aggregation (the delta_index lesson;
+    functions.similarity.lsh_delta)."""
+    from slacken_spark.functions.inverted import postings_digest
+
+    emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    upd = emb.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    out = SIM.lsh_delta(emb, upd, _planes())
+    return out.select(
+        "bucket",
+        "n_vecs",
+        postings_digest(F.col("members")).alias("members_digest"),
+    )
 
 
 def _bucket_sql() -> str:

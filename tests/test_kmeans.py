@@ -289,3 +289,42 @@ def test_kmeans_quantized_is_euclidean_not_raw_dot(spark):
     )
     got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
     assert got[2] == 0, f"raw-dot bias: point on centroid 0 went to {got[2]}"
+
+
+def test_lsh_delta_matches_reference_and_tombstones(spark):
+    """LSH-bucket index maintenance: results must equal a pure-Python
+    full-rebuild restricted to affected buckets, a bucket emptied by
+    its sole member moving away must emit an n=0 tombstone, and
+    UNTOUCHED buckets must not appear in the output at all."""
+    planes = [[1.0, 0.0], [0.0, 1.0]]  # buckets = quadrant sign bits
+
+    def bucket(v):
+        b = 0
+        for i, p in enumerate(planes):
+            if sum(a * x for a, x in zip(v, p)) >= 0:
+                b += 1 << i
+        return b
+
+    base_rows = [
+        (0, [1.0, 1.0]),    # bucket 3 — sole member, moves away
+        (1, [-1.0, 1.0]),   # bucket 2
+        (2, [-1.0, 1.5]),   # bucket 2
+        (3, [-1.0, -1.0]),  # bucket 0 — untouched, must NOT appear
+        (4, [-2.0, -1.0]),  # bucket 0
+    ]
+    upd_rows = [(0, [1.0, -1.0])]  # moves bucket 3 → 1
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base_rows],
+        "vec_id long, embedding array<float>",
+    )
+    upd = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in upd_rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["bucket"]: (r["n_vecs"], list(r["members"]))
+        for r in SIM.lsh_delta(base, upd, planes).collect()
+    }
+    # affected: old bucket 3, new bucket 1
+    assert got == {3: (0, []), 1: (1, [0])}
+    assert 0 not in got and 2 not in got, "untouched buckets must not emit"
