@@ -475,6 +475,19 @@ def test_late_round6_query_plan_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_lsh_delta_prunes_shuffle_to_affected_buckets(spark, sf_dir):
+    """embedding_lsh_delta: the per-bucket collect_list aggregation must
+    sit ABOVE a broadcast LeftSemi join on bucket (only affected
+    buckets' rows shuffle), tombstones come from one LeftOuter join,
+    and nothing sort-merges."""
+    fn, _ = REGISTRY["embedding_lsh_delta"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan, "affected-bucket semi-join must prune the shuffle"
+    assert "LeftOuter" in plan, "tombstones come from one left join"
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_retrieve_docs_broadcasts_hits(spark, sf_dir):
     """Candidate hydration must broadcast the (queries × k) hit list
     onto the documents scan — a SortMergeJoin here would shuffle the
