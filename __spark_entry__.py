@@ -71,6 +71,7 @@ _MUST_GATE = [
     # new this round:
     "streaming_index_delta",  # CDC stream patches the sharded index per micro-batch
     "embedding_lsh_delta",  # CDC batch patches the LSH ANN index (vector twin)
+    "inverted_index_patch",  # apply-delta ≡ from-scratch rebuild invariant
     # code changed this round:
     "inverted_index_delta",  # segment-pruned rebuild (functions.inverted.delta_index)
     "source_quota_sample",  # negative-size clamp in quota_sample
@@ -119,7 +120,6 @@ _EARLY = _MUST_GATE + [
     "streaming_session_windows",
     "streaming_genomic_classify",
     "streaming_dedup_keys",
-    "embedding_ivf_topk",
     "dedup_components",
     "events_rolling_stats",
     "doc_bloom_decontaminate",
@@ -127,10 +127,11 @@ _EARLY = _MUST_GATE + [
     "doc_unigram_rarity",
 ]
 _TAIL = [
-    # demoted to seat the late-round delta operators (2 green rows
-    # each, r4+r5) — rejoin the rotation in r8:
+    # demoted to seat the late-round delta operators (≥2 green rows
+    # each) — rejoin the rotation in r8:
     "doc_vocab_top50",
     "pack_sequences",
+    "embedding_ivf_topk",
     # many-times-green genomic flagships that gave their seats to the
     # r5-gated re-promotions — first in line for the r8 gate:
     "genomic_classify",

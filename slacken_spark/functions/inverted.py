@@ -151,6 +151,23 @@ def delta_index(
     )
 
 
+def apply_delta(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply a ``delta_index`` output to a stored sharded index: every
+    affected (term, segment) pair leaves the index (anti-join on the
+    batch-sized delta — broadcast, map-side), then the rebuilt lists
+    (``df_segment > 0``) come back in. Tombstones (df = 0) therefore
+    act as pure deletes. The maintenance invariant — pinned by the
+    ``inverted_index_patch`` catalog oracle and
+    tests/test_inverted.py — is that the patched index is ROW-IDENTICAL
+    to rebuilding ``inverted_index`` from scratch on the merged corpus;
+    at scale the patch touches only delta-sized data while the rebuild
+    pays the full corpus."""
+    keys = ["term", "segment"]
+    return index.join(
+        F.broadcast(delta.select(*keys)), keys, "left_anti"
+    ).unionByName(delta.where(F.col("df_segment") > 0))
+
+
 def postings_digest(postings: Column) -> Column:
     """md5 over the comma-joined sorted ids — the hash-gate shape for a
     posting list (engine-portable: DuckDB predicts it with string_agg

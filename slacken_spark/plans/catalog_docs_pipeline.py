@@ -508,6 +508,59 @@ def inverted_index_delta(spark, sf_dir):
     )
 
 
+@register(
+    "inverted_index_patch",
+    f"""
+    WITH upd AS MATERIALIZED (
+        SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
+        FROM documents WHERE doc_id % 50 = 0),
+    merged AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL SELECT doc_id, text FROM upd),
+    e AS MATERIALIZED (
+        SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+        FROM merged)
+    SELECT term, CAST(doc_id // 10 AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS df_segment,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS segment_digest
+    FROM e GROUP BY term, doc_id // 10
+    """,
+)
+def inverted_index_patch(spark, sf_dir):
+    """The APPLY side of incremental index maintenance
+    (functions.inverted.apply_delta), closing the CDC loop: build the
+    sharded index over the ORIGINAL corpus, compute the same
+    clustered-update delta as ``inverted_index_delta``, apply it —
+    affected pairs anti-join out (broadcast, batch-sized), rebuilt
+    lists union in, tombstones are pure deletes — and the oracle is
+    the strongest invariant available: a FROM-SCRATCH rebuild of the
+    merged corpus. Patch ≡ rebuild, row for row, digests included —
+    while at 100 TB the patch touches only delta-sized data and the
+    rebuild pays the full corpus."""
+    from slacken_spark.functions.inverted import (
+        apply_delta,
+        delta_index,
+        inverted_index,
+        postings_digest,
+    )
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    upd = docs.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
+    )
+    index = inverted_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    delta = delta_index(docs, upd, X.tokens(F.col("text")), "doc_id", 10)
+    patched = apply_delta(index, delta)
+    return patched.select(
+        "term",
+        "segment",
+        "df_segment",
+        postings_digest(F.col("postings")).alias("segment_digest"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus upsert (CDC latest-wins merge — dataset versioning)
 # ---------------------------------------------------------------------------

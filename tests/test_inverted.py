@@ -170,3 +170,37 @@ def test_bad_segment_rows_rejected(spark):
     docs = _corpus(spark, 10)
     with pytest.raises(ValueError):
         inverted_index(docs, F.split(F.col("text"), " "), segment_rows=0)
+
+
+def test_apply_delta_patch_equals_full_rebuild(spark):
+    """The maintenance loop invariant: patching the original index with
+    the delta must be row-identical to rebuilding the sharded index
+    from scratch on the merged corpus — including pairs that vanish
+    (tombstones really delete) and brand-new pairs."""
+    from slacken_spark.functions.inverted import (
+        apply_delta,
+        delta_index,
+        inverted_index,
+    )
+
+    base = _corpus(spark, 200)
+    upd = spark.createDataFrame(
+        [(i, f"changed u{i} unique{i}") for i in [0, 7, 13, 21, 28, 39]],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.col("text"), " ")
+    index = inverted_index(base, toks, segment_rows=10)
+    delta = delta_index(base, upd, toks, "doc_id", 10)
+    patched = {
+        (r["term"], r["segment"]): (r["df_segment"], list(r["postings"]))
+        for r in apply_delta(index, delta).collect()
+    }
+    merged = base.join(upd.select("doc_id"), "doc_id", "left_anti").unionByName(upd)
+    rebuilt = {
+        (r["term"], r["segment"]): (r["df_segment"], list(r["postings"]))
+        for r in inverted_index(merged, toks, segment_rows=10).collect()
+    }
+    assert patched == rebuilt
+    # and the fixture exercises both interesting branches
+    dropped = [r for r in delta.collect() if r["df_segment"] == 0]
+    assert dropped, "fixture must include at least one tombstone"
