@@ -161,8 +161,19 @@ def apply_delta(index: DataFrame, delta: DataFrame) -> DataFrame:
     tests/test_inverted.py — is that the patched index is ROW-IDENTICAL
     to rebuilding ``inverted_index`` from scratch on the merged corpus;
     at scale the patch touches only delta-sized data while the rebuild
-    pays the full corpus."""
+    pays the full corpus.
+
+    ``delta`` necessarily feeds BOTH branches (anti-join keys + the
+    rebuilt rows), and a full-outer rewrite that references it once
+    would shuffle the ENTIRE index — corpus-bounded cost for a
+    batch-bounded operation. Instead the delta plan is local-
+    checkpointed so both references share one computed RDD (the
+    dedup_components pattern); the checkpoint blocks are batch-sized
+    and live as long as the returned plan. Callers that already
+    materialized the delta (the real CDC shape — you persist the
+    patch you ship) pay nothing extra."""
     keys = ["term", "segment"]
+    delta = delta.localCheckpoint(eager=False)
     return index.join(
         F.broadcast(delta.select(*keys)), keys, "left_anti"
     ).unionByName(delta.where(F.col("df_segment") > 0))

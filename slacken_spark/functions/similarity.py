@@ -436,32 +436,41 @@ def lsh_delta(
     Affected buckets = old ∪ new bucket of each changed vector
     (≤ 2·|batch|), broadcast as a semi-join ahead of the per-bucket
     shuffle. Bucket ids are map-only sign-bit hashes, so the corpus
-    scan is one cheap projection; the delta bound applies to the
-    SHUFFLE — collect_list reduces only affected buckets' rows, which
-    is the cost that matters at scale. One left outer join emits
+    cost is two projection scans (one to find the changed vectors' OLD
+    buckets, one to assemble the merged assignment) — no corpus
+    shuffle anywhere; a production maintainer that stores bucket
+    assignments alongside the vectors reads them instead of
+    recomputing. The delta bound applies to the SHUFFLE — collect_list
+    reduces only affected buckets' rows, which is the cost that
+    matters at scale. One left outer join (small side broadcast —
+    build-right, the side a LeftOuter join can broadcast) emits
     rebuilt lists and tombstones without re-evaluating the aggregation
-    (the delta_index lesson)."""
+    (the delta_index lesson); the batch-sized update frames are
+    local-checkpointed so their multiple references share one
+    computation."""
     base = base.select(id_col, vec_col)
-    upd = upd.select(id_col, vec_col)
+    upd = upd.select(id_col, vec_col).localCheckpoint(eager=False)
     base_b = lsh_hyperplane_buckets(base, vec_col, planes).select(
         id_col, "bucket"
     )
     upd_b = lsh_hyperplane_buckets(upd, vec_col, planes).select(
         id_col, "bucket"
-    )
+    ).localCheckpoint(eager=False)
     upd_ids = F.broadcast(upd.select(id_col))
     old_b = base_b.join(upd_ids, id_col, "left_semi").select("bucket")
-    aff = F.broadcast(old_b.unionByName(upd_b.select("bucket")).distinct())
+    aff = old_b.unionByName(upd_b.select("bucket")).distinct().localCheckpoint(
+        eager=False
+    )
     merged_b = base_b.join(upd_ids, id_col, "left_anti").unionByName(upd_b)
     rebuilt = (
-        merged_b.join(aff, "bucket", "left_semi")
+        merged_b.join(F.broadcast(aff), "bucket", "left_semi")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
             F.sort_array(F.collect_list(id_col)).alias("members"),
         )
     )
-    return aff.join(rebuilt, "bucket", "left").select(
+    return aff.join(F.broadcast(rebuilt), "bucket", "left").select(
         "bucket",
         F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
         F.coalesce(F.col("members"), F.array().cast("array<long>")).alias(

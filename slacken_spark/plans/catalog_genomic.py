@@ -546,13 +546,7 @@ def streaming_genomic_classify(spark, sf_dir):
         def sink(df, _epoch):
             rows.extend(df.select("header", "classified", "taxon").collect())
 
-        q = (
-            ops.classify_stream(idx, stream, sink)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(tmp, "ck"))
-            .start()
-        )
-        q.awaitTermination()
+        ops.run_foreach_to_completion(ops.classify_stream(idx, stream, sink))
         return spark.createDataFrame(
             rows, "header string, classified boolean, taxon int"
         )

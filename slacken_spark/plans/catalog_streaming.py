@@ -218,13 +218,12 @@ def streaming_doc_quality(spark, sf_dir):
     return ops.run_to_completion(filtered, output_mode="append")
 
 
-def _delta_sql():
-    from slacken_spark.plans.catalog_docs_pipeline import DELTA_ORACLE_SQL
+from slacken_spark.plans.catalog_docs_pipeline import (  # noqa: E402
+    DELTA_ORACLE_SQL,
+)
 
-    return DELTA_ORACLE_SQL
 
-
-@register("streaming_index_delta", _delta_sql())
+@register("streaming_index_delta", DELTA_ORACLE_SQL)
 def streaming_index_delta(spark, sf_dir):
     """Streaming incremental index maintenance
     (streaming/ops.index_delta_stream): the CDC update batch (every
@@ -266,37 +265,27 @@ def streaming_index_delta(spark, sf_dir):
         )
     )
     collected: list = []
-    schema_out = None
+    # fixed output schema (not captured from the first batch): an empty
+    # CDC stream must return an empty frame of the right shape, not
+    # crash createDataFrame with schema=None
+    out_schema = (
+        "term string, segment bigint, df_segment bigint, segment_digest string"
+    )
 
     def sink(delta_df, _epoch):
-        nonlocal schema_out
-        out = delta_df.select(
-            "term",
-            "segment",
-            "df_segment",
-            postings_digest(F.col("postings")).alias("segment_digest"),
+        collected.extend(
+            delta_df.select(
+                "term",
+                "segment",
+                "df_segment",
+                postings_digest(F.col("postings")).alias("segment_digest"),
+            ).collect()
         )
-        schema_out = out.schema
-        collected.extend(out.collect())
 
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    ckpt_dir = tempfile.mkdtemp(prefix="ss_ckpt_", dir=ckpt_base)
-    try:
-        q = (
-            ops.index_delta_stream(base, upd_stream, X.tokens(F.col("text")), sink)
-            .queryName("sid_" + _uuid.uuid4().hex[:12])
-            .option("checkpointLocation", os.path.join(ckpt_dir, "c"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    ops.run_foreach_to_completion(
+        ops.index_delta_stream(base, upd_stream, X.tokens(F.col("text")), sink)
+    )
     # each batch's delta is update-batch-sized (affected pairs only) —
     # the driver-side accumulation here is the memory-sink stand-in for
     # a production MERGE sink, bounded by the CDC batch, not the corpus
-    return spark.createDataFrame(collected, schema_out)
+    return spark.createDataFrame(collected, out_schema)

@@ -271,3 +271,28 @@ def index_delta_stream(base: DataFrame, upd_stream: DataFrame, tokens, sink,
         )
 
     return upd_stream.writeStream.foreachBatch(process)
+
+
+def run_foreach_to_completion(writer, name: str | None = None) -> None:
+    """Run a foreachBatch DataStreamWriter to completion with the
+    availableNow trigger and a THROWAWAY scratch checkpoint (fastest
+    local dir — /dev/shm when present; offsets/state die with the run,
+    exactly like ``run_to_completion``'s sink-side checkpoint). One
+    definition so checkpoint handling has one place to fix — this
+    block previously existed in three copies."""
+    import os
+    import shutil
+    import tempfile
+
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt_dir = tempfile.mkdtemp(prefix="ss_ckpt_", dir=ckpt_base)
+    try:
+        w = writer.queryName(name or ("fb_" + uuid.uuid4().hex[:12]))
+        q = (
+            w.option("checkpointLocation", os.path.join(ckpt_dir, "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)

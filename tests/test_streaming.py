@@ -261,51 +261,46 @@ def test_index_delta_stream_applies_batches_sequentially(spark, tmp_path):
             }
         )
 
+    import glob
     import os
-    import shutil
-    import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
-    try:
-        q = (
-            ops.index_delta_stream(
-                base, stream, F.split(F.col("text"), " "), sink, segment_rows=10
-            )
-            .option("checkpointLocation", os.path.join(ckpt, "c"))
-            .trigger(availableNow=True)
-            .start()
+    # FileStreamSource orders files by modification time: force b1
+    # strictly older so the processing order is deterministic
+    for name, age in (("b1", 200), ("b2", 100)):
+        for f in glob.glob(str(up_dir / name / "*.parquet")):
+            st = os.stat(f)
+            os.utime(f, (st.st_atime, st.st_mtime - age))
+
+    ops.run_foreach_to_completion(
+        ops.index_delta_stream(
+            base, stream, F.split(F.col("text"), " "), sink, segment_rows=10
         )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    )
 
     assert len(batches) == 2, "maxFilesPerTrigger=1 must yield two batches"
-    # which file is batch 1 follows listing order; identify by content
-    first_is_b1 = any(("alpha", 0) in b for b in batches[:1])
-    fb1, fb2 = (batches if first_is_b1 else list(reversed(batches)))
-    # replay sequentially with the batch operator
-    ref_b1 = delta_index(
-        base,
-        spark.createDataFrame(b1, "doc_id long, text string"),
-        F.split(F.col("text"), " "),
-        segment_rows=10,
-    )
-    base2 = (
-        base.where(~F.col("doc_id").isin([i for i, _ in b1]))
-        .unionByName(spark.createDataFrame(b1, "doc_id long, text string"))
-    )
-    ref_b2 = delta_index(
-        base2,
-        spark.createDataFrame(b2, "doc_id long, text string"),
-        F.split(F.col("text"), " "),
-        segment_rows=10,
-    )
+    # identify which micro-batch carried b1 by a key UNIQUE to it
+    # (('beta', 1): doc 10's new term — b2 has no doc in segment 1),
+    # then replay the batches with the batch operator IN THAT ORDER
+    first_is_b1 = ("beta", 1) in batches[0]
+    order = [b1, b2] if first_is_b1 else [b2, b1]
+    cur = base
+    refs = []
+    for batch_rows in order:
+        bdf = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        refs.append(
+            delta_index(cur, bdf, F.split(F.col("text"), " "), segment_rows=10)
+        )
+        cur = cur.where(
+            ~F.col("doc_id").isin([i for i, _ in batch_rows])
+        ).unionByName(bdf)
     as_dict = lambda df: {
         (r["term"], r["segment"]): (r["df_segment"], list(r["postings"]))
         for r in df.collect()
     }
-    assert fb1 == as_dict(ref_b1)
-    assert fb2 == as_dict(ref_b2)
+    assert batches[0] == as_dict(refs[0])
+    assert batches[1] == as_dict(refs[1])
+    fb2 = batches[1] if first_is_b1 else batches[0]
+    assert first_is_b1, "mtime ordering should process b1 first"
     # the sequential property is visible: batch 2 replaces doc 0 again,
     # so its ('alpha', 0) row must account for doc 0's BATCH-1 text
     # going away while doc 5's new 'alpha' arrives — a batch-2 delta
