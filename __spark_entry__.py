@@ -72,6 +72,7 @@ _MUST_GATE = [
     "streaming_index_delta",  # CDC stream patches the sharded index per micro-batch
     "embedding_lsh_delta",  # CDC batch patches the LSH ANN index (vector twin)
     "inverted_index_patch",  # apply-delta ≡ from-scratch rebuild invariant
+    "minhash_lsh_delta",  # CDC diff of the near-dup candidate graph
     # code changed this round:
     "inverted_index_delta",  # segment-pruned rebuild (functions.inverted.delta_index)
     "source_quota_sample",  # negative-size clamp in quota_sample
@@ -124,7 +125,6 @@ _EARLY = _MUST_GATE + [
     "events_rolling_stats",
     "doc_bloom_decontaminate",
     "embedding_random_projection",
-    "doc_unigram_rarity",
 ]
 _TAIL = [
     # demoted to seat the late-round delta operators (≥2 green rows
@@ -132,6 +132,7 @@ _TAIL = [
     "doc_vocab_top50",
     "pack_sequences",
     "embedding_ivf_topk",
+    "doc_unigram_rarity",
     # many-times-green genomic flagships that gave their seats to the
     # r5-gated re-promotions — first in line for the r8 gate:
     "genomic_classify",

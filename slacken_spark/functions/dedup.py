@@ -86,16 +86,14 @@ def minhash_signature(
     return df.select(id_col).join(sigs, id_col, "left")
 
 
-def minhash_band_pairs(
+def minhash_banded(
     sig: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of the signature.
-
-    Explodes each signature into ``bands`` (band_id, band_key) rows and
-    self-joins per band — ONE shuffle keyed on (band_id, band_key), which
-    is how this stays tractable at corpus scale (no all-pairs join).
-    Returns distinct (id_a, id_b) with id_a < id_b.
-    """
+    """Explode a signature frame into ``bands`` (id, band_id, band_key)
+    rows — the LSH bucketing shared by the pair join and its
+    incremental delta. NULL signature values (docs with no shingles)
+    render as the literal 'null' so such docs still share a bucket,
+    matching the oracle's coalesce."""
     rows_per_band = n_hashes // bands
     band_structs = F.array(
         *[
@@ -115,9 +113,22 @@ def minhash_band_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
-        id_col, "band.band_id", "band.band_key"
-    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def minhash_band_pairs(
+    sig: DataFrame, id_col: str, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the signature.
+
+    Explodes each signature into ``bands`` (band_id, band_key) rows and
+    self-joins per band — ONE shuffle keyed on (band_id, band_key), which
+    is how this stays tractable at corpus scale (no all-pairs join).
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = minhash_banded(sig, id_col, n_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -132,6 +143,79 @@ def minhash_band_pairs(
         )
         .distinct()
     )
+
+
+def lsh_pair_delta(
+    base_sig: DataFrame,
+    upd_sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental maintenance of the LSH candidate-pair graph — the
+    dedup twin of ``inverted.delta_index``: when a CDC batch replaces
+    documents, emit the DIFF of the near-dup candidate set instead of
+    re-joining the whole corpus → ``(id_a, id_b, change)`` with
+    ``change ∈ {'add', 'drop'}``. 'add' pairs share a band only under
+    the new state (the downstream verifier/union-find consumes them);
+    'drop' pairs shared a band only through a changed doc's OLD text
+    (the component maintainer retires them). Pairs between two
+    unchanged docs cannot change and are never computed.
+
+    Scale shape: the changed docs' band keys (≤ bands·|batch| rows,
+    old + new) broadcast as a semi-join on the corpus banding, so only
+    buckets CONTAINING a changed doc enter the pair join — per-batch
+    cost is affected-bucket-sized, never the full banded self-join.
+    The batch-sized frames are local-checkpointed so their multiple
+    references share one computation (they live as long as the
+    returned plan)."""
+    upd_ids = F.broadcast(upd_sig.select(id_col))
+    base_banded = minhash_banded(base_sig, id_col, n_hashes, bands)
+    upd_banded = minhash_banded(
+        upd_sig, id_col, n_hashes, bands
+    ).localCheckpoint(eager=False)
+    # bands of the changed docs' OLD text — batch-sized (semi-join on
+    # the broadcast id set)
+    old_changed = base_banded.join(
+        upd_ids, id_col, "left_semi"
+    ).localCheckpoint(eager=False)
+    merged_banded = base_banded.join(upd_ids, id_col, "left_anti").unionByName(
+        upd_banded
+    )
+
+    def pairs_with(changed, universe):
+        keys = F.broadcast(changed.select("band_id", "band_key").distinct())
+        bucket_members = universe.join(keys, ["band_id", "band_key"], "left_semi")
+        a, b = changed.alias("a"), bucket_members.alias("b")
+        ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (ida != idb),
+            )
+            .select(
+                F.least(ida, idb).alias("id_a"),
+                F.greatest(ida, idb).alias("id_b"),
+            )
+            .distinct()
+        )
+
+    new_pairs = pairs_with(upd_banded, merged_banded).localCheckpoint(
+        eager=False
+    )
+    old_pairs = pairs_with(old_changed, base_banded).localCheckpoint(
+        eager=False
+    )
+    keys = ["id_a", "id_b"]
+    add = new_pairs.join(old_pairs, keys, "left_anti").withColumn(
+        "change", F.lit("add")
+    )
+    drop = old_pairs.join(new_pairs, keys, "left_anti").withColumn(
+        "change", F.lit("drop")
+    )
+    return add.unionByName(drop)
 
 
 def jaccard_similarity(set_a: Column, set_b: Column) -> Column:

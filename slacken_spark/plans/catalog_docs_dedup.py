@@ -116,6 +116,133 @@ _BANDED_PAIRS_SQL = """
 """
 
 
+def _sig_ctes(prefix: str, src: str) -> str:
+    """CTE chain ``{prefix}sig`` = (doc_id, sig_0..sig_7) over the
+    relation ``src`` (doc_id, text) — the parameterized form of
+    ``_minhash_cte`` so the delta oracle can build signatures for the
+    base, updated, and merged corpora side by side."""
+    from slacken_spark.functions.dedup import MINHASH_P, minhash_perm_constants
+
+    sig_cols = ",\n           ".join(
+        f"min((h * {A} + {B}) % {MINHASH_P}) AS sig_{p}"
+        for p, (A, B) in enumerate(minhash_perm_constants(8))
+    )
+    base_h = SQL_H64.format(expr="s")
+    p = prefix
+    return f"""{p}d AS MATERIALIZED (
+        SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM {src}),
+    {p}sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(toks) - 2, 0)),
+                   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]
+               )) AS shingles
+        FROM {p}d),
+    {p}hh AS MATERIALIZED (
+        SELECT doc_id, {base_h} % {MINHASH_P} AS h
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM {p}sh)),
+    {p}sig0 AS MATERIALIZED (
+        SELECT doc_id,
+           {sig_cols}
+        FROM {p}hh GROUP BY doc_id),
+    {p}sig AS MATERIALIZED (
+        SELECT s2.doc_id, {p}sig0.* EXCLUDE (doc_id)
+        FROM {src} s2 LEFT JOIN {p}sig0 ON s2.doc_id = {p}sig0.doc_id)"""
+
+
+def _banded_cte(name: str, sig_rel: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                 WHEN 0 THEN coalesce(CAST(sig_0 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_1 AS VARCHAR),'null')
+                 WHEN 1 THEN coalesce(CAST(sig_2 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_3 AS VARCHAR),'null')
+                 WHEN 2 THEN coalesce(CAST(sig_4 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_5 AS VARCHAR),'null')
+                 ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
+               END AS band_key
+        FROM {sig_rel}, (SELECT unnest(range(0, 4)) AS band_id) b)"""
+
+
+def _lsh_delta_sql() -> str:
+    pair = (
+        "SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a, "
+        "greatest(a.doc_id, b.doc_id) AS id_b "
+        "FROM {a} a JOIN {b} b "
+        "ON a.band_id = b.band_id AND a.band_key = b.band_key "
+        "AND a.doc_id <> b.doc_id"
+    )
+    return f"""
+    WITH bsrc AS MATERIALIZED (SELECT doc_id, text FROM documents),
+    usrc AS MATERIALIZED (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 100 = 0 AND n.text IS NOT NULL
+                    THEN n.text
+                    ELSE 'v2update ' || substr(d.text, 1, 40) END AS text
+        FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+        WHERE d.doc_id % 50 = 0),
+    {_sig_ctes('b', 'bsrc')},
+    {_sig_ctes('u', 'usrc')},
+    msig AS MATERIALIZED (
+        SELECT * FROM bsig WHERE doc_id % 50 <> 0
+        UNION ALL SELECT * FROM usig),
+    {_banded_cte('bb', 'bsig')},
+    {_banded_cte('ub', 'usig')},
+    {_banded_cte('mb', 'msig')},
+    oldch AS MATERIALIZED (SELECT * FROM bb WHERE doc_id % 50 = 0),
+    newp AS MATERIALIZED ({pair.format(a='ub', b='mb')}),
+    oldp AS MATERIALIZED ({pair.format(a='oldch', b='bb')})
+    SELECT id_a, id_b, 'add' AS change
+    FROM (SELECT id_a, id_b FROM newp EXCEPT SELECT id_a, id_b FROM oldp)
+    UNION ALL
+    SELECT id_a, id_b, 'drop' AS change
+    FROM (SELECT id_a, id_b FROM oldp EXCEPT SELECT id_a, id_b FROM newp)
+    """
+
+
+@register("minhash_lsh_delta", _lsh_delta_sql())
+def minhash_lsh_delta(spark, sf_dir):
+    """Incremental dedup maintenance — the third member of the CDC
+    maintenance family (inverted_index_delta for retrieval,
+    embedding_lsh_delta for ANN, this for near-dup candidate pairs;
+    functions.dedup.lsh_pair_delta). The same deterministic update
+    batch (every 50th doc, truncated v2 text) yields the DIFF of the
+    MinHash-LSH candidate graph: 'add' pairs share a band only under
+    the new text, 'drop' pairs only through the old text — the
+    downstream union-find maintainer consumes adds and retires drops
+    without re-joining the corpus. The changed docs' band keys
+    broadcast as a semi-join on the corpus banding, so only buckets
+    containing a changed doc enter the pair join; pairs between two
+    unchanged docs are never computed."""
+    docs = tp(spark, sf_dir, "documents")
+    # every 100th doc becomes a COPY of its neighbor's text (a
+    # guaranteed new near-dup → the 'add' branch fires on gate data);
+    # the other updates truncate (old shingles vanish → 'drop' branch)
+    nbr = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("nbr_text")
+    )
+    upd = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .join(nbr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 100 == 0) & F.col("nbr_text").isNotNull(),
+                F.col("nbr_text"),
+            )
+            .otherwise(
+                F.concat(F.lit("v2update "), F.substring("text", 1, 40))
+            )
+            .alias("text"),
+        )
+    )
+    base_sig = D.minhash_signature(
+        docs, "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+    upd_sig = D.minhash_signature(
+        upd, "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+    return D.lsh_pair_delta(base_sig, upd_sig, "doc_id", n_hashes=8, bands=4)
+
+
 # The LSH-pair graph's connected components are computed once per
 # corpus and reused by every downstream dedup consumer (labeling,
 # keep-one-per-cluster, audits) — exactly like the genomic index's

@@ -1,0 +1,78 @@
+"""functions.dedup.lsh_pair_delta — incremental maintenance of the
+MinHash-LSH candidate-pair graph (the dedup twin of the inverted-index
+delta): the emitted diff must equal the full-graph before/after diff
+restricted to pairs touching a changed doc, and pairs between two
+unchanged docs must never be computed or emitted."""
+
+from pyspark.sql import functions as F
+
+from slacken_spark.functions import dedup as D
+
+
+def _sig(df):
+    return D.minhash_signature(df, "text", "doc_id", n_hashes=8, shingle_words=3)
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_band_pairs(
+            _sig(df), "doc_id", n_hashes=8, bands=4
+        ).collect()
+    }
+
+
+def test_lsh_pair_delta_equals_full_graph_diff(spark):
+    """Ground truth by brute force: compute the FULL candidate graph
+    before and after the update and diff it — lsh_pair_delta must
+    reproduce exactly the added and dropped pairs (all of which touch
+    a changed doc by construction), and nothing else."""
+    text_a = "the quick brown fox jumps over the lazy dog today"
+    text_b = "pack my box with five dozen liquor jugs right now"
+    base_rows = [
+        (0, text_a),
+        (1, text_a + " extra"),       # near-dup of 0 in the base
+        (2, text_b),
+        (3, text_b + " indeed"),      # near-dup of 2 in the base
+        (4, "completely unrelated words appear in this document body"),
+    ]
+    # update: doc 1 diverges (drops its pair with 0); doc 4 becomes a
+    # copy of doc 2's text (adds pairs with 2 and 3)
+    upd_rows = [
+        (1, "totally different content with no overlap whatsoever here"),
+        (4, text_b),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    upd = spark.createDataFrame(upd_rows, "doc_id long, text string")
+    merged = base.where(~F.col("doc_id").isin([1, 4])).unionByName(upd)
+
+    before, after = _pairs(base), _pairs(merged)
+    changed = {1, 4}
+    expect_add = {
+        p for p in after - before if p[0] in changed or p[1] in changed
+    }
+    expect_drop = {
+        p for p in before - after if p[0] in changed or p[1] in changed
+    }
+    # sanity: the fixture really exercises both branches, and no pair
+    # between unchanged docs changed (so the restriction is vacuous
+    # here — lsh_pair_delta must still equal the full diff)
+    assert expect_add and expect_drop
+    assert expect_add == after - before and expect_drop == before - after
+
+    got = D.lsh_pair_delta(_sig(base), _sig(upd), "doc_id").collect()
+    got_add = {(r["id_a"], r["id_b"]) for r in got if r["change"] == "add"}
+    got_drop = {(r["id_a"], r["id_b"]) for r in got if r["change"] == "drop"}
+    assert got_add == expect_add
+    assert got_drop == expect_drop
+    # the surviving base pair (2,3) is unchanged-unchanged: never emitted
+    assert (2, 3) in after and (2, 3) not in got_add | got_drop
+
+
+def test_lsh_pair_delta_empty_update(spark):
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    upd = spark.createDataFrame([], "doc_id long, text string")
+    assert D.lsh_pair_delta(_sig(base), _sig(upd), "doc_id").count() == 0
