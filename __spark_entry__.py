@@ -96,7 +96,6 @@ _EARLY = _MUST_GATE + [
     "media_audio_stats",
     "video_frame_plan",
     "scalar_funcs",
-    "set_ops_nations",
     "topk_per_group",
     "two_level_agg",
     "size_histogram",
@@ -116,7 +115,6 @@ _EARLY = _MUST_GATE + [
     "ann_retrieve_docs",
     "events_json_extract",
     "corpus_diff",
-    "sessionize_events",
     "streaming_window_counts",
     "streaming_session_windows",
     "streaming_genomic_classify",
@@ -125,14 +123,18 @@ _EARLY = _MUST_GATE + [
     "events_rolling_stats",
     "doc_bloom_decontaminate",
     "embedding_random_projection",
+    "doc_unigram_rarity",
+    "doc_vocab_top50",
 ]
 _TAIL = [
     # demoted to seat the late-round delta operators (≥2 green rows
-    # each) — rejoin the rotation in r8:
-    "doc_vocab_top50",
+    # each, per the demote-only-≥2×-green rotation rule — the 1-green
+    # doc_unigram_rarity/doc_vocab_top50 demotions were reverted and
+    # two 4×-green relational entries gave up their seats instead):
     "pack_sequences",
     "embedding_ivf_topk",
-    "doc_unigram_rarity",
+    "sessionize_events",
+    "set_ops_nations",
     # many-times-green genomic flagships that gave their seats to the
     # r5-gated re-promotions — first in line for the r8 gate:
     "genomic_classify",

@@ -166,16 +166,19 @@ def lsh_pair_delta(
     old + new) broadcast as a semi-join on the corpus banding, so only
     buckets CONTAINING a changed doc enter the pair join — per-batch
     cost is affected-bucket-sized, never the full banded self-join.
-    The batch-sized frames are local-checkpointed so their multiple
-    references share one computation (they live as long as the
-    returned plan)."""
+    Only ONE local checkpoint per call (old_changed — its lineage
+    scans the corpus-sized base, so a second reference would rescan
+    it; callers that store signatures/bands at ingest, the production
+    shape, pay nothing): batch-bounded subplans are allowed to
+    re-evaluate instead of accumulating checkpoint blocks across
+    invocations, and the add/drop diff is ONE full-outer join so each
+    pair set evaluates once."""
     upd_ids = F.broadcast(upd_sig.select(id_col))
     base_banded = minhash_banded(base_sig, id_col, n_hashes, bands)
-    upd_banded = minhash_banded(
-        upd_sig, id_col, n_hashes, bands
-    ).localCheckpoint(eager=False)
-    # bands of the changed docs' OLD text — batch-sized (semi-join on
-    # the broadcast id set)
+    upd_banded = minhash_banded(upd_sig, id_col, n_hashes, bands)
+    # bands of the changed docs' OLD text — batch-sized rows, but the
+    # lineage scans the base corpus: checkpoint so its two references
+    # (pair side + broadcast keys) share one scan
     old_changed = base_banded.join(
         upd_ids, id_col, "left_semi"
     ).localCheckpoint(eager=False)
@@ -202,20 +205,23 @@ def lsh_pair_delta(
             .distinct()
         )
 
-    new_pairs = pairs_with(upd_banded, merged_banded).localCheckpoint(
-        eager=False
+    new_pairs = pairs_with(upd_banded, merged_banded).withColumn(
+        "_new", F.lit(1)
     )
-    old_pairs = pairs_with(old_changed, base_banded).localCheckpoint(
-        eager=False
+    old_pairs = pairs_with(old_changed, base_banded).withColumn(
+        "_old", F.lit(1)
     )
     keys = ["id_a", "id_b"]
-    add = new_pairs.join(old_pairs, keys, "left_anti").withColumn(
-        "change", F.lit("add")
+    return (
+        new_pairs.join(old_pairs, keys, "full_outer")
+        .where(F.col("_new").isNull() | F.col("_old").isNull())
+        .select(
+            *keys,
+            F.when(F.col("_old").isNull(), F.lit("add"))
+            .otherwise(F.lit("drop"))
+            .alias("change"),
+        )
     )
-    drop = old_pairs.join(new_pairs, keys, "left_anti").withColumn(
-        "change", F.lit("drop")
-    )
-    return add.unionByName(drop)
 
 
 def jaccard_similarity(set_a: Column, set_b: Column) -> Column:

@@ -35,97 +35,23 @@ def dedup_exact(spark, sf_dir):
     return D.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_cte(n_hashes: int = 8, shingle_words: int = 3) -> str:
-    """WITH-clause producing CTE ``sig`` = (doc_id, sig_0..sig_{n-1}),
-    mirroring the engine's explode + hash-once + affine-permutation plan
-    (see functions.dedup.minhash_signature)."""
+def _sig_ctes(
+    prefix: str, src: str, n_hashes: int = 8, shingle_words: int = 3
+) -> str:
+    """CTE chain ``{prefix}sig`` = (doc_id, sig_0..sig_{n-1}) over the
+    relation ``src`` (doc_id, text), mirroring the engine's explode +
+    hash-once + affine-permutation plan (functions.dedup.
+    minhash_signature). The ONE definition of the signature SQL —
+    ``_minhash_cte`` and the delta oracle both build on it, so a
+    formula change cannot desynchronize them."""
     from slacken_spark.functions.dedup import MINHASH_P, minhash_perm_constants
 
     sig_cols = ",\n           ".join(
         f"min((h * {A} + {B}) % {MINHASH_P}) AS sig_{p}"
         for p, (A, B) in enumerate(minhash_perm_constants(n_hashes))
     )
-    base_h = SQL_H64.format(expr="s")
-    return f"""
-    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(
-                      range(0, greatest(len(toks) - {shingle_words - 1}, 0)),
-                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+{shingle_words} AS INT)]
-                  )) AS shingles
-           FROM d),
-    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    hh AS (SELECT doc_id, {base_h} % {MINHASH_P} AS h FROM e),
-    sig0 AS (SELECT doc_id,
-           {sig_cols}
-    FROM hh GROUP BY doc_id),
-    sig AS (SELECT d2.doc_id, sig0.* EXCLUDE (doc_id)
-            FROM documents d2 LEFT JOIN sig0 ON d2.doc_id = sig0.doc_id)
-    """
-
-
-@register("minhash_signatures", _minhash_cte() + "\n    SELECT * FROM sig")
-def minhash_signatures(spark, sf_dir):
-    return D.minhash_signature(
-        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
-    )
-
-
-@register(
-    "minhash_lsh_pairs",
-    _minhash_cte()
-    + """
-    , banded AS (
-        SELECT doc_id, b.band_id,
-               CASE b.band_id
-                 WHEN 0 THEN coalesce(CAST(sig_0 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_1 AS VARCHAR),'null')
-                 WHEN 1 THEN coalesce(CAST(sig_2 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_3 AS VARCHAR),'null')
-                 WHEN 2 THEN coalesce(CAST(sig_4 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_5 AS VARCHAR),'null')
-                 ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
-               END AS band_key
-        FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
-)
-def minhash_lsh_pairs(spark, sf_dir):
-    sig = D.minhash_signature(
-        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
-    )
-    return D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
-
-
-_BANDED_PAIRS_SQL = """
-    , banded AS (
-        SELECT doc_id, b.band_id,
-               CASE b.band_id
-                 WHEN 0 THEN coalesce(CAST(sig_0 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_1 AS VARCHAR),'null')
-                 WHEN 1 THEN coalesce(CAST(sig_2 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_3 AS VARCHAR),'null')
-                 WHEN 2 THEN coalesce(CAST(sig_4 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_5 AS VARCHAR),'null')
-                 ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
-               END AS band_key
-        FROM sig, (SELECT unnest(range(0, 4)) AS band_id) b
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-"""
-
-
-def _sig_ctes(prefix: str, src: str) -> str:
-    """CTE chain ``{prefix}sig`` = (doc_id, sig_0..sig_7) over the
-    relation ``src`` (doc_id, text) — the parameterized form of
-    ``_minhash_cte`` so the delta oracle can build signatures for the
-    base, updated, and merged corpora side by side."""
-    from slacken_spark.functions.dedup import MINHASH_P, minhash_perm_constants
-
-    sig_cols = ",\n           ".join(
-        f"min((h * {A} + {B}) % {MINHASH_P}) AS sig_{p}"
-        for p, (A, B) in enumerate(minhash_perm_constants(8))
+    shingle = " || ' ' || ".join(
+        f"toks[CAST(i+{j + 1} AS INT)]" for j in range(shingle_words)
     )
     base_h = SQL_H64.format(expr="s")
     p = prefix
@@ -134,8 +60,8 @@ def _sig_ctes(prefix: str, src: str) -> str:
     {p}sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(
-                   range(0, greatest(len(toks) - 2, 0)),
-                   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]
+                   range(0, greatest(len(toks) - {shingle_words - 1}, 0)),
+                   i -> {shingle}
                )) AS shingles
         FROM {p}d),
     {p}hh AS MATERIALIZED (
@@ -151,6 +77,9 @@ def _sig_ctes(prefix: str, src: str) -> str:
 
 
 def _banded_cte(name: str, sig_rel: str) -> str:
+    """The ONE definition of the LSH band-key CASE block (mirrors
+    functions.dedup.minhash_banded): CTE ``name`` = (doc_id, band_id,
+    band_key) over ``sig_rel``."""
     return f"""{name} AS MATERIALIZED (
         SELECT doc_id, b.band_id,
                CASE b.band_id
@@ -160,6 +89,50 @@ def _banded_cte(name: str, sig_rel: str) -> str:
                  ELSE coalesce(CAST(sig_6 AS VARCHAR),'null') || '_' || coalesce(CAST(sig_7 AS VARCHAR),'null')
                END AS band_key
         FROM {sig_rel}, (SELECT unnest(range(0, 4)) AS band_id) b)"""
+
+
+def _minhash_cte() -> str:
+    """WITH-clause producing CTE ``sig`` over the documents table —
+    the single-corpus form of ``_sig_ctes``."""
+    return "\n    WITH " + _sig_ctes("", "documents") + "\n    "
+
+
+@register("minhash_signatures", _minhash_cte() + "\n    SELECT * FROM sig")
+def minhash_signatures(spark, sf_dir):
+    return D.minhash_signature(
+        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_cte()
+    + ",\n    "
+    + _banded_cte("banded", "sig")
+    + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    sig = D.minhash_signature(
+        tp(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+    return D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+
+
+_BANDED_PAIRS_SQL = (
+    ",\n    "
+    + _banded_cte("banded", "sig")
+    + """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+"""
+)
 
 
 def _lsh_delta_sql() -> str:
