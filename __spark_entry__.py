@@ -78,6 +78,12 @@ _MUST_GATE = [
     "source_quota_sample",  # negative-size clamp in quota_sample
     "source_quota_sample_hash",  # distributed prefix-sum bounds (no driver collect)
     "source_temperature_mix",  # memoized persisted input + new bounds path
+    # new in the late-r7 session (no driver row yet):
+    "doc_heavy_hitters_cms",  # CMS sketch + map-side probe prunes the exact shuffle
+    "inverted_index_compact",  # LSM segment merge ≡ from-scratch coarse build
+    "dedup_keep_longest",  # keep-best-per-cluster policy over cached components
+    "token_block_plan",  # concat-and-chunk via distributed prefix sum
+    "epoch_shuffle_plan",  # deterministic epoch shard/position layout
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -91,14 +97,9 @@ _EARLY = _MUST_GATE + [
     # earlier, code untouched since; re-promoted per the rolling-green
     # rotation policy):
     "genomic_clade_rollup",
-    "media_image_stats",
-    "media_phash_neardup",
-    "media_audio_stats",
     "video_frame_plan",
-    "scalar_funcs",
     "topk_per_group",
     "two_level_agg",
-    "size_histogram",
     "pack_sequences_sharded",
     "embedding_ivf_topk_nprobe2",
     "dedup_keep_canonical",
@@ -127,6 +128,14 @@ _EARLY = _MUST_GATE + [
     "doc_vocab_top50",
 ]
 _TAIL = [
+    # demoted to seat the five late-r7-session operators (CMS / compact /
+    # keep-longest / token-blocks / epoch-shuffle): 4 green rows each,
+    # code untouched, per the demote-only-≥2×-green rule
+    "media_image_stats",
+    "media_phash_neardup",
+    "media_audio_stats",
+    "scalar_funcs",
+    "size_histogram",
     # demoted to seat the late-round delta operators (≥2 green rows
     # each, per the demote-only-≥2×-green rotation rule — the 1-green
     # doc_unigram_rarity/doc_vocab_top50 demotions were reverted and

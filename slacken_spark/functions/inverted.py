@@ -179,6 +179,53 @@ def apply_delta(index: DataFrame, delta: DataFrame) -> DataFrame:
     ).unionByName(delta.where(F.col("df_segment") > 0))
 
 
+def compact_segments(index: DataFrame, factor: int) -> DataFrame:
+    """LSM-style segment compaction — the fourth member of the index-
+    maintenance family (build → delta → patch → COMPACT): merge every
+    ``factor`` adjacent fine segments of a sharded index into one
+    coarse segment, producing EXACTLY the index ``inverted_index``
+    would build from scratch at ``segment_rows * factor`` (the
+    ``inverted_index_compact`` catalog oracle pins this row for row,
+    digests included).
+
+    The 100 TB point is what this plan never touches: the CORPUS. A
+    steady stream of ``apply_delta`` patches leaves segments fragmented
+    and under-filled; rebuilding at a coarser granularity from source
+    re-tokenizes every document, while compaction reads only the INDEX
+    rows (already tokenized — orders of magnitude smaller than the
+    corpus) and pays one key-shuffle on (term, coarse segment). Fine
+    segments are disjoint doc-id ranges with sorted postings, so the
+    merged list is a concatenation in fine-segment order — no per-id
+    re-sort, no explode: lists move whole. Per-task state stays bounded
+    at ``factor`` lists of ≤ ``segment_rows`` postings each.
+
+    Coarse keys reuse the exact floor-division scheme of
+    ``segment_expr`` applied to the fine segment id (fine segment ids
+    inherit the sign of hash-derived doc ids, so floor — not
+    truncation — semantics matter here too).
+
+    Expects a CLEAN index (no ``df_segment = 0`` tombstones —
+    ``apply_delta`` strips them); a tombstone row would surface as an
+    empty contribution to its coarse group rather than being dropped.
+    """
+    if factor <= 0:
+        raise ValueError(f"factor must be positive: {factor}")
+    g = index.select(
+        "term",
+        F.col("segment").alias("_fine"),
+        segment_expr("segment", factor).alias("segment"),
+        "df_segment",
+        "postings",
+    )
+    parts = F.sort_array(
+        F.collect_list(F.struct(F.col("_fine").alias("s"), F.col("postings").alias("p")))
+    )
+    return g.groupBy("term", "segment").agg(
+        F.sum("df_segment").cast("long").alias("df_segment"),
+        F.flatten(F.transform(parts, lambda x: x["p"])).alias("postings"),
+    )
+
+
 def postings_digest(postings: Column) -> Column:
     """md5 over the comma-joined sorted ids — the hash-gate shape for a
     posting list (engine-portable: DuckDB predicts it with string_agg

@@ -346,3 +346,121 @@ def write_training_shards(
             ),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 8,
+    epoch: int = 1,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every row gets a
+    pseudorandom order key ``h = token_hash64('ep{epoch}_' || id)``, a
+    shard ``pmod(h, shards)``, and its 1-based ``position`` within the
+    shard in ``(h, id)`` order — the (shard, position) address a data
+    loader streams an epoch from. Changing ``epoch`` reshuffles
+    globally; the same ``(epoch, id)`` always lands at the same
+    address, so a preempted epoch resumes bit-identically — the reason
+    training pipelines want a HASH shuffle, not a random one.
+
+    One shuffle on the shard key; the per-shard ``row_number`` sorts
+    within the shard task (the standard shuffle-sort — shards are the
+    parallelism unit, sized so one shard fits a task's sort budget).
+    Appends ``(shard, position)`` to ``df``'s columns.
+    """
+    from slacken_spark.functions.text import token_hash64
+
+    if shards <= 0:
+        raise ValueError(f"shards must be positive: {shards}")
+    h = token_hash64(
+        F.concat(F.lit(f"ep{epoch}_"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(shards)).cast("long"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
+def token_blocks(
+    df: DataFrame,
+    block_tokens: int,
+    id_col: str = "doc_id",
+    size_col: str = "ntok",
+    bucket_rows: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk block plan — the GPT-pretraining sample layout:
+    documents concatenate into one virtual token stream in ``id_col``
+    order, the stream cuts into fixed ``block_tokens`` blocks, and the
+    output says which slice of which document fills which block:
+    ``(id, block_id, doc_offset, block_offset, n_toks)`` — one row per
+    (document, block) overlap, everything integer arithmetic over
+    token counts (no tokens move; this is the PLAN a loader executes).
+
+    The global exclusive prefix sum of sizes (each document's start
+    offset in the stream) is the scale problem — a bare
+    ``Window.orderBy(id)`` serializes the corpus through one task.
+    Instead it computes as a two-level distributed prefix sum (the
+    ``quota_sample`` hash-mode pattern): rows cumsum WITHIN an
+    order-preserving range bucket of ``bucket_rows`` ids (parallel
+    per-bucket windows), bucket totals — corpus-size / ``bucket_rows``
+    rows — cumsum once and broadcast back as each bucket's base
+    offset. For corpora where even the bucket-totals table outgrows
+    one task, the same reduction applies recursively; one level covers
+    ~10^9 rows at the default width.
+
+    Rows with ``size <= 0`` contribute nothing to the stream and emit
+    no plan rows. Buckets use the exact floor-division range key
+    (``inverted.segment_expr``), so hash-derived negative ids keep
+    bucket order consistent with id order.
+    """
+    from slacken_spark.functions.inverted import segment_expr
+
+    if block_tokens <= 0:
+        raise ValueError(f"block_tokens must be positive: {block_tokens}")
+    if bucket_rows <= 0:
+        raise ValueError(f"bucket_rows must be positive: {bucket_rows}")
+    L = F.lit(block_tokens).cast("long")
+    sz = F.col(size_col).cast("long")
+    base = (
+        df.select(F.col(id_col), sz.alias("_sz"))
+        .where(sz > 0)
+        .withColumn("_bkt", segment_expr(id_col, bucket_rows))
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("_start_in", F.sum("_sz").over(w_in) - F.col("_sz"))
+    totals = base.groupBy("_bkt").agg(F.sum("_sz").alias("_btot"))
+    w_b = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_off")
+    )
+    g = local.join(F.broadcast(offsets), "_bkt").withColumn(
+        "_start", F.col("_off") + F.col("_start_in")
+    )
+    # exact integer division (`/` is double division — loses exactness
+    # past 2^53); _start >= 0 so div == floor
+    first = F.expr(f"_start div {block_tokens}L")
+    last = F.expr(f"(_start + _sz - 1) div {block_tokens}L")
+    rows = g.select(
+        id_col,
+        "_start",
+        "_sz",
+        F.explode(F.sequence(first, last)).alias("block_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("block_id") * L)
+    hi = F.least(F.col("_start") + F.col("_sz"), (F.col("block_id") + 1) * L)
+    return rows.select(
+        F.col(id_col),
+        F.col("block_id").cast("long").alias("block_id"),
+        (lo - F.col("_start")).cast("long").alias("doc_offset"),
+        (lo - F.col("block_id") * L).cast("long").alias("block_offset"),
+        (hi - lo).cast("long").alias("n_toks"),
+    )

@@ -1,0 +1,103 @@
+"""Count-Min Sketch heavy hitters (Cormode & Muthukrishnan, 2005).
+
+The frequent-items pipeline for corpora whose term universe is too
+large to shuffle exactly: pass 1 folds every occurrence into a FIXED
+``depth x width`` counter grid (mergeable — map-side partial aggregation
+reduces each task to at most ``depth * width`` rows before the single
+tiny shuffle); the grid broadcasts; pass 2 probes it map-side per
+occurrence and only occurrences whose estimate clears the threshold
+enter the exact-count shuffle. CMS estimates never undercount
+(``est >= true count``: every occurrence lands in its cell, collisions
+only add), so the pre-shuffle filter cannot drop a true heavy hitter —
+the long tail (the overwhelming mass at corpus scale) is eliminated
+BEFORE the only per-term shuffle, which is the whole point.
+
+Hashes are md5-derived (``token_hash64``), so DuckDB reproduces every
+cell, every collision, and every false positive exactly — the
+``doc_heavy_hitters_cms`` catalog oracle gates estimates and exact
+counts both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slacken_spark.functions.text import token_hash64
+
+
+def cms_position(term: Column, row: int, width: int) -> Column:
+    """Counter column of ``term`` in sketch row ``row`` — an
+    independent md5-derived hash per row, reduced mod ``width``.
+    ``token_hash64`` is nonnegative (60-bit), so ``%`` and ``pmod``
+    agree and DuckDB's ``%`` reproduces it."""
+    return token_hash64(F.concat(F.lit(f"cms{row}_"), term)) % width
+
+
+def cms_sketch(
+    occ: DataFrame, term_col: str = "term", depth: int = 3, width: int = 512
+) -> DataFrame:
+    """Build the sketch over one-row-per-occurrence input →
+    ``(row, pos, c)``, at most ``depth * width`` rows total. The
+    explode triples (``depth``-les) the occurrence stream but partial
+    aggregation collapses each map task to grid size before the
+    shuffle, so the exchange moves O(tasks * depth * width) rows
+    regardless of corpus size."""
+    term = F.col(term_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), cms_position(term, i, width).alias("pos")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        occ.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    occ: DataFrame,
+    threshold: int,
+    term_col: str = "term",
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """→ ``(term, cms_est, n_exact)`` for every term whose CMS estimate
+    reaches ``threshold``. ``cms_est = min`` over the ``depth`` probed
+    cells (>= the true count, so no true heavy hitter is missed);
+    ``n_exact`` is the verified count over the surviving occurrences —
+    terms the sketch over-promoted (collision false positives) appear
+    with their honest ``n_exact < threshold``, making the sketch's
+    error observable instead of silent.
+
+    Plan shape: the grid comes back as ``depth`` broadcast hash joins
+    keyed on the probe columns (each side is the fixed-size sketch), so
+    the estimate and the threshold filter are MAP-SIDE; only qualifying
+    occurrences reach the per-term exact-count shuffle."""
+    probes = occ.select(
+        F.col(term_col).alias("term"),
+        *[
+            cms_position(F.col(term_col), i, width).alias(f"h{i}")
+            for i in range(depth)
+        ],
+    )
+    sketch = cms_sketch(occ, term_col, depth, width)
+    for i in range(depth):
+        side = sketch.where(F.col("row") == i).select(
+            F.col("pos").alias(f"h{i}"), F.col("c").alias(f"c{i}")
+        )
+        probes = probes.join(F.broadcast(side), f"h{i}")
+    est = F.least(*[F.col(f"c{i}") for i in range(depth)])
+    return (
+        probes.select("term", est.alias("est"))
+        .where(F.col("est") >= threshold)
+        .groupBy("term")
+        .agg(
+            F.min("est").cast("long").alias("cms_est"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+        )
+    )

@@ -844,3 +844,76 @@ def doc_length_quartiles(spark, sf_dir):
         F.min("ntok").cast("long").alias("min_tokens"),
         F.max("ntok").cast("long").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+# sketch geometry + report threshold for the word-bigram stream
+# (~916 distinct bigrams at the gate SFs → real cell collisions at
+# width 512, so the est >= exact semantics are observable, not vacuous)
+_CMS_D, _CMS_W, _CMS_T = 3, 512, 40
+
+
+def _sql_cms_h(i: int) -> str:
+    return SQL_H64.format(expr=f"'cms{i}_' || term") + f" % {_CMS_W}"
+
+
+@register(
+    "doc_heavy_hitters_cms",
+    f"""
+    WITH d AS MATERIALIZED (
+        SELECT {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    o AS MATERIALIZED (
+        SELECT unnest(list_transform(
+                   range(0, greatest(len(toks) - 1, 0)),
+                   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]))
+               AS term
+        FROM d),
+    h AS MATERIALIZED (
+        SELECT term, {_sql_cms_h(0)} AS h0, {_sql_cms_h(1)} AS h1,
+               {_sql_cms_h(2)} AS h2
+        FROM o),
+    sk AS MATERIALIZED (
+        SELECT row, pos, count(*) AS c FROM (
+            SELECT 0 AS row, h0 AS pos FROM h
+            UNION ALL SELECT 1, h1 FROM h
+            UNION ALL SELECT 2, h2 FROM h)
+        GROUP BY row, pos),
+    tc AS MATERIALIZED (
+        SELECT term, h0, h1, h2, count(*) AS n FROM h
+        GROUP BY term, h0, h1, h2)
+    SELECT tc.term,
+           CAST(least(s0.c, s1.c, s2.c) AS BIGINT) AS cms_est,
+           CAST(tc.n AS BIGINT) AS n_exact
+    FROM tc
+    JOIN sk s0 ON s0.row = 0 AND s0.pos = tc.h0
+    JOIN sk s1 ON s1.row = 1 AND s1.pos = tc.h1
+    JOIN sk s2 ON s2.row = 2 AND s2.pos = tc.h2
+    WHERE least(s0.c, s1.c, s2.c) >= {_CMS_T}
+    """,
+)
+def doc_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters over the word-bigram stream
+    (functions.sketch.cms_heavy_hitters): pass 1 folds every occurrence
+    into a fixed 3x512 counter grid (mergeable — map-side partial agg
+    collapses each task to grid size before one tiny shuffle); the grid
+    comes back as three BROADCAST hash joins probed map-side per
+    occurrence, and only occurrences whose estimate clears the
+    threshold enter the exact per-term count shuffle. CMS never
+    undercounts, so the pre-shuffle filter cannot lose a true heavy
+    hitter — the long tail (the overwhelming term mass at corpus
+    scale) is pruned BEFORE the only per-term shuffle. Collision
+    false positives surface honestly as ``n_exact < threshold`` rows;
+    md5-derived row hashes make every collision engine-portable, so
+    the oracle reproduces estimates exactly."""
+    from slacken_spark.functions.sketch import cms_heavy_hitters
+
+    docs = t(spark, sf_dir, "documents")
+    occ = X.shingle_rows(docs, "text", "doc_id", n=2, distinct=False).select(
+        F.col("shingle").alias("term")
+    )
+    return cms_heavy_hitters(
+        occ, _CMS_T, "term", depth=_CMS_D, width=_CMS_W
+    )

@@ -555,3 +555,68 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "dedup_keep_longest",
+    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + _BANDED_PAIRS_SQL
+    + """
+    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    lab AS (SELECT d2.doc_id, c.component, length(d2.text) AS n_chars
+            FROM documents d2 JOIN comp c ON c.node = d2.doc_id),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY component) AS cluster_size
+          FROM lab)
+    SELECT CAST(component AS BIGINT) AS component,
+           doc_id AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM r WHERE rk = 1
+    """,
+)
+def dedup_keep_longest(spark, sf_dir):
+    """Keep-BEST-per-cluster dedup — the quality-policy variant of
+    ``dedup_keep_canonical``: near-dup clusters (MinHash-LSH pairs →
+    connected components, shared via the memoized component labels)
+    each retain their LONGEST member (ties break to the smaller
+    doc_id), the policy production pipelines actually ship (keep the
+    most complete copy, not the arbitrary canonical one). Output is
+    the kept row per cluster with its length and cluster size. One
+    extra key-shuffle on the component label beyond the cached
+    labeling; the per-cluster argmax is a window over cluster-sized
+    groups (components are pair-graph neighborhoods — bounded by the
+    LSH band structure, never corpus-scale partitions)."""
+    docs = tp(spark, sf_dir, "documents")
+    comp = _doc_components(spark, sf_dir)
+    lab = (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    r = lab.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(wc).cast("long")
+    )
+    return r.where(F.col("rk") == 1).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("doc_id").alias("kept_doc_id"),
+        "n_chars",
+        "cluster_size",
+    )

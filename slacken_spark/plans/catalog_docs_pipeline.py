@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from slacken_spark.functions import text as X
 from slacken_spark.plans.catalog import register, t, tp
-from slacken_spark.plans.catalog_docs import SQL_TOKENS
+from slacken_spark.plans.catalog_docs import SQL_H64, SQL_TOKENS
 
 
 # below every source's total (~1.1-1.6k tokens at the gate SFs) so the
@@ -707,3 +707,132 @@ def inverted_index_sharded(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Index segment compaction (LSM maintenance: build -> delta -> patch -> compact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_compact",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
+    p AS (SELECT term, doc_id // 100 AS segment, doc_id FROM e)
+    SELECT term, CAST(segment AS BIGINT) AS segment,
+           count(*) AS df_segment,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS segment_digest
+    FROM p GROUP BY term, segment
+    """,
+)
+def inverted_index_compact(spark, sf_dir):
+    """LSM-style segment compaction, the fourth index-maintenance verb
+    (functions.inverted.compact_segments): merge every 10 adjacent
+    10-row segments of the sharded index into one 100-row segment.
+    The oracle is the strongest invariant available — a FROM-SCRATCH
+    100-row-sharded build of the same corpus, equal row for row,
+    digests included (compaction must be indistinguishable from having
+    built coarse in the first place). At 100 TB the from-scratch build
+    re-tokenizes every document; compaction reads only INDEX rows
+    (already tokenized — orders of magnitude smaller), moves posting
+    lists whole (fine segments are disjoint sorted ranges, so the
+    merge is concatenation in segment order — no explode, no re-sort),
+    and pays one key-shuffle on (term, coarse segment)."""
+    from slacken_spark.functions.inverted import (
+        compact_segments,
+        inverted_index,
+        postings_digest,
+    )
+
+    docs = tp(spark, sf_dir, "documents")
+    fine = inverted_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    idx = compact_segments(fine, 10)
+    return idx.select(
+        "term",
+        "segment",
+        "df_segment",
+        postings_digest(F.col("postings")).alias("segment_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch layout: concat-and-chunk block plan, epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_block_plan",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      len({SQL_TOKENS.format(expr='text')}) AS sz
+               FROM documents),
+    s AS (SELECT doc_id, sz,
+                 CAST(sum(sz) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) - sz AS BIGINT)
+                   AS start
+          FROM d WHERE sz > 0),
+    b AS (SELECT doc_id, sz, start,
+                 unnest(range(start // 512, (start + sz - 1) // 512 + 1))
+                   AS block_id
+          FROM s)
+    SELECT doc_id,
+           CAST(block_id AS BIGINT) AS block_id,
+           CAST(greatest(start, block_id * 512) - start AS BIGINT)
+             AS doc_offset,
+           CAST(greatest(start, block_id * 512) - block_id * 512 AS BIGINT)
+             AS block_offset,
+           CAST(least(start + sz, (block_id + 1) * 512)
+                - greatest(start, block_id * 512) AS BIGINT) AS n_toks
+    FROM b
+    """,
+)
+def token_block_plan(spark, sf_dir):
+    """Concat-and-chunk block plan (functions.packing.token_blocks):
+    documents concatenate into one virtual token stream in doc_id
+    order, cut into fixed 512-token blocks; one output row per
+    (document, block) overlap says which doc slice fills which block
+    slot — the GPT-pretraining batch layout, computed as pure integer
+    arithmetic over token counts (no tokens move). The document start
+    offsets — a GLOBAL prefix sum, the classic single-task trap — are
+    computed as a two-level distributed prefix sum (per-bucket windows
+    + a bucket-totals cumsum broadcast back, the quota_sample hash-mode
+    pattern); the oracle's single global window is the small-N exact
+    form of the same sum."""
+    from slacken_spark.functions.packing import token_blocks
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("ntok")
+    )
+    return token_blocks(docs, 512, "doc_id", "ntok", bucket_rows=64)
+
+
+@register(
+    "epoch_shuffle_plan",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      {SQL_H64.format(expr="'ep1_' || CAST(doc_id AS VARCHAR)")}
+                        AS h
+               FROM documents)
+    SELECT doc_id,
+           CAST(h % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                AS BIGINT) AS position
+    FROM d
+    """,
+)
+def epoch_shuffle_plan(spark, sf_dir):
+    """Deterministic epoch shuffle (functions.packing.epoch_shuffle):
+    every document gets a pseudorandom md5 order key salted by the
+    epoch number, a shard (pmod(key, 8)), and its position within the
+    shard — the (shard, position) address a training loader streams
+    epoch 1 from. Hash-derived rather than random so a preempted epoch
+    resumes bit-identically and every engine agrees on the layout.
+    One shuffle on the shard key; the within-shard sort is the
+    standard shuffle-sort with shards as the parallelism unit."""
+    from slacken_spark.functions.packing import epoch_shuffle
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", shards=8, epoch=1)

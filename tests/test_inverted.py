@@ -204,3 +204,69 @@ def test_apply_delta_patch_equals_full_rebuild(spark):
     # and the fixture exercises both interesting branches
     dropped = [r for r in delta.collect() if r["df_segment"] == 0]
     assert dropped, "fixture must include at least one tombstone"
+
+
+# ---------------------------------------------------------------------------
+# compact_segments: LSM compaction == from-scratch coarse build
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return {
+        (r["term"], r["segment"], r["df_segment"], tuple(r["postings"]))
+        for r in df.collect()
+    }
+
+
+def test_compact_equals_from_scratch_coarse_build(spark):
+    """The compaction invariant: merging factor adjacent fine segments
+    must be indistinguishable from having built coarse in the first
+    place — rows, counts, and posting ORDER included."""
+    from slacken_spark.functions.inverted import compact_segments, inverted_index
+
+    docs = _corpus(spark, 1000)
+    toks = F.split(F.col("text"), " ")
+    fine = inverted_index(docs, toks, segment_rows=10)
+    compacted = compact_segments(fine, 10)
+    scratch = inverted_index(docs, toks, segment_rows=100)
+    assert _rows(compacted) == _rows(scratch)
+
+
+def test_compact_handles_negative_ids_with_floor_semantics(spark):
+    """Hash-derived doc ids are signed; fine segment ids inherit the
+    sign, and the coarse key must keep FLOOR (not truncation)
+    semantics or negative segments collapse into the wrong groups."""
+    from slacken_spark.functions.inverted import compact_segments, inverted_index
+
+    docs = spark.range(-25, 25).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hot w"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    fine = inverted_index(docs, toks, segment_rows=5)
+    assert _rows(compact_segments(fine, 4)) == _rows(
+        inverted_index(docs, toks, segment_rows=20)
+    )
+
+
+def test_compact_merges_lists_in_segment_order(spark):
+    """Postings of a compacted segment must be globally sorted — the
+    concatenation-in-fine-segment-order contract readers depend on."""
+    from slacken_spark.functions.inverted import compact_segments, inverted_index
+
+    docs = _corpus(spark, 500)
+    fine = inverted_index(docs, F.split(F.col("text"), " "), segment_rows=10)
+    for r in compact_segments(fine, 5).collect():
+        assert list(r["postings"]) == sorted(r["postings"])
+        assert r["df_segment"] == len(r["postings"])
+
+
+def test_compact_rejects_bad_factor(spark):
+    from slacken_spark.functions.inverted import compact_segments, inverted_index
+
+    fine = inverted_index(
+        _corpus(spark, 10), F.split(F.col("text"), " "), segment_rows=5
+    )
+    for bad in (0, -3):
+        with pytest.raises(ValueError):
+            compact_segments(fine, bad)

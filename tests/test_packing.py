@@ -537,3 +537,142 @@ def test_pack_matches_reference_on_random_sizes_including_zeros(spark):
         assert got == want
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle: deterministic epoch layout
+# ---------------------------------------------------------------------------
+
+
+def _epoch_model(ids, shards, epoch):
+    import hashlib
+
+    def h(i):
+        return int(
+            hashlib.md5(f"ep{epoch}_{i}".encode()).hexdigest()[:15], 16
+        )
+
+    by_shard = {}
+    for i in ids:
+        by_shard.setdefault(h(i) % shards, []).append(i)
+    out = {}
+    for s, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda i: (h(i), i)), 1):
+            out[i] = (s, pos)
+    return out
+
+
+def test_epoch_shuffle_matches_model_and_is_dense(spark):
+    from slacken_spark.functions.packing import epoch_shuffle
+
+    ids = list(range(200))
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    rows = epoch_shuffle(df, "doc_id", shards=8, epoch=1).collect()
+    got = {r["doc_id"]: (r["shard"], r["position"]) for r in rows}
+    assert got == _epoch_model(ids, 8, 1)
+    # positions are dense 1..n per shard (a loader's stream addresses)
+    by_shard = {}
+    for s, p in got.values():
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_epoch_shuffle_reshuffles_across_epochs_not_within(spark):
+    from slacken_spark.functions.packing import epoch_shuffle
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["position"])
+         for r in epoch_shuffle(df, "doc_id", 8, epoch=1).collect()}
+    b = {r["doc_id"]: (r["shard"], r["position"])
+         for r in epoch_shuffle(df, "doc_id", 8, epoch=1).collect()}
+    c = {r["doc_id"]: (r["shard"], r["position"])
+         for r in epoch_shuffle(df, "doc_id", 8, epoch=2).collect()}
+    assert a == b  # resumable: same epoch, same addresses
+    assert a != c  # different epoch, different layout
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# token_blocks: concat-and-chunk plan
+# ---------------------------------------------------------------------------
+
+
+def _block_model(sized, L):
+    """Pure-Python concat-and-chunk: sized = [(id, sz)] in id order."""
+    out, start = [], 0
+    for i, sz in sorted(sized):
+        if sz <= 0:
+            continue
+        for b in range(start // L, (start + sz - 1) // L + 1):
+            lo, hi = max(start, b * L), min(start + sz, (b + 1) * L)
+            out.append((i, b, lo - start, lo - b * L, hi - lo))
+        start += sz
+    return set(out)
+
+
+def _blocks_rows(df):
+    return {
+        (r["doc_id"], r["block_id"], r["doc_offset"], r["block_offset"],
+         r["n_toks"])
+        for r in df.collect()
+    }
+
+
+def test_token_blocks_matches_model(spark):
+    from slacken_spark.functions.packing import token_blocks
+
+    # deterministic irregular sizes incl. exact-boundary and giant docs
+    sized = [(i, (i * 37) % 19 + (250 if i % 41 == 0 else 0)) for i in range(500)]
+    sized[7] = (7, 128)  # exactly one block
+    sized[13] = (13, 0)  # contributes nothing
+    df = spark.createDataFrame(sized, "doc_id long, ntok long")
+    got = _blocks_rows(token_blocks(df, 128, bucket_rows=64))
+    assert got == _block_model(sized, 128)
+
+
+def test_token_blocks_invariant_under_bucketing(spark):
+    """The two-level distributed prefix sum is an implementation detail:
+    any bucket width must produce the identical plan."""
+    from slacken_spark.functions.packing import token_blocks
+
+    sized = [(i, (i * 13) % 31 + 1) for i in range(311)]
+    df = spark.createDataFrame(sized, "doc_id long, ntok long")
+    a = _blocks_rows(token_blocks(df, 64, bucket_rows=1))
+    b = _blocks_rows(token_blocks(df, 64, bucket_rows=64))
+    c = _blocks_rows(token_blocks(df, 64, bucket_rows=1000))
+    assert a == b == c == _block_model(sized, 64)
+
+
+def test_token_blocks_covers_stream_exactly(spark):
+    """Every block except the last is exactly full; per-doc slices
+    reassemble the document with no gap or overlap."""
+    from slacken_spark.functions.packing import token_blocks
+
+    sized = [(i, (i * 7) % 23 + 1) for i in range(200)]
+    df = spark.createDataFrame(sized, "doc_id long, ntok long")
+    rows = token_blocks(df, 100).collect()
+    total = sum(sz for _, sz in sized)
+    per_block = {}
+    per_doc = {}
+    for r in rows:
+        per_block[r["block_id"]] = per_block.get(r["block_id"], 0) + r["n_toks"]
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["doc_offset"], r["n_toks"])
+        )
+    last = max(per_block)
+    for b, n in per_block.items():
+        assert n == (100 if b != last else total - 100 * last)
+    for i, sz in sized:
+        slices = sorted(per_doc[i])
+        # contiguous from 0 to sz
+        pos = 0
+        for off, n in slices:
+            assert off == pos
+            pos += n
+        assert pos == sz
+    with pytest.raises(ValueError):
+        token_blocks(df, 0)
+    with pytest.raises(ValueError):
+        token_blocks(df, 100, bucket_rows=0)

@@ -1,0 +1,96 @@
+"""functions.sketch: Count-Min Sketch heavy hitters — model-based
+parity with a pure-Python sketch, the no-undercount guarantee, and the
+no-missed-heavy-hitter property the pre-shuffle filter relies on."""
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+D, W = 3, 64  # small width so collisions actually happen in-test
+
+
+def _h(row: int, term: str) -> int:
+    return int(hashlib.md5(f"cms{row}_{term}".encode()).hexdigest()[:15], 16) % W
+
+
+def _model(occurrences, threshold):
+    """Pure-Python CMS over the same hashes: grid, est = min over rows,
+    report terms with est >= threshold alongside exact counts."""
+    exact = Counter(occurrences)
+    grid = [Counter() for _ in range(D)]
+    for term, n in exact.items():
+        for r in range(D):
+            grid[r][_h(r, term)] += n
+    out = {}
+    for term, n in exact.items():
+        est = min(grid[r][_h(r, term)] for r in range(D))
+        if est >= threshold:
+            out[term] = (est, n)
+    return out
+
+
+def _occurrences():
+    # skewed stream: a few heavy terms, a long tail of near-singletons
+    occ = []
+    for i in range(6):
+        occ += [f"heavy{i}"] * (40 + i)
+    for i in range(300):
+        occ += [f"tail{i}"] * (1 + i % 3)
+    return occ
+
+
+def test_cms_matches_pure_python_model(spark):
+    from slacken_spark.functions.sketch import cms_heavy_hitters
+
+    occ = _occurrences()
+    df = spark.createDataFrame([(t,) for t in occ], "term string")
+    got = {
+        r["term"]: (r["cms_est"], r["n_exact"])
+        for r in cms_heavy_hitters(df, 30, depth=D, width=W).collect()
+    }
+    assert got == _model(occ, 30)
+
+
+def test_cms_never_undercounts_and_never_misses_a_heavy_hitter(spark):
+    from slacken_spark.functions.sketch import cms_heavy_hitters
+
+    occ = _occurrences()
+    exact = Counter(occ)
+    df = spark.createDataFrame([(t,) for t in occ], "term string")
+    rows = cms_heavy_hitters(df, 30, depth=D, width=W).collect()
+    got = {r["term"]: r for r in rows}
+    for r in rows:  # est >= true count, exact counts are exact
+        assert r["cms_est"] >= r["n_exact"] == exact[r["term"]]
+    for term, n in exact.items():  # no false negatives
+        if n >= 30:
+            assert term in got, f"true heavy hitter {term} missed"
+
+
+def test_cms_sketch_is_grid_sized(spark):
+    from slacken_spark.functions.sketch import cms_sketch
+
+    df = spark.createDataFrame([(t,) for t in _occurrences()], "term string")
+    sk = cms_sketch(df, depth=D, width=W).collect()
+    assert len(sk) <= D * W
+    assert {r["row"] for r in sk} == set(range(D))
+    assert all(0 <= r["pos"] < W for r in sk)
+    # every occurrence lands in every row: row totals == stream length
+    totals = Counter()
+    for r in sk:
+        totals[r["row"]] += r["c"]
+    assert set(totals.values()) == {len(_occurrences())}
+
+
+def test_cms_probe_joins_are_broadcast(spark):
+    """The grid must come back as broadcast joins (map-side probes) —
+    a shuffled join on the probe columns would shuffle the full
+    occurrence stream three times."""
+    from slacken_spark.functions.sketch import cms_heavy_hitters
+
+    df = spark.createDataFrame([(t,) for t in _occurrences()], "term string")
+    plan = cms_heavy_hitters(df, 30, depth=D, width=W)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= D
+    assert "SortMergeJoin" not in plan
