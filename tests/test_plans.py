@@ -549,3 +549,53 @@ def test_approx_distinct_bounds_and_determinism(spark, sf_dir):
         assert rel <= 0.05, f"{et}: {r['approx_users']} vs {r['exact_users']}"
     again = {r["event_type"]: r.asDict() for r in fn(spark, sf_dir).collect()}
     assert rows == again
+
+
+def test_late_round7_query_plan_shapes(spark, sf_dir):
+    """Late round-7 additions. Compaction's scale claim is what its
+    plan NEVER contains: applied to a stored index it must not explode
+    posting lists (they move whole) and must pay exactly one shuffle.
+    The block plan's prefix sum must be two windows — the per-bucket
+    one partitioned (parallel over the corpus) and only the
+    bucket-TOTALS one global — with the offsets broadcast back. The
+    epoch shuffle is one exchange on the shard key."""
+    import re as _re
+
+    from slacken_spark.functions.inverted import compact_segments
+
+    # compact_segments over an already-stored index (no corpus lineage)
+    idx = spark.createDataFrame(
+        [("t", s, 2, [s * 10, s * 10 + 1]) for s in range(8)],
+        "term string, segment long, df_segment long, postings array<long>",
+    )
+    plan = _plan(compact_segments(idx, 4))
+    assert "Generate" not in plan, "posting lists must move whole, not explode"
+    assert plan.count("Exchange") == 1, "one key-shuffle on (term, coarse segment)"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["token_block_plan"]
+    plan = _plan(fn(spark, sf_dir))
+    windows = [ln for ln in plan.splitlines() if _re.search(r"\bWindow\b", ln)]
+    assert len(windows) == 2, windows
+    # Window [exprs], [partitionSpec], [orderSpec] — the per-row window
+    # partitions by the bucket; the totals window has no partition spec
+    partitioned = [w for w in windows if _re.search(r"\], \[_bkt#\d+L\], \[", w)]
+    assert len(partitioned) == 1, "per-row cumsum window must partition by bucket"
+    assert plan.count("BroadcastHashJoin") >= 1, "bucket offsets broadcast back"
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["epoch_shuffle_plan"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(_re.findall(r"Exchange hashpartitioning\(shard#", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["dedup_keep_longest"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["doc_heavy_hitters_cms"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, "grid probes are map-side"
+    assert "SortMergeJoin" not in plan
