@@ -84,6 +84,8 @@ _MUST_GATE = [
     "dedup_keep_longest",  # keep-best-per-cluster policy over cached components
     "token_block_plan",  # concat-and-chunk via distributed prefix sum
     "epoch_shuffle_plan",  # deterministic epoch shard/position layout
+    "streaming_heavy_hitters",  # per-micro-batch CMS grids merge losslessly
+    "source_stats_maintain",  # IVM: view absorbs CDC delta, no corpus re-agg
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -98,8 +100,6 @@ _EARLY = _MUST_GATE + [
     # rotation policy):
     "genomic_clade_rollup",
     "video_frame_plan",
-    "topk_per_group",
-    "two_level_agg",
     "pack_sequences_sharded",
     "embedding_ivf_topk_nprobe2",
     "dedup_keep_canonical",
@@ -136,6 +136,8 @@ _TAIL = [
     "media_audio_stats",
     "scalar_funcs",
     "size_histogram",
+    "topk_per_group",
+    "two_level_agg",
     # demoted to seat the late-round delta operators (≥2 green rows
     # each, per the demote-only-≥2×-green rotation rule — the 1-green
     # doc_unigram_rarity/doc_vocab_top50 demotions were reverted and

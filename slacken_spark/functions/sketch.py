@@ -59,12 +59,24 @@ def cms_sketch(
     )
 
 
+def cms_merge(grids: DataFrame) -> DataFrame:
+    """Merge partial sketches (a union of ``cms_sketch`` outputs) into
+    one grid by summing cells — THE mergeability property that lets the
+    sketch build per-partition, per-shard, or per-micro-batch and
+    combine losslessly: grid(A ∪ B) == merge(grid(A), grid(B)), cell
+    for cell."""
+    return grids.groupBy("row", "pos").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
 def cms_heavy_hitters(
     occ: DataFrame,
     threshold: int,
     term_col: str = "term",
     depth: int = 3,
     width: int = 512,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """→ ``(term, cms_est, n_exact)`` for every term whose CMS estimate
     reaches ``threshold``. ``cms_est = min`` over the ``depth`` probed
@@ -77,7 +89,12 @@ def cms_heavy_hitters(
     Plan shape: the grid comes back as ``depth`` broadcast hash joins
     keyed on the probe columns (each side is the fixed-size sketch), so
     the estimate and the threshold filter are MAP-SIDE; only qualifying
-    occurrences reach the per-term exact-count shuffle."""
+    occurrences reach the per-term exact-count shuffle.
+
+    ``sketch`` overrides the grid (a ``cms_sketch``/``cms_merge``
+    result built elsewhere — e.g. accumulated over a stream); the grid
+    must have been built with the SAME depth/width and cover exactly
+    the probed occurrences for estimates to stay >= exact counts."""
     probes = occ.select(
         F.col(term_col).alias("term"),
         *[
@@ -85,7 +102,8 @@ def cms_heavy_hitters(
             for i in range(depth)
         ],
     )
-    sketch = cms_sketch(occ, term_col, depth, width)
+    if sketch is None:
+        sketch = cms_sketch(occ, term_col, depth, width)
     for i in range(depth):
         side = sketch.where(F.col("row") == i).select(
             F.col("pos").alias(f"h{i}"), F.col("c").alias(f"c{i}")

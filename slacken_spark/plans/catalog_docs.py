@@ -860,9 +860,10 @@ def _sql_cms_h(i: int) -> str:
     return SQL_H64.format(expr=f"'cms{i}_' || term") + f" % {_CMS_W}"
 
 
-@register(
-    "doc_heavy_hitters_cms",
-    f"""
+# shared with catalog_streaming.streaming_heavy_hitters: the stream
+# accumulates the same grid per micro-batch (cms_merge), so it gates
+# against the SAME oracle — the differential pattern
+CMS_ORACLE_SQL = f"""
     WITH d AS MATERIALIZED (
         SELECT {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
     o AS MATERIALIZED (
@@ -892,8 +893,20 @@ def _sql_cms_h(i: int) -> str:
     JOIN sk s1 ON s1.row = 1 AND s1.pos = tc.h1
     JOIN sk s2 ON s2.row = 2 AND s2.pos = tc.h2
     WHERE least(s0.c, s1.c, s2.c) >= {_CMS_T}
-    """,
-)
+    """
+
+
+def cms_occurrences(docs):
+    """The ONE definition of the CMS term stream (word-bigram
+    occurrences, non-distinct) — shared by the batch query and the
+    streaming accumulator so a tokenizer change cannot desynchronize
+    them from the shared oracle."""
+    return X.shingle_rows(docs, "text", "doc_id", n=2, distinct=False).select(
+        F.col("shingle").alias("term")
+    )
+
+
+@register("doc_heavy_hitters_cms", CMS_ORACLE_SQL)
 def doc_heavy_hitters_cms(spark, sf_dir):
     """Count-Min-Sketch heavy hitters over the word-bigram stream
     (functions.sketch.cms_heavy_hitters): pass 1 folds every occurrence
@@ -911,9 +924,6 @@ def doc_heavy_hitters_cms(spark, sf_dir):
     from slacken_spark.functions.sketch import cms_heavy_hitters
 
     docs = t(spark, sf_dir, "documents")
-    occ = X.shingle_rows(docs, "text", "doc_id", n=2, distinct=False).select(
-        F.col("shingle").alias("term")
-    )
     return cms_heavy_hitters(
-        occ, _CMS_T, "term", depth=_CMS_D, width=_CMS_W
+        cms_occurrences(docs), _CMS_T, "term", depth=_CMS_D, width=_CMS_W
     )

@@ -836,3 +836,55 @@ def epoch_shuffle_plan(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle(docs, "doc_id", shards=8, epoch=1)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized dataset-stats view + CDC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_stats_maintain",
+    f"""
+    WITH upd AS MATERIALIZED (
+        SELECT doc_id, 'cdc' AS source,
+               'v2update ' || substr(text, 1, 40) AS text
+        FROM documents WHERE doc_id % 50 = 0),
+    merged AS MATERIALIZED (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL SELECT doc_id, source, text FROM upd)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({SQL_TOKENS.format(expr='text')})) AS BIGINT)
+             AS n_tokens
+    FROM merged GROUP BY source
+    """,
+)
+def source_stats_maintain(spark, sf_dir):
+    """Incremental aggregate maintenance (functions.ivm.
+    maintain_grouped_sums) — the materialized-view member of the
+    maintenance family: the per-source (doc count, token sum) dataset
+    card stays current under a CDC replacement batch WITHOUT
+    re-aggregating the corpus (SUM/COUNT are self-maintainable: the
+    view absorbs batch-new minus batch-old contributions through one
+    group-cardinality-sized full-outer merge; the old rows fetch by a
+    broadcast semi-join on the changed ids, which parquet pushes into
+    the scan). The deterministic CDC batch rewrites every 50th doc's
+    text AND moves it to a brand-new 'cdc' source, so the oracle — a
+    from-scratch re-aggregation of the merged corpus — exercises group
+    moves, a never-seen group, and count/sum updates at once;
+    maintained ≡ recomputed, row for row."""
+    from slacken_spark.functions.ivm import maintain_grouped_sums
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    size = F.size(X.tokens(F.col("text"))).cast("long")
+    view = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(size).cast("long").alias("n_tokens"),
+    )
+    upd = docs.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.lit("cdc").alias("source"),
+        F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
+    )
+    return maintain_grouped_sums(view, docs, upd, "source", size)

@@ -296,3 +296,33 @@ def run_foreach_to_completion(writer, name: str | None = None) -> None:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def cms_sketch_stream(doc_stream: DataFrame, to_occ, sink,
+                      term_col: str = "term",
+                      depth: int = 3, width: int = 512):
+    """Streaming Count-Min-Sketch accumulation: each micro-batch maps
+    through ``to_occ(batch_df) -> occurrences`` (term extraction runs
+    on the STATIC per-batch frame, so window-backed tokenizers like
+    ``shingle_rows`` are fine here where the streaming planner would
+    reject them) and folds into a partial ``depth x width`` grid
+    (functions.sketch.cms_sketch) handed to ``sink(grid_df, epoch_id)``
+    — the sketch's MERGEABILITY is the whole streaming story, since
+    grid(batch_1 ∪ batch_2) == merge of the per-batch grids, cell for
+    cell, so a continuously-arriving corpus maintains the same sketch
+    a batch pass would build. Per-batch cost is one map-side partial
+    aggregation collapsing to grid size (fixed, corpus-independent);
+    in production the sink MERGEs cells into a counters table (here
+    the caller accumulates the ≤ depth*width rows and
+    ``functions.sketch.cms_merge``s them).
+
+    Returns the DataStreamWriter (caller adds trigger and starts).
+    """
+    from slacken_spark.functions.sketch import cms_sketch
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sink(cms_sketch(to_occ(batch_df), term_col, depth, width), epoch_id)
+
+    return doc_stream.writeStream.foreachBatch(process)

@@ -599,3 +599,10 @@ def test_late_round7_query_plan_shapes(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, "grid probes are map-side"
     assert "SortMergeJoin" not in plan
+
+    fn, _ = REGISTRY["source_stats_maintain"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "LeftSemi" in plan, "old rows fetch by a semi-join on changed ids"
+    assert "FullOuter" in plan, "view merges the batch delta via one full-outer"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -94,3 +94,73 @@ def test_cms_probe_joins_are_broadcast(spark):
     ).executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= D
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_merge_of_partial_grids_equals_whole_grid(spark):
+    """Mergeability — the property that lets the sketch build
+    per-partition / per-micro-batch: grid(A ∪ B) == merge(grid(A),
+    grid(B)), cell for cell."""
+    from slacken_spark.functions.sketch import cms_merge, cms_sketch
+
+    occ = _occurrences()
+    half_a = spark.createDataFrame([(t,) for t in occ[::2]], "term string")
+    half_b = spark.createDataFrame([(t,) for t in occ[1::2]], "term string")
+    whole = spark.createDataFrame([(t,) for t in occ], "term string")
+    merged = cms_merge(
+        cms_sketch(half_a, depth=D, width=W).unionByName(
+            cms_sketch(half_b, depth=D, width=W)
+        )
+    )
+    as_rows = lambda df: {(r["row"], r["pos"]): r["c"] for r in df.collect()}
+    assert as_rows(merged) == as_rows(cms_sketch(whole, depth=D, width=W))
+
+
+def test_streaming_sketch_two_batches_merge_to_batch_grid(spark, tmp_path):
+    """cms_sketch_stream over a two-file stream (maxFilesPerTrigger=1 →
+    two genuine micro-batches): the accumulated cells cms_merge to the
+    EXACT grid of one batch pass over the union, and heavy hitters off
+    the streamed grid equal the batch operator's."""
+    from slacken_spark.functions.sketch import (
+        cms_heavy_hitters,
+        cms_merge,
+        cms_sketch,
+    )
+    from slacken_spark.streaming import ops
+
+    occ = _occurrences()
+    rows = [(i, t) for i, t in enumerate(occ)]
+    a = spark.createDataFrame(rows[::2], "rid long, term string")
+    b = spark.createDataFrame(rows[1::2], "rid long, term string")
+    a.coalesce(1).write.parquet(str(tmp_path / "src" / "a.parquet"))
+    b.coalesce(1).write.parquet(str(tmp_path / "src" / "b.parquet"))
+    stream = (
+        spark.readStream.schema("rid long, term string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(tmp_path / "src") + "/*/")
+    )
+    cells, epochs = [], []
+
+    def sink(grid_df, epoch):
+        epochs.append(epoch)
+        cells.extend(grid_df.collect())
+
+    ops.run_foreach_to_completion(
+        ops.cms_sketch_stream(
+            stream, lambda batch: batch.select("term"), sink, depth=D, width=W
+        )
+    )
+    assert len(set(epochs)) >= 2, "expected two micro-batches"
+    streamed = cms_merge(
+        spark.createDataFrame(cells, "row int, pos bigint, c bigint")
+    )
+    whole = spark.createDataFrame([(t,) for t in occ], "term string")
+    as_rows = lambda df: {(r["row"], r["pos"]): r["c"] for r in df.collect()}
+    assert as_rows(streamed) == as_rows(cms_sketch(whole, depth=D, width=W))
+    via_stream = {
+        r["term"]: (r["cms_est"], r["n_exact"])
+        for r in cms_heavy_hitters(
+            whole, 30, depth=D, width=W, sketch=streamed
+        ).collect()
+    }
+    assert via_stream == _model(occ, 30)
