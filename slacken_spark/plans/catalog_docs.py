@@ -920,10 +920,18 @@ def doc_heavy_hitters_cms(spark, sf_dir):
     scale) is pruned BEFORE the only per-term shuffle. Collision
     false positives surface honestly as ``n_exact < threshold`` rows;
     md5-derived row hashes make every collision engine-portable, so
-    the oracle reproduces estimates exactly."""
+    the oracle reproduces estimates exactly.
+
+    CMS is inherently TWO-PASS: the plan's sketch branch and probe
+    branch each tokenize+shingle the corpus once (Spark does not dedupe
+    common subplans). That second scan is the deliberate trade — the
+    alternative is materializing the corpus-sized occurrence stream,
+    which at 100 TB costs more than re-deriving it from the (persisted)
+    table scan; the streaming twin pays the sketch pass incrementally
+    and probes once."""
     from slacken_spark.functions.sketch import cms_heavy_hitters
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     return cms_heavy_hitters(
         cms_occurrences(docs), _CMS_T, "term", depth=_CMS_D, width=_CMS_W
     )

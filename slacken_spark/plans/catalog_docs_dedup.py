@@ -257,20 +257,34 @@ def _doc_components(spark, sf_dir):
     return app_scoped_get(_COMPONENTS_CACHE, spark, sf_dir, build)
 
 
-@register(
-    "dedup_components",
-    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
-    + _BANDED_PAIRS_SQL
-    + """
+def _components_cte() -> str:
+    """The ONE definition of the recursive component closure over the
+    banded candidate pairs — CTE ``comp`` = (node, component). Three
+    oracles (components / keep-canonical / keep-longest) gate the same
+    cached engine-side labels, so they must share one closure SQL or a
+    recursion tweak applied to one silently diverges the others."""
+    return (
+        _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + _BANDED_PAIRS_SQL
+        + """
     , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
     reach AS (
         SELECT doc_id AS node, doc_id AS lbl FROM documents
         UNION
         SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    """
     )
-    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
-    FROM reach GROUP BY node
+
+
+@register(
+    "dedup_components",
+    _components_cte()
+    + """
+    SELECT node AS doc_id, CAST(component AS BIGINT) AS component
+    FROM comp
     """,
 )
 def dedup_components(spark, sf_dir):
@@ -293,17 +307,8 @@ def dedup_components(spark, sf_dir):
 
 @register(
     "dedup_keep_canonical",
-    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
-    + _BANDED_PAIRS_SQL
+    _components_cte()
     + """
-    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL SELECT id_b, id_a FROM pairs),
-    reach AS (
-        SELECT doc_id AS node, doc_id AS lbl FROM documents
-        UNION
-        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
     SELECT CAST(component AS BIGINT) AS doc_id,
            CAST(count(*) AS BIGINT) AS cluster_size
     FROM comp GROUP BY component
@@ -559,18 +564,9 @@ def doc_fingerprints(spark, sf_dir):
 
 @register(
     "dedup_keep_longest",
-    _minhash_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
-    + _BANDED_PAIRS_SQL
+    _components_cte()
     + """
-    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL SELECT id_b, id_a FROM pairs),
-    reach AS (
-        SELECT doc_id AS node, doc_id AS lbl FROM documents
-        UNION
-        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
-    lab AS (SELECT d2.doc_id, c.component, length(d2.text) AS n_chars
+    , lab AS (SELECT d2.doc_id, c.component, length(d2.text) AS n_chars
             FROM documents d2 JOIN comp c ON c.node = d2.doc_id),
     r AS (SELECT *,
                  row_number() OVER (PARTITION BY component

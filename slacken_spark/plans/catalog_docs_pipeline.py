@@ -672,9 +672,11 @@ def corpus_diff(spark, sf_dir):
     )
 
 
-@register(
-    "inverted_index_sharded",
-    f"""
+# shared with inverted_index_compact: compaction's invariant is
+# row-identity with THIS from-scratch 100-row build, so both gates
+# must reference one SQL — an edit in one place cannot desynchronize
+# what "from scratch" means
+SHARDED_100_ORACLE_SQL = f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
     e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
     p AS (SELECT term, doc_id // 100 AS segment, doc_id FROM e)
@@ -683,8 +685,10 @@ def corpus_diff(spark, sf_dir):
            md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
              AS segment_digest
     FROM p GROUP BY term, segment
-    """,
-)
+    """
+
+
+@register("inverted_index_sharded", SHARDED_100_ORACLE_SQL)
 def inverted_index_sharded(spark, sf_dir):
     """Range-sharded posting lists
     (functions.inverted.inverted_index, segment_rows=100): the hot-term
@@ -714,19 +718,7 @@ def inverted_index_sharded(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "inverted_index_compact",
-    f"""
-    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
-    e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
-    p AS (SELECT term, doc_id // 100 AS segment, doc_id FROM e)
-    SELECT term, CAST(segment AS BIGINT) AS segment,
-           count(*) AS df_segment,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-             AS segment_digest
-    FROM p GROUP BY term, segment
-    """,
-)
+@register("inverted_index_compact", SHARDED_100_ORACLE_SQL)
 def inverted_index_compact(spark, sf_dir):
     """LSM-style segment compaction, the fourth index-maintenance verb
     (functions.inverted.compact_segments): merge every 10 adjacent

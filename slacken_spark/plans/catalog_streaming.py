@@ -291,70 +291,68 @@ def streaming_index_delta(spark, sf_dir):
     return spark.createDataFrame(collected, out_schema)
 
 
-def _register_streaming_cms():
-    from slacken_spark.plans.catalog_docs import CMS_ORACLE_SQL
+from slacken_spark.plans.catalog_docs import CMS_ORACLE_SQL  # noqa: E402
 
-    @register("streaming_heavy_hitters", CMS_ORACLE_SQL)
-    def streaming_heavy_hitters(spark, sf_dir):
-        """Streaming Count-Min-Sketch maintenance
-        (streaming/ops.cms_sketch_stream): the corpus arrives AS A
-        STREAM and each micro-batch folds into a partial 3x512 grid;
-        the accumulated cells merge losslessly (functions.sketch.
-        cms_merge — grid(b1 ∪ b2) == merge of per-batch grids, THE
-        property that makes a sketch streamable), and the final heavy-
-        hitter report probes the merged grid exactly as the batch
-        operator would. availableNow over the single source file gives
-        one micro-batch, so the result is proven identical to
-        ``doc_heavy_hitters_cms`` against the SAME oracle (the
-        differential pattern); the genuine multi-batch merge semantics
-        are pinned by tests/test_sketch.py on a maxFilesPerTrigger=1
-        two-file stream. Per-batch cost is one map-side partial agg
-        collapsing to the fixed grid — the continuously-updated
-        frequent-terms monitor a 100 TB ingest pipeline runs."""
-        import os
 
-        from slacken_spark.functions.sketch import cms_heavy_hitters, cms_merge
-        from slacken_spark.plans.catalog import t
-        from slacken_spark.plans.catalog_docs import (
-            _CMS_D,
-            _CMS_T,
-            _CMS_W,
-            cms_occurrences,
+@register("streaming_heavy_hitters", CMS_ORACLE_SQL)
+def streaming_heavy_hitters(spark, sf_dir):
+    """Streaming Count-Min-Sketch maintenance
+    (streaming/ops.cms_sketch_stream): the corpus arrives AS A
+    STREAM and each micro-batch folds into a partial 3x512 grid;
+    the accumulated cells merge losslessly (functions.sketch.
+    cms_merge — grid(b1 ∪ b2) == merge of per-batch grids, THE
+    property that makes a sketch streamable), and the final heavy-
+    hitter report probes the merged grid exactly as the batch
+    operator would. availableNow over the single source file gives
+    one micro-batch, so the result is proven identical to
+    ``doc_heavy_hitters_cms`` against the SAME oracle (the
+    differential pattern); the genuine multi-batch merge semantics
+    are pinned by tests/test_sketch.py on a maxFilesPerTrigger=1
+    two-file stream. Per-batch cost is one map-side partial agg
+    collapsing to the fixed grid — the continuously-updated
+    frequent-terms monitor a 100 TB ingest pipeline runs."""
+    import os
+
+    from slacken_spark.functions.sketch import cms_heavy_hitters, cms_merge
+    from slacken_spark.plans.catalog import t
+    from slacken_spark.plans.catalog_docs import (
+        _CMS_D,
+        _CMS_T,
+        _CMS_W,
+        cms_occurrences,
+    )
+
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    doc_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+    )
+    cells: list = []
+
+    def sink(grid_df, _epoch):
+        cells.extend(grid_df.collect())
+
+    ops.run_foreach_to_completion(
+        ops.cms_sketch_stream(
+            doc_stream, cms_occurrences, sink, depth=_CMS_D, width=_CMS_W
         )
+    )
+    # ≤ depth*width rows per batch — the memory-sink stand-in for a
+    # production MERGE into a counters table, grid-bounded not
+    # corpus-bounded
+    grid = cms_merge(
+        spark.createDataFrame(cells, "row int, pos bigint, c bigint")
+    )
+    docs = t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(
+        cms_occurrences(docs),
+        _CMS_T,
+        depth=_CMS_D,
+        width=_CMS_W,
+        sketch=grid,
+    )
 
-        schema = spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet")
-        ).schema
-        doc_stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .format("parquet")
-            .load(sf_dir)
-        )
-        cells: list = []
-
-        def sink(grid_df, _epoch):
-            cells.extend(grid_df.collect())
-
-        ops.run_foreach_to_completion(
-            ops.cms_sketch_stream(
-                doc_stream, cms_occurrences, sink, depth=_CMS_D, width=_CMS_W
-            )
-        )
-        # ≤ depth*width rows per batch — the memory-sink stand-in for a
-        # production MERGE into a counters table, grid-bounded not
-        # corpus-bounded
-        grid = cms_merge(
-            spark.createDataFrame(cells, "row int, pos bigint, c bigint")
-        )
-        docs = t(spark, sf_dir, "documents")
-        return cms_heavy_hitters(
-            cms_occurrences(docs),
-            _CMS_T,
-            depth=_CMS_D,
-            width=_CMS_W,
-            sketch=grid,
-        )
-
-
-_register_streaming_cms()
