@@ -86,6 +86,7 @@ _MUST_GATE = [
     "epoch_shuffle_plan",  # deterministic epoch shard/position layout
     "streaming_heavy_hitters",  # per-micro-batch CMS grids merge losslessly
     "source_stats_maintain",  # IVM: view absorbs CDC delta, no corpus re-agg
+    "streaming_source_stats",  # the IVM stream twin: sequential per-batch merge
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -98,7 +99,6 @@ _EARLY = _MUST_GATE + [
     # r5-gated set that sat out round 6 (green in CORRECTNESS_r05 or
     # earlier, code untouched since; re-promoted per the rolling-green
     # rotation policy):
-    "genomic_clade_rollup",
     "video_frame_plan",
     "pack_sequences_sharded",
     "embedding_ivf_topk_nprobe2",
@@ -139,6 +139,7 @@ _TAIL = [
     "size_histogram",
     "topk_per_group",
     "two_level_agg",
+    "genomic_clade_rollup",
     # demoted to seat the late-round delta operators (≥2 green rows
     # each, per the demote-only-≥2×-green rotation rule — the 1-green
     # doc_unigram_rarity/doc_vocab_top50 demotions were reverted and

@@ -835,9 +835,10 @@ def epoch_shuffle_plan(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "source_stats_maintain",
-    f"""
+# shared with catalog_streaming.streaming_source_stats: one availableNow
+# micro-batch applies the identical CDC batch, so the stream gates
+# against the SAME oracle (the streaming_index_delta pattern)
+SOURCE_STATS_ORACLE_SQL = f"""
     WITH upd AS MATERIALIZED (
         SELECT doc_id, 'cdc' AS source,
                'v2update ' || substr(text, 1, 40) AS text
@@ -850,8 +851,10 @@ def epoch_shuffle_plan(spark, sf_dir):
            CAST(sum(len({SQL_TOKENS.format(expr='text')})) AS BIGINT)
              AS n_tokens
     FROM merged GROUP BY source
-    """,
-)
+    """
+
+
+@register("source_stats_maintain", SOURCE_STATS_ORACLE_SQL)
 def source_stats_maintain(spark, sf_dir):
     """Incremental aggregate maintenance (functions.ivm.
     maintain_grouped_sums) — the materialized-view member of the

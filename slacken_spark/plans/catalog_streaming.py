@@ -356,3 +356,67 @@ def streaming_heavy_hitters(spark, sf_dir):
         sketch=grid,
     )
 
+
+
+from slacken_spark.plans.catalog_docs_pipeline import (  # noqa: E402
+    SOURCE_STATS_ORACLE_SQL,
+)
+
+
+@register("streaming_source_stats", SOURCE_STATS_ORACLE_SQL)
+def streaming_source_stats(spark, sf_dir):
+    """Streaming incremental view maintenance
+    (streaming/ops.grouped_sums_stream): the CDC replacement batch
+    (every 50th doc rewritten and moved to the new 'cdc' source)
+    arrives AS A REAL STREAM and each micro-batch folds into the
+    per-source (n_docs, n_tokens) statistics view through
+    functions.ivm.maintain_grouped_sums — batch-new minus batch-old
+    via one group-sized full-outer merge, never a corpus
+    re-aggregation; the base advances between batches (sequential CDC
+    application). availableNow over the single source file yields one
+    micro-batch, so the final view is proven identical to the batch
+    operator against the SAME oracle; genuine two-batch sequencing is
+    pinned in tests/test_streaming_ivm.py. This is the continuously-
+    current dataset card a 100 TB ingest pipeline publishes."""
+    import os
+
+    from slacken_spark.functions import text as X
+    from slacken_spark.plans.catalog import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # the same tokenizer expression as the batch operator — the oracle
+    # gates both, so the size definitions must not diverge
+    size = F.size(X.tokens(F.col("text"))).cast("long")
+    view = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(size).cast("long").alias("n_tokens"),
+    )
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    upd_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+        .where(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.lit("cdc").alias("source"),
+            F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias(
+                "text"
+            ),
+        )
+    )
+    final: list = []
+
+    def sink(view_df, _epoch):
+        final.clear()
+        final.extend(view_df.collect())
+
+    ops.run_foreach_to_completion(
+        ops.grouped_sums_stream(docs, view, upd_stream, "source", size, sink)
+    )
+    return spark.createDataFrame(
+        final, "source string, n_docs bigint, n_tokens bigint"
+    )

@@ -326,3 +326,47 @@ def cms_sketch_stream(doc_stream: DataFrame, to_occ, sink,
         sink(cms_sketch(to_occ(batch_df), term_col, depth, width), epoch_id)
 
     return doc_stream.writeStream.foreachBatch(process)
+
+
+def grouped_sums_stream(base: DataFrame, view: DataFrame, upd_stream: DataFrame,
+                        group_col: str, size, sink, id_col: str = "doc_id"):
+    """Streaming incremental view maintenance: a CDC stream of row
+    replacements keeps a grouped COUNT/SUM view current — the
+    aggregate twin of ``index_delta_stream``, built on
+    ``functions.ivm.maintain_grouped_sums``. Per micro-batch the view
+    absorbs (batch-new − batch-old) through one group-sized full-outer
+    merge and ``sink(view_df, epoch_id)`` sees the maintained view;
+    the base then advances by the batch (anti-join + union) so later
+    batches subtract the right old rows — sequential CDC application.
+
+    The maintained view round-trips through the driver between batches
+    (collect + recreate): it is group-cardinality-sized BY DESIGN (the
+    whole point of a statistics view), and re-materializing it caps
+    the otherwise per-batch-compounding lineage — the memory-sink
+    stand-in for the production shape, where the sink MERGEs the view
+    into a storage-backed table that the next batch reads back.
+
+    ``size`` is the summed Column, evaluated against base/batch rows.
+    Returns the DataStreamWriter (caller adds trigger and starts).
+    """
+    from slacken_spark.functions.ivm import maintain_grouped_sums
+
+    state = {"base": base, "view": view}
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        maintained = maintain_grouped_sums(
+            state["view"], state["base"], batch_df, group_col, size, id_col
+        )
+        schema = maintained.schema
+        state["view"] = spark.createDataFrame(maintained.collect(), schema)
+        sink(state["view"], epoch_id)
+        state["base"] = (
+            state["base"]
+            .join(batch_df.select(id_col), id_col, "left_anti")
+            .unionByName(batch_df.select(*state["base"].columns))
+        )
+
+    return upd_stream.writeStream.foreachBatch(process)
