@@ -128,10 +128,10 @@ _EARLY = _MUST_GATE + [
     "doc_vocab_top50",
 ]
 _TAIL = [
-    # demoted to seat the seven late-r7-session operators (CMS batch +
+    # demoted to seat the eight late-r7-session operators (CMS batch +
     # streaming / compact / keep-longest / token-blocks / epoch-shuffle /
-    # stats-IVM): ≥3 green rows each, code untouched, per the
-    # demote-only-≥2×-green rule
+    # stats-IVM batch + streaming): ≥3 green rows each, code untouched,
+    # per the demote-only-≥2×-green rule
     "media_image_stats",
     "media_phash_neardup",
     "media_audio_stats",

@@ -381,9 +381,12 @@ def streaming_source_stats(spark, sf_dir):
     import os
 
     from slacken_spark.functions import text as X
-    from slacken_spark.plans.catalog import t
+    from slacken_spark.plans.catalog import tp
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # tp(): the initial-view aggregation is the operator's dominant
+    # batch-side cost (full-corpus tokenize), exactly what the batch
+    # twin uses the persisted/repartitioned table for
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # the same tokenizer expression as the batch operator — the oracle
     # gates both, so the size definitions must not diverge
     size = F.size(X.tokens(F.col("text"))).cast("long")
@@ -408,7 +411,10 @@ def streaming_source_stats(spark, sf_dir):
             ),
         )
     )
-    final: list = []
+    # seeded with the INITIAL view: if the source yields no micro-batch
+    # at all, the maintained view is by definition the unchanged one —
+    # empty batches that do fire also re-sink it (grouped_sums_stream)
+    final: list = view.collect()
 
     def sink(view_df, _epoch):
         final.clear()

@@ -264,13 +264,20 @@ def index_delta_stream(base: DataFrame, upd_stream: DataFrame, tokens, sink,
             state["base"], batch_df, tokens, id_col, segment_rows
         )
         sink(delta, epoch_id)
-        state["base"] = (
-            state["base"]
-            .join(batch_df.select(id_col), id_col, "left_anti")
-            .unionByName(batch_df.select(*state["base"].columns))
-        )
+        state["base"] = _advance_base(state["base"], batch_df, id_col)
 
     return upd_stream.writeStream.foreachBatch(process)
+
+
+def _advance_base(base: DataFrame, batch_df: DataFrame, id_col: str) -> DataFrame:
+    """Sequential CDC base advancement (anti-join the batch's ids out,
+    union the batch in) — ONE definition shared by the streaming
+    maintainers so later batches of every operator see earlier ones
+    through identical semantics."""
+    return (
+        base.join(batch_df.select(id_col), id_col, "left_anti")
+        .unionByName(batch_df.select(*base.columns))
+    )
 
 
 def run_foreach_to_completion(writer, name: str | None = None) -> None:
@@ -355,6 +362,12 @@ def grouped_sums_stream(base: DataFrame, view: DataFrame, upd_stream: DataFrame,
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
+            # an empty CDC batch leaves the view UNCHANGED — but the
+            # sink must still observe it (a silent skip would make an
+            # all-empty stream report an empty view instead of the
+            # current one, diverging from the batch operator, which
+            # returns the view untouched for an empty update)
+            sink(state["view"], epoch_id)
             return
         spark = batch_df.sparkSession
         maintained = maintain_grouped_sums(
@@ -363,10 +376,6 @@ def grouped_sums_stream(base: DataFrame, view: DataFrame, upd_stream: DataFrame,
         schema = maintained.schema
         state["view"] = spark.createDataFrame(maintained.collect(), schema)
         sink(state["view"], epoch_id)
-        state["base"] = (
-            state["base"]
-            .join(batch_df.select(id_col), id_col, "left_anti")
-            .unionByName(batch_df.select(*state["base"].columns))
-        )
+        state["base"] = _advance_base(state["base"], batch_df, id_col)
 
     return upd_stream.writeStream.foreachBatch(process)

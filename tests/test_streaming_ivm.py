@@ -9,14 +9,14 @@ from slacken_spark.streaming import ops
 def test_two_batch_stream_maintains_view_sequentially(spark, tmp_path):
     """maxFilesPerTrigger=1 over two CDC files → two micro-batches;
     batch 2's delta must be computed against the batch-1-ADVANCED base
-    (doc 5 moves a→b in batch 1, then b→c in batch 2: only a
-    sequentially-advanced base subtracts it from 'b', not 'a', the
-    second time). The final view must equal a recompute over
-    base+batch1+batch2, and the intermediate view must equal a
-    recompute over base+batch1."""
+    (doc 4 starts in 'a', moves a→b in batch 1, then b→c in batch 2:
+    only a sequentially-advanced base subtracts it from 'b' — a stale
+    base would subtract it from 'a' the second time). The final view
+    must equal a recompute over base+batch1+batch2, and the
+    intermediate view must equal a recompute over base+batch1."""
     base_rows = [(i, "a" if i % 2 == 0 else "b", 10 + i) for i in range(20)]
-    b1 = [(5, "b", 100), (0, "a", 7)]  # move 5 into b; resize 0
-    b2 = [(5, "c", 1), (99, "c", 50)]  # move 5 on into c; insert 99
+    b1 = [(4, "b", 100), (0, "a", 7)]  # move 4 a→b; resize 0 in place
+    b2 = [(4, "c", 1), (99, "c", 50)]  # move 4 on b→c; insert 99
     base = spark.createDataFrame(base_rows, "doc_id long, source string, sz long")
     view = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -25,12 +25,19 @@ def test_two_batch_stream_maintains_view_sequentially(spark, tmp_path):
     spark.createDataFrame(b1, "doc_id long, source string, sz long").coalesce(
         1
     ).write.parquet(str(tmp_path / "cdc" / "b1.parquet"))
-    import time
-
-    time.sleep(1.1)  # distinct mtimes pin file (hence batch) order
     spark.createDataFrame(b2, "doc_id long, source string, sz long").coalesce(
         1
     ).write.parquet(str(tmp_path / "cdc" / "b2.parquet"))
+    import glob
+    import os
+
+    # FileStreamSource orders files by modification time: backdate b1
+    # strictly older (the tests/test_streaming.py idiom) so processing
+    # order is deterministic without sleeping
+    for name, age in (("b1.parquet", 200), ("b2.parquet", 100)):
+        for f in glob.glob(str(tmp_path / "cdc" / name / "*.parquet")):
+            st = os.stat(f)
+            os.utime(f, (st.st_atime, st.st_mtime - age))
     stream = (
         spark.readStream.schema("doc_id long, source string, sz long")
         .option("maxFilesPerTrigger", 1)
@@ -62,4 +69,37 @@ def test_two_batch_stream_maintains_view_sequentially(spark, tmp_path):
 
     assert snapshots[0] == recompute(b1)
     assert snapshots[1] == recompute(b1, b2)
-    assert snapshots[1]["c"] == (2, 51)  # doc 5 landed in c exactly once
+    assert snapshots[1]["c"] == (2, 51)  # doc 4 landed in c exactly once
+
+
+def test_empty_cdc_batch_reports_unchanged_view(spark, tmp_path):
+    """A CDC micro-batch that filters to zero rows must still surface
+    the (unchanged) maintained view — a silent skip would make an
+    all-empty stream report an empty view while the batch operator
+    returns the view untouched."""
+    base_rows = [(1, "a", 5), (2, "b", 6)]
+    base = spark.createDataFrame(base_rows, "doc_id long, source string, sz long")
+    view = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("sz").cast("long").alias("n_tokens"),
+    )
+    spark.createDataFrame(
+        [(7, "x", 1)], "doc_id long, source string, sz long"
+    ).coalesce(1).write.parquet(str(tmp_path / "cdc" / "b.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, sz long")
+        .format("parquet")
+        .load(str(tmp_path / "cdc") + "/*/")
+        .where(F.col("doc_id") < 0)  # filters the whole batch away
+    )
+    seen = []
+
+    def sink(view_df, _epoch):
+        seen.append(
+            {r["source"]: (r["n_docs"], r["n_tokens"]) for r in view_df.collect()}
+        )
+
+    ops.run_foreach_to_completion(
+        ops.grouped_sums_stream(base, view, stream, "source", F.col("sz"), sink)
+    )
+    assert seen == [{"a": (1, 5), "b": (1, 6)}]
