@@ -103,7 +103,15 @@ def cms_heavy_hitters(
         ],
     )
     if sketch is None:
-        sketch = cms_sketch(occ, term_col, depth, width)
+        # the grid feeds `depth` broadcast sides and Spark does not
+        # dedupe common subplans — without sharing, each side would
+        # re-tokenize and re-aggregate the corpus (depth+1 passes, not
+        # the documented two). localCheckpoint is the blessed fix when
+        # re-evaluation rescans the CORPUS; the checkpointed blocks are
+        # grid-sized (≤ depth*width rows), not corpus-sized.
+        sketch = cms_sketch(occ, term_col, depth, width).localCheckpoint(
+            eager=False
+        )
     for i in range(depth):
         side = sketch.where(F.col("row") == i).select(
             F.col("pos").alias(f"h{i}"), F.col("c").alias(f"c{i}")

@@ -596,9 +596,18 @@ def test_late_round7_query_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     fn, _ = REGISTRY["doc_heavy_hitters_cms"]
-    plan = _plan(fn(spark, sf_dir))
+    df = fn(spark, sf_dir)
+    plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, "grid probes are map-side"
     assert "SortMergeJoin" not in plan
+    # CMS is two-pass, not depth+1-pass: after the lazily-checkpointed
+    # grid materializes, the three broadcast sides must read the SHARED
+    # grid RDD — exactly one corpus tokenize/shingle (the probe side)
+    df.count()
+    plan = _plan(df)
+    assert plan.count("hashpartitioning(doc_id") == 1, (
+        "grid must be shared across broadcast sides, not re-derived"
+    )
 
     fn, _ = REGISTRY["source_stats_maintain"]
     plan = _plan(fn(spark, sf_dir))
