@@ -415,6 +415,13 @@ def token_blocks(
     no plan rows. Buckets use the exact floor-division range key
     (``inverted.segment_expr``), so hash-derived negative ids keep
     bucket order consistent with id order.
+
+    The plan scans ``df``'s lineage twice (the per-row window branch
+    and the bucket-totals branch — Spark does not dedupe common
+    subplans); callers whose ``size_col`` derives from an expensive
+    expression should persist ``df`` or pass a stored token-count
+    column (what a production corpus carries anyway) — the catalog
+    query reads the persisted table for this reason.
     """
     from slacken_spark.functions.inverted import segment_expr
 

@@ -792,10 +792,13 @@ def token_block_plan(spark, sf_dir):
     computed as a two-level distributed prefix sum (per-bucket windows
     + a bucket-totals cumsum broadcast back, the quota_sample hash-mode
     pattern); the oracle's single global window is the small-N exact
-    form of the same sum."""
+    form of the same sum. token_blocks scans its input twice (window
+    branch + totals branch), so the tokenize runs over the PERSISTED
+    table — a production corpus would carry the token count as a
+    stored column."""
     from slacken_spark.functions.packing import token_blocks
 
-    docs = t(spark, sf_dir, "documents").select(
+    docs = tp(spark, sf_dir, "documents").select(
         "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("ntok")
     )
     return token_blocks(docs, 512, "doc_id", "ntok", bucket_rows=64)
