@@ -432,6 +432,42 @@ def cmd_pipeline(args) -> int:
     )
     for row in manifest.orderBy("shard_id").collect():
         print(json.dumps(row.asDict()))
+    if args.block_tokens:
+        # training-batch layout: the concat-and-chunk plan over the
+        # PUBLISHED rows (same sized frame the shards hold), written
+        # beside the shards for the loader
+        from slacken_spark.functions.packing import token_blocks
+
+        plan = token_blocks(
+            sized.select("doc_id", "n_tokens"), args.block_tokens,
+            "doc_id", "n_tokens",
+        )
+        plan_path = args.output.rstrip("/") + "_block_plan"
+        plan.write.mode("overwrite").parquet(plan_path)
+        written = spark.read.parquet(plan_path)
+        print(json.dumps({
+            "block_plan": plan_path,
+            "block_tokens": args.block_tokens,
+            "n_blocks": written.select("block_id").distinct().count(),
+            "n_rows": written.count(),
+        }))
+    if args.epoch:
+        # deterministic epoch addresses over the published doc ids —
+        # one table per epoch, resumable by construction
+        from slacken_spark.functions.packing import epoch_shuffle
+
+        addr = epoch_shuffle(
+            sized.select("doc_id"), "doc_id", shards=args.shards,
+            epoch=args.epoch,
+        )
+        epoch_path = args.output.rstrip("/") + f"_epoch{args.epoch}"
+        addr.write.mode("overwrite").parquet(epoch_path)
+        print(json.dumps({
+            "epoch_plan": epoch_path,
+            "epoch": args.epoch,
+            "shards": args.shards,
+            "n_rows": spark.read.parquet(epoch_path).count(),
+        }))
     return 0
 
 
@@ -566,6 +602,20 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--pack-budget", type=int, default=0)
     pl.add_argument("--pack-shards", type=int, default=1)
     pl.add_argument("--shards", type=int, default=8)
+    pl.add_argument(
+        "--block-tokens",
+        type=int,
+        default=0,
+        help="also write a concat-and-chunk token-block plan of this"
+        " block size next to the shards (0 = off)",
+    )
+    pl.add_argument(
+        "--epoch",
+        type=int,
+        default=0,
+        help="also write the deterministic epoch-N (shard, position)"
+        " address table next to the shards (0 = off)",
+    )
     # NOTE: no --partitions here — the global -p flag covers it (a
     # subparser redefinition would clobber a user-supplied global value
     # with the subparser default)

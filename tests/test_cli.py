@@ -307,3 +307,67 @@ def test_pipeline_cli_null_ids_fail_loudly(tmp_path, capsys):
     )
     assert rc == 2
     assert "--derive-ids" in capsys.readouterr().err
+
+
+def test_pipeline_cli_layout_stages(tmp_path, spark):
+    """--block-tokens and --epoch write the training-batch layout
+    artifacts next to the shards: a concat-and-chunk block plan whose
+    slices cover every published token exactly, and a dense resumable
+    epoch address table."""
+    import io
+    from contextlib import redirect_stdout
+
+    from slacken_spark.cli import main
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        for i in range(30):
+            text = " ".join(f"w{j}" for j in range(8 + i % 5))
+            f.write(json.dumps({"doc_id": i, "source": "web", "text": text}) + "\n")
+    out_dir = tmp_path / "shards"
+    buf = io.StringIO()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with redirect_stdout(buf):
+            rc = main(
+                [
+                    "-p", "4",
+                    "pipeline",
+                    "--input", str(src),
+                    "--format", "jsonl",
+                    "--output", str(out_dir),
+                    "--shards", "4",
+                    "--block-tokens", "64",
+                    "--epoch", "2",
+                ]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert rc == 0
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    blocks = [l for l in lines if "block_plan" in l]
+    epochs = [l for l in lines if "epoch_plan" in l]
+    assert len(blocks) == 1 and len(epochs) == 1
+    total_tokens = sum(8 + i % 5 for i in range(30))
+    from pyspark.sql import functions as F
+
+    plan = spark.read.parquet(blocks[0]["block_plan"])
+    assert plan.agg(F.sum("n_toks")).first()[0] == total_tokens
+    assert blocks[0]["n_blocks"] == -(-total_tokens // 64)
+    # every block except the highest is exactly full
+    per_block = {
+        r["block_id"]: r["s"]
+        for r in plan.groupBy("block_id").agg(F.sum("n_toks").alias("s")).collect()
+    }
+    last = max(per_block)
+    assert all(s == 64 for b, s in per_block.items() if b != last)
+    addr = spark.read.parquet(epochs[0]["epoch_plan"])
+    assert addr.count() == 30
+    assert addr.select("shard").distinct().count() <= 4
+    dense = (
+        addr.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("position").alias("mx"))
+        .where(F.col("n") != F.col("mx"))
+        .count()
+    )
+    assert dense == 0
