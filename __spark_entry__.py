@@ -87,6 +87,7 @@ _MUST_GATE = [
     "streaming_heavy_hitters",  # per-micro-batch CMS grids merge losslessly
     "source_stats_maintain",  # IVM: view absorbs CDC delta, no corpus re-agg
     "streaming_source_stats",  # the IVM stream twin: sequential per-batch merge
+    "doc_heavy_hitters_delta",  # CDC grid maintenance: grid − old + new ≡ rebuild
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -99,7 +100,6 @@ _EARLY = _MUST_GATE + [
     # r5-gated set that sat out round 6 (green in CORRECTNESS_r05 or
     # earlier, code untouched since; re-promoted per the rolling-green
     # rotation policy):
-    "video_frame_plan",
     "pack_sequences_sharded",
     "embedding_ivf_topk_nprobe2",
     "dedup_keep_canonical",
@@ -128,10 +128,10 @@ _EARLY = _MUST_GATE + [
     "doc_vocab_top50",
 ]
 _TAIL = [
-    # demoted to seat the eight late-r7-session operators (CMS batch +
-    # streaming / compact / keep-longest / token-blocks / epoch-shuffle /
-    # stats-IVM batch + streaming): ≥3 green rows each, code untouched,
-    # per the demote-only-≥2×-green rule
+    # demoted to seat the nine late-r7-session operators (CMS batch +
+    # streaming + CDC-delta / compact / keep-longest / token-blocks /
+    # epoch-shuffle / stats-IVM batch + streaming): ≥3 green rows each,
+    # code untouched, per the demote-only-≥2×-green rule
     "media_image_stats",
     "media_phash_neardup",
     "media_audio_stats",
@@ -140,6 +140,7 @@ _TAIL = [
     "topk_per_group",
     "two_level_agg",
     "genomic_clade_rollup",
+    "video_frame_plan",
     # demoted to seat the late-round delta operators (≥2 green rows
     # each, per the demote-only-≥2×-green rotation rule — the 1-green
     # doc_unigram_rarity/doc_vocab_top50 demotions were reverted and

@@ -70,6 +70,34 @@ def cms_merge(grids: DataFrame) -> DataFrame:
     )
 
 
+def cms_maintain(
+    grid: DataFrame,
+    old_occ: DataFrame,
+    new_occ: DataFrame,
+    term_col: str = "term",
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Incremental CMS maintenance under a CDC replacement batch: the
+    grid is LINEAR in its occurrence stream (every cell is a sum), so
+    replacing documents subtracts their old occurrences' partial grid
+    and adds the new ones' — ``grid' = grid − grid(old) + grid(new)``,
+    cell-exact, no corpus rescan. Cells that reach zero drop (a
+    from-scratch grid has no zero cells), so maintained ≡ rebuilt, row
+    for row — the ``doc_heavy_hitters_delta`` catalog oracle pins it.
+
+    ``old_occ``/``new_occ`` are one-row-per-occurrence frames of the
+    REPLACED documents' old and new text — batch-bounded; the base
+    grid is fixed-size. Cost at 100 TB: two batch-sized map-side
+    partial aggregations plus one grid-sized merge shuffle."""
+    neg = cms_sketch(old_occ, term_col, depth, width).select(
+        "row", "pos", (-F.col("c")).alias("c")
+    )
+    pos = cms_sketch(new_occ, term_col, depth, width)
+    merged = cms_merge(grid.unionByName(neg).unionByName(pos))
+    return merged.where(F.col("c") != 0)
+
+
 def cms_heavy_hitters(
     occ: DataFrame,
     threshold: int,

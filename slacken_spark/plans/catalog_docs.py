@@ -935,3 +935,66 @@ def doc_heavy_hitters_cms(spark, sf_dir):
     return cms_heavy_hitters(
         cms_occurrences(docs), _CMS_T, "term", depth=_CMS_D, width=_CMS_W
     )
+
+
+@register(
+    "doc_heavy_hitters_delta",
+    f"""
+    WITH upd AS MATERIALIZED (
+        SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
+        FROM documents WHERE doc_id % 50 = 0),
+    merged AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL SELECT doc_id, text FROM upd),
+    d AS MATERIALIZED (
+        SELECT {SQL_TOKENS.format(expr='text')} AS toks FROM merged),
+    o AS MATERIALIZED (
+        SELECT unnest(list_transform(
+                   range(0, greatest(len(toks) - 1, 0)),
+                   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]))
+               AS term
+        FROM d),
+    h AS MATERIALIZED (
+        SELECT {_sql_cms_h(0)} AS h0, {_sql_cms_h(1)} AS h1,
+               {_sql_cms_h(2)} AS h2
+        FROM o)
+    SELECT row, pos, count(*) AS c FROM (
+        SELECT 0 AS row, h0 AS pos FROM h
+        UNION ALL SELECT 1, h1 FROM h
+        UNION ALL SELECT 2, h2 FROM h)
+    GROUP BY row, pos
+    """,
+)
+def doc_heavy_hitters_delta(spark, sf_dir):
+    """Incremental CMS maintenance under CDC
+    (functions.sketch.cms_maintain) — the sketch member of the
+    maintenance family (the grid is LINEAR, so document replacement is
+    grid' = grid − grid(old occurrences) + grid(new occurrences),
+    cell-exact with NO corpus rescan on the maintenance path; zero
+    cells drop so maintained ≡ rebuilt). The deterministic CDC batch
+    rewrites every 50th doc's text; old occurrences fetch by a
+    broadcast semi-join on the changed ids, both partial grids are
+    batch-bounded, and the oracle is the strongest invariant — the
+    from-scratch grid of the MERGED corpus, cell for cell. Completes
+    sketch maintenance across batch (doc_heavy_hitters_cms), streaming
+    (streaming_heavy_hitters), and CDC."""
+    from slacken_spark.functions.sketch import cms_maintain, cms_sketch
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    upd = docs.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
+    )
+    grid = cms_sketch(
+        cms_occurrences(docs), depth=_CMS_D, width=_CMS_W
+    )
+    old_docs = docs.join(
+        F.broadcast(upd.select("doc_id")), "doc_id", "left_semi"
+    )
+    return cms_maintain(
+        grid,
+        cms_occurrences(old_docs),
+        cms_occurrences(upd),
+        depth=_CMS_D,
+        width=_CMS_W,
+    )

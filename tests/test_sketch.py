@@ -164,3 +164,25 @@ def test_streaming_sketch_two_batches_merge_to_batch_grid(spark, tmp_path):
         ).collect()
     }
     assert via_stream == _model(occ, 30)
+
+
+def test_cms_maintain_equals_rebuild_under_replacement(spark):
+    """Grid linearity: replacing documents' occurrence streams via
+    grid − grid(old) + grid(new) must equal the from-scratch grid of
+    the merged stream, zero cells dropped — including when a term's
+    whole contribution disappears."""
+    from slacken_spark.functions.sketch import cms_maintain, cms_sketch
+
+    occ = _occurrences()
+    # replace: drop all of heavy0 (its cells shrink, some may zero) and
+    # introduce a brand-new term
+    old_part = [t for t in occ if t == "heavy0"] + ["tail1"] * 2
+    new_part = ["fresh_term"] * 9
+    kept = [t for t in occ if t != "heavy0"]
+    kept.remove("tail1"); kept.remove("tail1")
+    df = lambda ts: spark.createDataFrame([(t,) for t in ts], "term string")
+    grid = cms_sketch(df(occ), depth=D, width=W)
+    maintained = cms_maintain(grid, df(old_part), df(new_part), depth=D, width=W)
+    rebuilt = cms_sketch(df(kept + new_part), depth=D, width=W)
+    as_rows = lambda d: {(r["row"], r["pos"]): r["c"] for r in d.collect()}
+    assert as_rows(maintained) == as_rows(rebuilt)
