@@ -410,6 +410,24 @@ def cmd_pipeline(args) -> int:
             "n_tokens",
             args.quota_mode,
         )
+    if args.pack_budget and (args.block_tokens or args.epoch):
+        # a pack is the training unit (shards key on the pack identity
+        # below) but the block/epoch layouts address individual docs —
+        # emitting both would silently split packs across blocks/shards
+        print(
+            "pipeline: --block-tokens/--epoch are doc-granular layouts"
+            " and cannot be combined with --pack-budget (packs are the"
+            " training unit); run them on an unpacked publish",
+            file=sys.stderr,
+        )
+        return 2
+    if args.block_tokens or args.epoch:
+        # the layout stages re-consume `sized` after the shard publish
+        # (token_blocks alone scans it twice); without this persist the
+        # whole ingest → dedup/scrub → token-count(→ quota) lineage
+        # would re-run per consumer — the exact case token_blocks'
+        # docstring warns about
+        sized = sized.persist()
     shard_key = "doc_id"
     if args.pack_budget:
         packed = pack_greedy(
@@ -444,12 +462,19 @@ def cmd_pipeline(args) -> int:
         )
         plan_path = args.output.rstrip("/") + "_block_plan"
         plan.write.mode("overwrite").parquet(plan_path)
-        written = spark.read.parquet(plan_path)
+        stats = (
+            spark.read.parquet(plan_path)
+            .agg(
+                F.count_distinct("block_id").alias("n_blocks"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .first()
+        )
         print(json.dumps({
             "block_plan": plan_path,
             "block_tokens": args.block_tokens,
-            "n_blocks": written.select("block_id").distinct().count(),
-            "n_rows": written.count(),
+            "n_blocks": stats["n_blocks"],
+            "n_rows": stats["n_rows"],
         }))
     if args.epoch:
         # deterministic epoch addresses over the published doc ids —

@@ -389,7 +389,7 @@ def token_blocks(
     block_tokens: int,
     id_col: str = "doc_id",
     size_col: str = "ntok",
-    bucket_rows: int = 64,
+    buckets: int = 256,
 ) -> DataFrame:
     """Concat-and-chunk block plan — the GPT-pretraining sample layout:
     documents concatenate into one virtual token stream in ``id_col``
@@ -402,19 +402,20 @@ def token_blocks(
     The global exclusive prefix sum of sizes (each document's start
     offset in the stream) is the scale problem — a bare
     ``Window.orderBy(id)`` serializes the corpus through one task.
-    Instead it computes as a two-level distributed prefix sum (the
-    ``quota_sample`` hash-mode pattern): rows cumsum WITHIN an
-    order-preserving range bucket of ``bucket_rows`` ids (parallel
-    per-bucket windows), bucket totals — corpus-size / ``bucket_rows``
-    rows — cumsum once and broadcast back as each bucket's base
-    offset. For corpora where even the bucket-totals table outgrows
-    one task, the same reduction applies recursively; one level covers
-    ~10^9 rows at the default width.
+    Instead it computes as a two-level distributed prefix sum: rows
+    range-partition on the id (``repartitionByRange`` — sampled
+    boundaries, so buckets stay BALANCED whatever the id distribution,
+    dense or hash-derived) and cumsum within each bucket in parallel;
+    the per-bucket totals — exactly ``buckets`` rows, corpus-size AND
+    id-distribution independent — cumsum once and broadcast back as
+    each bucket's base offset. Bucket ids are ``spark_partition_id()``
+    of the range exchange: ordered like the ids by construction. The
+    OUTPUT is bucketing-invariant (pinned by test), so the sampled
+    boundaries never leak into the plan — ``buckets`` sizes tasks, not
+    semantics; set it near the cluster's target partition count.
 
     Rows with ``size <= 0`` contribute nothing to the stream and emit
-    no plan rows. Buckets use the exact floor-division range key
-    (``inverted.segment_expr``), so hash-derived negative ids keep
-    bucket order consistent with id order.
+    no plan rows.
 
     The plan scans ``df``'s lineage twice (the per-row window branch
     and the bucket-totals branch — Spark does not dedupe common
@@ -423,18 +424,17 @@ def token_blocks(
     column (what a production corpus carries anyway) — the catalog
     query reads the persisted table for this reason.
     """
-    from slacken_spark.functions.inverted import segment_expr
-
     if block_tokens <= 0:
         raise ValueError(f"block_tokens must be positive: {block_tokens}")
-    if bucket_rows <= 0:
-        raise ValueError(f"bucket_rows must be positive: {bucket_rows}")
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive: {buckets}")
     L = F.lit(block_tokens).cast("long")
     sz = F.col(size_col).cast("long")
     base = (
         df.select(F.col(id_col), sz.alias("_sz"))
         .where(sz > 0)
-        .withColumn("_bkt", segment_expr(id_col, bucket_rows))
+        .repartitionByRange(buckets, F.col(id_col))
+        .withColumn("_bkt", F.spark_partition_id())
     )
     w_in = (
         Window.partitionBy("_bkt")

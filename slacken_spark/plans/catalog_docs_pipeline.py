@@ -789,10 +789,12 @@ def token_block_plan(spark, sf_dir):
     slot — the GPT-pretraining batch layout, computed as pure integer
     arithmetic over token counts (no tokens move). The document start
     offsets — a GLOBAL prefix sum, the classic single-task trap — are
-    computed as a two-level distributed prefix sum (per-bucket windows
-    + a bucket-totals cumsum broadcast back, the quota_sample hash-mode
-    pattern); the oracle's single global window is the small-N exact
-    form of the same sum. token_blocks scans its input twice (window
+    computed as a two-level distributed prefix sum: range-partition on
+    the id (sampled boundaries, balanced for dense AND hash-derived
+    ids), cumsum per partition in parallel, and cumsum the
+    exactly-``buckets``-row totals once, broadcast back; the oracle's
+    single global window is the small-N exact form of the same sum.
+    token_blocks scans its input twice (window
     branch + totals branch), so the tokenize runs over the PERSISTED
     table — a production corpus would carry the token count as a
     stored column."""
@@ -801,7 +803,7 @@ def token_block_plan(spark, sf_dir):
     docs = tp(spark, sf_dir, "documents").select(
         "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("ntok")
     )
-    return token_blocks(docs, 512, "doc_id", "ntok", bucket_rows=64)
+    return token_blocks(docs, 512, "doc_id", "ntok", buckets=64)
 
 
 @register(

@@ -371,3 +371,24 @@ def test_pipeline_cli_layout_stages(tmp_path, spark):
         .count()
     )
     assert dense == 0
+
+
+def test_pipeline_cli_refuses_pack_with_doc_granular_layouts(tmp_path, capsys):
+    """Packs are the training unit; doc-granular block/epoch layouts
+    would silently split them — the CLI must refuse the combination."""
+    from slacken_spark.cli import main
+
+    src = tmp_path / "c.jsonl"
+    src.write_text(json.dumps({"doc_id": 1, "source": "s", "text": "a b c"}) + "\n")
+    rc = main(
+        [
+            "pipeline",
+            "--input", str(src),
+            "--format", "jsonl",
+            "--output", str(tmp_path / "out"),
+            "--pack-budget", "64",
+            "--block-tokens", "32",
+        ]
+    )
+    assert rc == 2
+    assert "cannot be combined" in capsys.readouterr().err

@@ -628,7 +628,7 @@ def test_token_blocks_matches_model(spark):
     sized[7] = (7, 128)  # exactly one block
     sized[13] = (13, 0)  # contributes nothing
     df = spark.createDataFrame(sized, "doc_id long, ntok long")
-    got = _blocks_rows(token_blocks(df, 128, bucket_rows=64))
+    got = _blocks_rows(token_blocks(df, 128, buckets=64))
     assert got == _block_model(sized, 128)
 
 
@@ -639,9 +639,9 @@ def test_token_blocks_invariant_under_bucketing(spark):
 
     sized = [(i, (i * 13) % 31 + 1) for i in range(311)]
     df = spark.createDataFrame(sized, "doc_id long, ntok long")
-    a = _blocks_rows(token_blocks(df, 64, bucket_rows=1))
-    b = _blocks_rows(token_blocks(df, 64, bucket_rows=64))
-    c = _blocks_rows(token_blocks(df, 64, bucket_rows=1000))
+    a = _blocks_rows(token_blocks(df, 64, buckets=1))
+    b = _blocks_rows(token_blocks(df, 64, buckets=64))
+    c = _blocks_rows(token_blocks(df, 64, buckets=1000))
     assert a == b == c == _block_model(sized, 64)
 
 
@@ -675,4 +675,28 @@ def test_token_blocks_covers_stream_exactly(spark):
     with pytest.raises(ValueError):
         token_blocks(df, 0)
     with pytest.raises(ValueError):
-        token_blocks(df, 100, bucket_rows=0)
+        token_blocks(df, 100, buckets=0)
+
+
+def test_token_blocks_handles_hash_derived_ids(spark):
+    """Content-addressed corpora have ids spread over the full signed
+    int64 range — the case fixed-width id bucketing degenerates on
+    (one doc per bucket → corpus-sized totals). Range partitioning by
+    sampled boundaries must keep the plan exact there too."""
+    import hashlib
+
+    ids = [
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big",
+                       signed=True)
+        for i in range(300)
+    ]
+    sized = [(i, 5 + abs(i) % 17) for i in ids]
+    df = spark.createDataFrame(sized, "doc_id long, ntok long")
+    got = _blocks_rows(token_blocks_import()(df, 64, buckets=16))
+    assert got == _block_model(sized, 64)
+
+
+def token_blocks_import():
+    from slacken_spark.functions.packing import token_blocks
+
+    return token_blocks
