@@ -12,6 +12,7 @@ def load_all():
     from slacken_spark.plans import catalog_docs_dedup  # noqa: F401
     from slacken_spark.plans import catalog_docs_embedding  # noqa: F401
     from slacken_spark.plans import catalog_docs_pipeline  # noqa: F401
+    from slacken_spark.plans import catalog_docs_sketch  # noqa: F401
     from slacken_spark.plans import catalog_genomic  # noqa: F401
     from slacken_spark.plans import catalog_multimodal  # noqa: F401
     from slacken_spark.plans import catalog_streaming  # noqa: F401

@@ -844,157 +844,3 @@ def doc_length_quartiles(spark, sf_dir):
         F.min("ntok").cast("long").alias("min_tokens"),
         F.max("ntok").cast("long").alias("max_tokens"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Count-Min Sketch heavy hitters
-# ---------------------------------------------------------------------------
-
-# sketch geometry + report threshold for the word-bigram stream
-# (~916 distinct bigrams at the gate SFs → real cell collisions at
-# width 512, so the est >= exact semantics are observable, not vacuous)
-_CMS_D, _CMS_W, _CMS_T = 3, 512, 40
-
-
-def _sql_cms_h(i: int) -> str:
-    return SQL_H64.format(expr=f"'cms{i}_' || term") + f" % {_CMS_W}"
-
-
-# shared with catalog_streaming.streaming_heavy_hitters: the stream
-# accumulates the same grid per micro-batch (cms_merge), so it gates
-# against the SAME oracle — the differential pattern
-CMS_ORACLE_SQL = f"""
-    WITH d AS MATERIALIZED (
-        SELECT {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
-    o AS MATERIALIZED (
-        SELECT unnest(list_transform(
-                   range(0, greatest(len(toks) - 1, 0)),
-                   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]))
-               AS term
-        FROM d),
-    h AS MATERIALIZED (
-        SELECT term, {_sql_cms_h(0)} AS h0, {_sql_cms_h(1)} AS h1,
-               {_sql_cms_h(2)} AS h2
-        FROM o),
-    sk AS MATERIALIZED (
-        SELECT row, pos, count(*) AS c FROM (
-            SELECT 0 AS row, h0 AS pos FROM h
-            UNION ALL SELECT 1, h1 FROM h
-            UNION ALL SELECT 2, h2 FROM h)
-        GROUP BY row, pos),
-    tc AS MATERIALIZED (
-        SELECT term, h0, h1, h2, count(*) AS n FROM h
-        GROUP BY term, h0, h1, h2)
-    SELECT tc.term,
-           CAST(least(s0.c, s1.c, s2.c) AS BIGINT) AS cms_est,
-           CAST(tc.n AS BIGINT) AS n_exact
-    FROM tc
-    JOIN sk s0 ON s0.row = 0 AND s0.pos = tc.h0
-    JOIN sk s1 ON s1.row = 1 AND s1.pos = tc.h1
-    JOIN sk s2 ON s2.row = 2 AND s2.pos = tc.h2
-    WHERE least(s0.c, s1.c, s2.c) >= {_CMS_T}
-    """
-
-
-def cms_occurrences(docs):
-    """The ONE definition of the CMS term stream (word-bigram
-    occurrences, non-distinct) — shared by the batch query and the
-    streaming accumulator so a tokenizer change cannot desynchronize
-    them from the shared oracle."""
-    return X.shingle_rows(docs, "text", "doc_id", n=2, distinct=False).select(
-        F.col("shingle").alias("term")
-    )
-
-
-@register("doc_heavy_hitters_cms", CMS_ORACLE_SQL)
-def doc_heavy_hitters_cms(spark, sf_dir):
-    """Count-Min-Sketch heavy hitters over the word-bigram stream
-    (functions.sketch.cms_heavy_hitters): pass 1 folds every occurrence
-    into a fixed 3x512 counter grid (mergeable — map-side partial agg
-    collapses each task to grid size before one tiny shuffle); the grid
-    comes back as three BROADCAST hash joins probed map-side per
-    occurrence, and only occurrences whose estimate clears the
-    threshold enter the exact per-term count shuffle. CMS never
-    undercounts, so the pre-shuffle filter cannot lose a true heavy
-    hitter — the long tail (the overwhelming term mass at corpus
-    scale) is pruned BEFORE the only per-term shuffle. Collision
-    false positives surface honestly as ``n_exact < threshold`` rows;
-    md5-derived row hashes make every collision engine-portable, so
-    the oracle reproduces estimates exactly.
-
-    CMS is inherently TWO-PASS: the plan's sketch branch and probe
-    branch each tokenize+shingle the corpus once (Spark does not dedupe
-    common subplans). That second scan is the deliberate trade — the
-    alternative is materializing the corpus-sized occurrence stream,
-    which at 100 TB costs more than re-deriving it from the (persisted)
-    table scan; the streaming twin pays the sketch pass incrementally
-    and probes once."""
-    from slacken_spark.functions.sketch import cms_heavy_hitters
-
-    docs = tp(spark, sf_dir, "documents")
-    return cms_heavy_hitters(
-        cms_occurrences(docs), _CMS_T, "term", depth=_CMS_D, width=_CMS_W
-    )
-
-
-@register(
-    "doc_heavy_hitters_delta",
-    f"""
-    WITH upd AS MATERIALIZED (
-        SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
-        FROM documents WHERE doc_id % 50 = 0),
-    merged AS MATERIALIZED (
-        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
-        UNION ALL SELECT doc_id, text FROM upd),
-    d AS MATERIALIZED (
-        SELECT {SQL_TOKENS.format(expr='text')} AS toks FROM merged),
-    o AS MATERIALIZED (
-        SELECT unnest(list_transform(
-                   range(0, greatest(len(toks) - 1, 0)),
-                   i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]))
-               AS term
-        FROM d),
-    h AS MATERIALIZED (
-        SELECT {_sql_cms_h(0)} AS h0, {_sql_cms_h(1)} AS h1,
-               {_sql_cms_h(2)} AS h2
-        FROM o)
-    SELECT row, pos, count(*) AS c FROM (
-        SELECT 0 AS row, h0 AS pos FROM h
-        UNION ALL SELECT 1, h1 FROM h
-        UNION ALL SELECT 2, h2 FROM h)
-    GROUP BY row, pos
-    """,
-)
-def doc_heavy_hitters_delta(spark, sf_dir):
-    """Incremental CMS maintenance under CDC
-    (functions.sketch.cms_maintain) — the sketch member of the
-    maintenance family (the grid is LINEAR, so document replacement is
-    grid' = grid − grid(old occurrences) + grid(new occurrences),
-    cell-exact with NO corpus rescan on the maintenance path; zero
-    cells drop so maintained ≡ rebuilt). The deterministic CDC batch
-    rewrites every 50th doc's text; old occurrences fetch by a
-    broadcast semi-join on the changed ids, both partial grids are
-    batch-bounded, and the oracle is the strongest invariant — the
-    from-scratch grid of the MERGED corpus, cell for cell. Completes
-    sketch maintenance across batch (doc_heavy_hitters_cms), streaming
-    (streaming_heavy_hitters), and CDC."""
-    from slacken_spark.functions.sketch import cms_maintain, cms_sketch
-
-    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
-    upd = docs.where(F.col("doc_id") % 50 == 0).select(
-        "doc_id",
-        F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
-    )
-    grid = cms_sketch(
-        cms_occurrences(docs), depth=_CMS_D, width=_CMS_W
-    )
-    old_docs = docs.join(
-        F.broadcast(upd.select("doc_id")), "doc_id", "left_semi"
-    )
-    return cms_maintain(
-        grid,
-        cms_occurrences(old_docs),
-        cms_occurrences(upd),
-        depth=_CMS_D,
-        width=_CMS_W,
-    )

@@ -291,7 +291,7 @@ def streaming_index_delta(spark, sf_dir):
     return spark.createDataFrame(collected, out_schema)
 
 
-from slacken_spark.plans.catalog_docs import CMS_ORACLE_SQL  # noqa: E402
+from slacken_spark.plans.catalog_docs_sketch import CMS_ORACLE_SQL  # noqa: E402
 
 
 @register("streaming_heavy_hitters", CMS_ORACLE_SQL)
@@ -315,7 +315,7 @@ def streaming_heavy_hitters(spark, sf_dir):
 
     from slacken_spark.functions.sketch import cms_heavy_hitters, cms_merge
     from slacken_spark.plans.catalog import t
-    from slacken_spark.plans.catalog_docs import (
+    from slacken_spark.plans.catalog_docs_sketch import (
         _CMS_D,
         _CMS_T,
         _CMS_W,
