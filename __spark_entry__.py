@@ -88,6 +88,7 @@ _MUST_GATE = [
     "source_stats_maintain",  # IVM: view absorbs CDC delta, no corpus re-agg
     "streaming_source_stats",  # the IVM stream twin: sequential per-batch merge
     "doc_heavy_hitters_delta",  # CDC grid maintenance: grid − old + new ≡ rebuild
+    "inverted_index_query",  # the index READ path: broadcast-semi terms, TakeOrdered top-k
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -116,7 +117,6 @@ _EARLY = _MUST_GATE + [
     "ann_retrieve_docs",
     "events_json_extract",
     "corpus_diff",
-    "streaming_window_counts",
     "streaming_session_windows",
     "streaming_genomic_classify",
     "streaming_dedup_keys",
@@ -128,10 +128,11 @@ _EARLY = _MUST_GATE + [
     "doc_vocab_top50",
 ]
 _TAIL = [
-    # demoted to seat the nine late-r7-session operators (CMS batch +
+    # demoted to seat the ten late-r7-session operators (CMS batch +
     # streaming + CDC-delta / compact / keep-longest / token-blocks /
-    # epoch-shuffle / stats-IVM batch + streaming): ≥3 green rows each,
-    # code untouched, per the demote-only-≥2×-green rule
+    # epoch-shuffle / stats-IVM batch + streaming / index query):
+    # ≥3 green rows each, code untouched, per the
+    # demote-only-≥2×-green rule
     "media_image_stats",
     "media_phash_neardup",
     "media_audio_stats",
@@ -141,6 +142,7 @@ _TAIL = [
     "two_level_agg",
     "genomic_clade_rollup",
     "video_frame_plan",
+    "streaming_window_counts",
     # demoted to seat the late-round delta operators (≥2 green rows
     # each, per the demote-only-≥2×-green rotation rule — the 1-green
     # doc_unigram_rarity/doc_vocab_top50 demotions were reverted and

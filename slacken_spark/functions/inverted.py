@@ -226,6 +226,46 @@ def compact_segments(index: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def query_index(
+    index: DataFrame, query_terms: list[str], top_k: int
+) -> DataFrame:
+    """The index's READ path — boolean-OR retrieval: documents ranked
+    by how many query terms they contain → ``(doc_id, n_matched,
+    rank)``, top ``top_k`` with ties broken on doc_id. Works on flat
+    or sharded indexes (a doc holds a term in exactly one segment, so
+    summing matches across segments never double-counts).
+
+    Scale shape: the query terms broadcast as a LEFT-SEMI join — only
+    their posting lists are touched (with term-partitioned or
+    term-sorted storage that predicate reaches the scan), so the
+    explode is bounded by the query terms' document frequency, not the
+    index; one doc-id shuffle aggregates match counts; the global
+    top-k is Spark's distributed TakeOrdered (per-partition heaps →
+    one k-row merge), NEVER a corpus-wide window sort. Ranks attach
+    after the limit, a ≤ top_k-row step."""
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive: {top_k}")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    spark = index.sparkSession
+    qt = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in set(query_terms)], "term string"
+        )
+    )
+    hits = index.join(qt, "term", "left_semi")
+    scored = (
+        hits.select(F.explode("postings").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    top = scored.orderBy(F.desc("n_matched"), F.asc("doc_id")).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def postings_digest(postings: Column) -> Column:
     """md5 over the comma-joined sorted ids — the hash-gate shape for a
     posting list (engine-portable: DuckDB predicts it with string_agg

@@ -888,3 +888,40 @@ def source_stats_maintain(spark, sf_dir):
         F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
     )
     return maintain_grouped_sums(view, docs, upd, "source", size)
+
+
+_QUERY_TERMS = ("hash", "join", "scan", "filter")
+
+
+@register(
+    "inverted_index_query",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
+    m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+          FROM e WHERE term IN {str(tuple(_QUERY_TERMS))}
+          GROUP BY doc_id),
+    r AS (SELECT doc_id, n_matched,
+                 CAST(row_number() OVER (ORDER BY n_matched DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM m)
+    SELECT doc_id, n_matched, rank FROM r WHERE rank <= 20
+    """,
+)
+def inverted_index_query(spark, sf_dir):
+    """The index family's READ path (functions.inverted.query_index):
+    boolean-OR retrieval of the top-20 documents by query-term match
+    count from the sharded index the other operators build, patch,
+    and compact — closing the lifecycle with serving. Query terms
+    broadcast as a left-semi join so only their posting lists are
+    touched (explode bounded by the query terms' df, never the
+    index); one doc-id shuffle; the global top-k is the distributed
+    TakeOrdered (per-partition heaps, one 20-row merge — no
+    corpus-wide sort; plan-asserted), with ranks attached over the
+    20 surviving rows. The oracle recomputes retrieval straight from
+    the corpus — the index must answer exactly what a scan would."""
+    from slacken_spark.functions.inverted import inverted_index, query_index
+
+    docs = tp(spark, sf_dir, "documents")
+    idx = inverted_index(docs, X.tokens(F.col("text")), segment_rows=100)
+    return query_index(idx, list(_QUERY_TERMS), 20)

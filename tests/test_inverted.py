@@ -270,3 +270,59 @@ def test_compact_rejects_bad_factor(spark):
     for bad in (0, -3):
         with pytest.raises(ValueError):
             compact_segments(fine, bad)
+
+
+# ---------------------------------------------------------------------------
+# query_index: the read path
+# ---------------------------------------------------------------------------
+
+
+def test_query_index_matches_scan_semantics(spark):
+    """Serving from the index must answer exactly what a corpus scan
+    would: per-doc distinct-query-term counts, top-k by (count desc,
+    doc_id), dense ranks."""
+    from slacken_spark.functions.inverted import inverted_index, query_index
+
+    docs = _corpus(spark, 400)
+    toks = F.split(F.col("text"), " ")
+    idx = inverted_index(docs, toks, segment_rows=25)
+    terms = ["hot", "w3", "w11"]
+    got = [
+        (r["doc_id"], r["n_matched"], r["rank"])
+        for r in query_index(idx, terms, 15).orderBy("rank").collect()
+    ]
+    # model: every doc has 'hot'; w<i> iff id % 97 == i
+    model = []
+    for i in range(400):
+        n = 1 + (1 if i % 97 == 3 else 0) + (1 if i % 97 == 11 else 0)
+        model.append((i, n))
+    model.sort(key=lambda t: (-t[1], t[0]))
+    expect = [(d, n, rk + 1) for rk, (d, n) in enumerate(model[:15])]
+    assert got == expect
+    # duplicate query terms must not double-count
+    got_dup = [
+        (r["doc_id"], r["n_matched"], r["rank"])
+        for r in query_index(idx, terms + ["hot", "hot"], 15)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_dup == expect
+    for bad_k, bad_terms in ((0, terms), (5, [])):
+        with pytest.raises(ValueError):
+            query_index(idx, bad_terms, bad_k)
+
+
+def test_query_index_uses_distributed_takeordered(spark):
+    """The global top-k must be TakeOrdered (per-partition heaps), not
+    a corpus-wide window sort; the query terms must reach the index as
+    a broadcast semi-join."""
+    from slacken_spark.functions.inverted import inverted_index, query_index
+
+    idx = inverted_index(
+        _corpus(spark, 500), F.split(F.col("text"), " "), segment_rows=50
+    )
+    plan = query_index(idx, ["hot", "w1"], 10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
