@@ -20,7 +20,7 @@ N``), not double division: floor semantics match engine-portable
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -260,8 +260,6 @@ def query_index(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )
     top = scored.orderBy(F.desc("n_matched"), F.asc("doc_id")).limit(top_k)
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.desc("n_matched"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 

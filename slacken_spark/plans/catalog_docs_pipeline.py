@@ -891,6 +891,8 @@ def source_stats_maintain(spark, sf_dir):
 
 
 _QUERY_TERMS = ("hash", "join", "scan", "filter")
+# explicit SQL IN-list: repr(tuple) would emit ('x',) for one element
+_QUERY_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _QUERY_TERMS) + ")"
 
 
 @register(
@@ -899,7 +901,7 @@ _QUERY_TERMS = ("hash", "join", "scan", "filter")
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
     e AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM d),
     m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
-          FROM e WHERE term IN {str(tuple(_QUERY_TERMS))}
+          FROM e WHERE term IN {_QUERY_TERMS_SQL}
           GROUP BY doc_id),
     r AS (SELECT doc_id, n_matched,
                  CAST(row_number() OVER (ORDER BY n_matched DESC, doc_id)

@@ -10,11 +10,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from slacken_spark.functions import text as X
-from slacken_spark.plans.catalog import register, t, tp
+from slacken_spark.plans.catalog import register, tp
 from slacken_spark.plans.catalog_docs import SQL_H64, SQL_TOKENS
 
 
-# ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
 # Count-Min Sketch heavy hitters
 # ---------------------------------------------------------------------------
