@@ -89,6 +89,10 @@ _MUST_GATE = [
     "streaming_source_stats",  # the IVM stream twin: sequential per-batch merge
     "doc_heavy_hitters_delta",  # CDC grid maintenance: grid − old + new ≡ rebuild
     "inverted_index_query",  # the index READ path: broadcast-semi terms, TakeOrdered top-k
+    # new in the continuation session (no driver row yet):
+    "doc_shard_zone_maps",  # data-skipping WRITE side: per-shard min/max stats
+    "zone_map_pruned_scan",  # data-skipping READ path: stats → pushed scan ranges
+    "inverted_index_query_ranked",  # integer TF-IDF serving through the scored index
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",

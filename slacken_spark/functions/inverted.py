@@ -264,6 +264,72 @@ def query_index(
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def scored_index(
+    docs: DataFrame, tokens: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequency-carrying index for RANKED retrieval → ``(term, df,
+    postings: array<struct<doc_id, tf>>)``, postings sorted by doc id.
+    Same single term-shuffle as the boolean ``inverted_index``; the
+    per-(doc, term) frequency reduces map-side first (partial
+    count-aggregation on (id, term)), so the term shuffle moves one
+    row per posting, not one per occurrence."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf"))
+        ).alias("postings"),
+    )
+
+
+def query_index_ranked(
+    index: DataFrame, query_terms: list[str], top_k: int, n_docs: int
+) -> DataFrame:
+    """Scored retrieval through a ``scored_index`` — TF-IDF ranking in
+    the integer formulation: ``score(doc) = Σ_t tf(t, doc) ·
+    idf_scaled(t)`` with ``idf_scaled = (n_docs · 1000) div df`` (the
+    monotone-in-1/df integer surrogate for idf — exact 64-bit
+    arithmetic, so rankings are bit-equal across engines; a float
+    ``ln(N/df)`` weight would hash-differently per libm). ``n_docs``
+    is index metadata recorded at build time, like every IR system's
+    collection size.
+
+    Scale shape is the boolean path's: query terms broadcast left-semi
+    so only their posting lists are touched, the explode is bounded by
+    the query terms' total df, one doc-id shuffle sums partial scores,
+    and the global top-k is distributed TakeOrdered — never a
+    corpus-wide sort. → ``(doc_id, score, rank)``."""
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive: {top_k}")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if n_docs <= 0:
+        raise ValueError(f"n_docs must be positive: {n_docs}")
+    spark = index.sparkSession
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
+    )
+    hits = index.join(qt, "term", "left_semi").withColumn(
+        "idf_scaled", F.expr(f"({n_docs}L * 1000L) div df")
+    )
+    scored = (
+        hits.select("idf_scaled", F.explode("postings").alias("p"))
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            (F.col("p.tf") * F.col("idf_scaled")).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").cast("long").alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def postings_digest(postings: Column) -> Column:
     """md5 over the comma-joined sorted ids — the hash-gate shape for a
     posting list (engine-portable: DuckDB predicts it with string_agg

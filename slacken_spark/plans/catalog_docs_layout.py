@@ -1,0 +1,165 @@
+"""Query catalog, part 2f: LAYOUT + SERVING operators — zone-map data
+skipping (write-side stats + the pruned read path) and ranked
+retrieval through the frequency-carrying index. Registers into the
+same QUERIES registry as ``catalog``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slacken_spark.functions import text as X
+from slacken_spark.functions.skipping import (
+    layout_shard,
+    pruned_scan_predicate,
+    surviving_shards,
+    zone_maps,
+)
+from slacken_spark.plans.catalog import register, t, tp
+from slacken_spark.plans.catalog_docs import SQL_TOKENS
+
+# range-layout geometry for the documents table: n_chars is the layout
+# column (the clustering a range-partitioned write produces), width 50
+# → ~12 shards across every gate SF
+_ZM_WIDTH = 50
+_SQL_SHARD = f"(n_chars - (n_chars % {_ZM_WIDTH})) // {_ZM_WIDTH}"
+# the pruned scan's predicate: a token-count band that survives in only
+# 3-4 of the 12 shards at every gate SF (probed), so skipping is
+# observable, not vacuous
+_ZM_LO, _ZM_HI = 40, 60
+
+
+@register(
+    "doc_shard_zone_maps",
+    f"""
+    SELECT CAST({_SQL_SHARD} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(len({SQL_TOKENS.format(expr='text')})) AS BIGINT)
+             AS min_n_tokens,
+           CAST(max(len({SQL_TOKENS.format(expr='text')})) AS BIGINT)
+             AS max_n_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_shard_zone_maps(spark, sf_dir):
+    """The data-skipping WRITE side (functions.skipping.zone_maps):
+    per-range-shard (row count, min/max token count) statistics — the
+    file-stats manifest a Delta/Iceberg-style table keeps so reads can
+    prune (parquet row-group stats are the intra-file analog;
+    reference sidecar analog: the index's _index_params metadata).
+    ONE aggregation keyed on the shard id; map-side partials collapse
+    each task to shard cardinality before the single tiny shuffle, so
+    the stats pass costs one corpus scan regardless of shard count."""
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "n_chars",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
+
+
+@register(
+    "zone_map_pruned_scan",
+    f"""
+    SELECT CAST({_SQL_SHARD} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({SQL_TOKENS.format(expr='text')})) AS BIGINT)
+             AS sum_tokens
+    FROM documents
+    WHERE len({SQL_TOKENS.format(expr='text')}) BETWEEN {_ZM_LO} AND {_ZM_HI}
+    GROUP BY 1
+    """,
+)
+def zone_map_pruned_scan(spark, sf_dir):
+    """The data-skipping READ path: a token-count band query consults
+    the zone maps (a shard-count-sized driver-side step — exactly a
+    table format's plan-time file pruning), rewrites the surviving
+    shard set into RANGE PREDICATES on the stored layout column, and
+    scans with them — Spark pushes the n_chars ranges into the parquet
+    scan (PushedFilters, plan-asserted in tests/test_plans.py), so
+    pruned shards' bytes are never read; at 100 TB with one file per
+    shard this is file skipping, and within surviving files parquet's
+    own row-group stats nest the same trick. Soundness (a zone-map
+    envelope can over-approximate but never miss a matching row) IS
+    the correctness gate: the oracle scans WITHOUT the zone maps —
+    pruned ≡ full scan. At the gate SFs the band keeps 3-4 of 12
+    shards, so most of the table is actually skipped."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = X.token_count(F.col("text")).cast("long")
+    sized = docs.select("doc_id", "n_chars", n_tokens.alias("n_tokens"))
+    zm = zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
+    shards = surviving_shards(zm, "n_tokens", _ZM_LO, _ZM_HI)
+    pred = pruned_scan_predicate(shards, "n_chars", _ZM_WIDTH)
+    return (
+        docs.where(pred)
+        .where(n_tokens.between(_ZM_LO, _ZM_HI))
+        .groupBy(layout_shard("n_chars", _ZM_WIDTH).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n_tokens).cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval (TF-IDF through the frequency-carrying index)
+# ---------------------------------------------------------------------------
+
+_RANK_TERMS = ("hash", "join", "scan", "filter")
+_RANK_TERMS_SQL = "(" + ", ".join(f"'{t_}'" for t_ in _RANK_TERMS) + ")"
+_RANK_K = 20
+
+
+@register(
+    "inverted_index_query_ranked",
+    f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks
+        FROM documents),
+    tfc AS MATERIALIZED (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        GROUP BY doc_id, term),
+    dfc AS MATERIALIZED (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    s AS (
+        SELECT tfc.doc_id,
+               CAST(sum(tfc.tf * ((n.n * 1000) // dfc.df)) AS BIGINT)
+                 AS score
+        FROM tfc JOIN dfc USING (term) CROSS JOIN n
+        WHERE tfc.term IN {_RANK_TERMS_SQL}
+        GROUP BY tfc.doc_id),
+    r AS (
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM s)
+    SELECT doc_id, score, rank FROM r WHERE rank <= {_RANK_K}
+    """,
+)
+def inverted_index_query_ranked(spark, sf_dir):
+    """RANKED retrieval through the index (functions.inverted.
+    scored_index + query_index_ranked) — the serving tier above the
+    boolean ``inverted_index_query``: postings carry term frequencies
+    (reduced map-side before the one term shuffle, so the shuffle
+    moves a row per POSTING, not per occurrence), and documents rank
+    by integer TF-IDF — ``score = Σ tf · ((N·1000) div df)``, exact
+    64-bit arithmetic so the ranking is bit-equal across engines
+    where a float ``ln(N/df)`` would be libm-dependent. Query terms
+    broadcast left-semi (only their lists are touched), one doc-id
+    shuffle sums partial scores, and the global top-20 is distributed
+    TakeOrdered — never a corpus-wide sort. N (collection size) is
+    index-build metadata, a parquet-metadata count. The oracle
+    recomputes ranking straight from the corpus: the index must serve
+    exactly what a scan would score."""
+    from slacken_spark.functions.inverted import (
+        query_index_ranked,
+        scored_index,
+    )
+
+    docs = tp(spark, sf_dir, "documents")
+    n_docs = t(spark, sf_dir, "documents").count()
+    idx = scored_index(docs, X.tokens(F.col("text")))
+    return query_index_ranked(idx, list(_RANK_TERMS), _RANK_K, n_docs)
