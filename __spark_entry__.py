@@ -93,6 +93,10 @@ _MUST_GATE = [
     "doc_shard_zone_maps",  # data-skipping WRITE side: per-shard min/max stats
     "zone_map_pruned_scan",  # data-skipping READ path: stats → pushed scan ranges
     "inverted_index_query_ranked",  # integer TF-IDF serving through the scored index
+    "zone_map_maintain",  # CDC stats maintenance: affected shards recompute pruned
+    "dedup_graph_pagerank",  # integer PageRank over the rare-shingle graph
+    "funnel_conversion",  # first-touch ordered funnel, one conditional-agg shuffle
+    "ngram_lm_counts",  # bigram LM counts + KN continuation counts
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -104,7 +108,11 @@ _MUST_GATE = [
 _EARLY = _MUST_GATE + [
     # r5-gated set that sat out round 6 (green in CORRECTNESS_r05 or
     # earlier, code untouched since; re-promoted per the rolling-green
-    # rotation policy):
+    # rotation policy). Ordered by promotion priority — fewest/oldest
+    # green rows first — because the four continuation-session seats
+    # (zone_map_maintain, dedup_graph_pagerank, funnel_conversion,
+    # ngram_lm_counts) push the tail of this list past the 50-cap:
+    "doc_vocab_top50",
     "pack_sequences_sharded",
     "embedding_ivf_topk_nprobe2",
     "dedup_keep_canonical",
@@ -121,15 +129,18 @@ _EARLY = _MUST_GATE + [
     "ann_retrieve_docs",
     "events_json_extract",
     "corpus_diff",
-    "streaming_session_windows",
-    "streaming_genomic_classify",
     "streaming_dedup_keys",
-    "dedup_components",
+    # --- 50-cap falls here (32 must-gate + 18 above) ---
+    # past-the-cap: single-r5-green entries that lose their seat to the
+    # new operators (pytest oracle parity still pins them at sf0.01),
+    # then the multi-green demotions (≥2 rows each):
     "events_rolling_stats",
     "doc_bloom_decontaminate",
     "embedding_random_projection",
     "doc_unigram_rarity",
-    "doc_vocab_top50",
+    "dedup_components",
+    "streaming_genomic_classify",
+    "streaming_session_windows",
 ]
 _TAIL = [
     # demoted to seat the ten late-r7-session operators (CMS batch +

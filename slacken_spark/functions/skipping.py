@@ -65,6 +65,74 @@ def surviving_shards(
     return sorted(r["shard"] for r in rows)
 
 
+def maintain_zone_maps(
+    old_zm: DataFrame,
+    base: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    layout_col: str,
+    shard_width: int,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Incrementally maintain a zone-map stats table under a CDC
+    update batch — the stats-side twin of ``ivm.maintain_grouped_sums``
+    for stats that are NOT self-inverting (a min/max cannot absorb a
+    delete, so affected shards recompute instead of merge).
+
+    ``old_zm`` is the stored stats table (``zone_maps`` output over
+    ``base``); ``batch`` carries full replacement rows. Updated rows
+    may CHANGE their layout value and therefore move shards, so the
+    affected-shard set is the union of the changed rows' OLD shards
+    (a broadcast semi-join of ``base`` on the batch ids — at scale the
+    old layout values usually ride in the CDC record itself, making
+    this lookup free) and their NEW shards (batch-sized). Stats for
+    affected shards recompute from the merged corpus restricted by
+    ``pruned_scan_predicate`` — the recompute SCAN is itself pruned by
+    the ranges being maintained, so a batch touching k of n shards
+    reads ~k/n of the table; untouched shards' rows pass through from
+    ``old_zm`` without any scan. Shards emptied by the batch (all rows
+    moved out) simply produce no recomputed row, exactly like a
+    rebuild. The affected-shard set collects to the driver
+    (shard-count-bounded plan-time metadata, same contract as
+    ``surviving_shards``).
+
+    The layout column must be NON-NULL on every changed row: a NULL
+    layout has no shard, cannot be range-pruned, and would silently
+    vanish from the passthrough filter — so it raises instead.
+    """
+    ids = batch.select(id_col)
+    old_shards = (
+        base.join(F.broadcast(ids), id_col, "left_semi")
+        .select(layout_shard(layout_col, shard_width).alias("shard"))
+        .distinct()
+    )
+    new_shards = batch.select(
+        layout_shard(layout_col, shard_width).alias("shard")
+    ).distinct()
+    affected_raw = [
+        r["shard"]
+        for r in old_shards.unionByName(new_shards).distinct().collect()
+    ]
+    if any(s is None for s in affected_raw):
+        raise ValueError(
+            "maintain_zone_maps: NULL layout value in a changed row — "
+            f"'{layout_col}' must be non-null (no shard, not prunable)"
+        )
+    affected = sorted(affected_raw)
+    if not affected:  # empty batch: the stored stats are already exact
+        return old_zm
+    merged = base.join(F.broadcast(ids), id_col, "left_anti").unionByName(
+        batch.select(*base.columns)
+    )
+    recomputed = zone_maps(
+        merged.where(pruned_scan_predicate(affected, layout_col, shard_width)),
+        layout_shard(layout_col, shard_width),
+        stat_cols,
+    )
+    passthrough = old_zm.where(~F.col("shard").isin(affected))
+    return passthrough.unionByName(recomputed)
+
+
 def pruned_scan_predicate(
     shards: list[int], layout_col: str, shard_width: int
 ) -> Column:

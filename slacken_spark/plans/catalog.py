@@ -1209,3 +1209,53 @@ def events_approx_distinct(spark, sf_dir):
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(CASE WHEN tc > tv AND tp > tc THEN 3
+                     WHEN tc > tv THEN 2
+                     ELSE 1 END AS BIGINT) AS reached
+    FROM f WHERE tv IS NOT NULL
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (view → click → purchase) by FIRST
+    occurrence: a user reaches step k+1 iff their first step-(k+1)
+    event is strictly after their first step-k event — the standard
+    product-analytics conversion funnel. ONE conditional aggregation
+    keyed on user_id computes all three first-touch timestamps in a
+    single shuffle with map-side partial mins (no joins, no windows —
+    the same shape at 10^9 users as at 10^2), then the step
+    comparison is a per-row CASE. Strictly-greater comparisons are at
+    exact µs precision on both engines (ties do NOT convert, same
+    rule both sides); NULL first-touches propagate as non-conversion
+    through SQL three-valued logic identically. Emits a
+    user-cardinality (user_id, reached ∈ {1,2,3}) table — the input
+    a cohort/retention rollup aggregates."""
+    ev = t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    return f.where(F.col("tv").isNotNull()).select(
+        "user_id",
+        F.when(
+            (F.col("tc") > F.col("tv")) & (F.col("tp") > F.col("tc")), 3
+        )
+        .when(F.col("tc") > F.col("tv"), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("reached"),
+    )

@@ -616,3 +616,106 @@ def dedup_keep_longest(spark, sf_dir):
         "n_chars",
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the rare-shingle co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_PR_SHINGLE = (
+    "toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]"
+    " || ' ' || toks[CAST(i+3 AS INT)]"
+)
+
+_PR_ROUND = """{rk} AS MATERIALIZED (
+        SELECT e.dst AS id,
+               CAST(150000 + (85 * sum(r.pr // d.deg)) // 100 AS BIGINT)
+                 AS pr
+        FROM edges e JOIN {prev} r ON e.src = r.id
+                     JOIN deg d ON e.src = d.src
+        GROUP BY e.dst)"""
+
+_PAGERANK_SQL = f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks
+        FROM documents),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, greatest(len(toks) - 2, 0)),
+                       i -> {_PR_SHINGLE})) AS s
+            FROM d)),
+    dfc AS MATERIALIZED (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    rtd AS MATERIALIZED (
+        SELECT sh.doc_id, sh.shingle
+        FROM sh JOIN dfc USING (shingle)
+        WHERE dfc.df BETWEEN 2 AND 4),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rtd a JOIN rtd b USING (shingle)
+        WHERE a.doc_id < b.doc_id),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (
+        SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    {_PR_ROUND.format(rk='r1', prev='r0')},
+    {_PR_ROUND.format(rk='r2', prev='r1')},
+    {_PR_ROUND.format(rk='r3', prev='r2')}
+    SELECT d.src AS doc_id, d.deg AS deg, r.pr AS pr_scaled
+    FROM deg d JOIN r3 r ON d.src = r.id
+    """
+
+
+@register("dedup_graph_pagerank", _PAGERANK_SQL)
+def dedup_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the rare-shingle co-occurrence graph
+    (functions.graph.pagerank_int) — the scoring companion to
+    ``dedup_components``: fingerprint-style candidate edges (two docs
+    sharing a 3-gram that occurs in 2-4 docs corpus-wide) form an
+    IRREGULAR relatedness graph (the LSH pair graph is clique-shaped,
+    where PageRank is uniform by symmetry), and three unrolled
+    integer rounds score each doc's centrality — the keep-policy /
+    representative-selection signal when min-id or keep-longest isn't
+    enough. Ranks are scaled int64 and every step is floor-div
+    arithmetic, so the rounds are bit-equal across engines (the
+    quantized-Lloyd's portability trick applied to an iterative graph
+    algorithm); the oracle replays them as chained MATERIALIZED CTEs.
+    Scale: candidate edges come from a bounded equi-join (df ≤ 4 ⇒
+    ≤ 6 pairs per shingle — never all-pairs, the same fan-out bound
+    as LSH banding); the rare-shingle rows are lazily checkpointed so
+    the self-join does not tokenize the corpus twice, and each
+    PageRank round is one edge⋈rank join + one dst-keyed sum shuffle
+    over the checkpointed edge list."""
+    from pyspark.sql import Window as W
+
+    from slacken_spark.functions.graph import pagerank_int
+
+    docs = tp(spark, sf_dir, "documents")
+    sh = X.shingle_rows(docs, "text", "doc_id", n=3)
+    rare_td = (
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        )
+        .where(F.col("df").between(2, 4))
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
+    )
+    a, b = rare_td.alias("a"), rare_td.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    pr = pagerank_int(pairs, "id_a", "id_b", iters=3)
+    return pr.select(
+        F.col("id").alias("doc_id"), "deg", F.col("rank").alias("pr_scaled")
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from slacken_spark.functions import text as X
 from slacken_spark.functions.skipping import (
     layout_shard,
+    maintain_zone_maps,
     pruned_scan_predicate,
     surviving_shards,
     zone_maps,
@@ -99,6 +100,57 @@ def zone_map_pruned_scan(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(n_tokens).cast("long").alias("sum_tokens"),
         )
+    )
+
+
+_ZMM_TOKS = SQL_TOKENS.format(expr="t2")
+
+
+@register(
+    "zone_map_maintain",
+    f"""
+    WITH m AS MATERIALIZED (
+        SELECT CASE WHEN n_chars BETWEEN 100 AND 149
+                    THEN 'v2 ' || substr(text, 1, 80) ELSE text END AS t2
+        FROM documents)
+    SELECT CAST((len(t2) - (len(t2) % {_ZM_WIDTH})) // {_ZM_WIDTH} AS BIGINT)
+             AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(len({_ZMM_TOKS})) AS BIGINT) AS min_n_tokens,
+           CAST(max(len({_ZMM_TOKS})) AS BIGINT) AS max_n_tokens
+    FROM m GROUP BY 1
+    """,
+)
+def zone_map_maintain(spark, sf_dir):
+    """The data-skipping MAINTENANCE side (functions.skipping.
+    maintain_zone_maps): a CDC batch re-cleans every document in one
+    length band (n_chars 100-149 — a clustered re-processing batch,
+    the layout analog of inverted_index_delta's clustered updates),
+    truncating them so they MOVE to a lower shard. Min/max stats are
+    not self-inverting under deletes, so affected shards — the
+    changed rows' old shards ∪ new shards, here exactly {{1, 2}} of
+    ~12 — recompute from the merged corpus under a scan predicate the
+    zone maps themselves prune (the recompute reads ~2/12 of the
+    table); the other ~10 shards' stats pass through with NO scan.
+    Shard 2 empties entirely (every resident moved out) and must
+    vanish from the stats, exactly as a rebuild would drop it. The
+    oracle IS that rebuild: zone maps recomputed from scratch over
+    the merged corpus — maintenance ≡ rebuild, row for row."""
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "n_chars",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    old_zm = zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
+    new_text = F.concat(F.lit("v2 "), F.substring("text", 1, 80))
+    batch = docs.where(F.col("n_chars").between(100, 149)).select(
+        "doc_id",
+        F.length(new_text).cast("long").alias("n_chars"),
+        X.token_count(new_text).cast("long").alias("n_tokens"),
+    )
+    return maintain_zone_maps(
+        old_zm, sized, batch, "doc_id", "n_chars", _ZM_WIDTH, ["n_tokens"]
     )
 
 

@@ -615,3 +615,73 @@ def test_late_round7_query_plan_shapes(spark, sf_dir):
     assert "FullOuter" in plan, "view merges the batch delta via one full-outer"
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session7c_query_plan_shapes(spark, sf_dir):
+    """Continuation-session additions: funnel is ONE conditional-agg
+    shuffle (no joins, no windows); the LM count table broadcasts its
+    vocabulary-sized continuation side; PageRank shares the
+    checkpointed edge list across rounds instead of re-deriving the
+    shingle lineage per reference."""
+    fn, _ = REGISTRY["funnel_conversion"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, "funnel is a single user_id shuffle"
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["ngram_lm_counts"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "continuation counts broadcast back"
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["dedup_graph_pagerank"]
+    plan = _plan(fn(spark, sf_dir))
+    # lazy localCheckpoint truncation: the unrolled 3-round plan reads
+    # the edge/degree tables as shared ExistingRDD scans — the corpus
+    # shingle lineage (posexplode Generate) must appear in ZERO branches
+    # of the returned plan, and rank joins on node-sized sides broadcast
+    assert "Generate" not in plan, "edge list must be checkpointed, not re-derived"
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_tie_and_null_semantics(spark):
+    """Ties do NOT convert (strictly-greater at µs precision) and a
+    missing later step caps `reached` through NULL comparison rules."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: view then click at the SAME µs → tie, no step 2
+        (1, "view", "2024-01-01 00:00:00.000001"),
+        (1, "click", "2024-01-01 00:00:00.000001"),
+        # user 2: +1 µs click, purchase BEFORE the click → reached 2
+        (2, "view", "2024-01-01 00:00:00.000001"),
+        (2, "click", "2024-01-01 00:00:00.000002"),
+        (2, "purchase", "2024-01-01 00:00:00.000001"),
+        # user 3: full ordered funnel one µs apart → reached 3
+        (3, "view", "2024-01-01 00:00:00.000001"),
+        (3, "click", "2024-01-01 00:00:00.000002"),
+        (3, "purchase", "2024-01-01 00:00:00.000003"),
+        # user 4: no view at all → not in the funnel
+        (4, "click", "2024-01-01 00:00:00.000001"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    out = f.where(F.col("tv").isNotNull()).select(
+        "user_id",
+        F.when((F.col("tc") > F.col("tv")) & (F.col("tp") > F.col("tc")), 3)
+        .when(F.col("tc") > F.col("tv"), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("reached"),
+    )
+    got = {r["user_id"]: r["reached"] for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3}

@@ -142,3 +142,98 @@ def test_ranked_query_plan_is_takeordered_broadcast(spark):
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_maintain_zone_maps_equals_rebuild(spark, tmp_path):
+    from slacken_spark.functions.skipping import maintain_zone_maps
+
+    # base: ids 0..39, layout v = id, stat w = 2*id → shards 0..3
+    base = spark.range(40).select(
+        F.col("id"),
+        F.col("id").alias("v"),
+        (F.col("id") * 2).alias("w"),
+    )
+    old_zm = zone_maps(base, layout_shard("v", 10), ["w"])
+    # batch: every shard-1 resident moves to shard 0 (shard 1 empties),
+    # and id 25 changes stats IN PLACE in shard 2; shards 0 and 3 are
+    # untouched by ids but shard 0 gains movers
+    batch = spark.createDataFrame(
+        [(10 + i, 5, 1000 + i) for i in range(10)] + [(25, 25, -7)],
+        "id long, v long, w long",
+    )
+    got = maintain_zone_maps(old_zm, base, batch, "id", "v", 10, ["w"])
+    merged = base.join(batch.select("id"), "id", "left_anti").unionByName(
+        batch
+    )
+    want = zone_maps(merged, layout_shard("v", 10), ["w"])
+    key = lambda r: (r["shard"], r["n_rows"], r["min_w"], r["max_w"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # the emptied shard is gone, exactly like a rebuild
+    assert 1 not in {r["shard"] for r in got.collect()}
+
+
+def test_maintain_zone_maps_empty_batch_is_identity(spark):
+    from slacken_spark.functions.skipping import maintain_zone_maps
+
+    base = spark.range(20).select(
+        F.col("id"), F.col("id").alias("v"), (F.col("id") * 3).alias("w")
+    )
+    old_zm = zone_maps(base, layout_shard("v", 10), ["w"])
+    batch = spark.createDataFrame([], "id long, v long, w long")
+    got = maintain_zone_maps(old_zm, base, batch, "id", "v", 10, ["w"])
+    key = lambda r: tuple(r)
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, old_zm.collect())
+    )
+
+
+def test_maintain_zone_maps_prunes_recompute_scan(spark, tmp_path):
+    """The maintenance claim: the affected-shard recompute must reach
+    the parquet base as PUSHED layout ranges (untouched shards' bytes
+    unread), and the batch-id lookups must be broadcast, never a
+    corpus shuffle."""
+    from slacken_spark.functions.skipping import maintain_zone_maps
+
+    p = str(tmp_path / "zm_base")
+    spark.range(1000).select(
+        F.col("id"), F.col("id").alias("v"), (F.col("id") * 2).alias("w")
+    ).write.parquet(p)
+    base = spark.read.parquet(p)
+    old_zm = zone_maps(base, layout_shard("v", 100), ["w"])
+    batch = spark.createDataFrame(
+        [(150, 155, 9), (160, 42, 9)], "id long, v long, w long"
+    )
+    got = maintain_zone_maps(old_zm, base, batch, "id", "v", 100, ["w"])
+    plan = _plan(got)
+    pushed = [
+        seg[:400] for seg in plan.split("PushedFilters: [")[1:] if "v" in seg
+    ]
+    assert pushed, "recompute scan must push the affected layout ranges"
+    # the old-shard semi-join collects at construction (plan-time
+    # metadata, like surviving_shards), so the RETURNED plan carries
+    # only the anti-join — which must be broadcast on the batch ids
+    assert plan.count("BroadcastHashJoin") >= 1, "id lookup broadcast"
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # affected = {0 (new shard of mover), 1 (old shards)} → shards 2..9
+    # pass through; result still equals a rebuild
+    merged = base.join(batch.select("id"), "id", "left_anti").unionByName(
+        batch
+    )
+    want = zone_maps(merged, layout_shard("v", 100), ["w"])
+    key = lambda r: tuple(r)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_maintain_zone_maps_rejects_null_layout(spark):
+    from slacken_spark.functions.skipping import maintain_zone_maps
+
+    base = spark.range(10).select(
+        F.col("id"), F.col("id").alias("v"), F.col("id").alias("w")
+    )
+    old_zm = zone_maps(base, layout_shard("v", 10), ["w"])
+    batch = spark.createDataFrame(
+        [(3, None, 5)], "id long, v long, w long"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        maintain_zone_maps(old_zm, base, batch, "id", "v", 10, ["w"])
