@@ -97,6 +97,10 @@ _MUST_GATE = [
     "dedup_graph_pagerank",  # integer PageRank over the rare-shingle graph
     "funnel_conversion",  # first-touch ordered funnel, one conditional-agg shuffle
     "ngram_lm_counts",  # bigram LM counts + KN continuation counts
+    "value_quantile_sketch",  # mergeable fixed-bin histogram → p50/p95 read-off
+    "retention_cohorts",  # first-active-day cohort × day-offset retention counts
+    "streaming_zone_maps",  # zone-map stats maintained per CDC micro-batch
+    "source_token_drift",  # integer L1 unigram-distribution drift per source
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -109,9 +113,9 @@ _EARLY = _MUST_GATE + [
     # r5-gated set that sat out round 6 (green in CORRECTNESS_r05 or
     # earlier, code untouched since; re-promoted per the rolling-green
     # rotation policy). Ordered by promotion priority — fewest/oldest
-    # green rows first — because the four continuation-session seats
-    # (zone_map_maintain, dedup_graph_pagerank, funnel_conversion,
-    # ngram_lm_counts) push the tail of this list past the 50-cap:
+    # green rows first — because the eight continuation-session seats
+    # (zone_map_maintain through source_token_drift above) push the
+    # tail of this list past the 50-cap:
     "doc_vocab_top50",
     "pack_sequences_sharded",
     "embedding_ivf_topk_nprobe2",
@@ -126,14 +130,14 @@ _EARLY = _MUST_GATE + [
     "streaming_doc_quality",
     "corpus_upsert_latest",
     "events_zorder_layout",
+    # --- 50-cap falls here (36 must-gate + 14 above) ---
     "ann_retrieve_docs",
     "events_json_extract",
-    "corpus_diff",
-    "streaming_dedup_keys",
-    # --- 50-cap falls here (32 must-gate + 18 above) ---
     # past-the-cap: single-r5-green entries that lose their seat to the
     # new operators (pytest oracle parity still pins them at sf0.01),
     # then the multi-green demotions (≥2 rows each):
+    "corpus_diff",
+    "streaming_dedup_keys",
     "events_rolling_stats",
     "doc_bloom_decontaminate",
     "embedding_random_projection",

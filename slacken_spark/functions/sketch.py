@@ -155,3 +155,69 @@ def cms_heavy_hitters(
             F.count(F.lit(1)).cast("long").alias("n_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch → approximate quantiles
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame, group_col: str, cents: Column, bin_width: int
+) -> DataFrame:
+    """Per-group fixed-width histogram over an integer (cents) value —
+    the mergeable bounded-memory quantile sketch: where an exact
+    percentile needs a per-group sort (or a full value shuffle), this
+    reduces each task map-side to at most ``groups × bins`` rows
+    before ONE tiny shuffle, and histograms from disjoint corpus
+    slices merge by adding counts (the same mergeability contract as
+    ``cms_merge``). Bin ids are exact integer floor division
+    (nonnegative cents), so both engines place every value in the
+    same bin. Returns ``(grp, bin, n)``."""
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    binned = df.select(
+        F.col(group_col).alias("grp"), cents.cast("long").alias("_c")
+    ).select("grp", F.expr(f"_c div {bin_width}").alias("bin"))
+    return binned.groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, bin_width: int, percents: list[int]
+) -> DataFrame:
+    """Approximate per-group quantiles from a ``histogram_sketch``:
+    for each integer percent p, the UPPER CENTS BOUND of the first bin
+    whose cumulative count reaches ``ceil(n·p/100)`` — error bounded
+    by ``bin_width`` by construction, which is the sketch trade. All
+    arithmetic is int64 (the ceil is ``(n·p + 99) div 100``), so the
+    answer is engine-exact even though it approximates the true
+    quantile. Touches only sketch-sized rows: one cumulative window +
+    one group aggregation over ``groups × bins``."""
+    from pyspark.sql import Window as W
+
+    if not percents or any(not 1 <= p <= 100 for p in percents):
+        raise ValueError(f"percents must be in [1, 100], got {percents}")
+    w_cum = (
+        W.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("grp")
+    cur = hist.select(
+        "grp",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("ntot"),
+    )
+    aggs = [F.max("ntot").cast("long").alias("n")]
+    for p in percents:
+        thr = F.expr(f"(ntot * {p} + 99) div 100")
+        ub = F.expr(f"(bin + 1) * {bin_width}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thr, ub))
+            .cast("long")
+            .alias(f"q{p}_ub_cents")
+        )
+    return cur.groupBy("grp").agg(*aggs)

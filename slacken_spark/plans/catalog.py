@@ -1259,3 +1259,52 @@ def funnel_conversion(spark, sf_dir):
         .cast("long")
         .alias("reached"),
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    WITH f AS (SELECT user_id,
+                      min(epoch_us(ts) // {_DAY_US}) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                 (epoch_us(e.ts) // {_DAY_US}) - f.cohort_day AS day_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention analysis: users grouped by FIRST-active day,
+    counted per day-offset of later activity — the activation/
+    retention triangle behind every growth dashboard, and the events
+    analog of dataset freshness curves. Scale shape: the per-user
+    first-day aggregation and the distinct (user, day) activity set
+    are each ONE user-keyed shuffle with map-side partials; their
+    join is user-keyed (no broadcast assumption — users are
+    corpus-scale), and the final rollup shuffles only the
+    already-distinct activity rows on (cohort, offset). Day indices
+    are exact integer floor division of the epoch-µs value —
+    ``timestamp_diff`` from the epoch literal (pure field arithmetic
+    on BOTH timestamp encodings the events table ships with, no
+    session-timezone involvement) matches the oracle's
+    ``epoch_us // day``."""
+    ev = t(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    day_idx = F.expr(
+        f"timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS {ts_type}),"
+        f" ts) div {_DAY_US}"
+    )
+    act = ev.select("user_id", day_idx.alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

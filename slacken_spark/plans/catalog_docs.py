@@ -898,3 +898,84 @@ def ngram_lm_counts(spark, sf_dir):
             F.col("cont_r").alias("cont_right"),
         )
     )
+
+
+@register(
+    "source_token_drift",
+    f"""
+    WITH d AS (SELECT source, {SQL_TOKENS.format(expr='text')} AS toks
+               FROM documents),
+    o AS (SELECT source, unnest(toks) AS tok FROM d),
+    sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS ns
+           FROM o GROUP BY source, tok),
+    st AS (SELECT source, CAST(sum(ns) AS BIGINT) AS nsrc FROM sc
+           GROUP BY source),
+    vc AS (SELECT tok, CAST(sum(ns) AS BIGINT) AS nc FROM sc GROUP BY tok),
+    tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM vc),
+    present AS (
+        SELECT sc.source,
+               CAST(sum(abs(sc.ns * tot.n - vc.nc * st.nsrc)) AS BIGINT)
+                 AS l1_present,
+               CAST(sum(vc.nc) AS BIGINT) AS nc_present
+        FROM sc JOIN vc USING (tok) JOIN st USING (source) CROSS JOIN tot
+        GROUP BY sc.source)
+    SELECT p.source,
+           CAST(p.l1_present + (tot.n - p.nc_present) * st.nsrc AS BIGINT)
+             AS l1_num,
+           CAST(st.nsrc * tot.n AS BIGINT) AS denom
+    FROM present p JOIN st USING (source) CROSS JOIN tot
+    """,
+)
+def source_token_drift(spark, sf_dir):
+    """Per-source token-distribution drift vs the whole corpus — the
+    ingest-monitoring statistic that flags a source whose unigram mix
+    diverges (new crawl snapshot gone wrong, a source switching
+    language, boilerplate floods). The metric is the exact L1
+    distance between the source's and the corpus's unigram
+    distributions as an INTEGER fraction: ``l1_num / denom`` with
+    ``l1_num = Σ_w |n_s(w)·N − n(w)·N_s|`` and ``denom = N_s·N`` —
+    cross-multiplied so the whole computation is int64 and the hash
+    gate is float-free (safe while N·max n_s(w) < 2^63; rescale
+    counts for larger corpora). Terms ABSENT from a source
+    contribute ``(N − Σ_{{w∈S}} n(w))·N_s`` in closed form, so
+    nothing ever materializes source × vocabulary. Scale shape: one
+    (source, token) partial-agg shuffle over occurrences; the
+    vocabulary and per-source totals reduce those ALREADY-aggregated
+    rows and broadcast back (Heaps' law, the tfidf_top_terms
+    argument)."""
+    docs = tp(spark, sf_dir, "documents")
+    o = docs.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    sc = o.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    st = sc.groupBy("source").agg(F.sum("ns").cast("long").alias("nsrc"))
+    vc = sc.groupBy("tok").agg(F.sum("ns").cast("long").alias("nc"))
+    n_total = vc.agg(F.sum("nc").cast("long").alias("n"))
+    present = (
+        sc.join(F.broadcast(vc), "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("source")
+        .agg(
+            F.sum(F.abs(F.col("ns") * F.col("n") - F.col("nc") * F.col("nsrc")))
+            .cast("long")
+            .alias("l1_present"),
+            F.sum("nc").cast("long").alias("nc_present"),
+        )
+    )
+    return (
+        present.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "source",
+            (
+                F.col("l1_present")
+                + (F.col("n") - F.col("nc_present")) * F.col("nsrc")
+            )
+            .cast("long")
+            .alias("l1_num"),
+            (F.col("nsrc") * F.col("n")).cast("long").alias("denom"),
+        )
+    )

@@ -105,10 +105,10 @@ def zone_map_pruned_scan(spark, sf_dir):
 
 _ZMM_TOKS = SQL_TOKENS.format(expr="t2")
 
-
-@register(
-    "zone_map_maintain",
-    f"""
+# shared by the batch operator and its streaming twin
+# (catalog_streaming.streaming_zone_maps): both apply the SAME CDC
+# batch, so both gate against the rebuild of the same merged corpus
+ZONE_MAP_MAINTAIN_ORACLE_SQL = f"""
     WITH m AS MATERIALIZED (
         SELECT CASE WHEN n_chars BETWEEN 100 AND 149
                     THEN 'v2 ' || substr(text, 1, 80) ELSE text END AS t2
@@ -119,8 +119,10 @@ _ZMM_TOKS = SQL_TOKENS.format(expr="t2")
            CAST(min(len({_ZMM_TOKS})) AS BIGINT) AS min_n_tokens,
            CAST(max(len({_ZMM_TOKS})) AS BIGINT) AS max_n_tokens
     FROM m GROUP BY 1
-    """,
-)
+    """
+
+
+@register("zone_map_maintain", ZONE_MAP_MAINTAIN_ORACLE_SQL)
 def zone_map_maintain(spark, sf_dir):
     """The data-skipping MAINTENANCE side (functions.skipping.
     maintain_zone_maps): a CDC batch re-cleans every document in one

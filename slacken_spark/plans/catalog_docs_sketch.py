@@ -166,3 +166,65 @@ def doc_heavy_hitters_delta(spark, sf_dir):
         depth=_CMS_D,
         width=_CMS_W,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch → approximate quantiles
+# ---------------------------------------------------------------------------
+
+_HQ_BIN = 250  # cents per bin: ≤ ~200 bins over the value range
+
+
+@register(
+    "value_quantile_sketch",
+    f"""
+    WITH h AS (
+        SELECT event_type AS grp,
+               CAST(round(value*100) AS BIGINT) // {_HQ_BIN} AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    c AS (
+        SELECT grp, bin, n,
+               sum(n) OVER (PARTITION BY grp ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(n) OVER (PARTITION BY grp) AS ntot
+        FROM h)
+    SELECT grp AS event_type, CAST(max(ntot) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (ntot*50 + 99) // 100
+                         THEN (bin+1)*{_HQ_BIN} END) AS BIGINT)
+             AS q50_ub_cents,
+           CAST(min(CASE WHEN cum >= (ntot*95 + 99) // 100
+                         THEN (bin+1)*{_HQ_BIN} END) AS BIGINT)
+             AS q95_ub_cents
+    FROM c GROUP BY grp
+    """,
+)
+def value_quantile_sketch(spark, sf_dir):
+    """Approximate per-group quantiles through a fixed-bin histogram
+    sketch (functions.sketch.histogram_sketch / histogram_quantiles)
+    — the bounded-memory member of the quantile family next to the
+    exact ``value_percentiles``: the corpus pays ONE map-side partial
+    aggregation into ≤ groups × ~200 bins (never a value sort or a
+    per-value shuffle), the histograms are mergeable by count
+    addition (same contract as the CMS grid — disjoint slices /
+    micro-batches fold in losslessly), and the p50/p95 read-off
+    touches only sketch-sized rows. Error is bounded by the bin width
+    (the answer is each quantile's bin UPPER bound in cents); all
+    arithmetic is int64, so the approximation itself is engine-exact
+    and hash-gates. The oracle replays the identical binning and
+    cumulative read-off."""
+    from slacken_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from slacken_spark.plans.catalog import t
+
+    ev = t(spark, sf_dir, "events")
+    hist = histogram_sketch(
+        ev, "event_type", F.round(F.col("value") * 100), _HQ_BIN
+    )
+    q = histogram_quantiles(hist, _HQ_BIN, [50, 95])
+    return q.select(
+        F.col("grp").alias("event_type"), "n", "q50_ub_cents", "q95_ub_cents"
+    )

@@ -426,3 +426,73 @@ def streaming_source_stats(spark, sf_dir):
     return spark.createDataFrame(
         final, "source string, n_docs bigint, n_tokens bigint"
     )
+
+
+from slacken_spark.plans.catalog_docs_layout import (  # noqa: E402
+    ZONE_MAP_MAINTAIN_ORACLE_SQL,
+    _ZM_WIDTH,
+)
+
+
+@register("streaming_zone_maps", ZONE_MAP_MAINTAIN_ORACLE_SQL)
+def streaming_zone_maps(spark, sf_dir):
+    """Streaming zone-map maintenance (streaming/ops.zone_maps_stream):
+    the clustered re-clean batch (every doc with n_chars 100-149
+    truncated — zone_map_maintain's CDC fixture) arrives AS A REAL
+    STREAM, and each micro-batch patches the data-skipping stats table
+    through skipping.maintain_zone_maps — only affected shards
+    recompute, under the maps' own pruned scan; the shard-count-sized
+    stats round-trip through the driver between batches (the metadata-
+    layer MERGE stand-in) and the base advances sequentially.
+    availableNow over the single source file yields one micro-batch,
+    so the final stats are proven identical to the batch operator
+    against the SAME oracle (the from-scratch rebuild of the merged
+    corpus); two-batch sequencing with a shard that is affected twice
+    is pinned in tests/test_skipping.py. Completes the layout family:
+    zone maps build → pruned read → CDC maintain → STREAM."""
+    import os
+
+    from slacken_spark.functions import text as X
+    from slacken_spark.functions.skipping import layout_shard, zone_maps
+    from slacken_spark.plans.catalog import t
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "n_chars",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    zm = zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    new_text = F.concat(F.lit("v2 "), F.substring("text", 1, 80))
+    upd_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+        .where(F.col("n_chars").between(100, 149))
+        .select(
+            "doc_id",
+            F.length(new_text).cast("long").alias("n_chars"),
+            X.token_count(new_text).cast("long").alias("n_tokens"),
+        )
+    )
+    final: list = zm.collect()
+    zm_schema = (
+        "shard bigint, n_rows bigint, min_n_tokens bigint,"
+        " max_n_tokens bigint"
+    )
+
+    def sink(zm_df, _epoch):
+        final.clear()
+        final.extend(zm_df.collect())
+
+    ops.run_foreach_to_completion(
+        ops.zone_maps_stream(
+            sized, zm, upd_stream, sink, "doc_id", "n_chars", _ZM_WIDTH,
+            ["n_tokens"],
+        )
+    )
+    return spark.createDataFrame(final, zm_schema)

@@ -379,3 +379,47 @@ def grouped_sums_stream(base: DataFrame, view: DataFrame, upd_stream: DataFrame,
         state["base"] = _advance_base(state["base"], batch_df, id_col)
 
     return upd_stream.writeStream.foreachBatch(process)
+
+
+def zone_maps_stream(base: DataFrame, zm: DataFrame, upd_stream: DataFrame,
+                     sink, id_col: str, layout_col: str, shard_width: int,
+                     stat_cols: list[str]):
+    """Streaming zone-map maintenance: a CDC stream of row replacements
+    keeps the data-skipping stats table current — the layout twin of
+    ``grouped_sums_stream``, built on ``skipping.maintain_zone_maps``.
+    Per micro-batch only the batch's affected shards recompute (under
+    the maps' own pruned scan); ``sink(zm_df, epoch_id)`` observes the
+    maintained stats, the base then advances by the batch so later
+    batches resolve old shards against earlier ones — sequential CDC
+    application.
+
+    The stats table round-trips through the driver between batches
+    (collect + recreate): it is shard-count-sized BY DESIGN, and
+    re-materializing caps the per-batch-compounding lineage — the
+    memory-sink stand-in for the production shape (stats MERGEd into
+    the table format's metadata layer, read back by the next batch).
+    An empty micro-batch must still surface the UNCHANGED stats (same
+    contract as the aggregate maintainer).
+
+    Returns the DataStreamWriter (caller adds trigger and starts).
+    """
+    from slacken_spark.functions.skipping import maintain_zone_maps
+
+    state = {"base": base, "zm": zm}
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            sink(state["zm"], epoch_id)
+            return
+        maintained = maintain_zone_maps(
+            state["zm"], state["base"], batch_df,
+            id_col, layout_col, shard_width, stat_cols,
+        )
+        spark = batch_df.sparkSession
+        state["zm"] = spark.createDataFrame(
+            maintained.collect(), maintained.schema
+        )
+        sink(state["zm"], epoch_id)
+        state["base"] = _advance_base(state["base"], batch_df, id_col)
+
+    return upd_stream.writeStream.foreachBatch(process)

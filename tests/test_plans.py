@@ -685,3 +685,31 @@ def test_funnel_tie_and_null_semantics(spark):
     )
     got = {r["user_id"]: r["reached"] for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_quantile_sketch_and_retention_plan_shapes(spark, sf_dir):
+    """The histogram sketch charges the corpus exactly ONE exchange
+    (the (grp, bin) partial-agg shuffle); the cumulative/total windows
+    and the read-off touch only sketch-sized rows (grp-keyed second
+    exchange). Retention is user-keyed throughout — no cartesian, no
+    Python, and the rollup shuffles only already-distinct activity
+    rows."""
+    import re as _re
+
+    fn, _ = REGISTRY["value_quantile_sketch"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("Exchange") == 2, "corpus pays one shuffle; sketch one more"
+    assert "hashpartitioning(grp, bin" in plan.replace("#6", "").replace(
+        "#9L", ""
+    ) or _re.search(r"hashpartitioning\(grp#\d+, bin#\d+L", plan)
+    assert len(_re.findall(r"\bWindow\b", plan)) == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fn, _ = REGISTRY["retention_cohorts"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert _re.search(r"hashpartitioning\(user_id#\d+L, day#\d+L", plan), (
+        "activity distinct is (user, day)-keyed"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -186,3 +186,87 @@ def test_cms_maintain_equals_rebuild_under_replacement(spark):
     rebuilt = cms_sketch(df(kept + new_part), depth=D, width=W)
     as_rows = lambda d: {(r["row"], r["pos"]): r["c"] for r in d.collect()}
     assert as_rows(maintained) == as_rows(rebuilt)
+
+
+def _hq_model(values_cents, width, percents):
+    """Pure-python replay of the histogram-quantile read-off."""
+    bins = Counter(c // width for c in values_cents)
+    n = len(values_cents)
+    out = {"n": n}
+    cum = 0
+    thr = {p: -(-n * p // 100) for p in percents}  # ceil
+    got = {}
+    for b in sorted(bins):
+        cum += bins[b]
+        for p in percents:
+            if p not in got and cum >= thr[p]:
+                got[p] = (b + 1) * width
+    out.update({f"q{p}_ub_cents": got[p] for p in percents})
+    return out
+
+
+def test_histogram_quantiles_match_model_and_bound(spark):
+    from slacken_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    cents = [3, 7, 12, 12, 25, 38, 41, 77, 103, 250]
+    df = spark.createDataFrame(
+        [("a", c / 100.0) for c in cents], "grp string, value double"
+    )
+    hist = histogram_sketch(df, "grp", F.round(F.col("value") * 100), 10)
+    [row] = histogram_quantiles(hist, 10, [50, 95]).collect()
+    want = _hq_model(cents, 10, [50, 95])
+    assert row["n"] == want["n"]
+    assert row["q50_ub_cents"] == want["q50_ub_cents"]
+    assert row["q95_ub_cents"] == want["q95_ub_cents"]
+    # sketch contract: the reported upper bound brackets the true
+    # quantile within one bin width
+    import math
+
+    for p in (50, 95):
+        true_q = sorted(cents)[math.ceil(len(cents) * p / 100) - 1]
+        ub = row[f"q{p}_ub_cents"]
+        assert true_q < ub <= true_q + 10
+
+
+def test_histogram_sketch_is_mergeable(spark):
+    from slacken_spark.functions.sketch import histogram_sketch
+
+    rows = [("a", float(i % 13)) for i in range(200)] + [
+        ("b", float(i % 7)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    whole = histogram_sketch(df, "grp", F.round(F.col("value") * 100), 250)
+    h1 = histogram_sketch(
+        df.limit(137), "grp", F.round(F.col("value") * 100), 250
+    )
+    h2 = histogram_sketch(
+        df.exceptAll(df.limit(137)), "grp", F.round(F.col("value") * 100), 250
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("grp", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    key = lambda r: (r["grp"], r["bin"], r["n"])
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, whole.collect())
+    )
+
+
+def test_histogram_sketch_rejects_bad_args(spark):
+    from slacken_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
+    with pytest.raises(ValueError):
+        histogram_sketch(df, "grp", F.round(F.col("value") * 100), 0)
+    hist = histogram_sketch(df, "grp", F.round(F.col("value") * 100), 10)
+    with pytest.raises(ValueError):
+        histogram_quantiles(hist, 10, [])
+    with pytest.raises(ValueError):
+        histogram_quantiles(hist, 10, [0])

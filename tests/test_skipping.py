@@ -237,3 +237,104 @@ def test_maintain_zone_maps_rejects_null_layout(spark):
     )
     with pytest.raises(ValueError, match="non-null"):
         maintain_zone_maps(old_zm, base, batch, "id", "v", 10, ["w"])
+
+
+def _zm_model(rows, width):
+    """Pure-python zone-map rebuild: {shard: (n, min_w, max_w)}."""
+    out = {}
+    for v, w in rows:
+        s = v // width
+        if s not in out:
+            out[s] = [0, w, w]
+        out[s][0] += 1
+        out[s][1] = min(out[s][1], w)
+        out[s][2] = max(out[s][2], w)
+    return {s: tuple(x) for s, x in out.items()}
+
+
+def test_two_batch_zone_map_stream_advances_base(spark, tmp_path):
+    """maxFilesPerTrigger=1 over two CDC files → two micro-batches;
+    id 35 moves shard 3→0 in batch 1 and 0→2 in batch 2. Only a
+    sequentially-advanced base resolves its OLD shard as 0 in batch 2
+    — a stale base would read shard 3, leave shard 0 out of the
+    affected set, and pass through shard-0 stats that still contain
+    id 35. Each snapshot must equal a from-scratch rebuild of the
+    merged rows at that point."""
+    import glob
+    import os
+
+    from slacken_spark.streaming import ops
+
+    base_rows = [(i, i, 2 * i) for i in range(40)]
+    b1 = [(35, 5, 1000), (2, 2, -50)]
+    b2 = [(35, 25, 7)]
+    base = spark.createDataFrame(base_rows, "id long, v long, w long")
+    zm = zone_maps(base, layout_shard("v", 10), ["w"])
+    for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+        spark.createDataFrame(rows, "id long, v long, w long").coalesce(
+            1
+        ).write.parquet(str(tmp_path / "cdc" / name))
+    for name, age in (("b1.parquet", 200), ("b2.parquet", 100)):
+        for f in glob.glob(str(tmp_path / "cdc" / name / "*.parquet")):
+            st = os.stat(f)
+            os.utime(f, (st.st_atime, st.st_mtime - age))
+    stream = (
+        spark.readStream.schema("id long, v long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(tmp_path / "cdc") + "/*/")
+    )
+    snapshots = []
+
+    def sink(zm_df, _epoch):
+        snapshots.append(
+            {
+                r["shard"]: (r["n_rows"], r["min_w"], r["max_w"])
+                for r in zm_df.collect()
+            }
+        )
+
+    ops.run_foreach_to_completion(
+        ops.zone_maps_stream(base, zm, stream, sink, "id", "v", 10, ["w"])
+    )
+    assert len(snapshots) == 2, "expected two micro-batches"
+
+    def merged(*batches):
+        rows = {i: (v, w) for i, v, w in base_rows}
+        for b in batches:
+            for i, v, w in b:
+                rows[i] = (v, w)
+        return list(rows.values())
+
+    assert snapshots[0] == _zm_model(merged(b1), 10)
+    assert snapshots[1] == _zm_model(merged(b1, b2), 10)
+    # the discriminator: shard 0 after batch 2 must have dropped id 35
+    # (its batch-1 w=1000 max would otherwise linger in a stale run)
+    assert snapshots[1][0][2] != 1000
+
+
+def test_empty_zone_map_batch_reports_unchanged_stats(spark, tmp_path):
+    from slacken_spark.streaming import ops
+
+    base = spark.createDataFrame(
+        [(1, 1, 5), (2, 15, 6)], "id long, v long, w long"
+    )
+    zm = zone_maps(base, layout_shard("v", 10), ["w"])
+    spark.createDataFrame([(9, 9, 9)], "id long, v long, w long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "cdc" / "b.parquet"))
+    stream = (
+        spark.readStream.schema("id long, v long, w long")
+        .format("parquet")
+        .load(str(tmp_path / "cdc") + "/*/")
+        .where(F.col("id") < 0)
+    )
+    seen = []
+
+    def sink(zm_df, _epoch):
+        seen.append(sorted(tuple(r) for r in zm_df.collect()))
+
+    ops.run_foreach_to_completion(
+        ops.zone_maps_stream(base, zm, stream, sink, "id", "v", 10, ["w"])
+    )
+    assert seen == [sorted(tuple(r) for r in zm.collect())]
