@@ -129,7 +129,14 @@ def maintain_zone_maps(
         layout_shard(layout_col, shard_width),
         stat_cols,
     )
-    passthrough = old_zm.where(~F.col("shard").isin(affected))
+    # null-safe NOT-IN: a NULL-layout row in the BASE yields a NULL
+    # shard stats row that can never be affected (changed rows with a
+    # NULL layout raise above) — plain ~isin() evaluates to NULL on it
+    # and would silently drop it from the passthrough, breaking the
+    # maintenance ≡ rebuild contract for bases with NULL layouts
+    passthrough = old_zm.where(
+        ~F.coalesce(F.col("shard").isin(affected), F.lit(False))
+    )
     return passthrough.unionByName(recomputed)
 
 

@@ -862,8 +862,3 @@ def unpivot_part_metrics(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# Approximate distinct-count sketches (HLL++)
-# ---------------------------------------------------------------------------
-
-

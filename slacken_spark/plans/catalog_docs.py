@@ -852,7 +852,8 @@ def doc_length_quartiles(spark, sf_dir):
     WITH d AS (SELECT {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
     bg AS (SELECT toks[CAST(i AS INT)] AS l, toks[CAST(i+1 AS INT)] AS r
            FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)),
-    c AS (SELECT l, r, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY l, r),
+    c AS MATERIALIZED (
+        SELECT l, r, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY l, r),
     cont AS (SELECT r, CAST(count(*) AS BIGINT) AS cont_r FROM c GROUP BY r)
     SELECT c.l AS left_tok, c.r AS right_tok, c.n AS n,
            cont.cont_r AS cont_right
@@ -906,12 +907,15 @@ def ngram_lm_counts(spark, sf_dir):
     WITH d AS (SELECT source, {SQL_TOKENS.format(expr='text')} AS toks
                FROM documents),
     o AS (SELECT source, unnest(toks) AS tok FROM d),
-    sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS ns
-           FROM o GROUP BY source, tok),
-    st AS (SELECT source, CAST(sum(ns) AS BIGINT) AS nsrc FROM sc
-           GROUP BY source),
-    vc AS (SELECT tok, CAST(sum(ns) AS BIGINT) AS nc FROM sc GROUP BY tok),
-    tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM vc),
+    sc AS MATERIALIZED (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS ns
+        FROM o GROUP BY source, tok),
+    st AS MATERIALIZED (
+        SELECT source, CAST(sum(ns) AS BIGINT) AS nsrc FROM sc
+        GROUP BY source),
+    vc AS MATERIALIZED (
+        SELECT tok, CAST(sum(ns) AS BIGINT) AS nc FROM sc GROUP BY tok),
+    tot AS MATERIALIZED (SELECT CAST(sum(nc) AS BIGINT) AS n FROM vc),
     present AS (
         SELECT sc.source,
                CAST(sum(abs(sc.ns * tot.n - vc.nc * st.nsrc)) AS BIGINT)

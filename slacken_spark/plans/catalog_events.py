@@ -45,8 +45,6 @@ def event_type_pivot(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-
-
 @register(
     "sessionize_events",
     """
@@ -72,8 +70,6 @@ def sessionize_events(spark, sf_dir):
         (F.max("session_id") + 1).cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
-
-
 
 
 @register(
@@ -124,8 +120,6 @@ def events_rolling_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-
-
 @register(
     "asof_event_order",
     """
@@ -153,8 +147,6 @@ def asof_event_order(spark, sf_dir):
     return out.select(
         "event_id", F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("order_key")
     )
-
-
 
 
 @register(
@@ -193,8 +185,6 @@ def asof_event_order_forward(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Range join via bucketization (range_bucket_join operator)
 # ---------------------------------------------------------------------------
-
-
 
 
 @register(
@@ -238,8 +228,6 @@ def _zorder_sql() -> str:
         for b in range(8)
     ]
     return " + ".join(terms)
-
-
 
 
 @register(
@@ -287,8 +275,6 @@ def events_zorder_layout(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-
-
 @register(
     "events_json_extract",
     """
@@ -328,10 +314,8 @@ def events_json_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Unpivot / melt (wide → long normalization)
+# Approximate distinct-count sketches (HLL++)
 # ---------------------------------------------------------------------------
-
-
 
 
 @register(
@@ -371,8 +355,6 @@ def events_approx_distinct(spark, sf_dir):
             )
         ).alias("within_bound"),
     )
-
-
 
 
 @register(
@@ -428,8 +410,6 @@ def funnel_conversion(spark, sf_dir):
 _DAY_US = 86_400_000_000
 
 
-
-
 @register(
     "retention_cohorts",
     f"""
@@ -453,17 +433,24 @@ def retention_cohorts(spark, sf_dir):
     join is user-keyed (no broadcast assumption — users are
     corpus-scale), and the final rollup shuffles only the
     already-distinct activity rows on (cohort, offset). Day indices
-    are exact integer floor division of the epoch-µs value —
-    ``timestamp_diff`` from the epoch literal (pure field arithmetic
-    on BOTH timestamp encodings the events table ships with, no
-    session-timezone involvement) matches the oracle's
-    ``epoch_us // day``."""
+    are exact integer floor division of the epoch-µs value, derived
+    SESSION-TIMEZONE-FREE for both encodings the events table ships
+    with: LTZ timestamps (the legacy-NANOS read path) go through
+    ``unix_micros`` (the internal UTC µs, no zone math), NTZ through
+    ``timestampdiff`` from an NTZ epoch literal (NTZ has no zone at
+    all) — an LTZ-cast epoch literal would be interpreted in the
+    caller's session zone and shift every day boundary. Both match
+    the oracle's ``epoch_us // day``."""
     ev = t(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
-    day_idx = F.expr(
-        f"timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS {ts_type}),"
-        f" ts) div {_DAY_US}"
-    )
+    if ts_type == "timestamp_ntz":
+        day_idx = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " CAST('1970-01-01 00:00:00' AS timestamp_ntz), ts)"
+            f" div {_DAY_US}"
+        )
+    else:
+        day_idx = F.expr(f"unix_micros(ts) div {_DAY_US}")
     act = ev.select("user_id", day_idx.alias("day")).distinct()
     first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (

@@ -713,3 +713,42 @@ def test_quantile_sketch_and_retention_plan_shapes(spark, sf_dir):
         "activity distinct is (user, day)-keyed"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_day_index_is_session_tz_free(spark):
+    """Review catch: an LTZ-cast epoch literal is interpreted in the
+    caller's session timezone, shifting every day boundary. The fixed
+    expressions must give the UTC day index under ANY session tz, for
+    both timestamp encodings."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # 1970-01-02 03:00 UTC = epoch 97200 s → UTC day 1 (a -5h zone
+        # read of an epoch literal would call it day 0)
+        us = 97_200 * 1_000_000
+        ltz = spark.createDataFrame([(us,)], "u long").select(
+            F.timestamp_micros(F.col("u")).alias("ts")
+        )
+        assert dict(ltz.dtypes)["ts"] == "timestamp"
+        [r] = ltz.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("d")
+        ).collect()
+        assert r["d"] == 1
+        ntz = spark.createDataFrame(
+            [("1970-01-02 03:00:00",)], "s string"
+        ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+        [r] = ntz.select(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " CAST('1970-01-01 00:00:00' AS timestamp_ntz), ts)"
+                " div 86400000000"
+            ).alias("d")
+        ).collect()
+        assert r["d"] == 1
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prev)

@@ -338,3 +338,27 @@ def test_empty_zone_map_batch_reports_unchanged_stats(spark, tmp_path):
         ops.zone_maps_stream(base, zm, stream, sink, "id", "v", 10, ["w"])
     )
     assert seen == [sorted(tuple(r) for r in zm.collect())]
+
+
+def test_maintain_zone_maps_keeps_null_base_shard(spark):
+    """A NULL-layout row in the BASE (not the batch) owns a NULL-shard
+    stats row; it can never be affected, so maintenance must pass it
+    through — review catch: plain ~isin() evaluates NULL and dropped
+    it, diverging from the rebuild."""
+    from slacken_spark.functions.skipping import maintain_zone_maps
+
+    base = spark.createDataFrame(
+        [(1, 1, 5), (2, 15, 6), (3, None, 7)], "id long, v long, w long"
+    )
+    old_zm = zone_maps(base, layout_shard("v", 10), ["w"])
+    batch = spark.createDataFrame([(1, 2, 50)], "id long, v long, w long")
+    got = maintain_zone_maps(old_zm, base, batch, "id", "v", 10, ["w"])
+    merged = base.join(batch.select("id"), "id", "left_anti").unionByName(
+        batch
+    )
+    want = zone_maps(merged, layout_shard("v", 10), ["w"])
+    key = lambda r: tuple(r)
+    assert sorted(map(key, got.collect()), key=str) == sorted(
+        map(key, want.collect()), key=str
+    )
+    assert None in {r["shard"] for r in got.collect()}
