@@ -101,6 +101,7 @@ _MUST_GATE = [
     "retention_cohorts",  # first-active-day cohort × day-offset retention counts
     "streaming_zone_maps",  # zone-map stats maintained per CDC micro-batch
     "source_token_drift",  # integer L1 unigram-distribution drift per source
+    "corpus_read_asof",  # time-travel read: latest version ≤ k per doc
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -129,8 +130,8 @@ _EARLY = _MUST_GATE + [
     "dataset_shard_manifest",
     "streaming_doc_quality",
     "corpus_upsert_latest",
+    # --- 50-cap falls here (37 must-gate + 13 above) ---
     "events_zorder_layout",
-    # --- 50-cap falls here (36 must-gate + 14 above) ---
     "ann_retrieve_docs",
     "events_json_extract",
     # past-the-cap: single-r5-green entries that lose their seat to the

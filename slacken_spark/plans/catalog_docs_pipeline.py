@@ -927,3 +927,64 @@ def inverted_index_query(spark, sf_dir):
     docs = tp(spark, sf_dir, "documents")
     idx = inverted_index(docs, X.tokens(F.col("text")), segment_rows=100)
     return query_index(idx, list(_QUERY_TERMS), 20)
+
+
+@register(
+    "corpus_read_asof",
+    """
+    WITH versions AS (
+        SELECT doc_id, text, 1 AS version FROM documents
+        UNION ALL
+        SELECT doc_id, 'v2 ' || text AS text, 2 AS version
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, 'v3 ' || text AS text, 3 AS version
+        FROM documents WHERE doc_id % 20 = 0),
+    r AS (SELECT doc_id, text, version,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY version DESC) AS rn
+          FROM versions WHERE version <= 2)
+    SELECT doc_id, CAST(version AS BIGINT) AS version_used,
+           md5(text) AS text_digest
+    FROM r WHERE rn = 1
+    """,
+)
+def corpus_read_asof(spark, sf_dir):
+    """Time-travel read (SELECT ... VERSION AS OF k): with a version
+    history of base (v1) plus two CDC drops (v2 touches every 10th
+    doc, v3 every 20th), reconstruct the corpus AS OF version 2 —
+    each doc resolves to its latest version ≤ 2, so v3 rows must be
+    invisible and v2 docs must NOT fall back to v1 (reading a MIDDLE
+    version proves the filter is bounded on both sides, not
+    latest-wins). Completes the dataset-versioning family:
+    corpus_upsert_latest (HEAD read) / corpus_diff (release compare) /
+    this (historical read — what reproducing last month's training
+    run needs). Same single doc_id-window shuffle as the upsert; the
+    version filter prunes BEFORE the window, so cost scales with the
+    surviving versions, exactly like a table format replaying its
+    log up to snapshot k."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.lit(1).alias("version"))
+    v2 = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    v3 = docs.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v3 "), F.col("text")).alias("text"),
+        F.lit(3).alias("version"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+    return (
+        base.unionAll(v2)
+        .unionAll(v3)
+        .where(F.col("version") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("version").cast("long").alias("version_used"),
+            F.md5("text").alias("text_digest"),
+        )
+    )
