@@ -67,3 +67,26 @@ def test_pagerank_rejects_bad_iters(spark):
     pairs = spark.createDataFrame(PAIRS, "id_a long, id_b long")
     with pytest.raises(ValueError):
         pagerank_int(pairs, iters=0)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_pagerank_matches_reference_on_random_graphs(spark, seed):
+    """Randomized model equivalence: Erdős–Rényi-ish graphs with
+    self-loop-free deduped edges, degrees 1..n-1."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 25)
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(rng.randint(n, 3 * n))
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: (r["deg"], r["rank"])
+        for r in pagerank_int(df, iters=3).collect()
+    }
+    assert got == _reference(pairs, 3)

@@ -270,3 +270,32 @@ def test_histogram_sketch_rejects_bad_args(spark):
         histogram_quantiles(hist, 10, [])
     with pytest.raises(ValueError):
         histogram_quantiles(hist, 10, [0])
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_histogram_quantiles_match_model_randomized(spark, seed):
+    import random
+
+    from slacken_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    rng = random.Random(seed)
+    groups = ["a", "b", "c"][: rng.randint(1, 3)]
+    rows, want = [], {}
+    for g in groups:
+        cents = [rng.randint(0, 5000) for _ in range(rng.randint(1, 120))]
+        rows += [(g, c / 100.0) for c in cents]
+        want[g] = _hq_model(cents, 250, [50, 95])
+    df = spark.createDataFrame(rows, "grp string, value double")
+    hist = histogram_sketch(df, "grp", F.round(F.col("value") * 100), 250)
+    got = {
+        r["grp"]: {
+            "n": r["n"],
+            "q50_ub_cents": r["q50_ub_cents"],
+            "q95_ub_cents": r["q95_ub_cents"],
+        }
+        for r in histogram_quantiles(hist, 250, [50, 95]).collect()
+    }
+    assert got == want
