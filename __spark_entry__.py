@@ -102,6 +102,7 @@ _MUST_GATE = [
     "streaming_zone_maps",  # zone-map stats maintained per CDC micro-batch
     "source_token_drift",  # integer L1 unigram-distribution drift per source
     "corpus_read_asof",  # time-travel read: latest version ≤ k per doc
+    "streaming_running_totals",  # applyInPandasWithState custom stateful op
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -129,8 +130,8 @@ _EARLY = _MUST_GATE + [
     "bpe_top_pairs",
     "dataset_shard_manifest",
     "streaming_doc_quality",
+    # --- 50-cap falls here (38 must-gate + 12 above) ---
     "corpus_upsert_latest",
-    # --- 50-cap falls here (37 must-gate + 13 above) ---
     "events_zorder_layout",
     "ann_retrieve_docs",
     "events_json_extract",

@@ -496,3 +496,42 @@ def streaming_zone_maps(spark, sf_dir):
         )
     )
     return spark.createDataFrame(final, zm_schema)
+
+
+@register(
+    "streaming_running_totals",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events_total,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_running_totals(spark, sf_dir):
+    """CUSTOM stateful streaming operator under the gate
+    (streaming/ops.running_user_totals — applyInPandasWithState):
+    per-user running (count, total) maintained in the state store
+    across micro-batches, the template for any bespoke streaming
+    kernel the SQL surface can't express (Arrow-batched per key
+    group, GroupState row per user — state is key-cardinality-sized,
+    never event-sized). Values enter as EXACT CENTS cast to double
+    (integer-valued doubles sum exactly in any order below 2^53), so
+    the final totals hash-gate against the batch aggregation. The
+    memory sink in update mode keeps every per-batch emission; the
+    final per-user row is the max (running totals of nonnegative
+    adds are monotone), which also pins multi-batch runs. Cross-
+    micro-batch sequencing and checkpoint-restart of the same
+    operator are pinned in tests/test_streaming.py."""
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir).select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("double").alias("value"),
+        )
+        out = ops.running_user_totals(stream)
+        final = ops.run_to_completion(
+            out, output_mode="update", shuffle_partitions=8
+        )
+    return final.groupBy("user_id").agg(
+        F.max("n_events_total").cast("long").alias("n_events_total"),
+        F.max("value_total").cast("long").alias("cents_total"),
+    )
