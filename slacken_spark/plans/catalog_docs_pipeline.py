@@ -565,18 +565,54 @@ def inverted_index_patch(spark, sf_dir):
 # Corpus upsert (CDC latest-wins merge — dataset versioning)
 # ---------------------------------------------------------------------------
 
+# ONE definition of the deterministic version history shared by the
+# whole dataset-versioning family (corpus_upsert_latest reads HEAD of
+# versions 1-2; corpus_read_asof reads AS OF 2 with version 3 present)
+# — a change to an update-batch rule cannot desynchronize the family.
+# v1 = base corpus, v2 touches every 10th doc, v3 every 20th.
+_VERSION_RULES = [
+    (2, 10, "v2 "),
+    (3, 20, "v3 "),
+]
+
+
+def _versions_sql(upto: int) -> str:
+    """CTE body ``versions`` = (doc_id, text, version) for versions
+    1..upto."""
+    parts = ["SELECT doc_id, text, 1 AS version FROM documents"]
+    for v, mod, prefix in _VERSION_RULES:
+        if v <= upto:
+            parts.append(
+                f"SELECT doc_id, '{prefix}' || text AS text, {v} AS version"
+                f"\n        FROM documents WHERE doc_id % {mod} = 0"
+            )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+def _version_history(docs, upto: int):
+    """DataFrame twin of ``_versions_sql``."""
+    out = docs.select("doc_id", "text", F.lit(1).alias("version"))
+    for v, mod, prefix in _VERSION_RULES:
+        if v <= upto:
+            out = out.unionAll(
+                docs.where(F.col("doc_id") % mod == 0).select(
+                    "doc_id",
+                    F.concat(F.lit(prefix), F.col("text")).alias("text"),
+                    F.lit(v).alias("version"),
+                )
+            )
+    return out
+
 
 @register(
     "corpus_upsert_latest",
-    """
-    WITH base AS (SELECT doc_id, text, 1 AS version FROM documents),
-    updates AS (SELECT doc_id, 'v2 ' || text AS text, 2 AS version
-                FROM documents WHERE doc_id % 10 = 0),
-    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+    f"""
+    WITH versions AS (
+        {_versions_sql(2)}),
     r AS (SELECT doc_id, text, version,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY version DESC) AS rn
-          FROM unioned)
+          FROM versions)
     SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS text_digest
     FROM r WHERE rn = 1
     """,
@@ -591,15 +627,9 @@ def corpus_upsert_latest(spark, sf_dir):
     deterministic 'v2' update batch (every 10th doc) lets the oracle
     replay the merge exactly."""
     docs = t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text", F.lit(1).alias("version"))
-    updates = docs.where(F.col("doc_id") % 10 == 0).select(
-        "doc_id",
-        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
-        F.lit(2).alias("version"),
-    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
     return (
-        base.unionAll(updates)
+        _version_history(docs, upto=2)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
@@ -931,15 +961,9 @@ def inverted_index_query(spark, sf_dir):
 
 @register(
     "corpus_read_asof",
-    """
+    f"""
     WITH versions AS (
-        SELECT doc_id, text, 1 AS version FROM documents
-        UNION ALL
-        SELECT doc_id, 'v2 ' || text AS text, 2 AS version
-        FROM documents WHERE doc_id % 10 = 0
-        UNION ALL
-        SELECT doc_id, 'v3 ' || text AS text, 3 AS version
-        FROM documents WHERE doc_id % 20 = 0),
+        {_versions_sql(3)}),
     r AS (SELECT doc_id, text, version,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY version DESC) AS rn
@@ -964,21 +988,9 @@ def corpus_read_asof(spark, sf_dir):
     surviving versions, exactly like a table format replaying its
     log up to snapshot k."""
     docs = t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text", F.lit(1).alias("version"))
-    v2 = docs.where(F.col("doc_id") % 10 == 0).select(
-        "doc_id",
-        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
-        F.lit(2).alias("version"),
-    )
-    v3 = docs.where(F.col("doc_id") % 20 == 0).select(
-        "doc_id",
-        F.concat(F.lit("v3 "), F.col("text")).alias("text"),
-        F.lit(3).alias("version"),
-    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
     return (
-        base.unionAll(v2)
-        .unionAll(v3)
+        _version_history(docs, upto=3)
         .where(F.col("version") <= 2)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

@@ -525,7 +525,7 @@ def streaming_running_totals(spark, sf_dir):
     with _utc_session(spark):
         stream = _event_stream(spark, sf_dir).select(
             "user_id",
-            F.round(F.col("value") * 100).cast("double").alias("value"),
+            F.round(F.col("value") * 100).alias("value"),
         )
         out = ops.running_user_totals(stream)
         final = ops.run_to_completion(
