@@ -344,6 +344,82 @@ def cmd_display_report(args) -> int:
     return 0
 
 
+
+def cmd_corpus_report(args) -> int:
+    """Corpus monitoring report: per-source document/token counts, the
+    integer-L1 unigram drift of each source vs the whole corpus, a
+    token-length quantile sketch (p50/p95 upper bounds per source),
+    and the corpus's length-layout zone maps — the dataset card /
+    ingest-health surface over the SAME library operators the catalog
+    gates (text.source_unigram_drift, sketch.histogram_sketch,
+    skipping.zone_maps). Prints ONE JSON object."""
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions import text as X
+    from slacken_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from slacken_spark.functions.skipping import layout_shard, zone_maps
+    from slacken_spark.sources.docs import read_documents
+
+    spark = _spark(args)
+    docs = read_documents(
+        spark,
+        args.input,
+        fmt=args.format,
+        id_col=None if args.derive_ids else "doc_id",
+    )
+    sized = docs.withColumn(
+        "n_tokens", X.token_count(F.col("text")).cast("long")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    # the explode-heavy drift pass and the three cheap stats passes
+    # share the ingested corpus — persist once around them
+    sized = sized.persist()
+    per_source = {
+        r["source"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+        for r in sized.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    for r in X.source_unigram_drift(sized, "text", "source").collect():
+        per_source[r["source"]]["drift_l1_num"] = r["l1_num"]
+        per_source[r["source"]]["drift_denom"] = r["denom"]
+    hist = histogram_sketch(sized, "source", F.col("n_tokens"), args.qbin)
+    for r in histogram_quantiles(hist, args.qbin, [50, 95]).collect():
+        per_source[r["grp"]]["p50_tokens_ub"] = r["q50_ub_cents"]
+        per_source[r["grp"]]["p95_tokens_ub"] = r["q95_ub_cents"]
+    zm = [
+        {
+            "shard": r["shard"],
+            "n_rows": r["n_rows"],
+            "min_n_tokens": r["min_n_tokens"],
+            "max_n_tokens": r["max_n_tokens"],
+        }
+        for r in zone_maps(
+            sized, layout_shard("n_chars", args.zm_width), ["n_tokens"]
+        )
+        .orderBy("shard")
+        .collect()
+    ]
+    sized.unpersist()
+    print(
+        json.dumps(
+            {
+                "n_docs": sum(v["n_docs"] for v in per_source.values()),
+                "n_tokens": sum(v["n_tokens"] for v in per_source.values()),
+                "sources": per_source,
+                "zone_maps": zm,
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """Training-data pipeline driver: ingest → quality filter → dedup →
     per-source quota sampling → pack → deterministic shard publish,
@@ -599,6 +675,33 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--min-percent", type=float)
     dr.add_argument("--clades", help="file with one taxon id per line")
     dr.set_defaults(fn=cmd_display_report)
+
+    cr = sub.add_parser(
+        "corpus-report",
+        help="corpus monitoring: per-source stats, drift, quantiles, zone maps",
+    )
+    cr.add_argument("--input", required=True, help="corpus path/glob")
+    cr.add_argument(
+        "--format", default="jsonl", choices=("parquet", "jsonl", "csv", "text")
+    )
+    cr.add_argument(
+        "--derive-ids",
+        action="store_true",
+        help="derive content-addressed doc ids (input has no doc_id column)",
+    )
+    cr.add_argument(
+        "--qbin",
+        type=int,
+        default=16,
+        help="token-length quantile-sketch bin width (error bound)",
+    )
+    cr.add_argument(
+        "--zm-width",
+        type=int,
+        default=256,
+        help="zone-map layout shard width over n_chars",
+    )
+    cr.set_defaults(fn=cmd_corpus_report)
 
     pl = sub.add_parser(
         "pipeline",

@@ -320,3 +320,60 @@ def boilerplate_scrub(
         id_col, "pos"
     )
     return _scrub_rebuild(df, pos_toks, covered_starts, text_col, id_col, n)
+
+
+def source_unigram_drift(docs, text_col: str = "text",
+                         group_col: str = "source"):
+    """Per-group unigram-distribution drift vs the whole corpus as an
+    exact integer fraction: ``l1_num / denom`` with
+    ``l1_num = Σ_w |n_g(w)·N − n(w)·N_g|`` and ``denom = N_g·N`` — the
+    L1 distance between the group's and the corpus's token
+    distributions, cross-multiplied so the whole computation is int64
+    (exact while ``N·max n_g(w) < 2^63``; rescale counts above that).
+    Terms ABSENT from a group contribute ``(N − Σ_{w∈G} n(w))·N_g``
+    in closed form, so nothing materializes group × vocabulary.
+
+    Scale shape: one (group, token) partial-agg shuffle over
+    occurrences; the vocabulary and per-group totals reduce those
+    ALREADY-aggregated rows and broadcast back (Heaps' law).
+    Returns ``(group_col, l1_num, denom)``. ONE definition shared by
+    the ``source_token_drift`` catalog entry and the CLI report.
+    """
+    o = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    sc = o.groupBy("_g", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    st = sc.groupBy("_g").agg(F.sum("ns").cast("long").alias("nsrc"))
+    vc = sc.groupBy("tok").agg(F.sum("ns").cast("long").alias("nc"))
+    n_total = vc.agg(F.sum("nc").cast("long").alias("n"))
+    present = (
+        sc.join(F.broadcast(vc), "tok")
+        .join(F.broadcast(st), "_g")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.abs(F.col("ns") * F.col("n") - F.col("nc") * F.col("nsrc"))
+            )
+            .cast("long")
+            .alias("l1_present"),
+            F.sum("nc").cast("long").alias("nc_present"),
+        )
+    )
+    return (
+        present.join(F.broadcast(st), "_g")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("_g").alias(group_col),
+            (
+                F.col("l1_present")
+                + (F.col("n") - F.col("nc_present")) * F.col("nsrc")
+            )
+            .cast("long")
+            .alias("l1_num"),
+            (F.col("nsrc") * F.col("n")).cast("long").alias("denom"),
+        )
+    )

@@ -948,38 +948,4 @@ def source_token_drift(spark, sf_dir):
     rows and broadcast back (Heaps' law, the tfidf_top_terms
     argument)."""
     docs = tp(spark, sf_dir, "documents")
-    o = docs.select(
-        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
-    )
-    sc = o.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("ns")
-    )
-    st = sc.groupBy("source").agg(F.sum("ns").cast("long").alias("nsrc"))
-    vc = sc.groupBy("tok").agg(F.sum("ns").cast("long").alias("nc"))
-    n_total = vc.agg(F.sum("nc").cast("long").alias("n"))
-    present = (
-        sc.join(F.broadcast(vc), "tok")
-        .join(F.broadcast(st), "source")
-        .crossJoin(F.broadcast(n_total))
-        .groupBy("source")
-        .agg(
-            F.sum(F.abs(F.col("ns") * F.col("n") - F.col("nc") * F.col("nsrc")))
-            .cast("long")
-            .alias("l1_present"),
-            F.sum("nc").cast("long").alias("nc_present"),
-        )
-    )
-    return (
-        present.join(F.broadcast(st), "source")
-        .crossJoin(F.broadcast(n_total))
-        .select(
-            "source",
-            (
-                F.col("l1_present")
-                + (F.col("n") - F.col("nc_present")) * F.col("nsrc")
-            )
-            .cast("long")
-            .alias("l1_num"),
-            (F.col("nsrc") * F.col("n")).cast("long").alias("denom"),
-        )
-    )
+    return X.source_unigram_drift(docs, "text", "source")

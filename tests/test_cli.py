@@ -392,3 +392,47 @@ def test_pipeline_cli_refuses_pack_with_doc_granular_layouts(tmp_path, capsys):
     )
     assert rc == 2
     assert "cannot be combined" in capsys.readouterr().err
+
+
+def test_corpus_report_cli(tmp_path, spark):
+    """corpus-report subcommand: one JSON object with per-source
+    stats + drift + quantile sketch + zone maps, cross-checked
+    against the raw corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from slacken_spark.cli import main
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        for i in range(30):
+            source = "web" if i % 3 else "books"
+            text = " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9))
+            f.write(
+                json.dumps({"doc_id": i, "source": source, "text": text})
+                + "\n"
+            )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["corpus-report", "--input", str(src), "--format", "jsonl",
+             "--qbin", "4", "--zm-width", "16"]
+        )
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["n_docs"] == 30
+    assert set(rep["sources"]) == {"web", "books"}
+    web = rep["sources"]["web"]
+    assert web["n_docs"] == 20
+    for k in ("n_tokens", "drift_l1_num", "drift_denom",
+              "p50_tokens_ub", "p95_tokens_ub"):
+        assert isinstance(web[k], int), k
+    # drift is a valid L1 fraction — total variation doubles to an L1
+    # of at most 2, so the numerator is bounded by 2·denom, not denom
+    assert 0 <= web["drift_l1_num"] <= 2 * web["drift_denom"]
+    assert web["drift_l1_num"] > 0, "distinct sources must show drift"
+    # quantile sketch bracket: p50 upper bound is within one bin of a
+    # true token count (docs have 5..13 tokens; bin width 4)
+    assert 4 <= web["p50_tokens_ub"] <= 16
+    # zone maps cover every doc exactly once
+    assert sum(z["n_rows"] for z in rep["zone_maps"]) == 30
