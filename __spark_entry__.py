@@ -103,6 +103,7 @@ _MUST_GATE = [
     "source_token_drift",  # integer L1 unigram-distribution drift per source
     "corpus_read_asof",  # time-travel read: latest version ≤ k per doc
     "streaming_running_totals",  # applyInPandasWithState custom stateful op
+    "value_quantile_delta",  # histogram linearity: hist − old + new ≡ rebuild
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -129,8 +130,8 @@ _EARLY = _MUST_GATE + [
     "doc_dupspan_scrub",
     "bpe_top_pairs",
     "dataset_shard_manifest",
+    # --- 50-cap falls here (39 must-gate + 11 above) ---
     "streaming_doc_quality",
-    # --- 50-cap falls here (38 must-gate + 12 above) ---
     "corpus_upsert_latest",
     "events_zorder_layout",
     "ann_retrieve_docs",

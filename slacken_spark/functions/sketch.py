@@ -221,3 +221,34 @@ def histogram_quantiles(
             .alias(f"q{p}_ub_cents")
         )
     return cur.groupBy("grp").agg(*aggs)
+
+
+def histogram_maintain(
+    hist: DataFrame,
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    group_col: str,
+    cents,
+    bin_width: int,
+) -> DataFrame:
+    """Incremental histogram maintenance under a CDC replacement batch
+    — the quantile-sketch twin of ``cms_maintain``: a histogram is
+    LINEAR in its row stream (every bin count is a sum), so replacing
+    rows subtracts their old bins and adds the new ones' —
+    ``hist' = hist − hist(old) + hist(new)``, bin-exact, no corpus
+    rescan. Bins that reach zero drop (a from-scratch histogram has no
+    zero bins), so maintained ≡ rebuilt, row for row. Cost at 100 TB:
+    two batch-sized map-side partial aggregations plus one
+    sketch-sized merge shuffle — the stored quantile sketch stays
+    current without re-scanning values."""
+    neg = histogram_sketch(old_rows, group_col, cents, bin_width).select(
+        "grp", "bin", (-F.col("n")).alias("n")
+    )
+    pos = histogram_sketch(new_rows, group_col, cents, bin_width)
+    merged = (
+        hist.unionByName(neg)
+        .unionByName(pos)
+        .groupBy("grp", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return merged.where(F.col("n") != 0)

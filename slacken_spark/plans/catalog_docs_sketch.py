@@ -228,3 +228,43 @@ def value_quantile_sketch(spark, sf_dir):
     return q.select(
         F.col("grp").alias("event_type"), "n", "q50_ub_cents", "q95_ub_cents"
     )
+
+
+@register(
+    "value_quantile_delta",
+    f"""
+    WITH m AS (
+        SELECT event_type,
+               CASE WHEN event_id % 25 = 0 THEN value + 10
+                    ELSE value END AS value
+        FROM events)
+    SELECT event_type,
+           CAST(round(value*100) AS BIGINT) // {_HQ_BIN} AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2
+    """,
+)
+def value_quantile_delta(spark, sf_dir):
+    """CDC maintenance for the quantile sketch (functions.sketch.
+    histogram_maintain): a correction batch revalues every 25th event
+    (+$10), and the stored histogram absorbs it by LINEARITY —
+    hist − hist(old rows) + hist(new rows), bin-exact, zero-count
+    bins dropped — without rescanning the value column. The oracle is
+    the strongest invariant: a from-scratch histogram of the merged
+    stream, row for row (the same maintained ≡ rebuilt contract as
+    doc_heavy_hitters_delta; sketch maintenance now spans CMS
+    batch/stream/CDC and histogram batch/CDC). Cost: two batch-sized
+    partial aggregations + one sketch-sized merge shuffle."""
+    from slacken_spark.functions.sketch import (
+        histogram_maintain,
+        histogram_sketch,
+    )
+    from slacken_spark.plans.catalog import t
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cents = F.round(F.col("value") * 100)
+    hist = histogram_sketch(ev, "event_type", cents, _HQ_BIN)
+    old = ev.where(F.col("event_id") % 25 == 0)
+    new = old.withColumn("value", F.col("value") + 10)
+    out = histogram_maintain(hist, old, new, "event_type", cents, _HQ_BIN)
+    return out.select(F.col("grp").alias("event_type"), "bin", "n")

@@ -299,3 +299,35 @@ def test_histogram_quantiles_match_model_randomized(spark, seed):
         for r in histogram_quantiles(hist, 250, [50, 95]).collect()
     }
     assert got == want
+
+
+def test_histogram_maintain_equals_rebuild(spark):
+    """Histogram linearity: hist − hist(old) + hist(new) ≡ from-scratch
+    histogram of the merged rows, including bins emptied to zero (must
+    DROP) and brand-new bins."""
+    from slacken_spark.functions.sketch import (
+        histogram_maintain,
+        histogram_sketch,
+    )
+
+    base_rows = [("a", float(v)) for v in (1, 2, 2, 9, 9, 30)] + [
+        ("b", float(v)) for v in (5, 5)
+    ]
+    # replace: both 9s move to 500 (bin of 9-cents empties → drops;
+    # new far bin appears); one b row changes within its bin
+    old = [("a", 9.0), ("a", 9.0), ("b", 5.0)]
+    new = [("a", 500.0), ("a", 500.0), ("b", 5.5)]
+    df = lambda rows: spark.createDataFrame(rows, "grp string, value double")
+    cents = F.round(F.col("value") * 100)
+    hist = histogram_sketch(df(base_rows), "grp", cents, 250)
+    maintained = histogram_maintain(hist, df(old), df(new), "grp", cents, 250)
+    merged = [r for r in base_rows]
+    for o in old:
+        merged.remove(o)
+    merged += new
+    rebuilt = histogram_sketch(df(merged), "grp", cents, 250)
+    as_rows = lambda d: {(r["grp"], r["bin"]): r["n"] for r in d.collect()}
+    got, want = as_rows(maintained), as_rows(rebuilt)
+    assert got == want
+    assert ("a", 0) in got  # 1,2,2 stay
+    assert all(n > 0 for n in got.values())  # zeroed bins dropped
