@@ -104,6 +104,7 @@ _MUST_GATE = [
     "corpus_read_asof",  # time-travel read: latest version ≤ k per doc
     "streaming_running_totals",  # applyInPandasWithState custom stateful op
     "value_quantile_delta",  # histogram linearity: hist − old + new ≡ rebuild
+    "streaming_value_quantiles",  # per-micro-batch histograms merge to the batch sketch
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -129,8 +130,8 @@ _EARLY = _MUST_GATE + [
     "tfidf_top_terms",
     "doc_dupspan_scrub",
     "bpe_top_pairs",
+    # --- 50-cap falls here (40 must-gate + 10 above) ---
     "dataset_shard_manifest",
-    # --- 50-cap falls here (39 must-gate + 11 above) ---
     "streaming_doc_quality",
     "corpus_upsert_latest",
     "events_zorder_layout",

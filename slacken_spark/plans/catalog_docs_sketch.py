@@ -175,9 +175,11 @@ def doc_heavy_hitters_delta(spark, sf_dir):
 _HQ_BIN = 250  # cents per bin: ≤ ~200 bins over the value range
 
 
-@register(
-    "value_quantile_sketch",
-    f"""
+# shared by the batch operator and its streaming twin
+# (catalog_streaming.streaming_value_quantiles): the sketch is
+# mergeable by count addition, so the stream must reproduce the batch
+# read-off exactly
+VALUE_QUANTILE_ORACLE_SQL = f"""
     WITH h AS (
         SELECT event_type AS grp,
                CAST(round(value*100) AS BIGINT) // {_HQ_BIN} AS bin,
@@ -198,8 +200,10 @@ _HQ_BIN = 250  # cents per bin: ≤ ~200 bins over the value range
                          THEN (bin+1)*{_HQ_BIN} END) AS BIGINT)
              AS q95_ub_cents
     FROM c GROUP BY grp
-    """,
-)
+    """
+
+
+@register("value_quantile_sketch", VALUE_QUANTILE_ORACLE_SQL)
 def value_quantile_sketch(spark, sf_dir):
     """Approximate per-group quantiles through a fixed-bin histogram
     sketch (functions.sketch.histogram_sketch / histogram_quantiles)

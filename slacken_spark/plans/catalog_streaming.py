@@ -535,3 +535,51 @@ def streaming_running_totals(spark, sf_dir):
         F.max("n_events_total").cast("long").alias("n_events_total"),
         F.max("value_total").cast("long").alias("cents_total"),
     )
+
+
+from slacken_spark.plans.catalog_docs_sketch import (  # noqa: E402
+    _HQ_BIN,
+    VALUE_QUANTILE_ORACLE_SQL,
+)
+
+
+@register("streaming_value_quantiles", VALUE_QUANTILE_ORACLE_SQL)
+def streaming_value_quantiles(spark, sf_dir):
+    """Streaming quantile-sketch maintenance (streaming/ops.
+    histogram_stream): the events table arrives AS A REAL STREAM and
+    each micro-batch folds into a partial fixed-bin histogram;
+    partial histograms merge by plain count addition (the sketch's
+    mergeability), and the p50/p95 read-off over the merged sketch
+    gates against the SAME oracle as the batch value_quantile_sketch
+    — the differential pattern streaming_heavy_hitters uses for the
+    CMS grid. The quantile-sketch family is now symmetric with CMS:
+    batch / STREAM / CDC. Per-batch cost is one map-side partial
+    aggregation collapsing to sketch size; the accumulated cells are
+    ≤ batches × groups × bins, merged once at the end (in production
+    the sink MERGEs bins into a counters table instead)."""
+    from slacken_spark.functions.sketch import histogram_quantiles
+
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir).select(
+            "event_type", "value"
+        )
+        cells: list = []
+
+        def sink(hist_df, _epoch):
+            cells.extend(hist_df.collect())
+
+        ops.run_foreach_to_completion(
+            ops.histogram_stream(
+                stream, sink, "event_type",
+                F.round(F.col("value") * 100), _HQ_BIN,
+            )
+        )
+    merged = (
+        spark.createDataFrame(cells, "grp string, bin bigint, n bigint")
+        .groupBy("grp", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    q = histogram_quantiles(merged, _HQ_BIN, [50, 95])
+    return q.select(
+        F.col("grp").alias("event_type"), "n", "q50_ub_cents", "q95_ub_cents"
+    )

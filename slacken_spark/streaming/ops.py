@@ -423,3 +423,31 @@ def zone_maps_stream(base: DataFrame, zm: DataFrame, upd_stream: DataFrame,
         state["base"] = _advance_base(state["base"], batch_df, id_col)
 
     return upd_stream.writeStream.foreachBatch(process)
+
+
+def histogram_stream(value_stream: DataFrame, sink, group_col: str,
+                     cents, bin_width: int):
+    """Streaming quantile-sketch accumulation: each micro-batch folds
+    into a partial fixed-bin histogram (functions.sketch.
+    histogram_sketch) handed to ``sink(hist_df, epoch_id)`` — the CMS
+    pattern applied to the quantile sketch, whose mergeability is
+    plain count addition: hist(batch_1 ∪ batch_2) == per-batch
+    histograms summed bin for bin, so a continuously-arriving value
+    stream maintains the same sketch (and therefore the same p50/p95
+    read-off) a batch pass would build. Per-batch cost is one
+    map-side partial aggregation collapsing to sketch size; in
+    production the sink MERGEs bins into a counters table.
+
+    Returns the DataStreamWriter (caller adds trigger and starts).
+    """
+    from slacken_spark.functions.sketch import histogram_sketch
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sink(
+            histogram_sketch(batch_df, group_col, cents, bin_width),
+            epoch_id,
+        )
+
+    return value_stream.writeStream.foreachBatch(process)

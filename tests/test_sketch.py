@@ -331,3 +331,53 @@ def test_histogram_maintain_equals_rebuild(spark):
     assert got == want
     assert ("a", 0) in got  # 1,2,2 stay
     assert all(n > 0 for n in got.values())  # zeroed bins dropped
+
+
+def test_streaming_histogram_two_batches_merge_to_batch_sketch(
+    spark, tmp_path
+):
+    """histogram_stream over a two-file stream (maxFilesPerTrigger=1 →
+    two genuine micro-batches): the accumulated bins sum to the EXACT
+    histogram of one batch pass over the union, so the stream's
+    quantile read-off equals the batch sketch's."""
+    from slacken_spark.functions.sketch import histogram_sketch
+    from slacken_spark.streaming import ops
+
+    rows = [("a", float(i % 37)) for i in range(160)] + [
+        ("b", float(i % 11)) for i in range(80)
+    ]
+    a = spark.createDataFrame(rows[::2], "grp string, value double")
+    b = spark.createDataFrame(rows[1::2], "grp string, value double")
+    a.coalesce(1).write.parquet(str(tmp_path / "src" / "a.parquet"))
+    b.coalesce(1).write.parquet(str(tmp_path / "src" / "b.parquet"))
+    stream = (
+        spark.readStream.schema("grp string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(tmp_path / "src") + "/*/")
+    )
+    cells, epochs = [], []
+
+    def sink(hist_df, epoch):
+        epochs.append(epoch)
+        cells.extend(hist_df.collect())
+
+    ops.run_foreach_to_completion(
+        ops.histogram_stream(
+            stream, sink, "grp", F.round(F.col("value") * 100), 250
+        )
+    )
+    assert len(set(epochs)) >= 2, "expected two micro-batches"
+    merged = (
+        spark.createDataFrame(cells, "grp string, bin bigint, n bigint")
+        .groupBy("grp", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    whole = histogram_sketch(
+        spark.createDataFrame(rows, "grp string, value double"),
+        "grp",
+        F.round(F.col("value") * 100),
+        250,
+    )
+    as_rows = lambda d: {(r["grp"], r["bin"]): r["n"] for r in d.collect()}
+    assert as_rows(merged) == as_rows(whole)
