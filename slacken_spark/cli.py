@@ -370,6 +370,12 @@ def cmd_corpus_report(args) -> int:
         fmt=args.format,
         id_col=None if args.derive_ids else "doc_id",
     )
+    # null-safe monitoring keys: a row with no source must not crash
+    # the JSON render (None is unsortable against str keys) and null
+    # text must not produce size(split(NULL)) = -1 token counts
+    docs = docs.withColumn(
+        "source", F.coalesce(F.col("source"), F.lit("(null)"))
+    ).withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     sized = docs.withColumn(
         "n_tokens", X.token_count(F.col("text")).cast("long")
     ).withColumn("n_chars", F.length("text").cast("long"))
@@ -385,6 +391,12 @@ def cmd_corpus_report(args) -> int:
         )
         .collect()
     }
+    # a source whose docs carry no tokens yields no drift row (its
+    # distribution is undefined); emit explicit nulls so every source
+    # object has the same schema
+    for v in per_source.values():
+        v["drift_l1_num"] = None
+        v["drift_denom"] = None
     for r in X.source_unigram_drift(sized, "text", "source").collect():
         per_source[r["source"]]["drift_l1_num"] = r["l1_num"]
         per_source[r["source"]]["drift_denom"] = r["denom"]

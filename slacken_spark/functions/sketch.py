@@ -223,6 +223,16 @@ def histogram_quantiles(
     return cur.groupBy("grp").agg(*aggs)
 
 
+def histogram_merge(cells: DataFrame) -> DataFrame:
+    """Merge partial histograms (per-slice, per-micro-batch, or the
+    signed frames CDC maintenance unions) by adding counts per
+    (grp, bin) — the ONE definition of the sketch's mergeability,
+    mirroring ``cms_merge``."""
+    return cells.groupBy("grp", "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
 def histogram_maintain(
     hist: DataFrame,
     old_rows: DataFrame,
@@ -245,10 +255,5 @@ def histogram_maintain(
         "grp", "bin", (-F.col("n")).alias("n")
     )
     pos = histogram_sketch(new_rows, group_col, cents, bin_width)
-    merged = (
-        hist.unionByName(neg)
-        .unionByName(pos)
-        .groupBy("grp", "bin")
-        .agg(F.sum("n").cast("long").alias("n"))
-    )
+    merged = histogram_merge(hist.unionByName(neg).unionByName(pos))
     return merged.where(F.col("n") != 0)

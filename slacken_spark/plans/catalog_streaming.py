@@ -557,7 +557,10 @@ def streaming_value_quantiles(spark, sf_dir):
     aggregation collapsing to sketch size; the accumulated cells are
     ≤ batches × groups × bins, merged once at the end (in production
     the sink MERGEs bins into a counters table instead)."""
-    from slacken_spark.functions.sketch import histogram_quantiles
+    from slacken_spark.functions.sketch import (
+        histogram_merge,
+        histogram_quantiles,
+    )
 
     with _utc_session(spark):
         stream = _event_stream(spark, sf_dir).select(
@@ -574,10 +577,8 @@ def streaming_value_quantiles(spark, sf_dir):
                 F.round(F.col("value") * 100), _HQ_BIN,
             )
         )
-    merged = (
+    merged = histogram_merge(
         spark.createDataFrame(cells, "grp string, bin bigint, n bigint")
-        .groupBy("grp", "bin")
-        .agg(F.sum("n").cast("long").alias("n"))
     )
     q = histogram_quantiles(merged, _HQ_BIN, [50, 95])
     return q.select(

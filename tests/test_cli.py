@@ -436,3 +436,33 @@ def test_corpus_report_cli(tmp_path, spark):
     assert 4 <= web["p50_tokens_ub"] <= 16
     # zone maps cover every doc exactly once
     assert sum(z["n_rows"] for z in rep["zone_maps"]) == 30
+
+
+def test_corpus_report_cli_null_source_and_text(tmp_path, spark):
+    """Review catch: a row with no source crashed the sorted JSON
+    render, and null text produced -1 token counts; both now
+    normalize, and a token-free source still emits a full-schema
+    object with explicit null drift."""
+    import io
+    from contextlib import redirect_stdout
+
+    from slacken_spark.cli import main
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "source": "web",
+                            "text": "alpha beta gamma"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "delta epsilon"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "source": "empty",
+                            "text": None}) + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["corpus-report", "--input", str(src), "--format", "jsonl"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(rep["sources"]) == {"web", "(null)", "empty"}
+    for v in rep["sources"].values():
+        assert set(v) >= {"n_docs", "n_tokens", "drift_l1_num",
+                          "drift_denom", "p50_tokens_ub", "p95_tokens_ub"}
+        assert v["n_tokens"] >= 0
+    assert rep["sources"]["web"]["drift_l1_num"] is not None

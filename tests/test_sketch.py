@@ -368,10 +368,10 @@ def test_streaming_histogram_two_batches_merge_to_batch_sketch(
         )
     )
     assert len(set(epochs)) >= 2, "expected two micro-batches"
-    merged = (
+    from slacken_spark.functions.sketch import histogram_merge
+
+    merged = histogram_merge(
         spark.createDataFrame(cells, "grp string, bin bigint, n bigint")
-        .groupBy("grp", "bin")
-        .agg(F.sum("n").cast("long").alias("n"))
     )
     whole = histogram_sketch(
         spark.createDataFrame(rows, "grp string, value double"),
