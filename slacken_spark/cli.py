@@ -370,15 +370,33 @@ def cmd_corpus_report(args) -> int:
         fmt=args.format,
         id_col=None if args.derive_ids else "doc_id",
     )
-    # null-safe monitoring keys: a row with no source must not crash
-    # the JSON render (None is unsortable against str keys) and null
-    # text must not produce size(split(NULL)) = -1 token counts
+    # Null-safe monitoring keys: a row with no source must not crash
+    # the JSON render (None is unsortable against str keys). The
+    # sentinel is chosen COLLISION-FREE against the corpus's real
+    # source names (a literal "(null)" source must not merge with the
+    # null-source population); the distinct-sources probe is one
+    # source-cardinality aggregation.
+    real_sources = {
+        r["source"]
+        for r in docs.select("source").distinct().collect()
+        if r["source"] is not None
+    }
+    null_key = "(null)"
+    while null_key in real_sources:
+        null_key += "~"
     docs = docs.withColumn(
-        "source", F.coalesce(F.col("source"), F.lit("(null)"))
+        "source", F.coalesce(F.col("source"), F.lit(null_key))
     ).withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    sized = docs.withColumn(
-        "n_tokens", X.token_count(F.col("text")).cast("long")
-    ).withColumn("n_chars", F.length("text").cast("long"))
+    # blank text is ZERO tokens (split of '' yields [''] — counting
+    # that as one token would let a single null-text row inject an
+    # empty-string token into every drift distribution and make a
+    # perfectly-matching source look drifted)
+    n_tokens = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(X.token_count(F.col("text")))
+    sized = docs.withColumn("n_tokens", n_tokens.cast("long")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
     # the explode-heavy drift pass and the three cheap stats passes
     # share the ingested corpus — persist once around them
     sized = sized.persist()
@@ -393,11 +411,13 @@ def cmd_corpus_report(args) -> int:
     }
     # a source whose docs carry no tokens yields no drift row (its
     # distribution is undefined); emit explicit nulls so every source
-    # object has the same schema
+    # object has the same schema. Blank-text docs are excluded from
+    # the drift distributions — they hold no tokens.
     for v in per_source.values():
         v["drift_l1_num"] = None
         v["drift_denom"] = None
-    for r in X.source_unigram_drift(sized, "text", "source").collect():
+    drift_in = sized.where(F.col("n_tokens") > 0)
+    for r in X.source_unigram_drift(drift_in, "text", "source").collect():
         per_source[r["source"]]["drift_l1_num"] = r["l1_num"]
         per_source[r["source"]]["drift_denom"] = r["denom"]
     hist = histogram_sketch(sized, "source", F.col("n_tokens"), args.qbin)

@@ -103,6 +103,40 @@ def zone_map_pruned_scan(spark, sf_dir):
     )
 
 
+
+# ONE definition of the zone-map CDC fixture shared by the batch
+# operator and its streaming twin (catalog_streaming.
+# streaming_zone_maps) — both gate against the shared rebuild oracle,
+# so the batch rule must not be able to desynchronize between them.
+ZM_BATCH_LO, ZM_BATCH_HI = 100, 149
+
+
+def zm_sized(docs):
+    """(doc_id, n_chars, n_tokens) — the stats frame every zone-map
+    entry builds over."""
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def zm_update_batch(df):
+    """The clustered re-clean batch: every doc in the n_chars
+    [ZM_BATCH_LO, ZM_BATCH_HI] band truncated to 'v2 ' + 80 chars (it
+    MOVES shards).
+    Pure column ops, so it applies to the batch table and to a
+    readStream frame alike."""
+    new_text = F.concat(F.lit("v2 "), F.substring("text", 1, 80))
+    return df.where(
+        F.col("n_chars").between(ZM_BATCH_LO, ZM_BATCH_HI)
+    ).select(
+        "doc_id",
+        F.length(new_text).cast("long").alias("n_chars"),
+        X.token_count(new_text).cast("long").alias("n_tokens"),
+    )
+
+
 _ZMM_TOKS = SQL_TOKENS.format(expr="t2")
 
 # shared by the batch operator and its streaming twin
@@ -110,7 +144,7 @@ _ZMM_TOKS = SQL_TOKENS.format(expr="t2")
 # batch, so both gate against the rebuild of the same merged corpus
 ZONE_MAP_MAINTAIN_ORACLE_SQL = f"""
     WITH m AS MATERIALIZED (
-        SELECT CASE WHEN n_chars BETWEEN 100 AND 149
+        SELECT CASE WHEN n_chars BETWEEN {ZM_BATCH_LO} AND {ZM_BATCH_HI}
                     THEN 'v2 ' || substr(text, 1, 80) ELSE text END AS t2
         FROM documents)
     SELECT CAST((len(t2) - (len(t2) % {_ZM_WIDTH})) // {_ZM_WIDTH} AS BIGINT)
@@ -139,18 +173,9 @@ def zone_map_maintain(spark, sf_dir):
     oracle IS that rebuild: zone maps recomputed from scratch over
     the merged corpus — maintenance ≡ rebuild, row for row."""
     docs = t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id",
-        "n_chars",
-        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
+    sized = zm_sized(docs)
     old_zm = zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
-    new_text = F.concat(F.lit("v2 "), F.substring("text", 1, 80))
-    batch = docs.where(F.col("n_chars").between(100, 149)).select(
-        "doc_id",
-        F.length(new_text).cast("long").alias("n_chars"),
-        X.token_count(new_text).cast("long").alias("n_tokens"),
-    )
+    batch = zm_update_batch(docs)
     return maintain_zone_maps(
         old_zm, sized, batch, "doc_id", "n_chars", _ZM_WIDTH, ["n_tokens"]
     )

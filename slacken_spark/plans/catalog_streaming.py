@@ -431,6 +431,8 @@ def streaming_source_stats(spark, sf_dir):
 from slacken_spark.plans.catalog_docs_layout import (  # noqa: E402
     ZONE_MAP_MAINTAIN_ORACLE_SQL,
     _ZM_WIDTH,
+    zm_sized,
+    zm_update_batch,
 )
 
 
@@ -452,32 +454,20 @@ def streaming_zone_maps(spark, sf_dir):
     zone maps build → pruned read → CDC maintain → STREAM."""
     import os
 
-    from slacken_spark.functions import text as X
     from slacken_spark.functions.skipping import layout_shard, zone_maps
     from slacken_spark.plans.catalog import t
 
     docs = t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id",
-        "n_chars",
-        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
+    sized = zm_sized(docs)
     zm = zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
     schema = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).schema
-    new_text = F.concat(F.lit("v2 "), F.substring("text", 1, 80))
-    upd_stream = (
+    upd_stream = zm_update_batch(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .format("parquet")
         .load(sf_dir)
-        .where(F.col("n_chars").between(100, 149))
-        .select(
-            "doc_id",
-            F.length(new_text).cast("long").alias("n_chars"),
-            X.token_count(new_text).cast("long").alias("n_tokens"),
-        )
     )
     final: list = zm.collect()
     zm_schema = (

@@ -466,3 +466,55 @@ def test_corpus_report_cli_null_source_and_text(tmp_path, spark):
                           "drift_denom", "p50_tokens_ub", "p95_tokens_ub"}
         assert v["n_tokens"] >= 0
     assert rep["sources"]["web"]["drift_l1_num"] is not None
+    # blank text is ZERO tokens and a token-free source has UNDEFINED
+    # drift (explicit null), not a fake empty-string token
+    assert rep["sources"]["empty"]["n_tokens"] == 0
+    assert rep["sources"]["empty"]["drift_l1_num"] is None
+
+
+def test_corpus_report_cli_null_sentinel_avoids_collision(tmp_path, spark):
+    """A corpus with BOTH a literal "(null)" source and null-source
+    rows must not merge the two populations under one JSON key."""
+    import io
+    from contextlib import redirect_stdout
+
+    from slacken_spark.cli import main
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "source": "(null)",
+                            "text": "real source named null"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "actually missing"}) + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["corpus-report", "--input", str(src), "--format", "jsonl"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(rep["sources"]) == {"(null)", "(null)~"}
+    assert rep["sources"]["(null)"]["n_tokens"] == 4
+    assert rep["sources"]["(null)~"]["n_tokens"] == 2
+
+
+def test_corpus_report_drift_zero_for_matching_source(tmp_path, spark):
+    """A source whose token distribution IS the corpus distribution
+    must report zero drift even when another source contributes only
+    blank/null text (the review repro: one null-text row previously
+    injected an '' token and made a perfect source look drifted)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from slacken_spark.cli import main
+
+    src = tmp_path / "corpus.jsonl"
+    with open(src, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "source": "web",
+                            "text": "alpha beta"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "source": "empty",
+                            "text": None}) + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["corpus-report", "--input", str(src), "--format", "jsonl"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    web = rep["sources"]["web"]
+    assert web["drift_l1_num"] == 0, "sole token-bearing source has zero drift"

@@ -245,11 +245,9 @@ def test_histogram_sketch_is_mergeable(spark):
     h2 = histogram_sketch(
         df.exceptAll(df.limit(137)), "grp", F.round(F.col("value") * 100), 250
     )
-    merged = (
-        h1.unionByName(h2)
-        .groupBy("grp", "bin")
-        .agg(F.sum("n").cast("long").alias("n"))
-    )
+    from slacken_spark.functions.sketch import histogram_merge
+
+    merged = histogram_merge(h1.unionByName(h2))
     key = lambda r: (r["grp"], r["bin"], r["n"])
     assert sorted(map(key, merged.collect())) == sorted(
         map(key, whole.collect())
