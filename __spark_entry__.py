@@ -5,9 +5,11 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash → CORRECTNESS_r{N}.json).
 
-The actual implementations live in ``slacken_spark.plans.catalog`` (+
-``catalog_docs`` / ``catalog_genomic``); this module only exposes the
-registry in the driver's shape.
+The actual implementations live in the ``slacken_spark.plans``
+catalog modules (``catalog`` + ``catalog_events`` / ``catalog_docs*``
+/ ``catalog_genomic`` / ``catalog_multimodal`` / ``catalog_streaming``
+— see ``plans.load_all``); this module only exposes the registry in
+the driver's shape.
 """
 
 from __future__ import annotations
