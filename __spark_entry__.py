@@ -107,6 +107,7 @@ _MUST_GATE = [
     "streaming_running_totals",  # applyInPandasWithState custom stateful op
     "value_quantile_delta",  # histogram linearity: hist − old + new ≡ rebuild
     "streaming_value_quantiles",  # per-micro-batch histograms merge to the batch sketch
+    "dedup_components_delta",  # append-only incremental component maintenance
     # deferred promotions from the r6 rotation (4 green rows each):
     "pricing_summary",
     "scan_filter_project",
@@ -131,8 +132,8 @@ _EARLY = _MUST_GATE + [
     "genomic_classify_detail",
     "tfidf_top_terms",
     "doc_dupspan_scrub",
+    # --- 50-cap falls here (41 must-gate + 9 above) ---
     "bpe_top_pairs",
-    # --- 50-cap falls here (40 must-gate + 10 above) ---
     "dataset_shard_manifest",
     "streaming_doc_quality",
     "corpus_upsert_latest",

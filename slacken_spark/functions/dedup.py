@@ -541,3 +541,72 @@ def connected_components(
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def components_add_edges(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected-components maintenance for EDGE ADDITIONS
+    — the dedup-graph member of the CDC-maintenance family: when new
+    documents append to the corpus (or new candidate pairs arrive),
+    the existing component labeling absorbs them WITHOUT re-running
+    label propagation over the full edge set.
+
+    Correctness rests on the labeling invariant (a component's label
+    is the min node id of its members): map each new edge's endpoints
+    to their CURRENT labels (unseen endpoints label themselves),
+    CONTRACT — the resulting graph's nodes are component labels, its
+    size is bounded by the NEW edges, never the base graph — and run
+    ``connected_components`` on that contracted graph; merged
+    components' new labels are mins over (old labels ∪ new node ids),
+    exactly what a from-scratch run over base ∪ new edges produces.
+    Relabeling is one label-table join. ADD-ONLY by construction:
+    edge/document REMOVALS can split components and need the affected
+    components recomputed (the same asymmetry as zone-map min/max
+    stats) — this function must not be used for drops.
+
+    ``labels`` is (node, component) covering every node of the base
+    graph (callers coalesce singletons to their own id); returns the
+    maintained (node, component) covering the base nodes plus every
+    endpoint of ``new_pairs``.
+    """
+    la = labels.select(
+        F.col("node").alias("_n"), F.col("component").alias("_c")
+    )
+    e = new_pairs.select(id_a, id_b)
+    ea = e.join(la, e[id_a] == la["_n"], "left").select(
+        F.coalesce("_c", id_a).alias("_ca"), id_b
+    )
+    eb = ea.join(la, ea[id_b] == la["_n"], "left").select(
+        "_ca", F.coalesce("_c", id_b).alias("_cb")
+    )
+    contracted = (
+        eb.where(F.col("_ca") != F.col("_cb"))
+        .select(
+            F.least("_ca", "_cb").alias("id_a"),
+            F.greatest("_ca", "_cb").alias("id_b"),
+        )
+        .distinct()
+    )
+    mapping = connected_components(contracted, max_iter=max_iter).select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+    relabeled = labels.join(
+        mapping, labels["component"] == mapping["_old"], "left"
+    ).select(
+        "node", F.coalesce("_new", "component").alias("component")
+    )
+    new_nodes = (
+        e.select(F.col(id_a).alias("node"))
+        .unionByName(e.select(F.col(id_b).alias("node")))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+    )
+    new_labeled = new_nodes.join(
+        mapping, new_nodes["node"] == mapping["_old"], "left"
+    ).select("node", F.coalesce("_new", "node").alias("component"))
+    return relabeled.unionByName(new_labeled)

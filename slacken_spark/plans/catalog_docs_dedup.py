@@ -719,3 +719,110 @@ def dedup_graph_pagerank(spark, sf_dir):
     return pr.select(
         F.col("id").alias("doc_id"), "deg", F.col("rank").alias("pr_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental component maintenance under corpus APPENDS
+# ---------------------------------------------------------------------------
+
+_APPEND_SQL = (
+    "SELECT doc_id + 1000000 AS doc_id, text"
+    " FROM documents WHERE doc_id % 40 = 0"
+)
+
+_COMPONENTS_DELTA_SQL = (
+    f"""
+    WITH RECURSIVE m AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        {_APPEND_SQL}),
+    """
+    + _sig_ctes("", "m")
+    + _BANDED_PAIRS_SQL
+    + """
+    , edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM m
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, CAST(component AS BIGINT) AS component FROM comp
+    """
+)
+
+
+@register("dedup_components_delta", _COMPONENTS_DELTA_SQL)
+def dedup_components_delta(spark, sf_dir):
+    """Incremental near-dup cluster maintenance under corpus APPENDS
+    (functions.dedup.components_add_edges) — the dedup-graph member of
+    the CDC-maintenance family, closing its last recompute gap: an
+    append batch (every 40th doc re-ingested under a new id — a
+    guaranteed near-dup of its source) contributes NEW candidate
+    edges only, so the existing component labeling absorbs them by
+    CONTRACTION: new edges map to their endpoints' current labels
+    (one label join), label propagation runs over the contracted
+    graph (bounded by the NEW edges — the base graph's edges are
+    never re-propagated), and one more label join rewrites the
+    affected components. New-pair discovery is the banded semi-shape:
+    the appended docs' band keys join the merged banding, so
+    unchanged-unchanged pairs are never computed (same pruning as
+    minhash_lsh_delta). Appends only — document REMOVALS can split
+    components and need an affected-component recompute (the min/max
+    zone-map asymmetry). Oracle = the full recursive closure over the
+    merged corpus: maintained ≡ recomputed, node for node."""
+    from slacken_spark.appcache import app_scoped_get
+
+    docs = tp(spark, sf_dir, "documents")
+    appended = docs.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    base_sig = app_scoped_get(
+        _BASE_SIG_CACHE,
+        spark,
+        ("base_sig", sf_dir),
+        lambda: D.minhash_signature(
+            docs, "text", "doc_id", n_hashes=8, shingle_words=3
+        ).persist(),
+    )
+    new_sig = D.minhash_signature(
+        appended, "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+    bb = D.minhash_banded(base_sig, "doc_id", n_hashes=8, bands=4)
+    nb = D.minhash_banded(new_sig, "doc_id", n_hashes=8, bands=4)
+    allb = bb.unionByName(nb)
+    a, b = nb.alias("a"), allb.alias("b")
+    new_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    comp = _doc_components(spark, sf_dir)
+    labels_full = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.col("doc_id").alias("node"),
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    maintained = D.components_add_edges(labels_full, new_pairs)
+    # appended docs that formed no pair still need their singleton row
+    merged_ids = docs.select("doc_id").unionByName(
+        appended.select("doc_id")
+    )
+    return merged_ids.join(
+        maintained, merged_ids["doc_id"] == maintained["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("component"),
+    )

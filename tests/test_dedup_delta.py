@@ -76,3 +76,103 @@ def test_lsh_pair_delta_empty_update(spark):
     )
     upd = spark.createDataFrame([], "doc_id long, text string")
     assert D.lsh_pair_delta(_sig(base), _sig(upd), "doc_id").count() == 0
+
+
+def test_components_add_edges_equals_full_recompute(spark):
+    """Add-only incremental components ≡ from-scratch propagation over
+    base ∪ new edges, across every merge shape: comp↔comp,
+    singleton↔singleton, brand-new nodes, a multi-comp chain, a
+    within-component no-op edge, and a new node bridging a component
+    and a singleton."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from slacken_spark.functions.dedup import (
+        components_add_edges,
+        connected_components,
+    )
+
+    def full(pairs):
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+
+    base = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    nodes = sorted({x for p in base for x in p} | {30, 40})
+    lab = full(base)
+    labels_df = spark.createDataFrame(
+        [(n, lab.get(n, n)) for n in nodes], "node long, component long"
+    )
+    cases = [
+        [(3, 10)],
+        [(30, 40)],
+        [(50, 51)],
+        [(11, 20), (21, 1)],
+        [(1, 3)],
+        [(5, 10), (5, 30)],
+    ]
+    for new in cases:
+        got = {
+            r["node"]: r["component"]
+            for r in components_add_edges(
+                labels_df,
+                spark.createDataFrame(new, "id_a long, id_b long"),
+            ).collect()
+        }
+        want_all = full(base + new)
+        touched = set(nodes) | {x for p in new for x in p}
+        want = {n: want_all.get(n, n) for n in touched}
+        assert got == want, (new, got, want)
+
+
+def test_components_add_edges_randomized(spark):
+    """Randomized: grow a random graph by a random edge batch; the
+    maintained labels must equal the full recompute for every node."""
+    import random
+
+    from slacken_spark.functions.dedup import (
+        components_add_edges,
+        connected_components,
+    )
+
+    rng = random.Random(77)
+    n = 40
+    base = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(30)
+        }
+    )
+    new = sorted(
+        {
+            tuple(sorted(rng.sample(range(n + 10), 2)))
+            for _ in range(15)
+        }
+        - set(base)
+    )
+    full_base = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(base, "id_a long, id_b long")
+        ).collect()
+    }
+    labels_df = spark.createDataFrame(
+        [(i, full_base.get(i, i)) for i in range(n)],
+        "node long, component long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in components_add_edges(
+            labels_df, spark.createDataFrame(new, "id_a long, id_b long")
+        ).collect()
+    }
+    want_all = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(base + new, "id_a long, id_b long")
+        ).collect()
+    }
+    touched = set(range(n)) | {x for p in new for x in p}
+    want = {i: want_all.get(i, i) for i in touched}
+    assert got == want
