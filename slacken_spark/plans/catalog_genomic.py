@@ -85,6 +85,11 @@ def _genomes(spark, sf_dir):
 
 
 def _taxonomy(spark, sf_dir) -> Taxonomy:
+    """ROOT ← brands (rank genus, depth 7) ← part leaves (rank species,
+    depth 8). Ranks matter only to the two-step dynamic pipeline
+    (genomic_classify2), whose CountFilter keeps taxa at/below the
+    reclassify rank — they change nothing about parents/LCA, so every
+    other genomic query is rank-oblivious."""
     rows = (
         t(spark, sf_dir, "part")
         .where(F.col("p_partkey") % 40 == 0)
@@ -93,9 +98,11 @@ def _taxonomy(spark, sf_dir) -> Taxonomy:
         )
         .toPandas()
     )
-    ids = rows["leaf"].tolist() + sorted(set(rows["brand"].tolist()))
-    parents = rows["brand"].tolist() + [1] * len(set(rows["brand"].tolist()))
-    return Taxonomy.from_edges(ids, parents)
+    brands = sorted(set(rows["brand"].tolist()))
+    ids = rows["leaf"].tolist() + brands
+    parents = rows["brand"].tolist() + [1] * len(brands)
+    ranks = ["species"] * len(rows) + ["genus"] * len(brands)
+    return Taxonomy.from_edges(ids, parents, ranks)
 
 
 # One deterministic index per (application, sf_dir): five catalog queries
@@ -552,6 +559,100 @@ def streaming_genomic_classify(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Two-step dynamic classification (E3): detect taxon set → restricted
+# dynamic index → re-classify (Dynamic.scala:250-374, Slacken.scala:199-261)
+# ---------------------------------------------------------------------------
+
+# The sample is built so the DETECTED set is SQL-predictable: uniq-region
+# reads exist only for every-other library genome (p_partkey % 80 = 0),
+# so with MinimizerDistinctCount(threshold=1) at species rank the
+# detection sees leaf-labeled hits exactly for (a) parts with a uniq
+# read, plus (b) single-part brands, whose CORE minimizers stay on the
+# leaf in the base index (no sibling to lift the LCA) and therefore
+# survive the species-rank depth filter under the core reads that every
+# part contributes. Step 2 then classifies the same sample against the
+# index rebuilt from ONLY the detected genomes, which moves answers in
+# three oracle-predictable ways (dn = detected parts per brand):
+#   core read, dn >= 2 → brand (shared core LCA-lifts as usual),
+#   core read, dn  = 1 → the ONE detected sibling's leaf (the lift
+#                        disappears with the siblings),
+#   core read, dn  = 0 → unclassified (library lost the whole brand),
+#   uniq read          → own leaf (exists only for detected parts).
+_CLASSIFY2_ORACLE_SQL = f"""
+    WITH parts AS (
+        SELECT p_partkey,
+               CAST(2 + CAST(substr(p_brand, 7, 2) AS INT) AS INT) AS brand
+        FROM part WHERE p_partkey % 40 = 0
+    ),
+    bc AS (SELECT brand, count(*) AS n FROM parts GROUP BY brand),
+    det AS (
+        SELECT p.p_partkey, p.brand
+        FROM parts p JOIN bc ON p.brand = bc.brand
+        WHERE p.p_partkey % 80 = 0 OR bc.n = 1
+    ),
+    dbc AS (SELECT brand, count(*) AS dn, min(p_partkey) AS d1
+            FROM det GROUP BY brand),
+    reads AS (
+        SELECT 'r2_core_g' || p.p_partkey AS header,
+               coalesce(dbc.dn, 0) > 0 AS classified,
+               CASE WHEN coalesce(dbc.dn, 0) >= 2 THEN p.brand
+                    WHEN coalesce(dbc.dn, 0) = 1 THEN dbc.d1 + 1000
+                    ELSE 0 END AS taxon
+        FROM parts p LEFT JOIN dbc ON p.brand = dbc.brand
+        UNION ALL
+        -- uniq reads exist only for the % 80 parts (all of which are
+        -- detected, so they always classify to their own leaf)
+        SELECT 'r2_uniq_g' || p.p_partkey,
+               TRUE AS classified,
+               p.p_partkey + 1000 AS taxon
+        FROM parts p WHERE p.p_partkey % 80 = 0
+    )
+    SELECT header, classified, CAST(taxon AS INT) AS taxon FROM reads
+    """
+
+
+@register("genomic_classify2", _CLASSIFY2_ORACLE_SQL)
+def genomic_classify2(spark, sf_dir):
+    """The reference's THIRD flagship pipeline end-to-end: two-step
+    dynamic classification (Dynamic.scala:250-374) — step 1 counts
+    distinct minimizers per species-rank taxon in the sample against
+    the full base index, clade-rolls the counts (TreeAggregator),
+    keeps taxa meeting the CountFilter threshold and expands
+    descendants; step 2 rebuilds the index restricted to the detected
+    set and re-classifies the sample against it. The oracle unrolls
+    both steps: the detected set is predictable from which parts carry
+    uniq reads (plus single-part brands, see _CLASSIFY2_ORACLE_SQL),
+    and every read's step-2 answer follows from the detected-per-brand
+    census — a full differential of detection → CountFilter → dynamic
+    build → re-classification, including reads whose answer CHANGES
+    vs the one-step path (lost brands go unclassified; dn=1 cores fall
+    from brand to the surviving sibling's leaf)."""
+    from slacken_spark.dynamic import Dynamic, MinimizerDistinctCount
+
+    idx = _build_index(spark, sf_dir)
+    g = _genomes(spark, sf_dir)
+    core = g.select(
+        F.concat(F.lit("r2_core_"), F.col("header")).alias("header"),
+        F.substring("nucleotides", 40, 150).alias("nucleotides"),
+    )
+    uniq = g.where((F.col("taxon") - 1000) % 80 == 0).select(
+        F.concat(F.lit("r2_uniq_"), F.col("header")).alias("header"),
+        F.substring("nucleotides", 320, 150).alias("nucleotides"),
+    )
+    reads = core.unionByName(uniq)
+    dyn = Dynamic(
+        idx,
+        g.select("header", "nucleotides"),
+        g.select("header", "taxon"),
+        MinimizerDistinctCount(threshold=1),
+        reclassify_rank_depth=8,  # species
+        cpar=ClassifyParams(min_hit_groups=2),
+    )
+    out, _detected = dyn.two_step_classify(reads)
+    return out.select("header", "classified", "taxon")
 
 
 # ---------------------------------------------------------------------------
