@@ -610,3 +610,70 @@ def components_add_edges(
         mapping, new_nodes["node"] == mapping["_old"], "left"
     ).select("node", F.coalesce("_new", "node").alias("component"))
     return relabeled.unionByName(new_labeled)
+
+
+def components_drop_edges(
+    labels: DataFrame,
+    surviving_pairs: DataFrame,
+    dropped_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """Incremental connected-components maintenance for EDGE REMOVALS —
+    the drop half ``components_add_edges`` documents itself unable to
+    be: removing an edge can SPLIT a component, which no label-local
+    rule detects, so the correct incremental shape is the zone-map
+    min/max asymmetry (skipping.maintain_zone_maps): recompute the
+    AFFECTED state from scratch, pass everything else through.
+
+    Affected components are those holding a dropped edge's endpoint
+    (an edge's two endpoints share a component in any valid labeling,
+    so this catches every component whose edge set changed). Their
+    members' SURVIVING edges — a dropped-edge-bounded number of
+    components, never the corpus graph — re-run label propagation;
+    members left edgeless become singletons labeled by their own id;
+    every node of an unaffected component keeps its label untouched.
+    A from-scratch run over the surviving graph produces exactly this
+    labeling (min-node-id labels are per-component, so unaffected
+    components' labels cannot change), which is the
+    ``dedup_components_drop`` catalog oracle.
+
+    Scale shape: the affected-component set is batch-bounded and
+    broadcasts; the member semi-join prunes ``surviving_pairs`` on
+    ``id_a`` alone (both endpoints of a surviving edge sat in one
+    pre-drop component, so one endpoint's membership decides), and the
+    propagation loop is bounded by the affected components' edges.
+
+    ``labels`` is (node, component) covering every node (singletons
+    labeled by their own id, the ``connected_components`` caller
+    convention); ``surviving_pairs`` is the post-drop edge set;
+    ``dropped_pairs`` the removed edges. Returns the maintained
+    (node, component) over the same node set as ``labels``.
+    """
+    drop_nodes = (
+        dropped_pairs.select(F.col(id_a).alias("node"))
+        .unionByName(dropped_pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    aff = F.broadcast(
+        labels.join(drop_nodes, "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    members = labels.join(aff, "component", "left_semi")
+    sub = surviving_pairs.join(
+        members.select(F.col("node").alias(id_a)), id_a, "left_semi"
+    )
+    recomputed = connected_components(
+        sub, id_a=id_a, id_b=id_b, max_iter=max_iter,
+        loop_partitions=loop_partitions,
+    )
+    passthrough = labels.join(aff, "component", "left_anti")
+    isolated = (
+        members.select("node")
+        .join(recomputed.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return passthrough.unionByName(recomputed).unionByName(isolated)

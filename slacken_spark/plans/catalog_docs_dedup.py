@@ -753,6 +753,78 @@ _COMPONENTS_DELTA_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Incremental component maintenance under edge REMOVALS
+# ---------------------------------------------------------------------------
+
+# Deterministic drop batch: candidate pairs whose id sum ≡ 0 (mod 4) —
+# at the gate SF this removes ~a quarter of the LSH pairs, splitting
+# several two-doc components into singletons and breaking two edges of
+# the one triangle component (which survives on its third edge), so
+# the gate observes splits, isolations AND partial survival.
+_DROP_PRED = "(id_a + id_b) % 4 = 0"
+
+_COMPONENTS_DROP_SQL = (
+    _components_cte().replace(
+        ", edges AS",
+        f""", surv AS (SELECT id_a, id_b FROM pairs
+                WHERE NOT ({_DROP_PRED})),
+    edges AS""",
+    ).replace("FROM pairs\n                UNION ALL SELECT id_b, id_a FROM pairs",
+              "FROM surv\n                UNION ALL SELECT id_b, id_a FROM surv")
+    + """
+    SELECT node AS doc_id, CAST(component AS BIGINT) AS component FROM comp
+    """
+)
+
+
+@register("dedup_components_drop", _COMPONENTS_DROP_SQL)
+def dedup_components_drop(spark, sf_dir):
+    """Incremental near-dup cluster maintenance under edge REMOVALS
+    (functions.dedup.components_drop_edges) — the drop half
+    ``dedup_components_delta`` documents itself unable to be: removing
+    an edge can SPLIT a component, so the incremental shape is the
+    zone-map min/max asymmetry — recompute ONLY the components holding
+    a dropped edge's endpoint (their members' surviving edges re-run
+    label propagation, edgeless members become singletons), pass every
+    other component's labels through untouched. The affected-component
+    set is drop-batch-bounded and broadcasts; the propagation loop is
+    bounded by the affected components' edges, never the corpus graph.
+    Oracle = the full recursive closure over the surviving pairs:
+    maintained ≡ recomputed, node for node. Reuses the memoized
+    pre-drop component labels and the persisted base signatures, so
+    the query prices the MAINTENANCE, not the rebuild."""
+    from slacken_spark.appcache import app_scoped_get
+
+    docs = tp(spark, sf_dir, "documents")
+    base_sig = app_scoped_get(
+        _BASE_SIG_CACHE,
+        spark,
+        ("base_sig", sf_dir),
+        lambda: D.minhash_signature(
+            docs, "text", "doc_id", n_hashes=8, shingle_words=3
+        ).persist(),
+    )
+    pairs = D.minhash_band_pairs(base_sig, "doc_id", n_hashes=8, bands=4)
+    drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
+    dropped = pairs.where(drop)
+    surviving = pairs.where(~drop)
+    comp = _doc_components(spark, sf_dir)
+    labels_full = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.col("doc_id").alias("node"),
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    maintained = D.components_drop_edges(
+        labels_full, surviving, dropped, loop_partitions=8
+    )
+    return maintained.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 @register("dedup_components_delta", _COMPONENTS_DELTA_SQL)
 def dedup_components_delta(spark, sf_dir):
     """Incremental near-dup cluster maintenance under corpus APPENDS

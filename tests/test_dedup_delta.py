@@ -176,3 +176,115 @@ def test_components_add_edges_randomized(spark):
     touched = set(range(n)) | {x for p in new for x in p}
     want = {i: want_all.get(i, i) for i in touched}
     assert got == want
+
+
+def _labels_over(spark, edges, nodes):
+    """(node, component) for every node in ``nodes`` — singletons coalesce
+    to their own id, the components_* caller convention."""
+    from slacken_spark.functions.dedup import connected_components
+
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")
+        ).collect()
+    } if edges else {}
+    return spark.createDataFrame(
+        [(i, comp.get(i, i)) for i in sorted(nodes)],
+        "node long, component long",
+    )
+
+
+def test_components_drop_edges_bridge_split(spark):
+    """Removing a bridge splits its component; removing a redundant
+    edge of a triangle does not — the two fixtures the drop path must
+    distinguish (an add-only maintainer can do neither)."""
+    from slacken_spark.functions.dedup import components_drop_edges
+
+    # component A: triangle {0,1,2} + bridge 2-10 to chain {10,11}
+    # component B: pair {20,21}; singleton 30
+    edges = [(0, 1), (1, 2), (0, 2), (2, 10), (10, 11), (20, 21)]
+    nodes = {0, 1, 2, 10, 11, 20, 21, 30}
+    labels = _labels_over(spark, edges, nodes)
+
+    # drop the bridge: {0,1,2} and {10,11} split
+    dropped = [(2, 10)]
+    surv = [e for e in edges if e not in dropped]
+    got = {
+        r["node"]: r["component"]
+        for r in components_drop_edges(
+            labels,
+            spark.createDataFrame(surv, "id_a long, id_b long"),
+            spark.createDataFrame(dropped, "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20, 30: 30}
+
+    # drop a redundant triangle edge instead: nothing splits
+    dropped2 = [(0, 2)]
+    surv2 = [e for e in edges if e not in dropped2]
+    got2 = {
+        r["node"]: r["component"]
+        for r in components_drop_edges(
+            labels,
+            spark.createDataFrame(surv2, "id_a long, id_b long"),
+            spark.createDataFrame(dropped2, "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got2 == {0: 0, 1: 0, 2: 0, 10: 0, 11: 0, 20: 20, 21: 20, 30: 30}
+
+
+def test_components_drop_edges_isolates_and_passes_through(spark):
+    """A member losing ALL its edges becomes a singleton labeled by its
+    own id; components untouched by any drop keep their labels row for
+    row (the passthrough branch)."""
+    from slacken_spark.functions.dedup import components_drop_edges
+
+    edges = [(0, 1), (0, 2), (5, 6)]
+    nodes = {0, 1, 2, 5, 6}
+    labels = _labels_over(spark, edges, nodes)
+    dropped = [(0, 1)]
+    surv = [(0, 2), (5, 6)]
+    got = {
+        r["node"]: r["component"]
+        for r in components_drop_edges(
+            labels,
+            spark.createDataFrame(surv, "id_a long, id_b long"),
+            spark.createDataFrame(dropped, "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 5: 5, 6: 5}
+
+
+def test_components_drop_edges_randomized_equals_full_recompute(spark):
+    import random
+
+    from slacken_spark.functions.dedup import (
+        components_drop_edges,
+        connected_components,
+    )
+
+    rng = random.Random(177)
+    n = 40
+    base = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)}
+    )
+    dropped = sorted(rng.sample(base, 12))
+    surv = [e for e in base if e not in set(dropped)]
+    labels = _labels_over(spark, base, set(range(n)))
+    got = {
+        r["node"]: r["component"]
+        for r in components_drop_edges(
+            labels,
+            spark.createDataFrame(surv, "id_a long, id_b long"),
+            spark.createDataFrame(dropped, "id_a long, id_b long"),
+        ).collect()
+    }
+    want_conn = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(surv, "id_a long, id_b long")
+        ).collect()
+    }
+    want = {i: want_conn.get(i, i) for i in range(n)}
+    assert got == want
