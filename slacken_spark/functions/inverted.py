@@ -265,24 +265,141 @@ def query_index(
 
 
 def scored_index(
-    docs: DataFrame, tokens: Column, id_col: str = "doc_id"
+    docs: DataFrame, tokens: Column, id_col: str = "doc_id",
+    segment_rows: int | None = None,
 ) -> DataFrame:
     """Frequency-carrying index for RANKED retrieval → ``(term, df,
     postings: array<struct<doc_id, tf>>)``, postings sorted by doc id.
     Same single term-shuffle as the boolean ``inverted_index``; the
     per-(doc, term) frequency reduces map-side first (partial
     count-aggregation on (id, term)), so the term shuffle moves one
-    row per posting, not one per occurrence."""
+    row per posting, not one per occurrence.
+
+    ``segment_rows=N`` gives the sharded shape ``(term, segment,
+    df_segment, postings)`` — the same doc-id-range segmentation (and
+    hot-term skew bound) as ``inverted_index(segment_rows=N)``, and
+    the shape ``delta_scored_index`` maintains incrementally. A doc's
+    tf for a term lives in exactly one segment, so the term-level df
+    is the plain sum of ``df_segment`` and flattening segment lists in
+    segment order reproduces the flat index (see
+    ``flatten_scored_segments``)."""
     tf = (
         docs.select(F.col(id_col), F.explode(tokens).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    return tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf"))
+    posting = F.struct(F.col(id_col).alias("doc_id"), "tf")
+    if segment_rows is None:
+        return tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sort_array(F.collect_list(posting)).alias("postings"),
+        )
+    if segment_rows <= 0:
+        raise ValueError(f"segment_rows must be positive: {segment_rows}")
+    return (
+        tf.withColumn("segment", segment_expr(id_col, segment_rows))
+        .groupBy("term", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_segment"),
+            F.sort_array(F.collect_list(posting)).alias("postings"),
+        )
+    )
+
+
+def delta_scored_index(
+    base: DataFrame,
+    upd: DataFrame,
+    tokens: Column,
+    id_col: str = "doc_id",
+    segment_rows: int = 10,
+) -> DataFrame:
+    """Incremental maintenance of the sharded SCORED index — the
+    ranked twin of ``delta_index``, closing the maintenance family's
+    last gap (build → delta → patch → compact existed only for the
+    boolean index). tf is sum-linear over documents, so the same
+    segment-pruned shape transfers verbatim: rebuild ONLY the affected
+    (term, segment) tf-posting lists → ``(term, segment, df_segment,
+    postings: array<struct<doc_id, tf>>)``, with ``df_segment = 0`` /
+    empty-list tombstones for pairs whose sole holder changed away.
+
+    The 100 TB contract is ``delta_index``'s: the affected segment set
+    (distinct segments of changed docs — batch-bounded) broadcasts as
+    a semi-join on the corpus BELOW the tokenize/explode, so untouched
+    segments are never tokenized; the (term, segment) pair join then
+    restricts the tf aggregation exactly as a full rebuild would, and
+    the tombstone union is ONE left join from the affected pairs.
+    ``apply_delta`` applies the output unchanged (same keys, same
+    ``df_segment`` tombstone contract) — patched ≡ from-scratch
+    ``scored_index(segment_rows=N)``, row for row, the
+    ``inverted_index_ranked_delta`` catalog oracle."""
+    if segment_rows <= 0:
+        raise ValueError(f"segment_rows must be positive: {segment_rows}")
+    seg = segment_expr(id_col, segment_rows)
+    upd_ids = F.broadcast(upd.select(id_col))
+    aff_segs = F.broadcast(upd.select(seg.alias("segment")).distinct())
+    old_t = (
+        base.join(upd_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.explode(tokens).alias("term"))
+        .distinct()
+    )
+    new_t = upd.select(F.col(id_col), F.explode(tokens).alias("term")).distinct()
+    aff = (
+        old_t.unionByName(new_t)
+        .select("term", seg.alias("segment"))
+        .distinct()
+    )
+    pruned = base.withColumn("segment", seg).join(
+        aff_segs, "segment", "left_semi"
+    )
+    merged = (
+        pruned.join(upd_ids, id_col, "left_anti")
+        .select(*upd.columns)
+        .unionByName(upd)
+    )
+    tf = (
+        merged.select(F.col(id_col), F.explode(tokens).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("segment", seg)
+    )
+    rebuilt = (
+        tf.join(aff, ["term", "segment"])
+        .groupBy("term", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_segment"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf"))
+            ).alias("postings"),
+        )
+    )
+    return aff.join(rebuilt, ["term", "segment"], "left").select(
+        "term",
+        "segment",
+        F.coalesce(F.col("df_segment"), F.lit(0)).cast("long").alias(
+            "df_segment"
+        ),
+        F.coalesce(
+            F.col("postings"),
+            F.array().cast("array<struct<doc_id:long,tf:long>>"),
         ).alias("postings"),
+    )
+
+
+def flatten_scored_segments(index: DataFrame) -> DataFrame:
+    """Sharded scored index → flat ``(term, df, postings)`` — what
+    ``query_index_ranked`` consumes. A doc holds a term in exactly one
+    segment, so ``df = Σ df_segment`` and concatenating the (disjoint,
+    sorted) segment lists in segment order IS the merged sorted list —
+    the ``compact_segments`` move applied at factor = ∞: lists move
+    whole, one key-shuffle on the term, the corpus is never touched."""
+    parts = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("segment").alias("s"), F.col("postings").alias("p"))
+        )
+    )
+    return index.groupBy("term").agg(
+        F.sum("df_segment").cast("long").alias("df"),
+        F.flatten(F.transform(parts, lambda x: x["p"])).alias("postings"),
     )
 
 
@@ -336,4 +453,21 @@ def postings_digest(postings: Column) -> Column:
     ORDER BY)."""
     return F.md5(
         F.concat_ws(",", F.transform(postings, lambda d: d.cast("string")))
+    )
+
+
+def scored_postings_digest(postings: Column) -> Column:
+    """md5 over ``doc:tf`` pairs in doc-id order — the hash-gate shape
+    for a SCORED posting list (DuckDB: md5(string_agg(doc_id || ':' ||
+    tf, ',' ORDER BY doc_id)))."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                postings,
+                lambda p: F.concat(
+                    p["doc_id"].cast("string"), F.lit(":"), p["tf"].cast("string")
+                ),
+            ),
+        )
     )

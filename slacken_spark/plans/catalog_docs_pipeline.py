@@ -427,13 +427,28 @@ def inverted_index_digest(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# ONE definition of the index-maintenance CDC fixture (every 50th doc's
+# text replaced by a truncated v2) shared by the delta / patch / ranked
+# oracles AND their engine twins — a fixture tweak cannot desynchronize
+# the family.
+_CDC_UPD_SQL = """upd AS MATERIALIZED (
+        SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
+        FROM documents WHERE doc_id % 50 = 0)"""
+
+
+def _cdc_upd(docs):
+    """DataFrame twin of ``_CDC_UPD_SQL``."""
+    return docs.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
+    )
+
+
 # shared with catalog_streaming.streaming_index_delta: one availableNow
 # micro-batch applies the identical delta, so the stream gates against
 # the SAME oracle (the streaming_genomic_classify differential pattern)
 DELTA_ORACLE_SQL = f"""
-    WITH upd AS MATERIALIZED (
-        SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
-        FROM documents WHERE doc_id % 50 = 0),
+    WITH {_CDC_UPD_SQL},
     merged AS MATERIALIZED (
         SELECT doc_id, text FROM documents
         WHERE doc_id % 50 <> 0 AND (doc_id // 10) % 5 = 0
@@ -489,10 +504,7 @@ def inverted_index_delta(spark, sf_dir):
     from slacken_spark.functions.inverted import delta_index, postings_digest
 
     docs = tp(spark, sf_dir, "documents")
-    upd = docs.where(F.col("doc_id") % 50 == 0).select(
-        "doc_id",
-        F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
-    )
+    upd = _cdc_upd(docs)
     out = delta_index(
         docs.select("doc_id", "text"),
         upd,
@@ -511,9 +523,7 @@ def inverted_index_delta(spark, sf_dir):
 @register(
     "inverted_index_patch",
     f"""
-    WITH upd AS MATERIALIZED (
-        SELECT doc_id, 'v2update ' || substr(text, 1, 40) AS text
-        FROM documents WHERE doc_id % 50 = 0),
+    WITH {_CDC_UPD_SQL},
     merged AS MATERIALIZED (
         SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
         UNION ALL SELECT doc_id, text FROM upd),
@@ -546,10 +556,7 @@ def inverted_index_patch(spark, sf_dir):
     )
 
     docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
-    upd = docs.where(F.col("doc_id") % 50 == 0).select(
-        "doc_id",
-        F.concat(F.lit("v2update "), F.substring("text", 1, 40)).alias("text"),
-    )
+    upd = _cdc_upd(docs)
     index = inverted_index(docs, X.tokens(F.col("text")), segment_rows=10)
     delta = delta_index(docs, upd, X.tokens(F.col("text")), "doc_id", 10)
     patched = apply_delta(index, delta)
@@ -558,6 +565,58 @@ def inverted_index_patch(spark, sf_dir):
         "segment",
         "df_segment",
         postings_digest(F.col("postings")).alias("segment_digest"),
+    )
+
+
+@register(
+    "inverted_index_ranked_delta",
+    f"""
+    WITH {_CDC_UPD_SQL},
+    merged AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL SELECT doc_id, text FROM upd),
+    tf AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+              FROM merged)
+        GROUP BY doc_id, term)
+    SELECT term, CAST(doc_id // 10 AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS df_segment,
+           md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+             AS segment_digest
+    FROM tf GROUP BY term, doc_id // 10
+    """,
+)
+def inverted_index_ranked_delta(spark, sf_dir):
+    """Incremental maintenance of the RANKED (tf-carrying) index —
+    the scored_index family catches up with the boolean one
+    (functions.inverted.delta_scored_index): tf is sum-linear over
+    documents, so the segment-pruned delta shape transfers verbatim —
+    affected segments broadcast-semi-filter the corpus BELOW the
+    tokenize, affected (term, segment) tf-postings rebuild, emptied
+    pairs tombstone, and the SAME ``apply_delta`` applies the patch.
+    Oracle = the strongest invariant: a from-scratch sharded
+    ``scored_index`` of the merged corpus — patch ≡ rebuild, row for
+    row, tf digests included, while at 100 TB the patch touches only
+    delta-sized data. Same CDC fixture as delta/patch (one
+    definition, _CDC_UPD_SQL)."""
+    from slacken_spark.functions.inverted import (
+        apply_delta,
+        delta_scored_index,
+        scored_index,
+        scored_postings_digest,
+    )
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    upd = _cdc_upd(docs)
+    index = scored_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    delta = delta_scored_index(docs, upd, X.tokens(F.col("text")), "doc_id", 10)
+    patched = apply_delta(index, delta)
+    return patched.select(
+        "term",
+        "segment",
+        "df_segment",
+        scored_postings_digest(F.col("postings")).alias("segment_digest"),
     )
 
 

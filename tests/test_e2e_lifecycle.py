@@ -81,3 +81,51 @@ def test_pipeline_to_serving_composes(spark):
         for r in query_index(compacted, ["hot"], 20).collect()
     }
     assert not hot_only & {0, 12, 24, 36, 48}, "rewritten docs kept 'hot'"
+
+
+def test_ranked_pipeline_to_serving_composes(spark):
+    """The RANKED twin of the lifecycle: scored build → scored delta →
+    apply_delta → flatten → TF-IDF serving, pinned against a
+    from-scratch flat scored_index over the merged corpus. Pins that
+    the tf-carrying family composes end to end exactly like the
+    boolean one."""
+    from slacken_spark.functions.inverted import (
+        delta_scored_index,
+        flatten_scored_segments,
+        query_index_ranked,
+        scored_index,
+    )
+
+    docs = _corpus(spark)
+    toks = F.split(F.col("text"), " ")
+    keep = exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    clean = docs.join(keep, "doc_id", "left_semi")
+
+    idx = scored_index(clean, toks, segment_rows=10)
+    upd = clean.where(F.col("doc_id") % 12 == 0).select(
+        "doc_id", F.lit("fresh fresh term only").alias("text")
+    )
+    delta = delta_scored_index(clean, upd, toks, segment_rows=10)
+    patched = apply_delta(idx, delta)
+
+    merged = clean.join(upd.select("doc_id"), "doc_id", "left_anti").unionByName(
+        upd
+    )
+    n = merged.count()
+    fresh = scored_index(merged, toks)
+    want = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in query_index_ranked(fresh, ["hot", "fresh"], 8, n).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in query_index_ranked(
+            flatten_scored_segments(patched), ["hot", "fresh"], 8, n
+        ).collect()
+    ]
+    assert got == want
+    # tf matters: 'fresh' appears twice in each rewritten doc, so the
+    # rewritten docs outscore any single-occurrence match
+    assert {d for d, _, _ in want[:5]} >= {0, 12, 24, 36, 48}

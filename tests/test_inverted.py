@@ -326,3 +326,94 @@ def test_query_index_uses_distributed_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _tf_corpus(spark, n=120):
+    """Corpus with REPEATED terms per doc so tf > 1 actually occurs
+    (the boolean fixtures are tf-vacuous: every word unique per doc)."""
+    rows = []
+    for i in range(n):
+        words = [f"w{(i * 3 + j) % 13}" for j in range(5)]
+        words += [f"w{i % 13}"] * (i % 3 + 1)  # repeats → tf 2..4
+        if i % 4 == 0:
+            words += ["hot", "hot"]
+        rows.append((i, " ".join([f"u{i}"] + words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_delta_scored_index_patch_equals_full_rebuild(spark):
+    """Ranked-index maintenance invariant: scored build → scored delta
+    → apply_delta must equal a from-scratch sharded scored_index of
+    the merged corpus, row for row, tf structs included — and the
+    fixture must actually exercise tf > 1 and tombstones."""
+    from slacken_spark.functions.inverted import (
+        apply_delta,
+        delta_scored_index,
+        scored_index,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    base = _tf_corpus(spark)
+    upd = spark.createDataFrame(
+        [(i, f"changed only{i} only{i}") for i in (0, 7, 24, 36)],
+        "doc_id long, text string",
+    )
+    idx = scored_index(base, toks, segment_rows=10)
+    delta = delta_scored_index(base, upd, toks, "doc_id", 10)
+    patched = apply_delta(idx, delta)
+    merged = (
+        base.join(upd.select("doc_id"), "doc_id", "left_anti").unionByName(upd)
+    )
+    fresh = scored_index(merged, toks, segment_rows=10)
+
+    def rows(df):
+        return {
+            (r["term"], r["segment"]): (
+                r["df_segment"],
+                [(p["doc_id"], p["tf"]) for p in r["postings"]],
+            )
+            for r in df.collect()
+        }
+
+    got, want = rows(patched), rows(fresh)
+    assert got == want
+    assert any(
+        tf > 1 for _, ps in want.values() for _, tf in ps
+    ), "fixture is tf-vacuous"
+    # tombstones really fired: some (term, segment) of the base index
+    # is absent from the patched one (u0 lost its sole holder)
+    base_keys = set(rows(idx))
+    assert base_keys - set(got), "no pair was tombstoned"
+    # delta emitted only affected segments
+    aff = {0, 2, 3}
+    assert {r["segment"] for r in delta.collect()} <= aff
+
+
+def test_flatten_scored_segments_matches_flat_build(spark):
+    """Flattening the sharded scored index must reproduce the flat
+    build exactly (df summed, segment lists concatenated in order),
+    and ranked serving through it must be answer-identical."""
+    from slacken_spark.functions.inverted import (
+        flatten_scored_segments,
+        query_index_ranked,
+        scored_index,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    docs = _tf_corpus(spark)
+    flat = scored_index(docs, toks)
+    flattened = flatten_scored_segments(scored_index(docs, toks, segment_rows=10))
+
+    def rows(df):
+        return {
+            r["term"]: (r["df"], [(p["doc_id"], p["tf"]) for p in r["postings"]])
+            for r in df.collect()
+        }
+
+    assert rows(flattened) == rows(flat)
+    n = docs.count()
+    serve = lambda idx: [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in query_index_ranked(idx, ["hot", "w3"], 10, n).collect()
+    ]
+    assert serve(flattened) == serve(flat)
