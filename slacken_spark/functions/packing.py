@@ -353,6 +353,7 @@ def epoch_shuffle(
     id_col: str = "doc_id",
     shards: int = 8,
     epoch: int = 1,
+    rows_per_shard: int | None = None,
 ) -> DataFrame:
     """Deterministic training-epoch shuffle: every row gets a
     pseudorandom order key ``h = token_hash64('ep{epoch}_' || id)``, a
@@ -364,12 +365,28 @@ def epoch_shuffle(
     training pipelines want a HASH shuffle, not a random one.
 
     One shuffle on the shard key; the per-shard ``row_number`` sorts
-    within the shard task (the standard shuffle-sort — shards are the
-    parallelism unit, sized so one shard fits a task's sort budget).
-    Appends ``(shard, position)`` to ``df``'s columns.
+    within the shard task, so SHARD SIZE IS THE SIZING CONTRACT: one
+    task sorts ~|rows|/shards rows, and a fixed ``shards`` silently
+    becomes a hot task when the corpus grows 100×. Pass
+    ``rows_per_shard`` instead to derive the shard count from the
+    actual row count (one count() action, plan-time metadata — the
+    ``token_blocks``-``buckets`` knob in count-based form): shards =
+    ceil(count / rows_per_shard), so the EXPECTED per-shard sort stays
+    at the target whatever the corpus size (hash placement balances to
+    within sampling noise — it cannot hard-bound a single shard).
+    The explicit ``shards`` form remains for callers that pin layout
+    width (e.g. matching an existing serving fan-out) and accept the
+    sizing responsibility. Appends ``(shard, position)``.
     """
     from slacken_spark.functions.text import token_hash64
 
+    if rows_per_shard is not None:
+        if rows_per_shard <= 0:
+            raise ValueError(
+                f"rows_per_shard must be positive: {rows_per_shard}"
+            )
+        n = df.count()
+        shards = max(1, -(-n // rows_per_shard))
     if shards <= 0:
         raise ValueError(f"shards must be positive: {shards}")
     h = token_hash64(

@@ -264,20 +264,52 @@ def index_delta_stream(base: DataFrame, upd_stream: DataFrame, tokens, sink,
             state["base"], batch_df, tokens, id_col, segment_rows
         )
         sink(delta, epoch_id)
-        state["base"] = _advance_base(state["base"], batch_df, id_col)
+        state["base"] = _advance_base(state["base"], batch_df, id_col, state)
 
     return upd_stream.writeStream.foreachBatch(process)
 
 
-def _advance_base(base: DataFrame, batch_df: DataFrame, id_col: str) -> DataFrame:
+# Every k-th advancement the base plan truncates to its materialized
+# RDD; between checkpoints it grows by at most k anti-join+union layers.
+_ADVANCE_CKPT_EVERY = 4
+
+
+def _advance_base(
+    base: DataFrame, batch_df: DataFrame, id_col: str,
+    state: dict | None = None,
+) -> DataFrame:
     """Sequential CDC base advancement (anti-join the batch's ids out,
     union the batch in) — ONE definition shared by the streaming
     maintainers so later batches of every operator see earlier ones
-    through identical semantics."""
-    return (
+    through identical semantics.
+
+    Lineage is BOUNDED, not compounding: when the caller passes its
+    ``state`` dict, every ``_ADVANCE_CKPT_EVERY``-th advancement
+    eagerly ``localCheckpoint``s the advanced base — truncating the
+    plan to a Scan of the materialized RDD — and releases the previous
+    checkpoint's blocks (unreferenced once the new one exists). So a
+    long-running stream's per-batch plan holds at ≤ k layers over one
+    materialized base instead of one layer per batch since the start
+    (the r7-documented gap: "a real deployment checkpoints it" — this
+    does). The checkpoint must be EAGER: a lazy one would keep a
+    lineage dependency on the previous checkpoint's blocks, which an
+    unpersisted local checkpoint cannot recompute. tests/
+    test_streaming_ivm.py pins the plan-size bound over 9 batches."""
+    from slacken_spark.functions.dedup import _unpersist_local_ckpt
+
+    out = (
         base.join(batch_df.select(id_col), id_col, "left_anti")
         .unionByName(batch_df.select(*base.columns))
     )
+    if state is not None:
+        n = state["_advanced"] = state.get("_advanced", 0) + 1
+        if n % _ADVANCE_CKPT_EVERY == 0:
+            out = out.localCheckpoint(eager=True)
+            prev = state.get("_base_ckpt")
+            if prev is not None:
+                _unpersist_local_ckpt(prev)
+            state["_base_ckpt"] = out
+    return out
 
 
 def run_foreach_to_completion(writer, name: str | None = None) -> None:
@@ -376,7 +408,7 @@ def grouped_sums_stream(base: DataFrame, view: DataFrame, upd_stream: DataFrame,
         schema = maintained.schema
         state["view"] = spark.createDataFrame(maintained.collect(), schema)
         sink(state["view"], epoch_id)
-        state["base"] = _advance_base(state["base"], batch_df, id_col)
+        state["base"] = _advance_base(state["base"], batch_df, id_col, state)
 
     return upd_stream.writeStream.foreachBatch(process)
 
@@ -420,7 +452,7 @@ def zone_maps_stream(base: DataFrame, zm: DataFrame, upd_stream: DataFrame,
             maintained.collect(), maintained.schema
         )
         sink(state["zm"], epoch_id)
-        state["base"] = _advance_base(state["base"], batch_df, id_col)
+        state["base"] = _advance_base(state["base"], batch_df, id_col, state)
 
     return upd_stream.writeStream.foreachBatch(process)
 

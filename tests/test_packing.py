@@ -700,3 +700,43 @@ def token_blocks_import():
     from slacken_spark.functions.packing import token_blocks
 
     return token_blocks
+
+
+def test_epoch_shuffle_rows_per_shard_derives_count(spark):
+    """The count-based sizing contract: shards = ceil(n / target), so
+    the expected per-shard sort is bounded whatever the corpus size —
+    and a 4x-bigger corpus gets 4x the shards, not 4x-hotter tasks."""
+    from slacken_spark.functions.packing import epoch_shuffle
+
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out_s = epoch_shuffle(small, rows_per_shard=40)
+    out_b = epoch_shuffle(big, rows_per_shard=40)
+    n_s = out_s.select("shard").distinct().count()
+    n_b = out_b.select("shard").distinct().count()
+    assert n_s <= 3 and n_b <= 10  # ceil(100/40)=3, ceil(400/40)=10
+    # hash placement fills every derived shard on these sizes
+    assert n_s == 3 and n_b == 10
+    # hash balance: no shard grossly exceeds the target (soft bound —
+    # the contract is expected size, tested at 3x slack)
+    from pyspark.sql import functions as F
+
+    mx = out_b.groupBy("shard").count().agg(F.max("count")).first()[0]
+    assert mx <= 3 * 40
+    # addresses stay deterministic for the same (epoch, id)
+    a = {(r["doc_id"], r["shard"], r["position"]) for r in out_b.collect()}
+    b = {
+        (r["doc_id"], r["shard"], r["position"])
+        for r in epoch_shuffle(big, rows_per_shard=40).collect()
+    }
+    assert a == b
+
+
+def test_epoch_shuffle_rejects_bad_rows_per_shard(spark):
+    import pytest
+
+    from slacken_spark.functions.packing import epoch_shuffle
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, rows_per_shard=0)

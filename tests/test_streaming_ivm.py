@@ -103,3 +103,41 @@ def test_empty_cdc_batch_reports_unchanged_view(spark, tmp_path):
         ops.grouped_sums_stream(base, view, stream, "source", F.col("sz"), sink)
     )
     assert seen == [{"a": (1, 5), "b": (1, 6)}]
+
+
+def test_advance_base_lineage_stays_bounded(spark):
+    """A long-running stream's advancing base must NOT grow one
+    anti-join+union layer per batch forever: every
+    ops._ADVANCE_CKPT_EVERY-th advancement eagerly localCheckpoints
+    the base (plan truncates to a Scan of the materialized RDD) and
+    frees the previous checkpoint. Pinned on the PLAN, not wall time
+    (deterministic; this VM's timing noise would flake a flatness
+    assertion): join-node count right after a checkpoint is zero, and
+    never exceeds the cadence in between. Content must equal plain
+    sequential application throughout."""
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    )
+    state: dict = {}
+    expect = {i: f"t{i}" for i in range(20)}
+    joins_after = []
+    for b in range(1, 10):
+        batch = spark.createDataFrame(
+            [(b % 20, f"v{b}"), (100 + b, f"new{b}")],
+            "doc_id long, text string",
+        )
+        expect[b % 20] = f"v{b}"
+        expect[100 + b] = f"new{b}"
+        base = ops._advance_base(base, batch, "doc_id", state)
+        plan = base._jdf.queryExecution().optimizedPlan().toString()
+        joins_after.append(plan.count("Join"))
+    k = ops._ADVANCE_CKPT_EVERY
+    # right after the k-th and 2k-th advancement the plan is a pure
+    # scan of the checkpointed RDD
+    assert joins_after[k - 1] == 0 and joins_after[2 * k - 1] == 0
+    # and the growth between checkpoints REPEATS instead of
+    # compounding — the plan k batches after a checkpoint looks like
+    # the plan k batches after the start
+    assert joins_after[k : 2 * k] == joins_after[:k], joins_after
+    got = {r["doc_id"]: r["text"] for r in base.collect()}
+    assert got == expect
