@@ -48,189 +48,180 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness gate records exactly the first 50 registered queries
 # and silently drops the rest, so the order is rotated each round until
-# every catalog entry has a green CORRECTNESS row. Round 7 executes the
-# NOTES r6→r7 rotation plan: first the queries whose code or oracle
-# changed this round (embedding_kmeans_clusters gained its FIRST oracle
-# — the catalog's last rows-only entry; inverted_index_delta got the
-# segment-pruned rebuild + a clustered-update fixture; the three quota/
-# mixing queries moved to the distributed prefix-sum bounds path), then
-# the six deferred relational promotions (4 green rows each, queued at
-# the head of the r6 _TAIL), then the r5-gated set that sat out r6
-# (freshest green row is two rounds old — the rolling-green window).
-# Demoted: the r6-gated set (all 50 green in CORRECTNESS_r06, code
-# untouched unless re-listed above) plus the four many-times-green
-# genomic flagships, which head _TAIL as first in line for r8. The
-# must-gate set below is ASSERTED inside the first 50 by
-# tests/test_gate.py (the r5 off-by-one cannot recur).
+# every catalog entry's green row stays fresh. Round 8 executes the
+# rotation the r7 VERDICT/NOTES recorded, and the freshness guard in
+# tests/test_gate.py now ENFORCES the policy: every catalog entry must
+# either sit inside this round's first 50 or hold a green row in one of
+# the two most recent recorded rounds. This round's 50 =
+#   (a) the three NEW operators (two-step dynamic classification,
+#       removal-capable component maintenance, ranked-index delta),
+#   (b) every query whose code changed this round (the inverted-index
+#       CDC family via the _cdc_upd refactor + scored_index sharding;
+#       epoch_shuffle's sizing contract; the three streaming
+#       maintainers via _advance_base's checkpoint cadence; the whole
+#       classify-against-_taxonomy genomic family via the rank-depth
+#       change),
+#   (c) all 34 entries whose freshest green row is r5 — the full
+#       two-round-stale backlog, including the four genomic flagships
+#       and the ten session-displaced 1x-greens the r7 NOTES queued,
+#   (d) three 1x-green r6 entries filling the remaining seats.
+# Demoted to _TAIL: the untouched r7-gated set (freshest green row one
+# round old) and the rest of the r6 set — _TAIL is ordered as the r9
+# re-promotion queue: the r6-fresh entries first (they hit the 2-round
+# staleness bound at r9 and MUST gate then), then the r7-fresh ones.
 
-# Queries that MUST land a CORRECTNESS row this round: everything
-# new/changed since the r6 file was recorded, plus the six deferred
-# promotions the r6 NOTES queued.
+# Queries that MUST land a CORRECTNESS row this round (asserted inside
+# the first 50 by tests/test_gate.py): this round's 50 exactly — the
+# rotation IS the must-gate set, so a silent displacement cannot
+# happen.
 _MUST_GATE = [
-    # first oracle ever (was the only rows-only catalog entry —
-    # re-expressed as integer-exact quantized Lloyd's, SQL-unrolled):
-    "embedding_kmeans_clusters",
     # new this round:
-    "streaming_index_delta",  # CDC stream patches the sharded index per micro-batch
-    "embedding_lsh_delta",  # CDC batch patches the LSH ANN index (vector twin)
-    "inverted_index_patch",  # apply-delta ≡ from-scratch rebuild invariant
-    "minhash_lsh_delta",  # CDC diff of the near-dup candidate graph
-    # code changed this round:
-    "inverted_index_delta",  # segment-pruned rebuild (functions.inverted.delta_index)
-    "source_quota_sample",  # negative-size clamp in quota_sample
-    "source_quota_sample_hash",  # distributed prefix-sum bounds (no driver collect)
-    "source_temperature_mix",  # memoized persisted input + new bounds path
-    # new in the late-r7 session (no driver row yet):
-    "doc_heavy_hitters_cms",  # CMS sketch + map-side probe prunes the exact shuffle
-    "inverted_index_compact",  # LSM segment merge ≡ from-scratch coarse build
-    "dedup_keep_longest",  # keep-best-per-cluster policy over cached components
-    "token_block_plan",  # concat-and-chunk via distributed prefix sum
-    "epoch_shuffle_plan",  # deterministic epoch shard/position layout
-    "streaming_heavy_hitters",  # per-micro-batch CMS grids merge losslessly
-    "source_stats_maintain",  # IVM: view absorbs CDC delta, no corpus re-agg
-    "streaming_source_stats",  # the IVM stream twin: sequential per-batch merge
-    "doc_heavy_hitters_delta",  # CDC grid maintenance: grid − old + new ≡ rebuild
-    "inverted_index_query",  # the index READ path: broadcast-semi terms, TakeOrdered top-k
-    # new in the continuation session (no driver row yet):
-    "doc_shard_zone_maps",  # data-skipping WRITE side: per-shard min/max stats
-    "zone_map_pruned_scan",  # data-skipping READ path: stats → pushed scan ranges
-    "inverted_index_query_ranked",  # integer TF-IDF serving through the scored index
-    "zone_map_maintain",  # CDC stats maintenance: affected shards recompute pruned
-    "dedup_graph_pagerank",  # integer PageRank over the rare-shingle graph
-    "funnel_conversion",  # first-touch ordered funnel, one conditional-agg shuffle
-    "ngram_lm_counts",  # bigram LM counts + KN continuation counts
-    "value_quantile_sketch",  # mergeable fixed-bin histogram → p50/p95 read-off
-    "retention_cohorts",  # first-active-day cohort × day-offset retention counts
-    "streaming_zone_maps",  # zone-map stats maintained per CDC micro-batch
-    "source_token_drift",  # integer L1 unigram-distribution drift per source
-    "corpus_read_asof",  # time-travel read: latest version ≤ k per doc
-    "streaming_running_totals",  # applyInPandasWithState custom stateful op
-    "value_quantile_delta",  # histogram linearity: hist − old + new ≡ rebuild
-    "streaming_value_quantiles",  # per-micro-batch histograms merge to the batch sketch
-    "dedup_components_delta",  # append-only incremental component maintenance
-    # deferred promotions from the r6 rotation (4 green rows each):
-    "pricing_summary",
-    "scan_filter_project",
-    "classification_join",
-    "star_broadcast_join",
-    "nullsafe_join",
-    "semi_anti_join",
-]
-_EARLY = _MUST_GATE + [
-    # r5-gated set that sat out round 6 (green in CORRECTNESS_r05 or
-    # earlier, code untouched since; re-promoted per the rolling-green
-    # rotation policy). Ordered by promotion priority — fewest/oldest
-    # green rows first — because the eight continuation-session seats
-    # (zone_map_maintain through source_token_drift above) push the
-    # tail of this list past the 50-cap:
-    "doc_vocab_top50",
-    "pack_sequences_sharded",
-    "embedding_ivf_topk_nprobe2",
-    "dedup_keep_canonical",
-    "doc_decontaminate",
-    "doc_repetition",
-    "genomic_classify_detail",
-    "tfidf_top_terms",
-    "doc_dupspan_scrub",
-    # --- 50-cap falls here (41 must-gate + 9 above) ---
-    "bpe_top_pairs",
-    "dataset_shard_manifest",
-    "streaming_doc_quality",
-    "corpus_upsert_latest",
-    "events_zorder_layout",
-    "ann_retrieve_docs",
-    "events_json_extract",
-    # past-the-cap: single-r5-green entries that lose their seat to the
-    # new operators (pytest oracle parity still pins them at sf0.01),
-    # then the multi-green demotions (≥2 rows each):
-    "corpus_diff",
-    "streaming_dedup_keys",
-    "events_rolling_stats",
-    "doc_bloom_decontaminate",
-    "embedding_random_projection",
-    "doc_unigram_rarity",
-    "dedup_components",
-    "streaming_genomic_classify",
-    "streaming_session_windows",
-]
-_TAIL = [
-    # demoted to seat the ten late-r7-session operators (CMS batch +
-    # streaming + CDC-delta / compact / keep-longest / token-blocks /
-    # epoch-shuffle / stats-IVM batch + streaming / index query):
-    # ≥3 green rows each, code untouched, per the
-    # demote-only-≥2×-green rule
-    "media_image_stats",
-    "media_phash_neardup",
-    "media_audio_stats",
-    "scalar_funcs",
-    "size_histogram",
-    "topk_per_group",
-    "two_level_agg",
-    "genomic_clade_rollup",
-    "video_frame_plan",
-    "streaming_window_counts",
-    # demoted to seat the late-round delta operators (≥2 green rows
-    # each, per the demote-only-≥2×-green rotation rule — the 1-green
-    # doc_unigram_rarity/doc_vocab_top50 demotions were reverted and
-    # two 4×-green relational entries gave up their seats instead):
-    "pack_sequences",
-    "embedding_ivf_topk",
-    "sessionize_events",
-    "set_ops_nations",
-    # many-times-green genomic flagships that gave their seats to the
-    # r5-gated re-promotions — first in line for the r8 gate:
+    #   genomic_classify2 — two-step dynamic classification (E3)
+    #   dedup_components_drop — removal-capable component maintenance
+    #   inverted_index_ranked_delta — segment-pruned tf-postings delta
+    # code changed this round: the rest of (b) above
+    "genomic_classify2",
+    "dedup_components_drop",
+    "inverted_index_ranked_delta",
+    "inverted_index_delta",
+    "inverted_index_patch",
+    "inverted_index_query_ranked",
+    "epoch_shuffle_plan",
+    "streaming_index_delta",
+    "streaming_source_stats",
+    "streaming_zone_maps",
     "genomic_classify",
     "genomic_classify_wide",
-    "genomic_kmer_totals",
+    "genomic_classify_wide_hashed",
+    "genomic_classify_detail",
     "genomic_index_lca_histogram",
-    # demoted: green in CORRECTNESS_r06, code untouched since
-    # (the local pytest oracle suite re-runs ALL of them at sf0.01):
-    "doc_boilerplate_scrub",
-    "cube_source_lang",
-    "doc_length_quartiles",
-    "unpivot_part_metrics",
-    "fasta_input_roundtrip",
-    "embedding_semdedup_keep",
-    "events_approx_distinct",
+    "genomic_clade_rollup",
+    "streaming_genomic_classify",
+    "bracken_weights",
+    "genomic_kmer_totals",
+    # (c) freshest green row is r5 — the two-round-stale backlog:
+    "ann_retrieve_docs",
+    "bpe_top_pairs",
+    "corpus_diff",
+    "corpus_upsert_latest",
+    "dataset_shard_manifest",
+    "dedup_components",
+    "doc_bloom_decontaminate",
+    "doc_unigram_rarity",
+    "embedding_ivf_topk",
+    "embedding_random_projection",
+    "events_json_extract",
+    "events_rolling_stats",
+    "events_zorder_layout",
+    "media_audio_stats",
+    "media_image_stats",
+    "media_phash_neardup",
+    "pack_sequences",
+    "scalar_funcs",
+    "sessionize_events",
+    "set_ops_nations",
+    "size_histogram",
+    "streaming_dedup_keys",
+    "streaming_doc_quality",
+    "streaming_session_windows",
+    "streaming_window_counts",
+    "topk_per_group",
+    "two_level_agg",
+    "video_frame_plan",
+    # (d) 1x-green r6 fills:
     "bpe_learned_merges",
     "bpe_tokenized_counts",
-    "inverted_index_sharded",
-    "inverted_index_digest",
-    "bracken_weights",
-    "order_rejoin",
-    "lca_fold",
-    "hit_regroup",
-    "count_distinct_multi",
-    "multi_stat_per_user",
-    "weights_rollup",
-    "fastq_window",
-    "salted_skew_join",
-    "rollup_revenue",
-    "doc_token_stats",
-    "deterministic_sample",
-    "salted_skew_agg",
-    "event_type_pivot",
+    "cube_source_lang",
+]
+_EARLY = list(_MUST_GATE)
+_TAIL = [
+    # r9 re-promotion queue, in order. First the r6-fresh entries
+    # (their newest green row turns two rounds old when this round's
+    # file lands — r9 must gate them or the freshness guard fails):
     "asof_event_order",
-    "range_bucket_join",
+    "asof_event_order_forward",
+    "count_distinct_multi",
+    "dataset_split_counts",
     "dedup_exact",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_adjacent",
-    "simhash_docs",
+    "deterministic_sample",
+    "doc_boilerplate_scrub",
+    "doc_bpe_token_stats",
+    "doc_chunks",
     "doc_fingerprints",
+    "doc_langid",
+    "doc_length_quartiles",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_token_stats",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",
     "embedding_neardup_pairs",
-    "doc_pii_redact",
-    "doc_quality",
-    "doc_langid",
-    "doc_bpe_token_stats",
-    "value_percentiles",
-    "doc_chunks",
-    "asof_event_order_forward",
     "embedding_quantize_int8",
-    "dataset_split_counts",
-    "genomic_classify_wide_hashed",
+    "embedding_semdedup_keep",
+    "event_type_pivot",
+    "events_approx_distinct",
+    "fasta_input_roundtrip",
+    "fastq_window",
+    "hit_regroup",
+    "inverted_index_digest",
+    "inverted_index_sharded",
+    "lca_fold",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multi_stat_per_user",
+    "ngram_jaccard_adjacent",
+    "order_rejoin",
+    "range_bucket_join",
+    "rollup_revenue",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "simhash_docs",
+    "unpivot_part_metrics",
+    "value_percentiles",
+    "weights_rollup",
+    # then the r7-fresh set (one round old after this round):
+    "classification_join",
+    "corpus_read_asof",
+    "dedup_components_delta",
+    "dedup_graph_pagerank",
+    "dedup_keep_canonical",
+    "dedup_keep_longest",
+    "doc_decontaminate",
+    "doc_dupspan_scrub",
+    "doc_heavy_hitters_cms",
+    "doc_heavy_hitters_delta",
+    "doc_repetition",
+    "doc_shard_zone_maps",
+    "doc_vocab_top50",
+    "embedding_ivf_topk_nprobe2",
+    "embedding_kmeans_clusters",
+    "embedding_lsh_delta",
+    "funnel_conversion",
+    "inverted_index_compact",
+    "inverted_index_query",
+    "minhash_lsh_delta",
+    "ngram_lm_counts",
+    "nullsafe_join",
+    "pack_sequences_sharded",
+    "pricing_summary",
+    "retention_cohorts",
+    "scan_filter_project",
+    "semi_anti_join",
+    "source_quota_sample",
+    "source_quota_sample_hash",
+    "source_stats_maintain",
+    "source_temperature_mix",
+    "source_token_drift",
+    "star_broadcast_join",
+    "streaming_heavy_hitters",
+    "streaming_running_totals",
+    "streaming_value_quantiles",
+    "tfidf_top_terms",
+    "token_block_plan",
+    "value_quantile_delta",
+    "value_quantile_sketch",
+    "zone_map_maintain",
+    "zone_map_pruned_scan",
 ]
 
 

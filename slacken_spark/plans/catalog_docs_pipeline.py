@@ -187,6 +187,13 @@ def source_temperature_mix(spark, sf_dir):
     # docstring says to persist for, and the memoization keeps bench
     # reruns from stacking a fresh cached lineage per invocation
     docs = _sized_docs_persisted(spark, sf_dir)
+    # BOUND NOTE (the skipping.py convention): this collect is
+    # source-cardinality-sized — one row per corpus source, never per
+    # doc. The mixing recipe (per-source temperature quotas) is
+    # driver-side state by nature, the same contract as every mixer
+    # config a training pipeline ships; a corpus with more sources than
+    # driver memory holds has a config-management problem, not a
+    # query-plan one.
     totals = {
         r["source"]: r["tot"]
         for r in docs.groupBy("source")

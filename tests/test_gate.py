@@ -62,3 +62,40 @@ def test_gate_union_across_rounds_plus_this_round_covers_catalog():
     }
     uncovered = set(entry._catalog.QUERIES) - covered - rows_only
     assert not uncovered, f"queries with no driver row and not gated: {uncovered}"
+
+
+def test_rolling_green_window_stays_fresh():
+    """The freshness guard (VERDICT r7 item 7): union coverage alone
+    lets an entry's newest green row age silently — r7 left 34 entries
+    two rounds stale. With 50 seats a round and a ~130-entry catalog,
+    steady-state rotation re-gates everything within 3 rounds, so the
+    enforced bound is: every oracle-backed catalog entry must either
+    sit inside THIS round's first 50 or hold a green row in one of the
+    TWO most recent recorded rounds. A rotation edit that would let an
+    entry fall three rounds stale fails here, at commit time, instead
+    of surfacing as a verdict finding."""
+    by_round: dict[int, set] = {}
+    for f in sorted(os.listdir(REPO)):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            rnd = int(f[len("CORRECTNESS_r"):].split(".")[0])
+            d = json.load(open(os.path.join(REPO, f)))
+            by_round[rnd] = {
+                k
+                for k, v in d.items()
+                if isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and not v.get("err")
+            }
+    recent = set()
+    for rnd in sorted(by_round)[-2:]:
+        recent |= by_round[rnd]
+    gated = set(entry._ordered_names()[:GATE_CAP])
+    rows_only = {
+        n for n, (_, sql) in entry._catalog.QUERIES.items() if sql is None
+    }
+    stale = set(entry._catalog.QUERIES) - gated - recent - rows_only
+    assert not stale, (
+        f"entries neither gated this round nor green in the last two "
+        f"recorded rounds: {sorted(stale)}"
+    )

@@ -752,3 +752,40 @@ def test_retention_day_index_is_session_tz_free(spark):
             spark.conf.unset("spark.sql.session.timeZone")
         else:
             spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_round8_query_plan_shapes(spark, sf_dir):
+    """Round-8 additions: the RANKED delta must carry the boolean
+    delta's incremental plan shape verbatim (segment semi-join BELOW
+    the corpus explode, anti-join doc swap, one left-outer tombstone
+    join, no Python eval); the component drop path must broadcast the
+    affected-component set and keep the passthrough an anti-join."""
+    # the catalog entry returns the APPLIED patch (the delta sits
+    # checkpointed behind a Scan ExistingRDD there), so the raw delta's
+    # shape is asserted on the function itself, over the same fixture
+    from slacken_spark.functions.inverted import delta_scored_index
+    from slacken_spark.plans.catalog import tp
+    from slacken_spark.plans.catalog_docs_pipeline import _cdc_upd
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = delta_scored_index(
+        docs, _cdc_upd(docs), F.split(F.col("text"), " "), "doc_id", 10
+    )
+    plan = _plan(delta)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftAnti" in plan, "changed docs swap out via an anti-join"
+    assert "LeftOuter" in plan, "tombstones come from one left join"
+    assert _generate_has_semi_join_on(plan, "segment"), (
+        "corpus explode must sit above a broadcast segment semi-join"
+    )
+
+    fn, _ = REGISTRY["dedup_components_drop"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # unaffected components pass through via an anti-join against the
+    # BROADCAST affected set; the recomputed branch reads the loop's
+    # checkpointed labels (ExistingRDD), never re-deriving the corpus
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Scan ExistingRDD" in plan
