@@ -128,16 +128,22 @@ _MUST_GATE = [
     "topk_per_group",
     "two_level_agg",
     "video_frame_plan",
-    # (d) 1x-green r6 fills:
-    "bpe_learned_merges",
-    "bpe_tokenized_counts",
-    "cube_source_lang",
+    # (d) the remaining seats went to three LATE-ROUND NEW operators
+    # (displacing the planned 1x-green r6 fills, which are green within
+    # the freshness window and head the r9 queue in _TAIL instead):
+    "inverted_index_ranked_compact",  # LSM compaction of the scored index
+    "streaming_index_ranked_delta",  # ranked CDC stream via the delta_fn hook
+    "genomic_gold_eval",  # readGoldSet + precision/recall (Dynamic.scala:265-312)
 ]
 _EARLY = list(_MUST_GATE)
 _TAIL = [
     # r9 re-promotion queue, in order. First the r6-fresh entries
     # (their newest green row turns two rounds old when this round's
-    # file lands — r9 must gate them or the freshness guard fails):
+    # file lands — r9 must gate them or the freshness guard fails),
+    # headed by the three fills this round's late operators displaced:
+    "bpe_learned_merges",
+    "bpe_tokenized_counts",
+    "cube_source_lang",
     "asof_event_order",
     "asof_event_order_forward",
     "count_distinct_multi",

@@ -575,6 +575,45 @@ def inverted_index_patch(spark, sf_dir):
     )
 
 
+# The RAW ranked delta's oracle (tf twin of DELTA_ORACLE_SQL, same
+# pruned-merged CTE) — gates catalog_streaming.streaming_index_ranked_delta,
+# whose availableNow micro-batch must emit exactly this delta set.
+RANKED_DELTA_ORACLE_SQL = f"""
+    WITH {_CDC_UPD_SQL},
+    merged AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 50 <> 0 AND (doc_id // 10) % 5 = 0
+        UNION ALL SELECT doc_id, text FROM upd),
+    old_t AS MATERIALIZED (
+        SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+        FROM documents WHERE doc_id % 50 = 0),
+    new_t AS MATERIALIZED (
+        SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+        FROM upd),
+    aff AS MATERIALIZED (SELECT DISTINCT term, doc_id // 10 AS segment
+            FROM (SELECT * FROM old_t UNION ALL SELECT * FROM new_t)),
+    tf AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+              FROM merged)
+        GROUP BY doc_id, term),
+    p AS MATERIALIZED (
+        SELECT term, doc_id // 10 AS segment, doc_id, tf FROM tf),
+    rebuilt AS MATERIALIZED (
+        SELECT p.term, p.segment,
+               count(*) AS df_segment,
+               md5(string_agg(p.doc_id || ':' || p.tf, ','
+                              ORDER BY p.doc_id)) AS segment_digest
+        FROM p JOIN aff ON p.term = aff.term AND p.segment = aff.segment
+        GROUP BY p.term, p.segment)
+    SELECT a.term, CAST(a.segment AS BIGINT) AS segment,
+           CAST(coalesce(r.df_segment, 0) AS BIGINT) AS df_segment,
+           coalesce(r.segment_digest, md5('')) AS segment_digest
+    FROM aff a LEFT JOIN rebuilt r
+      ON a.term = r.term AND a.segment = r.segment
+    """
+
+
 @register(
     "inverted_index_ranked_delta",
     f"""
@@ -842,6 +881,48 @@ def inverted_index_compact(spark, sf_dir):
         "segment",
         "df_segment",
         postings_digest(F.col("postings")).alias("segment_digest"),
+    )
+
+
+@register(
+    "inverted_index_ranked_compact",
+    f"""
+    WITH tf AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({SQL_TOKENS.format(expr='text')}) AS term
+              FROM documents)
+        GROUP BY doc_id, term)
+    SELECT term, CAST(doc_id // 100 AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS df_segment,
+           md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+             AS segment_digest
+    FROM tf GROUP BY term, doc_id // 100
+    """,
+)
+def inverted_index_ranked_compact(spark, sf_dir):
+    """LSM compaction of the RANKED index: ``compact_segments`` is
+    postings-type-generic (df sums, disjoint sorted segment lists
+    concatenate in segment order — true whether a list element is a
+    doc id or a (doc_id, tf) struct), so the scored index gets the
+    same maintenance verb with ZERO new shuffle machinery. Merging
+    ten 10-row segments must equal a from-scratch 100-row-sharded
+    ``scored_index`` of the same corpus — the oracle, tf digests
+    included. Completes the ranked family: build / delta / patch /
+    COMPACT / flatten / serve."""
+    from slacken_spark.functions.inverted import (
+        compact_segments,
+        scored_index,
+        scored_postings_digest,
+    )
+
+    docs = tp(spark, sf_dir, "documents")
+    fine = scored_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    idx = compact_segments(fine, 10)
+    return idx.select(
+        "term",
+        "segment",
+        "df_segment",
+        scored_postings_digest(F.col("postings")).alias("segment_digest"),
     )
 
 

@@ -655,6 +655,111 @@ def genomic_classify2(spark, sf_dir):
     return out.select("header", "classified", "taxon")
 
 
+# Gold-set evaluation (readGoldSet / precision-recall,
+# Dynamic.scala:265-312): the detected set from the classify2 fixture
+# scored against a gold taxon CSV. The gold file deliberately mixes
+# (a) library leaves (% 120 parts — kept), (b) BRAND ids (in the
+# taxonomy, not in the library; their only ancestor is ROOT, also not
+# in the library, so promotion finds nothing and the species-rank
+# filter drops them — depth 7 < 8), and (c) unknown ids (p+1007 —
+# never a leaf id since leaves are ≡0 mod 40 offset 1000; undefined
+# nodes carry depth −1, out-of-range ids skip the promotion loop), so
+# the remap/promote/filter pipeline all execute. What survives is
+# exactly the % 120 leaves, which the oracle states directly.
+_GOLD_EVAL_SQL = f"""
+    WITH parts AS (
+        SELECT p_partkey,
+               CAST(2 + CAST(substr(p_brand, 7, 2) AS INT) AS INT) AS brand
+        FROM part WHERE p_partkey % 40 = 0
+    ),
+    bc AS (SELECT brand, count(*) AS n FROM parts GROUP BY brand),
+    det AS (
+        SELECT p.p_partkey
+        FROM parts p JOIN bc ON p.brand = bc.brand
+        WHERE p.p_partkey % 80 = 0 OR bc.n = 1
+    ),
+    gold AS (SELECT p_partkey FROM parts WHERE p_partkey % 120 = 0),
+    m AS (SELECT
+        (SELECT count(*) FROM det
+         WHERE p_partkey IN (SELECT p_partkey FROM gold)) AS tp,
+        (SELECT count(*) FROM det) AS nd,
+        (SELECT count(*) FROM gold) AS ng)
+    SELECT CAST(tp AS BIGINT) AS tp,
+           CAST(nd - tp AS BIGINT) AS fp,
+           CAST(ng - tp AS BIGINT) AS fn,
+           coalesce(tp * 1.0 / nullif(nd, 0), 0.0) AS prec,
+           coalesce(tp * 1.0 / nullif(ng, 0), 0.0) AS rec
+    FROM m
+    """
+
+
+@register("genomic_gold_eval", _GOLD_EVAL_SQL)
+def genomic_gold_eval(spark, sf_dir):
+    """Gold-set evaluation of taxon-set detection (readGoldSet +
+    precision/recall, Dynamic.scala:265-312) — the last piece of the
+    dynamic pipeline to earn a driver row: detection runs the
+    classify2 fixture (MinimizerDistinctCount at species rank), the
+    gold CSV round-trips through ``read_gold_set``'s full
+    remap → promote-missing → rank-filter pipeline (see
+    _GOLD_EVAL_SQL for what each branch does on this taxonomy), and
+    the emitted row is ``gold_set_metrics``' exact integers with
+    precision/recall as single int/int divisions — IEEE-identical on
+    both engines."""
+    import os
+    import tempfile
+
+    from slacken_spark.dynamic import Dynamic, MinimizerDistinctCount
+
+    idx = _build_index(spark, sf_dir)
+    g = _genomes(spark, sf_dir)
+    core = g.select(
+        F.concat(F.lit("r2_core_"), F.col("header")).alias("header"),
+        F.substring("nucleotides", 40, 150).alias("nucleotides"),
+    )
+    uniq = g.where((F.col("taxon") - 1000) % 80 == 0).select(
+        F.concat(F.lit("r2_uniq_"), F.col("header")).alias("header"),
+        F.substring("nucleotides", 320, 150).alias("nucleotides"),
+    )
+    dyn = Dynamic(
+        idx,
+        g.select("header", "nucleotides"),
+        g.select("header", "taxon"),
+        MinimizerDistinctCount(threshold=1),
+        reclassify_rank_depth=8,
+    )
+    detected = dyn.find_taxon_set(core.unionByName(uniq))
+    # deterministic gold CSV (driver-side: part-sample-sized metadata)
+    pk = [
+        int(r["p_partkey"])
+        for r in t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 40 == 0)
+        .select("p_partkey")
+        .collect()
+    ]
+    brands = {
+        2 + int(r["p_brand"][6:8])
+        for r in t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 200 == 0)
+        .select("p_brand")
+        .collect()
+    }
+    gold_ids = (
+        [p + 1000 for p in pk if p % 120 == 0]
+        + sorted(brands)
+        + [p + 1007 for p in pk if p % 160 == 0]
+    )
+    with tempfile.TemporaryDirectory(prefix="gold_") as tmp:
+        path = os.path.join(tmp, "gold.csv")
+        with open(path, "w") as f:
+            f.write("\n".join(str(i) for i in gold_ids) + "\n")
+        gold = dyn.read_gold_set(path)
+    m = dyn.gold_set_metrics(detected, gold)
+    return spark.createDataFrame(
+        [(m["tp"], m["fp"], m["fn"], float(m["precision"]), float(m["recall"]))],
+        "tp long, fp long, fn long, prec double, rec double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Input-layer round trip: FASTA / FASTQ / @list / indexed .fai under the gate
 # ---------------------------------------------------------------------------

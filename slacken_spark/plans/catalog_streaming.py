@@ -291,6 +291,71 @@ def streaming_index_delta(spark, sf_dir):
     return spark.createDataFrame(collected, out_schema)
 
 
+from slacken_spark.plans.catalog_docs_pipeline import (  # noqa: E402
+    RANKED_DELTA_ORACLE_SQL,
+)
+
+
+@register("streaming_index_ranked_delta", RANKED_DELTA_ORACLE_SQL)
+def streaming_index_ranked_delta(spark, sf_dir):
+    """Streaming incremental maintenance of the RANKED index: the same
+    CDC stream as streaming_index_delta, but each micro-batch runs
+    functions.inverted.delta_scored_index through the SAME foreachBatch
+    harness (ops.index_delta_stream's ``delta_fn`` hook — identical
+    keying and tombstone contract, so the stream machinery is shared,
+    not forked). availableNow's single micro-batch must emit exactly
+    the batch ranked delta — gated against RANKED_DELTA_ORACLE_SQL,
+    tf digests included. Completes the maintenance symmetry: BOTH
+    index flavors now have build / delta / patch / compact / stream."""
+    import os
+
+    from slacken_spark.functions import text as X
+    from slacken_spark.functions.inverted import (
+        delta_scored_index,
+        scored_postings_digest,
+    )
+    from slacken_spark.plans.catalog import t
+    from slacken_spark.plans.catalog_docs_pipeline import _cdc_upd
+
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    upd_stream = _cdc_upd(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+    )
+    collected: list = []
+    out_schema = (
+        "term string, segment bigint, df_segment bigint, segment_digest string"
+    )
+
+    def sink(delta_df, _epoch):
+        collected.extend(
+            delta_df.select(
+                "term",
+                "segment",
+                "df_segment",
+                scored_postings_digest(F.col("postings")).alias(
+                    "segment_digest"
+                ),
+            ).collect()
+        )
+
+    ops.run_foreach_to_completion(
+        ops.index_delta_stream(
+            base,
+            upd_stream,
+            X.tokens(F.col("text")),
+            sink,
+            delta_fn=delta_scored_index,
+        )
+    )
+    return spark.createDataFrame(collected, out_schema)
+
+
 from slacken_spark.plans.catalog_docs_sketch import CMS_ORACLE_SQL  # noqa: E402
 
 

@@ -232,13 +232,18 @@ def classify_stream(index, read_stream: DataFrame, sink):
 
 
 def index_delta_stream(base: DataFrame, upd_stream: DataFrame, tokens, sink,
-                       id_col: str = "doc_id", segment_rows: int = 10):
+                       id_col: str = "doc_id", segment_rows: int = 10,
+                       delta_fn=None):
     """Streaming incremental index maintenance: a CDC stream of document
     replacements patches a STATIC corpus's sharded inverted index — the
     continuous form of ``functions.inverted.delta_index`` and the
     standard Spark shape for streaming index upkeep (foreachBatch
     applying the batch delta per micro-batch, like a streaming
-    MERGE INTO).
+    MERGE INTO). ``delta_fn`` swaps the per-batch maintainer — the
+    default is the boolean ``delta_index``; pass
+    ``inverted.delta_scored_index`` for the RANKED (tf-carrying) index,
+    whose delta has the identical (term, segment, df_segment, postings)
+    keying and tombstone contract.
 
     Per micro-batch: ``delta_index(current_base, batch)`` emits only the
     affected (term, segment) posting lists (tombstones included) to
@@ -255,12 +260,14 @@ def index_delta_stream(base: DataFrame, upd_stream: DataFrame, tokens, sink,
     """
     from slacken_spark.functions.inverted import delta_index
 
+    delta_fn = delta_fn or delta_index
+
     state = {"base": base}
 
     def process(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
-        delta = delta_index(
+        delta = delta_fn(
             state["base"], batch_df, tokens, id_col, segment_rows
         )
         sink(delta, epoch_id)

@@ -417,3 +417,27 @@ def test_flatten_scored_segments_matches_flat_build(spark):
         for r in query_index_ranked(idx, ["hot", "w3"], 10, n).collect()
     ]
     assert serve(flattened) == serve(flat)
+
+
+def test_compact_segments_works_on_scored_index(spark):
+    """compact_segments is postings-type-generic: merging a SHARDED
+    SCORED index's fine segments must equal the from-scratch coarse
+    scored build, tf structs included — the ranked index gets LSM
+    compaction for free."""
+    from slacken_spark.functions.inverted import compact_segments, scored_index
+
+    toks = F.split(F.col("text"), " ")
+    docs = _tf_corpus(spark)
+    fine = scored_index(docs, toks, segment_rows=10)
+    coarse = scored_index(docs, toks, segment_rows=30)
+
+    def rows(df):
+        return {
+            (r["term"], r["segment"]): (
+                r["df_segment"],
+                [(p["doc_id"], p["tf"]) for p in r["postings"]],
+            )
+            for r in df.collect()
+        }
+
+    assert rows(compact_segments(fine, 3)) == rows(coarse)

@@ -307,3 +307,78 @@ def test_index_delta_stream_applies_batches_sequentially(spark, tmp_path):
     # computed against the ORIGINAL base would get this pair wrong
     assert ("alpha", 0) in fb2
     assert fb2[("alpha", 0)] == (1, [5])
+
+
+def test_index_delta_stream_ranked_variant_sequences_too(spark, tmp_path):
+    """The delta_fn hook: the SAME foreachBatch harness maintaining the
+    RANKED index (delta_scored_index) must apply micro-batches
+    sequentially exactly like the boolean path — batch 2's tf-postings
+    computed against the batch-1-patched base."""
+    from slacken_spark.functions.inverted import delta_scored_index
+
+    base = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 3} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    b1 = [(0, "alpha alpha common"), (10, "beta common")]
+    b2 = [(0, "gamma solo"), (5, "alpha common")]
+    up_dir = tmp_path / "upd_ranked"
+    up_dir.mkdir()
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(up_dir / "b1"))
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(up_dir / "b2"))
+    import glob
+    import os
+
+    for name, age in (("b1", 200), ("b2", 100)):
+        for f in glob.glob(str(up_dir / name / "*.parquet")):
+            st = os.stat(f)
+            os.utime(f, (st.st_atime, st.st_mtime - age))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(str(up_dir))
+    )
+    as_dict = lambda df: {
+        (r["term"], r["segment"]): (
+            r["df_segment"],
+            [(p["doc_id"], p["tf"]) for p in r["postings"]],
+        )
+        for r in df.collect()
+    }
+    batches = []
+    ops.run_foreach_to_completion(
+        ops.index_delta_stream(
+            base,
+            stream,
+            F.split(F.col("text"), " "),
+            lambda d, _e: batches.append(as_dict(d)),
+            segment_rows=10,
+            delta_fn=delta_scored_index,
+        )
+    )
+    assert len(batches) == 2
+    first_is_b1 = ("beta", 1) in batches[0]
+    order = [b1, b2] if first_is_b1 else [b2, b1]
+    cur = base
+    for got, batch_rows in zip(batches, order):
+        bdf = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        want = as_dict(
+            delta_scored_index(
+                cur, bdf, F.split(F.col("text"), " "), segment_rows=10
+            )
+        )
+        assert got == want
+        cur = cur.where(
+            ~F.col("doc_id").isin([i for i, _ in batch_rows])
+        ).unionByName(bdf)
+    # tf actually exercised: doc 0's batch-1 rebuild carries alpha tf=2
+    b1_batch = batches[0] if first_is_b1 else batches[1]
+    assert b1_batch[("alpha", 0)][1] == [(0, 2)]
