@@ -63,6 +63,75 @@ def inverted_index(
     )
 
 
+def _delta_rebuild(
+    base: DataFrame,
+    upd: DataFrame,
+    tokens: Column,
+    id_col: str,
+    segment_rows: int,
+    occurrence_rows,
+    posting_col,
+    empty_type: str,
+) -> DataFrame:
+    """ONE definition of the segment-pruned delta scaffolding shared by
+    ``delta_index`` and ``delta_scored_index`` (the _cdc_upd rule
+    applied to the engine side: the pruning/merge/tombstone contract
+    must not be able to desynchronize between the two index flavors).
+    The flavor plugs in only (a) ``occurrence_rows(merged)`` — how the
+    merged pruned corpus becomes (id, term[, tf]) rows (distinct for
+    the boolean index, a tf count-aggregation for the scored one) —
+    and (b) the posting element + its empty-array type. Everything
+    structural lives here once: the broadcast update-id/affected-
+    segment sets, the old∪new affected-pair derivation, the
+    semi-join pruning BELOW the tokenize, the anti-join+union doc
+    swap, the affected-pair-restricted aggregation, and the single
+    left-outer tombstone join (never union+anti — Spark would evaluate
+    the pruned corpus twice)."""
+    if segment_rows <= 0:
+        raise ValueError(f"segment_rows must be positive: {segment_rows}")
+    seg = segment_expr(id_col, segment_rows)
+    upd_ids = F.broadcast(upd.select(id_col))
+    aff_segs = F.broadcast(upd.select(seg.alias("segment")).distinct())
+    old_t = (
+        base.join(upd_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.explode(tokens).alias("term"))
+        .distinct()
+    )
+    new_t = upd.select(F.col(id_col), F.explode(tokens).alias("term")).distinct()
+    aff = (
+        old_t.unionByName(new_t)
+        .select("term", seg.alias("segment"))
+        .distinct()
+    )
+    pruned = base.withColumn("segment", seg).join(
+        aff_segs, "segment", "left_semi"
+    )
+    merged = (
+        pruned.join(upd_ids, id_col, "left_anti")
+        .select(*upd.columns)
+        .unionByName(upd)
+    )
+    rows = occurrence_rows(merged).withColumn("segment", seg)
+    rebuilt = (
+        rows.join(aff, ["term", "segment"])
+        .groupBy("term", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_segment"),
+            F.sort_array(F.collect_list(posting_col)).alias("postings"),
+        )
+    )
+    return aff.join(rebuilt, ["term", "segment"], "left").select(
+        "term",
+        "segment",
+        F.coalesce(F.col("df_segment"), F.lit(0)).cast("long").alias(
+            "df_segment"
+        ),
+        F.coalesce(F.col("postings"), F.array().cast(empty_type)).alias(
+            "postings"
+        ),
+    )
+
+
 def delta_index(
     base: DataFrame,
     upd: DataFrame,
@@ -89,65 +158,20 @@ def delta_index(
     rebuilt lists must patch the rows of the index they maintain.
     tests/test_plans.py pins the segment filter below the corpus
     explode; tests/test_inverted.py pins delta ≡ full-rebuild-restricted
-    on clustered updates where most segments are untouched."""
-    if segment_rows <= 0:
-        raise ValueError(f"segment_rows must be positive: {segment_rows}")
-    seg = segment_expr(id_col, segment_rows)
-    upd_ids = F.broadcast(upd.select(id_col))
-    aff_segs = F.broadcast(upd.select(seg.alias("segment")).distinct())
-    # affected (term, segment) pairs: terms of the OLD version (fetched
-    # by a semi-join on changed ids) plus the NEW version, each in the
-    # changed doc's segment
-    old_t = (
-        base.join(upd_ids, id_col, "left_semi")
-        .select(F.col(id_col), F.explode(tokens).alias("term"))
-        .distinct()
-    )
-    new_t = upd.select(F.col(id_col), F.explode(tokens).alias("term")).distinct()
-    aff = (
-        old_t.unionByName(new_t)
-        .select("term", seg.alias("segment"))
-        .distinct()
-    )
-    # merged corpus, PRUNED to affected segments before anything
-    # tokenizes: semi-join the broadcast segment set, then swap changed
-    # docs for their update rows (anti-join + union)
-    pruned = base.withColumn("segment", seg).join(
-        aff_segs, "segment", "left_semi"
-    )
-    merged = (
-        pruned.join(upd_ids, id_col, "left_anti")
-        .select(*upd.columns)
-        .unionByName(upd)
-    )
-    e = (
-        merged.select(F.col(id_col), F.explode(tokens).alias("term"))
-        .distinct()
-        .withColumn("segment", seg)
-    )
-    rebuilt = (
-        e.join(aff, ["term", "segment"])
-        .groupBy("term", "segment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df_segment"),
-            F.sort_array(F.collect_list(id_col)).alias("postings"),
-        )
-    )
-    # one LEFT join from the affected pairs, not union(rebuilt) +
-    # anti-join(rebuilt): Spark does not dedupe common subplans, so
-    # referencing `rebuilt` twice would tokenize and shuffle the pruned
-    # corpus twice per action — doubling exactly the cost this operator
-    # exists to bound. rebuilt ⊆ aff by construction, so the left join
-    # yields every affected pair once; unmatched pairs are tombstones.
-    return aff.join(rebuilt, ["term", "segment"], "left").select(
-        "term",
-        "segment",
-        F.coalesce(F.col("df_segment"), F.lit(0)).cast("long").alias(
-            "df_segment"
-        ),
-        F.coalesce(F.col("postings"), F.array().cast("array<long>")).alias(
-            "postings"
-        ),
+    on clustered updates where most segments are untouched. Structure
+    lives in ``_delta_rebuild``; this flavor contributes the distinct
+    (id, term) occurrence rows and plain-id postings."""
+    return _delta_rebuild(
+        base,
+        upd,
+        tokens,
+        id_col,
+        segment_rows,
+        occurrence_rows=lambda merged: merged.select(
+            F.col(id_col), F.explode(tokens).alias("term")
+        ).distinct(),
+        posting_col=F.col(id_col),
+        empty_type="array<long>",
     )
 
 
@@ -331,57 +355,22 @@ def delta_scored_index(
     ``apply_delta`` applies the output unchanged (same keys, same
     ``df_segment`` tombstone contract) — patched ≡ from-scratch
     ``scored_index(segment_rows=N)``, row for row, the
-    ``inverted_index_ranked_delta`` catalog oracle."""
-    if segment_rows <= 0:
-        raise ValueError(f"segment_rows must be positive: {segment_rows}")
-    seg = segment_expr(id_col, segment_rows)
-    upd_ids = F.broadcast(upd.select(id_col))
-    aff_segs = F.broadcast(upd.select(seg.alias("segment")).distinct())
-    old_t = (
-        base.join(upd_ids, id_col, "left_semi")
-        .select(F.col(id_col), F.explode(tokens).alias("term"))
-        .distinct()
-    )
-    new_t = upd.select(F.col(id_col), F.explode(tokens).alias("term")).distinct()
-    aff = (
-        old_t.unionByName(new_t)
-        .select("term", seg.alias("segment"))
-        .distinct()
-    )
-    pruned = base.withColumn("segment", seg).join(
-        aff_segs, "segment", "left_semi"
-    )
-    merged = (
-        pruned.join(upd_ids, id_col, "left_anti")
-        .select(*upd.columns)
-        .unionByName(upd)
-    )
-    tf = (
-        merged.select(F.col(id_col), F.explode(tokens).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("segment", seg)
-    )
-    rebuilt = (
-        tf.join(aff, ["term", "segment"])
-        .groupBy("term", "segment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df_segment"),
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf"))
-            ).alias("postings"),
+    ``inverted_index_ranked_delta`` catalog oracle. Structure lives in
+    ``_delta_rebuild``; this flavor contributes the per-(doc, term) tf
+    count-aggregation and (doc_id, tf) struct postings."""
+    return _delta_rebuild(
+        base,
+        upd,
+        tokens,
+        id_col,
+        segment_rows,
+        occurrence_rows=lambda merged: merged.select(
+            F.col(id_col), F.explode(tokens).alias("term")
         )
-    )
-    return aff.join(rebuilt, ["term", "segment"], "left").select(
-        "term",
-        "segment",
-        F.coalesce(F.col("df_segment"), F.lit(0)).cast("long").alias(
-            "df_segment"
-        ),
-        F.coalesce(
-            F.col("postings"),
-            F.array().cast("array<struct<doc_id:long,tf:long>>"),
-        ).alias("postings"),
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+        posting_col=F.struct(F.col(id_col).alias("doc_id"), "tf"),
+        empty_type="array<struct<doc_id:long,tf:long>>",
     )
 
 

@@ -351,7 +351,7 @@ def write_training_shards(
 def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
-    shards: int = 8,
+    shards: int | None = None,
     epoch: int = 1,
     rows_per_shard: int | None = None,
 ) -> DataFrame:
@@ -376,17 +376,27 @@ def epoch_shuffle(
     within sampling noise — it cannot hard-bound a single shard).
     The explicit ``shards`` form remains for callers that pin layout
     width (e.g. matching an existing serving fan-out) and accept the
-    sizing responsibility. Appends ``(shard, position)``.
+    sizing responsibility; passing BOTH raises (a silent preference
+    would hand one caller the other's layout). Appends ``(shard, position)``.
     """
     from slacken_spark.functions.text import token_hash64
 
     if rows_per_shard is not None:
+        if shards is not None:
+            raise ValueError(
+                "pass shards OR rows_per_shard, not both — an explicit "
+                "shard count pins layout width, a row target derives it; "
+                "silently preferring one would hand the caller a layout "
+                "they did not ask for"
+            )
         if rows_per_shard <= 0:
             raise ValueError(
                 f"rows_per_shard must be positive: {rows_per_shard}"
             )
         n = df.count()
         shards = max(1, -(-n // rows_per_shard))
+    elif shards is None:
+        shards = 8
     if shards <= 0:
         raise ValueError(f"shards must be positive: {shards}")
     h = token_hash64(

@@ -614,6 +614,24 @@ _CLASSIFY2_ORACLE_SQL = f"""
     """
 
 
+def _classify2_reads(spark, sf_dir):
+    """The ONE definition of the two-step fixture's sample reads (core
+    read per library genome at offset 40; uniq read at offset 320 for
+    the % 80 genomes) — genomic_classify2 AND genomic_gold_eval both
+    predict their detected set from exactly this construction, so a
+    tweak to one consumer cannot desynchronize the other's oracle."""
+    g = _genomes(spark, sf_dir)
+    core = g.select(
+        F.concat(F.lit("r2_core_"), F.col("header")).alias("header"),
+        F.substring("nucleotides", 40, 150).alias("nucleotides"),
+    )
+    uniq = g.where((F.col("taxon") - 1000) % 80 == 0).select(
+        F.concat(F.lit("r2_uniq_"), F.col("header")).alias("header"),
+        F.substring("nucleotides", 320, 150).alias("nucleotides"),
+    )
+    return core.unionByName(uniq)
+
+
 @register("genomic_classify2", _CLASSIFY2_ORACLE_SQL)
 def genomic_classify2(spark, sf_dir):
     """The reference's THIRD flagship pipeline end-to-end: two-step
@@ -634,15 +652,6 @@ def genomic_classify2(spark, sf_dir):
 
     idx = _build_index(spark, sf_dir)
     g = _genomes(spark, sf_dir)
-    core = g.select(
-        F.concat(F.lit("r2_core_"), F.col("header")).alias("header"),
-        F.substring("nucleotides", 40, 150).alias("nucleotides"),
-    )
-    uniq = g.where((F.col("taxon") - 1000) % 80 == 0).select(
-        F.concat(F.lit("r2_uniq_"), F.col("header")).alias("header"),
-        F.substring("nucleotides", 320, 150).alias("nucleotides"),
-    )
-    reads = core.unionByName(uniq)
     dyn = Dynamic(
         idx,
         g.select("header", "nucleotides"),
@@ -651,7 +660,7 @@ def genomic_classify2(spark, sf_dir):
         reclassify_rank_depth=8,  # species
         cpar=ClassifyParams(min_hit_groups=2),
     )
-    out, _detected = dyn.two_step_classify(reads)
+    out, _detected = dyn.two_step_classify(_classify2_reads(spark, sf_dir))
     return out.select("header", "classified", "taxon")
 
 
@@ -712,14 +721,6 @@ def genomic_gold_eval(spark, sf_dir):
 
     idx = _build_index(spark, sf_dir)
     g = _genomes(spark, sf_dir)
-    core = g.select(
-        F.concat(F.lit("r2_core_"), F.col("header")).alias("header"),
-        F.substring("nucleotides", 40, 150).alias("nucleotides"),
-    )
-    uniq = g.where((F.col("taxon") - 1000) % 80 == 0).select(
-        F.concat(F.lit("r2_uniq_"), F.col("header")).alias("header"),
-        F.substring("nucleotides", 320, 150).alias("nucleotides"),
-    )
     dyn = Dynamic(
         idx,
         g.select("header", "nucleotides"),
@@ -727,26 +728,20 @@ def genomic_gold_eval(spark, sf_dir):
         MinimizerDistinctCount(threshold=1),
         reclassify_rank_depth=8,
     )
-    detected = dyn.find_taxon_set(core.unionByName(uniq))
-    # deterministic gold CSV (driver-side: part-sample-sized metadata)
-    pk = [
-        int(r["p_partkey"])
+    detected = dyn.find_taxon_set(_classify2_reads(spark, sf_dir))
+    # deterministic gold CSV (ONE driver collect, part-sample-sized
+    # plan-time metadata serving all three id families)
+    sample = [
+        (int(r["p_partkey"]), r["p_brand"])
         for r in t(spark, sf_dir, "part")
         .where(F.col("p_partkey") % 40 == 0)
-        .select("p_partkey")
+        .select("p_partkey", "p_brand")
         .collect()
     ]
-    brands = {
-        2 + int(r["p_brand"][6:8])
-        for r in t(spark, sf_dir, "part")
-        .where(F.col("p_partkey") % 200 == 0)
-        .select("p_brand")
-        .collect()
-    }
     gold_ids = (
-        [p + 1000 for p in pk if p % 120 == 0]
-        + sorted(brands)
-        + [p + 1007 for p in pk if p % 160 == 0]
+        [p + 1000 for p, _ in sample if p % 120 == 0]
+        + sorted({2 + int(b[6:8]) for p, b in sample if p % 200 == 0})
+        + [p + 1007 for p, _ in sample if p % 160 == 0]
     )
     with tempfile.TemporaryDirectory(prefix="gold_") as tmp:
         path = os.path.join(tmp, "gold.csv")

@@ -273,7 +273,9 @@ def index_delta_stream(base: DataFrame, upd_stream: DataFrame, tokens, sink,
         sink(delta, epoch_id)
         state["base"] = _advance_base(state["base"], batch_df, id_col, state)
 
-    return upd_stream.writeStream.foreachBatch(process)
+    writer = upd_stream.writeStream.foreachBatch(process)
+    writer._slacken_release = lambda: _release_advance_ckpt(state)
+    return writer
 
 
 # Every k-th advancement the base plan truncates to its materialized
@@ -319,6 +321,20 @@ def _advance_base(
     return out
 
 
+def _release_advance_ckpt(state: dict) -> None:
+    """Free the final ``_advance_base`` checkpoint once a stream is
+    DONE (the per-batch cadence frees every predecessor, but the last
+    checkpoint otherwise lives until JVM GC — one base-sized RDD leaked
+    per completed stream run). Only call after the query terminates:
+    an unpersisted local checkpoint cannot be recomputed, so a
+    restarted stream must not reuse this state."""
+    from slacken_spark.functions.dedup import _unpersist_local_ckpt
+
+    prev = state.pop("_base_ckpt", None)
+    if prev is not None:
+        _unpersist_local_ckpt(prev)
+
+
 def run_foreach_to_completion(writer, name: str | None = None) -> None:
     """Run a foreachBatch DataStreamWriter to completion with the
     availableNow trigger and a THROWAWAY scratch checkpoint (fastest
@@ -342,6 +358,11 @@ def run_foreach_to_completion(writer, name: str | None = None) -> None:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+        # maintainers that advance an in-memory base attach a release
+        # hook so their final checkpoint's blocks die with the run
+        release = getattr(writer, "_slacken_release", None)
+        if release is not None:
+            release()
 
 
 def cms_sketch_stream(doc_stream: DataFrame, to_occ, sink,
@@ -417,7 +438,9 @@ def grouped_sums_stream(base: DataFrame, view: DataFrame, upd_stream: DataFrame,
         sink(state["view"], epoch_id)
         state["base"] = _advance_base(state["base"], batch_df, id_col, state)
 
-    return upd_stream.writeStream.foreachBatch(process)
+    writer = upd_stream.writeStream.foreachBatch(process)
+    writer._slacken_release = lambda: _release_advance_ckpt(state)
+    return writer
 
 
 def zone_maps_stream(base: DataFrame, zm: DataFrame, upd_stream: DataFrame,
@@ -461,7 +484,9 @@ def zone_maps_stream(base: DataFrame, zm: DataFrame, upd_stream: DataFrame,
         sink(state["zm"], epoch_id)
         state["base"] = _advance_base(state["base"], batch_df, id_col, state)
 
-    return upd_stream.writeStream.foreachBatch(process)
+    writer = upd_stream.writeStream.foreachBatch(process)
+    writer._slacken_release = lambda: _release_advance_ckpt(state)
+    return writer
 
 
 def histogram_stream(value_stream: DataFrame, sink, group_col: str,

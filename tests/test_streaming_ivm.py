@@ -141,3 +141,29 @@ def test_advance_base_lineage_stays_bounded(spark):
     assert joins_after[k : 2 * k] == joins_after[:k], joins_after
     got = {r["doc_id"]: r["text"] for r in base.collect()}
     assert got == expect
+
+
+def test_advance_base_final_checkpoint_released_after_run(spark):
+    """The per-batch cadence frees every predecessor checkpoint; the
+    LAST one must be freed when the stream completes — the
+    run_foreach_to_completion harness calls the maintainer's release
+    hook, so a session running many >=k-batch streams does not leak
+    one base-sized materialized RDD per run."""
+    state: dict = {}
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    for b in range(ops._ADVANCE_CKPT_EVERY):
+        batch = spark.createDataFrame(
+            [(b, f"v{b}")], "doc_id long, text string"
+        )
+        base = ops._advance_base(base, batch, "doc_id", state)
+    ckpt = state.get("_base_ckpt")
+    assert ckpt is not None
+    rdd_id = ckpt._jdf.queryExecution().analyzed().rdd().id()
+    persistent = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert persistent.contains(rdd_id), "checkpoint should be materialized"
+    ops._release_advance_ckpt(state)
+    assert "_base_ckpt" not in state
+    persistent = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert not persistent.contains(rdd_id), "release must unpersist the blocks"
