@@ -198,6 +198,20 @@ def cmd_classify2(args) -> int:
         args.output + "_taxonSet.txt",
         "\n".join(str(t) for t in sorted(taxa)) + "\n",
     )
+    if args.gold_set:
+        # gold-set evaluation of the DETECTED set (readGoldSet +
+        # precision/recall, Dynamic.scala:265-312): remap merged ids,
+        # promote library-absent taxa to their nearest library
+        # ancestor, filter at the reclassify rank, then score
+        import json
+
+        gold = dyn.read_gold_set(
+            args.gold_set, promote_rank_depth=args.promote_rank_depth
+        )
+        m = dyn.gold_set_metrics(taxa, gold)
+        fsio.write_text(
+            args.output + "_goldEval.json", json.dumps(m, sort_keys=True) + "\n"
+        )
     return 0
 
 
@@ -661,6 +675,17 @@ def main(argv: list[str] | None = None) -> int:
     c2.add_argument("-c", "--confidence", type=float, nargs="+", default=[0.15])
     c2.add_argument("--min-hit-groups", type=int, default=2)
     c2.add_argument("-o", "--output", required=True)
+    c2.add_argument(
+        "--gold-set",
+        help="1-column CSV of gold taxon ids; writes <output>_goldEval.json "
+        "with tp/fp/fn/precision/recall of the detected set",
+    )
+    c2.add_argument(
+        "--promote-rank-depth",
+        type=int,
+        default=None,
+        help="keep promoted (library-absent) gold taxa at/below this rank depth",
+    )
     c2.set_defaults(fn=cmd_classify2)
 
     bb = sub.add_parser("bracken-build", help="generate Bracken weights")

@@ -518,3 +518,45 @@ def test_corpus_report_drift_zero_for_matching_source(tmp_path, spark):
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     web = rep["sources"]["web"]
     assert web["drift_l1_num"] == 0, "sole token-bearing source has zero drift"
+
+
+def test_cli_classify2_gold_eval(workdir):
+    """classify2 --gold-set: two-step dynamic classification plus
+    gold-set evaluation of the detected taxon set (readGoldSet +
+    precision/recall) — the detected set {101, 102} scored against a
+    gold file of {101, 999(unknown, dropped)} gives tp=1 fp=1 fn=0."""
+    idx = str(workdir / "idx2")
+    r = _run(
+        [
+            "build", "-k", "21", "-m", "15", "-s", "2",
+            "--library", str(workdir / "library.fasta"),
+            "--labels", str(workdir / "seqid2taxid.map"),
+            "--taxonomy", str(workdir / "taxonomy"),
+            "-o", idx,
+        ],
+        str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(workdir / "gold.csv", "w") as f:
+        f.write("101\n999\n")
+    out = str(workdir / "cls2")
+    r = _run(
+        [
+            "classify2",
+            "--index", idx,
+            "--library", str(workdir / "library.fasta"),
+            "--labels", str(workdir / "seqid2taxid.map"),
+            str(workdir / "reads.fasta"),
+            "--criterion", "minimizer-distinct",
+            "--threshold", "1",
+            "--gold-set", str(workdir / "gold.csv"),
+            "-o", out,
+        ],
+        str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    taxa = (workdir / "cls2_taxonSet.txt").read_text().split()
+    assert taxa == ["101", "102"]
+    m = json.loads((workdir / "cls2_goldEval.json").read_text())
+    assert (m["tp"], m["fp"], m["fn"]) == (1, 1, 0)
+    assert m["precision"] == 0.5 and m["recall"] == 1.0
