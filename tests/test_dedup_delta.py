@@ -288,3 +288,55 @@ def test_components_drop_edges_randomized_equals_full_recompute(spark):
     }
     want = {i: want_conn.get(i, i) for i in range(n)}
     assert got == want
+
+
+def test_components_mixed_batch_composes_drop_then_add(spark):
+    """A mixed CDC batch (edge drops AND adds) is maintained by
+    composing the two one-directional maintainers — drop_edges over the
+    surviving base graph, then add_edges for the batch's new pairs —
+    and the composed labels must equal a from-scratch recompute over
+    (base − dropped) ∪ added, node for node. Randomized so the batch
+    exercises splits, merges, re-bridged splits (a dropped bridge whose
+    halves an added edge reconnects) and brand-new nodes in one run."""
+    import random
+
+    from slacken_spark.functions.dedup import (
+        components_add_edges,
+        components_drop_edges,
+        connected_components,
+    )
+
+    rng = random.Random(271)
+    n = 40
+    base = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)})
+    dropped = sorted(rng.sample(base, 12))
+    surv = [e for e in base if e not in set(dropped)]
+    # adds: some among existing nodes (merges / re-bridges), some to
+    # brand-new nodes — disjoint from the surviving base edges
+    added = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(6)}
+        - set(surv)
+    ) + [(5, n + 1), (n + 2, n + 3)]
+
+    labels = _labels_over(spark, base, set(range(n)))
+    after_drop = components_drop_edges(
+        labels,
+        spark.createDataFrame(surv, "id_a long, id_b long"),
+        spark.createDataFrame(dropped, "id_a long, id_b long"),
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in components_add_edges(
+            after_drop,
+            spark.createDataFrame(added, "id_a long, id_b long"),
+        ).collect()
+    }
+    want_conn = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(surv + added, "id_a long, id_b long")
+        ).collect()
+    }
+    touched = set(range(n)) | {x for p in added for x in p}
+    want = {i: want_conn.get(i, i) for i in touched}
+    assert got == want
