@@ -425,6 +425,7 @@ def lsh_delta(
     planes: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental maintenance of the hyperplane-LSH bucket index — the
     vector twin of ``inverted.delta_index``. Given the base corpus and
@@ -447,7 +448,15 @@ def lsh_delta(
     rebuilt lists and tombstones without re-evaluating the aggregation
     (the delta_index lesson); the batch-sized update frames are
     local-checkpointed so their multiple references share one
-    computation."""
+    computation.
+
+    ``deletes`` (optional, id-only rows) removes vectors outright —
+    unlike component labels or zone-map min/max, bucket membership has
+    no removal asymmetry: a delete is a replacement with nothing, so
+    it only WIDENS the changed-id set (its old bucket joins the
+    affected set, the merged assignment drops it, and a fully-emptied
+    bucket falls out as the same n_vecs = 0 tombstone). An id in both
+    ``upd`` and ``deletes`` is a replacement (the new vector wins)."""
     base = base.select(id_col, vec_col)
     upd = upd.select(id_col, vec_col).localCheckpoint(eager=False)
     base_b = lsh_hyperplane_buckets(base, vec_col, planes).select(
@@ -456,7 +465,12 @@ def lsh_delta(
     upd_b = lsh_hyperplane_buckets(upd, vec_col, planes).select(
         id_col, "bucket"
     ).localCheckpoint(eager=False)
-    upd_ids = F.broadcast(upd.select(id_col))
+    changed_ids = upd.select(id_col)
+    if deletes is not None:
+        changed_ids = changed_ids.unionByName(
+            deletes.select(id_col).join(upd.select(id_col), id_col, "left_anti")
+        )
+    upd_ids = F.broadcast(changed_ids)
     old_b = base_b.join(upd_ids, id_col, "left_semi").select("bucket")
     aff = old_b.unionByName(upd_b.select("bucket")).distinct().localCheckpoint(
         eager=False
