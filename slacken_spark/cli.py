@@ -191,6 +191,15 @@ def cmd_classify2(args) -> int:
         crit,
         cpar=ClassifyParams(min_hit_groups=args.min_hit_groups),
     )
+    # read the gold set BEFORE the expensive two-step pipeline so a bad
+    # path or malformed CSV fails fast, not after hours of work
+    gold = (
+        dyn.read_gold_set(
+            args.gold_set, promote_rank_depth=args.promote_rank_depth
+        )
+        if args.gold_set
+        else None
+    )
     reads = read_sequences(spark, args.inputs[0])
     out, taxa = dyn.two_step_classify(reads)
     out.write.mode("overwrite").parquet(args.output)
@@ -198,16 +207,11 @@ def cmd_classify2(args) -> int:
         args.output + "_taxonSet.txt",
         "\n".join(str(t) for t in sorted(taxa)) + "\n",
     )
-    if args.gold_set:
+    if gold is not None:
         # gold-set evaluation of the DETECTED set (readGoldSet +
         # precision/recall, Dynamic.scala:265-312): remap merged ids,
         # promote library-absent taxa to their nearest library
         # ancestor, filter at the reclassify rank, then score
-        import json
-
-        gold = dyn.read_gold_set(
-            args.gold_set, promote_rank_depth=args.promote_rank_depth
-        )
         m = dyn.gold_set_metrics(taxa, gold)
         fsio.write_text(
             args.output + "_goldEval.json", json.dumps(m, sort_keys=True) + "\n"
@@ -684,7 +688,10 @@ def main(argv: list[str] | None = None) -> int:
         "--promote-rank-depth",
         type=int,
         default=None,
-        help="keep promoted (library-absent) gold taxa at/below this rank depth",
+        help="ALSO keep promoted (library-absent) gold taxa at/below this "
+        "rank depth even when it is above the reclassify rank — a "
+        "relaxation; promoted taxa at/below the reclassify rank are "
+        "always kept",
     )
     c2.set_defaults(fn=cmd_classify2)
 

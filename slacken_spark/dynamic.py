@@ -261,8 +261,12 @@ class Dynamic:
         """Load a gold taxon set from a 1-column CSV (readGoldSet,
         Dynamic.scala:284-312): remap merged ids through ``primary``,
         promote taxa absent from the library to their nearest ancestor
-        present in it, filter at the reclassify rank (keeping promoted
-        taxa at/below ``promote_rank_depth`` when given)."""
+        present in it, filter at the reclassify rank.
+        ``promote_rank_depth`` is a RELAXATION for promoted taxa only:
+        they are ADDITIONALLY kept at/below that depth even when it is
+        above the reclassify rank (promoted taxa at/below the
+        reclassify rank are always kept, so a value deeper than the
+        reclassify rank has no effect)."""
         spark = self.base.spark
         tax = self.taxonomy
         raw = {

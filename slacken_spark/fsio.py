@@ -21,6 +21,22 @@ import posixpath
 from pyarrow import fs as pafs
 
 
+def absolutize(path: str) -> str:
+    """Make a bare (schemeless) local path absolute; URIs pass through.
+
+    Spark resolves a RELATIVE table path/LOCATION against
+    ``spark.sql.warehouse.dir`` while driver-side pyarrow IO resolves
+    it against the process cwd — so any location that both sides touch
+    (the bucketed index + its sidecars) must be pinned to one absolute
+    path before either write happens.
+    """
+    if "://" in path:
+        return path
+    import os
+
+    return os.path.abspath(path)
+
+
 def any_fs(path: str) -> tuple["pafs.FileSystem", str]:
     """Resolve a path or URI to (pyarrow filesystem, fs-local path).
 

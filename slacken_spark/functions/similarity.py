@@ -467,9 +467,13 @@ def lsh_delta(
     ).localCheckpoint(eager=False)
     changed_ids = upd.select(id_col)
     if deletes is not None:
+        # plain union — both consumers are semi/anti joins, so an id in
+        # upd ∩ deletes duplicating here is harmless (replacement wins
+        # because only upd_b re-adds rows); checkpointed so the two
+        # references below share one batch-sized computation
         changed_ids = changed_ids.unionByName(
-            deletes.select(id_col).join(upd.select(id_col), id_col, "left_anti")
-        )
+            deletes.select(id_col)
+        ).localCheckpoint(eager=False)
     upd_ids = F.broadcast(changed_ids)
     old_b = base_b.join(upd_ids, id_col, "left_semi").select("bucket")
     aff = old_b.unionByName(upd_b.select("bucket")).distinct().localCheckpoint(

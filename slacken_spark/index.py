@@ -225,6 +225,9 @@ class KeyValueIndex:
         classification joins shuffle only the read side
         (KeyValueIndex.scala:125-139).
         """
+        # a relative location would split the index: Spark resolves it
+        # against the warehouse dir, the pyarrow sidecars against cwd
+        location = fsio.absolutize(location)
         table_name = table_name or "slacken_index_" + os.path.basename(
             location.rstrip("/")
         ).replace("-", "_").replace(".", "_")
@@ -277,6 +280,7 @@ class KeyValueIndex:
         """Reload: params sidecar + bucketed-table DDL registration
         (KeyValueIndex.scala:150-159, 407-427). Pins
         spark.sql.shuffle.partitions to the bucket count."""
+        location = fsio.absolutize(location)  # see write()
         params = json.loads(
             fsio.read_text(posixpath.join(location, "_index_params.json"))
         )

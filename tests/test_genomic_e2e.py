@@ -135,6 +135,22 @@ def test_write_load_roundtrip(world, tmp_path):
     assert loaded.taxonomy.lca(101, 102) == world["tax"].lca(101, 102)
 
 
+def test_write_load_with_relative_location(world, tmp_path, monkeypatch):
+    """A RELATIVE index location must produce a coherent index: Spark
+    resolves relative table paths against the warehouse dir while the
+    pyarrow sidecars resolve against the process cwd, so write()/load()
+    pin the location to one absolute path first. Regression: a relative
+    -o left the parquet in spark-warehouse/ and the sidecar write
+    failing on a nonexistent cwd-relative directory."""
+    spark = world["spark"]
+    monkeypatch.chdir(tmp_path)
+    world["idx"].write("relidx")
+    assert (tmp_path / "relidx" / "_index_params.json").exists()
+    assert (tmp_path / "relidx").glob("*.parquet")
+    loaded = KeyValueIndex.load(spark, "relidx")
+    assert loaded.stats() == world["idx"].stats()
+
+
 def test_classification_join_no_exchange_on_index_side(world):
     """The bucketed index must not reshuffle in the classification join
     (SURVEY §4: 'verify with explain() that no Exchange appears on the

@@ -331,14 +331,15 @@ def test_lsh_delta_matches_reference_and_tombstones(spark):
 
 
 def test_lsh_delta_deletes_remove_vectors(spark):
-    """lsh_delta(deletes=…): a deleted vector leaves its bucket (sole
-    member → n=0 tombstone; shared bucket → rebuilt without it), an id
-    in BOTH upd and deletes is a replacement (the new vector wins), and
-    untouched buckets still never emit."""
+    """lsh_delta(deletes=…): a PURE delete emptying a sole-member
+    bucket emits the n=0 tombstone (no replacement arrives to mask the
+    path), a shared-bucket delete rebuilds the list without the id, an
+    id in BOTH upd and deletes is a replacement (the new vector wins),
+    and untouched buckets still never emit."""
     planes = [[1.0, 0.0], [0.0, 1.0]]
     base = spark.createDataFrame(
         [
-            (0, [1.0, 1.0]),    # bucket 3 — sole member, deleted
+            (0, [1.0, 1.0]),    # bucket 3 — sole member, PURE delete
             (1, [-1.0, 1.0]),   # bucket 2 — deleted, bucket keeps 2
             (2, [-1.0, 1.5]),   # bucket 2
             (3, [-1.0, -1.0]),  # bucket 0 — untouched, must NOT appear
@@ -347,7 +348,7 @@ def test_lsh_delta_deletes_remove_vectors(spark):
         "vec_id long, embedding array<float>",
     )
     upd = spark.createDataFrame(
-        [(4, [2.0, 2.0])],  # moves bucket 1 → 3
+        [(4, [-2.0, 1.0])],  # moves bucket 1 → 2
         "vec_id long, embedding array<float>",
     )
     deletes = spark.createDataFrame([(0,), (1,), (4,)], "vec_id long")
@@ -355,6 +356,7 @@ def test_lsh_delta_deletes_remove_vectors(spark):
         r["bucket"]: (r["n_vecs"], list(r["members"]))
         for r in SIM.lsh_delta(base, upd, planes, deletes=deletes).collect()
     }
-    # affected: 3 (0's old + 4's new), 2 (1's old), 1 (4's old)
-    assert got == {3: (1, [4]), 2: (1, [2]), 1: (0, [])}
+    # affected: 3 (0's old — emptied by the delete alone), 2 (1's old +
+    # 4's new), 1 (4's old — emptied by the move)
+    assert got == {3: (0, []), 2: (2, [2, 4]), 1: (0, [])}
     assert 0 not in got, "untouched bucket must not emit"
