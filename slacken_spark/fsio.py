@@ -62,8 +62,17 @@ def read_lines(path: str, encoding: str = "utf-8") -> list[str]:
 
 
 def write_text(path: str, text: str, encoding: str = "utf-8") -> None:
-    """Write a whole text file to any filesystem (overwrites)."""
+    """Write a whole text file to any filesystem (overwrites).
+
+    Creates missing parent directories first — Hadoop's
+    ``FileSystem.create`` (the reference's write path,
+    HDFSUtil.scala:76-98) does, so writers like bracken-build may
+    target ``<output-dir>/<file>`` without pre-creating the dir.
+    """
     filesystem, p = any_fs(path)
+    parent = posixpath.dirname(p)
+    if parent:
+        filesystem.create_dir(parent, recursive=True)
     with filesystem.open_output_stream(p) as fh:
         fh.write(text.encode(encoding))
 

@@ -130,3 +130,24 @@ def test_uri_prefix_families():
     # local URIs and bare paths
     assert _uri_prefix("file:///tmp/x", "/tmp/x") == "file://"
     assert _uri_prefix("/tmp/x", "/tmp/x") == ""
+
+
+def test_write_text_creates_parent_dirs(tmp_path):
+    """write_text mirrors Hadoop FileSystem.create: missing parent
+    directories are created, so CLI writers may target
+    <output-dir>/<file> without pre-creating the dir (regression:
+    bracken-build into a fresh -o directory crashed)."""
+    from slacken_spark import fsio
+
+    p = str(tmp_path / "new" / "nested" / "f.txt")
+    fsio.write_text(p, "hello\n")
+    assert fsio.read_text(p) == "hello\n"
+
+
+def test_absolutize_pins_bare_paths_and_passes_uris(tmp_path, monkeypatch):
+    from slacken_spark import fsio
+
+    monkeypatch.chdir(tmp_path)
+    assert fsio.absolutize("rel/idx") == str(tmp_path / "rel" / "idx")
+    assert fsio.absolutize("s3://bucket/idx") == "s3://bucket/idx"
+    assert fsio.absolutize("file:///x/y") == "file:///x/y"
