@@ -543,6 +543,176 @@ def connected_components(
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def connected_components_contract(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """Weakly-connected components via per-partition union-find
+    CONTRACTION — same output contract as ``connected_components``
+    (every node labeled with its component's minimum node id), fewer
+    global rounds on high-diameter graphs.
+
+    Per round: (1) each partition runs a local path-compressed
+    union-find over its edges and emits (node, local-tree-min) — an
+    Arrow-batched ``mapInPandas``, no shuffle; (2) one groupBy
+    reconciles nodes seen in several partitions to their min candidate
+    label, plus one pointer jump through the label table; (3) edges
+    rewrite through the labels, self-loops drop. A whole
+    partition-local subgraph collapses in ONE round regardless of its
+    diameter (min-label propagation needs diameter rounds; pointer
+    jumping only collapses label chains, not graph paths — measured on
+    this workload, NOTES r8), so rounds are driven by how many
+    PARTITIONS a component spans, not how long its paths are: small
+    recompute subgraphs (the ``components_drop_edges`` shape) finish in
+    1-2 rounds, and at cluster scale rounds grow with
+    log(components-per-partition-span). Each round is one action (the
+    relabeled-edge count); the contracted edge list is lazily
+    localCheckpointed per round and the previous round's blocks are
+    freed once the next materializes; the per-round label tables stay
+    alive behind the returned plan (the documented iterative-loop
+    convention). Memory per task is the distinct nodes of ONE
+    partition's edges — bounded by the partition size, which
+    ``loop_partitions`` (applied like ``connected_components``; not
+    concurrency-safe) sizes.
+    """
+    spark = pairs.sparkSession
+    prev_parts = None
+    if loop_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        id_t = pairs.schema[id_a].dataType.simpleString()
+
+        def local_roots(batches):
+            import pandas as pd
+
+            parent: dict = {}
+            size: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for pdf in batches:
+                for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                    for v in (a, b):
+                        if v not in parent:
+                            parent[v] = v
+                            size[v] = 1
+                    ra, rb = find(a), find(b)
+                    if ra == rb:
+                        continue
+                    if size[ra] < size[rb]:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+                    size[ra] += size[rb]
+            if not parent:
+                return
+            mins: dict = {}
+            for v in parent:
+                r = find(v)
+                m = mins.get(r)
+                if m is None or v < m:
+                    mins[r] = v
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"node": nodes, "root": [mins[find(v)] for v in nodes]}
+            )
+
+        # ONE lazy checkpoint serves both the node-set init and round 1's
+        # two edge scans, so the caller's upstream plan (often a pruned
+        # semi-join over the corpus pairs) computes exactly once; it
+        # stays alive behind the returned plan (labels derive from it —
+        # the documented iterative-loop convention), unlike the
+        # per-round contracted edge lists, which are freed as they age.
+        base = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        labels = (
+            base.select(F.col("src").alias("node"))
+            .unionByName(base.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+        )
+        e = base.where(F.col("src") != F.col("dst"))
+        remaining = e.count()
+        prev_ckpt = base
+        rounds = 0
+        while remaining > 0 and rounds < max_iter:
+            g0 = (
+                e.mapInPandas(local_roots, schema=f"node {id_t}, root {id_t}")
+                .groupBy("node")
+                .agg(F.min("root").alias("lbl"))
+            )
+            # pointer jump: cross-partition label chains collapse here
+            lmap = g0.select(
+                F.col("node").alias("lbl"), F.col("lbl").alias("jump")
+            )
+            # lazy localCheckpoint: g is referenced five times below
+            # (jump, both edge relabels, label composition) — without it
+            # each reference would re-run the union-find pass
+            g = (
+                g0.join(lmap, "lbl", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("jump", "lbl")).alias(
+                        "lbl"
+                    ),
+                )
+                .localCheckpoint(eager=False)
+            )
+            ga = g.select(F.col("node").alias("_gn"), F.col("lbl").alias("_gl"))
+            e2 = (
+                e.join(ga, e["src"] == ga["_gn"])
+                .select(F.col("_gl").alias("src"), "dst")
+            )
+            e2 = (
+                e2.join(ga, e2["dst"] == ga["_gn"])
+                .select("src", F.col("_gl").alias("dst"))
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            # ONE action: materializes the relabeled edges AND (g is in
+            # their subtree) this round's label table
+            remaining = e2.count()
+            if prev_ckpt is not base:
+                _unpersist_local_ckpt(prev_ckpt)
+            prev_ckpt = e2
+            e = e2
+            labels = labels.join(
+                g.select(F.col("node").alias("lbl"), F.col("lbl").alias("_nl")),
+                "lbl",
+                "left",
+            ).select("node", F.coalesce("_nl", "lbl").alias("lbl"))
+            rounds += 1
+        if remaining > 0:
+            import warnings
+
+            warnings.warn(
+                f"connected_components_contract: no fixpoint after"
+                f" {max_iter} rounds ({remaining} cross-label edges left)"
+                " — labels are an upper-bound partition (components may"
+                " be split); raise max_iter",
+                stacklevel=2,
+            )
+        if prev_ckpt is not base:
+            _unpersist_local_ckpt(prev_ckpt)
+        return labels.select("node", F.col("lbl").alias("component"))
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def components_add_edges(
     labels: DataFrame,
     new_pairs: DataFrame,
@@ -666,7 +836,11 @@ def components_drop_edges(
     sub = surviving_pairs.join(
         members.select(F.col("node").alias(id_a)), id_a, "left_semi"
     )
-    recomputed = connected_components(
+    # contraction propagation: the recompute subgraph is drop-batch-
+    # bounded but can be HIGH-DIAMETER (a split component's surviving
+    # chain) — per-partition union-find collapses it in 1-2 global
+    # rounds where min-label propagation pays diameter rounds
+    recomputed = connected_components_contract(
         sub, id_a=id_a, id_b=id_b, max_iter=max_iter,
         loop_partitions=loop_partitions,
     )

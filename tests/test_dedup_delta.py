@@ -340,3 +340,88 @@ def test_components_mixed_batch_composes_drop_then_add(spark):
     touched = set(range(n)) | {x for p in added for x in p}
     want = {i: want_conn.get(i, i) for i in touched}
     assert got == want
+
+
+def _cc_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_contract_equals_propagation_on_shapes(spark):
+    """connected_components_contract shares connected_components'
+    output contract exactly — min-node-id labels over every endpoint —
+    across the shapes that stress different code paths: a
+    high-diameter chain (the case contraction exists for), a clique, a
+    bridge of two triangles, multiple components plus a self-pair
+    node, and an empty edge set."""
+    from slacken_spark.functions.dedup import (
+        connected_components,
+        connected_components_contract,
+    )
+
+    shapes = {
+        "chain": [(i, i + 1) for i in range(25)],
+        "clique": [(i, j) for i in range(6) for j in range(i + 1, 6)],
+        "bridged_triangles": [
+            (0, 1), (1, 2), (0, 2), (2, 10), (10, 11), (11, 12), (10, 12),
+        ],
+        "multi_plus_selfpair": [(0, 1), (5, 6), (6, 7), (9, 9)],
+        "empty": [],
+    }
+    for name, edges in shapes.items():
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = _cc_map(connected_components_contract(df))
+        want = _cc_map(connected_components(df))
+        assert got == want, name
+
+
+def test_contract_randomized_and_partition_invariant(spark):
+    """Randomized graphs, repartitioned so components are guaranteed to
+    span executor partitions: the contraction result must be invariant
+    to how the edges are partitioned (1 partition = pure local
+    union-find; 16 partitions of a 40-node graph = heavy
+    cross-partition reconciliation) and equal to min-label
+    propagation's."""
+    import random
+
+    from slacken_spark.functions.dedup import (
+        connected_components,
+        connected_components_contract,
+    )
+
+    rng = random.Random(828)
+    for trial in range(3):
+        n = 40
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(n + 5)}
+        )
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = _cc_map(connected_components(df))
+        for parts in (1, 16):
+            got = _cc_map(
+                connected_components_contract(df.repartition(parts))
+            )
+            assert got == want, (trial, parts)
+
+
+def test_drop_edges_high_diameter_chain(spark):
+    """The drop path's worst case for round counts: a long surviving
+    chain inside one affected component — the shape the contraction
+    propagation collapses partition-locally instead of paying
+    diameter rounds."""
+    from slacken_spark.functions.dedup import components_drop_edges
+
+    chain = [(i, i + 1) for i in range(30)]
+    extra = (30, 40)
+    edges = chain + [extra]
+    nodes = set(range(31)) | {40}
+    labels = _labels_over(spark, edges, nodes)
+    got = _cc_map(
+        components_drop_edges(
+            labels,
+            spark.createDataFrame(chain, "id_a long, id_b long"),
+            spark.createDataFrame([extra], "id_a long, id_b long"),
+        )
+    )
+    want = {i: 0 for i in range(31)}
+    want[40] = 40
+    assert got == want
