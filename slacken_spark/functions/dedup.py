@@ -802,8 +802,12 @@ def components_drop_edges(
     (an edge's two endpoints share a component in any valid labeling,
     so this catches every component whose edge set changed). Their
     members' SURVIVING edges — a dropped-edge-bounded number of
-    components, never the corpus graph — re-run label propagation;
-    members left edgeless become singletons labeled by their own id;
+    components, never the corpus graph — recompute via
+    ``connected_components_contract`` (the subgraph can be
+    high-diameter, e.g. a split component's surviving chain, and
+    contraction pays partition-span rounds instead of diameter
+    rounds); members left edgeless become singletons labeled by their
+    own id;
     every node of an unaffected component keeps its label untouched.
     A from-scratch run over the surviving graph produces exactly this
     labeling (min-node-id labels are per-component, so unaffected

@@ -786,7 +786,8 @@ def dedup_components_drop(spark, sf_dir):
     an edge can SPLIT a component, so the incremental shape is the
     zone-map min/max asymmetry — recompute ONLY the components holding
     a dropped edge's endpoint (their members' surviving edges re-run
-    label propagation, edgeless members become singletons), pass every
+    union-find CONTRACTION propagation — partition-span rounds, not
+    diameter rounds; edgeless members become singletons), pass every
     other component's labels through untouched. The affected-component
     set is drop-batch-bounded and broadcasts; the propagation loop is
     bounded by the affected components' edges, never the corpus graph.
