@@ -648,10 +648,14 @@ def connected_components_contract(
         prev_ckpt = base
         rounds = 0
         while remaining > 0 and rounds < max_iter:
+            # lazy checkpoint: the jump self-join below references g0
+            # twice, and Spark does not dedupe common subplans — without
+            # it the union-find pass would run twice per round
             g0 = (
                 e.mapInPandas(local_roots, schema=f"node {id_t}, root {id_t}")
                 .groupBy("node")
                 .agg(F.min("root").alias("lbl"))
+                .localCheckpoint(eager=False)
             )
             # pointer jump: cross-partition label chains collapse here
             lmap = g0.select(
@@ -687,6 +691,9 @@ def connected_components_contract(
             remaining = e2.count()
             if prev_ckpt is not base:
                 _unpersist_local_ckpt(prev_ckpt)
+            # g (checkpointed, labels reference it) carries this round's
+            # labels forward; g0's blocks are dead once g materialized
+            _unpersist_local_ckpt(g0)
             prev_ckpt = e2
             e = e2
             labels = labels.join(
