@@ -789,3 +789,36 @@ def test_round8_query_plan_shapes(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_contract_round_budget_is_partition_span_not_diameter(spark):
+    """The contraction propagation's round count tracks a component's
+    PARTITION SPAN, not its diameter (the property the drop path buys):
+    a diameter-2000 chain collapses in ONE round when its edges sit in
+    one partition (max_iter=1 budget, no-fixpoint warning is the
+    detector), and within a 4-round budget when scattered over 16
+    partitions — min-label propagation would need ~2·log2(d) rounds
+    with pointer jumping and ~d without."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions.dedup import connected_components_contract
+
+    n = 2_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    for parts, budget in ((1, 1), (16, 4)):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            comp = connected_components_contract(
+                chain.repartition(parts), max_iter=budget, loop_partitions=8
+            ).persist()
+            rows = comp.count()
+        assert not [w for w in caught if "no fixpoint" in str(w.message)], (
+            f"{parts}-partition chain blew the {budget}-round budget"
+        )
+        assert rows == n
+        assert comp.where(F.col("component") != 0).count() == 0
+        comp.unpersist()
