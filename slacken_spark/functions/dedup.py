@@ -569,11 +569,12 @@ def connected_components_contract(
     recompute subgraphs (the ``components_drop_edges`` shape) finish in
     1-2 rounds, and at cluster scale rounds grow with
     log(components-per-partition-span). Each round is one action (the
-    relabeled-edge count); the contracted edge list is lazily
-    localCheckpointed per round and the previous round's blocks are
-    freed once the next materializes; the per-round label tables stay
-    alive behind the returned plan (the documented iterative-loop
-    convention). Memory per task is the distinct nodes of ONE
+    relabeled-edge count) plus one final |V|-sized consolidation; the
+    contracted edge list is lazily localCheckpointed per round and the
+    previous round's blocks are freed once the next materializes, and
+    the final eager checkpoint lets the edge list and every per-round
+    label table free too — the returned plan holds exactly one
+    materialized label table. Memory per task is the distinct nodes of ONE
     partition's edges — bounded by the partition size, which
     ``loop_partitions`` (applied like ``connected_components``; not
     concurrency-safe) sizes.
@@ -628,10 +629,11 @@ def connected_components_contract(
 
         # ONE lazy checkpoint serves both the node-set init and round 1's
         # two edge scans, so the caller's upstream plan (often a pruned
-        # semi-join over the corpus pairs) computes exactly once; it
-        # stays alive behind the returned plan (labels derive from it —
-        # the documented iterative-loop convention), unlike the
-        # per-round contracted edge lists, which are freed as they age.
+        # semi-join over the corpus pairs) computes exactly once. It and
+        # the per-round label tables are all freed by the final labels
+        # consolidation below — the returned plan holds exactly one
+        # materialized label table, matching connected_components'
+        # storage contract.
         base = (
             pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .distinct()
@@ -646,6 +648,7 @@ def connected_components_contract(
         e = base.where(F.col("src") != F.col("dst"))
         remaining = e.count()
         prev_ckpt = base
+        round_tables: list[DataFrame] = []
         rounds = 0
         while remaining > 0 and rounds < max_iter:
             # lazy checkpoint: the jump self-join below references g0
@@ -661,9 +664,9 @@ def connected_components_contract(
             lmap = g0.select(
                 F.col("node").alias("lbl"), F.col("lbl").alias("jump")
             )
-            # lazy localCheckpoint: g is referenced five times below
-            # (jump, both edge relabels, label composition) — without it
-            # each reference would re-run the union-find pass
+            # lazy localCheckpoint: g is referenced three times below
+            # (both edge relabels, label composition) — without it each
+            # reference would recompute the jump join over g0
             g = (
                 g0.join(lmap, "lbl", "left")
                 .select(
@@ -691,9 +694,11 @@ def connected_components_contract(
             remaining = e2.count()
             if prev_ckpt is not base:
                 _unpersist_local_ckpt(prev_ckpt)
-            # g (checkpointed, labels reference it) carries this round's
-            # labels forward; g0's blocks are dead once g materialized
+            # g (checkpointed, labels reference it until the final
+            # consolidation) carries this round's labels forward; g0's
+            # blocks are dead once g materialized
             _unpersist_local_ckpt(g0)
+            round_tables.append(g)
             prev_ckpt = e2
             e = e2
             labels = labels.join(
@@ -714,7 +719,18 @@ def connected_components_contract(
             )
         if prev_ckpt is not base:
             _unpersist_local_ckpt(prev_ckpt)
-        return labels.select("node", F.col("lbl").alias("component"))
+        # consolidate: one eager checkpoint materializes the composed
+        # labels, then the edge list and every per-round label table
+        # free — the returned plan is a single |V|-sized ExistingRDD,
+        # never the caller's pair list (connected_components' storage
+        # contract; one extra |V|-sized action)
+        out = labels.select(
+            "node", F.col("lbl").alias("component")
+        ).localCheckpoint(eager=True)
+        _unpersist_local_ckpt(base)
+        for gt in round_tables:
+            _unpersist_local_ckpt(gt)
+        return out
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
