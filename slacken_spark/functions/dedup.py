@@ -564,11 +564,24 @@ def connected_components_contract(
     partition-local subgraph collapses in ONE round regardless of its
     diameter (min-label propagation needs diameter rounds; pointer
     jumping only collapses label chains, not graph paths — measured on
-    this workload, NOTES r8), so rounds are driven by how many
-    PARTITIONS a component spans, not how long its paths are: small
-    recompute subgraphs (the ``components_drop_edges`` shape) finish in
-    1-2 rounds, and at cluster scale rounds grow with
-    log(components-per-partition-span). Each round is one action (the
+    this workload, NOTES r8), so small recompute subgraphs (the
+    ``components_drop_edges`` shape) finish in 1-2 rounds.
+
+    Cross-partition reconciliation alone is NOT diameter-free: on a
+    high-diameter path whose edges hash-scatter so that path-adjacent
+    edges rarely share a partition, min-hooking labels every node with
+    its predecessor's minimum — a SHIFT, not a contraction — and the
+    edge count drops by ~2 per round (measured: a hash-scattered
+    2000-chain burned >10 rounds with exploding per-round cost, NOTES
+    r8). The loop therefore watches its own contraction ratio: a round
+    that keeps >80% of the previous round's edges is the shift
+    signature, and the NEXT round closes the hook chains by pointer
+    DOUBLING on the |V'|-sized label table to fixpoint before paying
+    the edge relabel — log2(chain length) label-table actions, each
+    sketch-sized next to an edge pass, instead of diameter edge
+    passes. Healthy rounds (every measured production shape: the
+    sf0.1 drop path contracts 137→42→3→2→0) never trigger it and pay
+    zero extra actions. Each round is one action (the
     relabeled-edge count) plus one final |V|-sized consolidation; the
     contracted edge list is lazily localCheckpointed per round and the
     previous round's blocks are freed once the next materializes, and
@@ -650,7 +663,14 @@ def connected_components_contract(
         prev_ckpt = base
         round_tables: list[DataFrame] = []
         rounds = 0
+        prev_remaining = None
         while remaining > 0 and rounds < max_iter:
+            # shift-pathology detector (see docstring): last round kept
+            # >80% of its edges — close hook chains before relabeling
+            stalled = (
+                prev_remaining is not None
+                and remaining * 5 > prev_remaining * 4
+            )
             # lazy checkpoint: the jump self-join below references g0
             # twice, and Spark does not dedupe common subplans — without
             # it the union-find pass would run twice per round
@@ -677,6 +697,35 @@ def connected_components_contract(
                 )
                 .localCheckpoint(eager=False)
             )
+            # g_ckpt tracks the checkpointed frame backing g — the
+            # unpersist bookkeeping needs the LogicalRDD root, not a
+            # projection over it
+            g_ckpt = g
+            if stalled:
+                # pointer doubling to fixpoint: each pass composes the
+                # label table with itself, halving hook-chain depth; the
+                # moved-count action also materializes the pass
+                for _ in range(64):
+                    lmapj = g.select(
+                        F.col("node").alias("lbl"), F.col("lbl").alias("jump")
+                    )
+                    gj = (
+                        g.join(lmapj, "lbl", "left")
+                        .select(
+                            "node",
+                            F.least(
+                                F.col("lbl"), F.coalesce("jump", "lbl")
+                            ).alias("lbl"),
+                            (F.col("jump") < F.col("lbl")).alias("_chg"),
+                        )
+                        .localCheckpoint(eager=False)
+                    )
+                    moved = gj.where("_chg").count()
+                    _unpersist_local_ckpt(g_ckpt)
+                    g_ckpt = gj
+                    g = gj.drop("_chg")
+                    if moved == 0:
+                        break
             ga = g.select(F.col("node").alias("_gn"), F.col("lbl").alias("_gl"))
             e2 = (
                 e.join(ga, e["src"] == ga["_gn"])
@@ -691,6 +740,7 @@ def connected_components_contract(
             )
             # ONE action: materializes the relabeled edges AND (g is in
             # their subtree) this round's label table
+            prev_remaining = remaining
             remaining = e2.count()
             if prev_ckpt is not base:
                 _unpersist_local_ckpt(prev_ckpt)
@@ -698,7 +748,7 @@ def connected_components_contract(
             # consolidation) carries this round's labels forward; g0's
             # blocks are dead once g materialized
             _unpersist_local_ckpt(g0)
-            round_tables.append(g)
+            round_tables.append(g_ckpt)
             prev_ckpt = e2
             e = e2
             labels = labels.join(

@@ -389,18 +389,30 @@ def test_contract_randomized_and_partition_invariant(spark):
     )
 
     rng = random.Random(828)
-    for trial in range(3):
-        n = 40
-        edges = sorted(
-            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(n + 5)}
-        )
-        df = spark.createDataFrame(edges, "id_a long, id_b long")
-        want = _cc_map(connected_components(df))
-        for parts in (1, 16):
-            got = _cc_map(
-                connected_components_contract(df.repartition(parts))
+    # AQE partition coalescing would collapse the 16-partition variant
+    # back to one partition (the internal .distinct() discards the
+    # input partitioning), making both variants run the identical pure
+    # local-union-find path — the r8 review's vacuity finding. Disable
+    # it so loop_partitions=16 genuinely scatters ~45 edges over 16
+    # partitions and the multi-round reconcile/jump/compose path runs.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        for trial in range(3):
+            n = 40
+            edges = sorted(
+                {tuple(sorted(rng.sample(range(n), 2))) for _ in range(n + 5)}
             )
-            assert got == want, (trial, parts)
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            want = _cc_map(connected_components(df))
+            for parts in (1, 16):
+                got = _cc_map(
+                    connected_components_contract(df, loop_partitions=parts)
+                )
+                assert got == want, (trial, parts)
+    finally:
+        spark.conf.set(coalesce_key, prev)
 
 
 def test_drop_edges_high_diameter_chain(spark):

@@ -792,13 +792,18 @@ def test_round8_query_plan_shapes(spark, sf_dir):
 
 
 def test_contract_round_budget_is_partition_span_not_diameter(spark):
-    """The contraction propagation's round count tracks a component's
-    PARTITION SPAN, not its diameter (the property the drop path buys):
-    a diameter-2000 chain collapses in ONE round when its edges sit in
-    one partition (max_iter=1 budget, no-fixpoint warning is the
-    detector), and within a 4-round budget when scattered over 16
-    partitions — min-label propagation would need ~2·log2(d) rounds
-    with pointer jumping and ~d without."""
+    """The contraction propagation's round budget is driven by how the
+    edges are PARTITIONED, not by the graph's diameter: a diameter-2000
+    chain collapses in ONE round when its edges sit in one partition
+    (max_iter=1, the no-fixpoint warning is the detector), and within a
+    4-round budget when genuinely scattered over 16 partitions (the
+    stall-triggered pointer-doubling closure; min-label propagation
+    would need ~d rounds). AQE partition coalescing is disabled for the
+    scattered cases — the internal ``.distinct()`` discards the
+    caller's partitioning, and with coalescing on every case collapses
+    to the single-partition 1-round path (the r8 review's vacuity
+    finding); the max_iter=1 warning assertion pins that the 16-way
+    scatter really does leave cross-partition work after one round."""
     import warnings
 
     from pyspark.sql import functions as F
@@ -806,19 +811,52 @@ def test_contract_round_budget_is_partition_span_not_diameter(spark):
     from slacken_spark.functions.dedup import connected_components_contract
 
     n = 2_000
-    chain = spark.range(n - 1).select(
-        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    # NOT spark.range: range-derived columns carry provable distinct
+    # keys, so Catalyst ELIMINATES the contraction's internal
+    # .distinct() — no shuffle, loop_partitions never applies, and the
+    # "scatter" silently keeps the range's contiguous partitions.
+    # createDataFrame has no distinct-key metadata, so the distinct
+    # genuinely hash-shuffles to loop_partitions partitions.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    for parts, budget in ((1, 1), (16, 4)):
+
+    def run(loop_parts, budget):
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
             comp = connected_components_contract(
-                chain.repartition(parts), max_iter=budget, loop_partitions=8
+                chain, max_iter=budget, loop_partitions=loop_parts
             ).persist()
             rows = comp.count()
-        assert not [w for w in caught if "no fixpoint" in str(w.message)], (
-            f"{parts}-partition chain blew the {budget}-round budget"
+        warned = bool(
+            [w for w in caught if "no fixpoint" in str(w.message)]
         )
         assert rows == n
-        assert comp.where(F.col("component") != 0).count() == 0
+        off = comp.where(F.col("component") != 0).count()
         comp.unpersist()
+        return warned, off
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        # scattered + 1-round budget: cross-partition work MUST remain
+        # (labels are then an upper-bound partition — off-label nodes
+        # exist), proving the scatter is real, not coalesced away
+        warned, off = run(16, 1)
+        assert warned and off > 0, (
+            "16-way scatter converged in one round — the scatter is"
+            " not reaching the loop (vacuous test)"
+        )
+        # scattered + closure: full convergence within 4 rounds
+        warned, off = run(16, 4)
+        assert not warned and off == 0, (
+            "scattered chain blew the 4-round budget"
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    # one partition: ONE round regardless of the 2000 diameter
+    warned, off = run(1, 1)
+    assert not warned and off == 0, (
+        "single-partition chain should collapse in one round"
+    )
