@@ -581,7 +581,10 @@ def connected_components_contract(
     sketch-sized next to an edge pass, instead of diameter edge
     passes. Healthy rounds (every measured production shape: the
     sf0.1 drop path contracts 137→42→3→2→0) never trigger it and pay
-    zero extra actions. Each round is one action (the
+    zero extra actions; a graph that stalls WITHOUT hook chains (a
+    dense slowly-contracting shape) pays one no-op label-table pass
+    per stalled round — accepted, the detector can't tell the cases
+    apart without exactly that pass. Each round is one action (the
     relabeled-edge count) plus one final |V|-sized consolidation; the
     contracted edge list is lazily localCheckpointed per round and the
     previous round's blocks are freed once the next materializes, and
@@ -593,6 +596,7 @@ def connected_components_contract(
     concurrency-safe) sizes.
     """
     spark = pairs.sparkSession
+    pending: list[DataFrame] = []
     prev_parts = None
     if loop_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -640,17 +644,30 @@ def connected_components_contract(
                 {"node": nodes, "root": [mins[find(v)] for v in nodes]}
             )
 
+        # Every lazy checkpoint registers in `pending` and deregisters
+        # when explicitly released mid-loop; the finally drains
+        # whatever is left — after the eager consolidation on success
+        # (the returned plan holds exactly one materialized label
+        # table), or mid-flight state on an exception, so a failed run
+        # leaks no blocks.
+        def _ckpt(df: DataFrame) -> DataFrame:
+            c = df.localCheckpoint(eager=False)
+            pending.append(c)
+            return c
+
+        def _release(df: DataFrame) -> None:
+            _unpersist_local_ckpt(df)
+            try:
+                pending.remove(df)
+            except ValueError:
+                pass
+
         # ONE lazy checkpoint serves both the node-set init and round 1's
         # two edge scans, so the caller's upstream plan (often a pruned
-        # semi-join over the corpus pairs) computes exactly once. It and
-        # the per-round label tables are all freed by the final labels
-        # consolidation below — the returned plan holds exactly one
-        # materialized label table, matching connected_components'
-        # storage contract.
-        base = (
+        # semi-join over the corpus pairs) computes exactly once.
+        base = _ckpt(
             pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .distinct()
-            .localCheckpoint(eager=False)
         )
         labels = (
             base.select(F.col("src").alias("node"))
@@ -661,7 +678,6 @@ def connected_components_contract(
         e = base.where(F.col("src") != F.col("dst"))
         remaining = e.count()
         prev_ckpt = base
-        round_tables: list[DataFrame] = []
         rounds = 0
         prev_remaining = None
         while remaining > 0 and rounds < max_iter:
@@ -674,11 +690,10 @@ def connected_components_contract(
             # lazy checkpoint: the jump self-join below references g0
             # twice, and Spark does not dedupe common subplans — without
             # it the union-find pass would run twice per round
-            g0 = (
+            g0 = _ckpt(
                 e.mapInPandas(local_roots, schema=f"node {id_t}, root {id_t}")
                 .groupBy("node")
                 .agg(F.min("root").alias("lbl"))
-                .localCheckpoint(eager=False)
             )
             # pointer jump: cross-partition label chains collapse here
             lmap = g0.select(
@@ -687,7 +702,7 @@ def connected_components_contract(
             # lazy localCheckpoint: g is referenced three times below
             # (both edge relabels, label composition) — without it each
             # reference would recompute the jump join over g0
-            g = (
+            g = _ckpt(
                 g0.join(lmap, "lbl", "left")
                 .select(
                     "node",
@@ -695,7 +710,6 @@ def connected_components_contract(
                         "lbl"
                     ),
                 )
-                .localCheckpoint(eager=False)
             )
             # g_ckpt tracks the checkpointed frame backing g — the
             # unpersist bookkeeping needs the LogicalRDD root, not a
@@ -709,7 +723,7 @@ def connected_components_contract(
                     lmapj = g.select(
                         F.col("node").alias("lbl"), F.col("lbl").alias("jump")
                     )
-                    gj = (
+                    gj = _ckpt(
                         g.join(lmapj, "lbl", "left")
                         .select(
                             "node",
@@ -718,10 +732,9 @@ def connected_components_contract(
                             ).alias("lbl"),
                             (F.col("jump") < F.col("lbl")).alias("_chg"),
                         )
-                        .localCheckpoint(eager=False)
                     )
                     moved = gj.where("_chg").count()
-                    _unpersist_local_ckpt(g_ckpt)
+                    _release(g_ckpt)
                     g_ckpt = gj
                     g = gj.drop("_chg")
                     if moved == 0:
@@ -731,24 +744,22 @@ def connected_components_contract(
                 e.join(ga, e["src"] == ga["_gn"])
                 .select(F.col("_gl").alias("src"), "dst")
             )
-            e2 = (
+            e2 = _ckpt(
                 e2.join(ga, e2["dst"] == ga["_gn"])
                 .select("src", F.col("_gl").alias("dst"))
                 .where(F.col("src") != F.col("dst"))
                 .distinct()
-                .localCheckpoint(eager=False)
             )
             # ONE action: materializes the relabeled edges AND (g is in
             # their subtree) this round's label table
             prev_remaining = remaining
             remaining = e2.count()
             if prev_ckpt is not base:
-                _unpersist_local_ckpt(prev_ckpt)
-            # g (checkpointed, labels reference it until the final
-            # consolidation) carries this round's labels forward; g0's
-            # blocks are dead once g materialized
-            _unpersist_local_ckpt(g0)
-            round_tables.append(g_ckpt)
+                _release(prev_ckpt)
+            # g (checkpointed, stays in `pending` — labels reference it
+            # until the final consolidation) carries this round's labels
+            # forward; g0's blocks are dead once g materialized
+            _release(g0)
             prev_ckpt = e2
             e = e2
             labels = labels.join(
@@ -767,21 +778,22 @@ def connected_components_contract(
                 " be split); raise max_iter",
                 stacklevel=2,
             )
-        if prev_ckpt is not base:
-            _unpersist_local_ckpt(prev_ckpt)
         # consolidate: one eager checkpoint materializes the composed
-        # labels, then the edge list and every per-round label table
-        # free — the returned plan is a single |V|-sized ExistingRDD,
-        # never the caller's pair list (connected_components' storage
-        # contract; one extra |V|-sized action)
-        out = labels.select(
+        # labels, then the edge list, final edge checkpoint, and every
+        # per-round label table free via the pending drain — the
+        # returned plan is a single |V|-sized ExistingRDD, never the
+        # caller's pair list (connected_components' storage contract;
+        # one extra |V|-sized action)
+        return labels.select(
             "node", F.col("lbl").alias("component")
         ).localCheckpoint(eager=True)
-        _unpersist_local_ckpt(base)
-        for gt in round_tables:
-            _unpersist_local_ckpt(gt)
-        return out
     finally:
+        # drains everything still pending: the full set on an
+        # exception (a failed run leaks no blocks), the edge list and
+        # label tables on success — the eager consolidation above has
+        # already materialized its own blocks by the time this runs
+        for c in list(pending):
+            _unpersist_local_ckpt(c)
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 

@@ -375,12 +375,13 @@ def test_contract_equals_propagation_on_shapes(spark):
 
 
 def test_contract_randomized_and_partition_invariant(spark):
-    """Randomized graphs, repartitioned so components are guaranteed to
-    span executor partitions: the contraction result must be invariant
-    to how the edges are partitioned (1 partition = pure local
-    union-find; 16 partitions of a 40-node graph = heavy
-    cross-partition reconciliation) and equal to min-label
-    propagation's."""
+    """Randomized graphs, scattered via ``loop_partitions`` (the knob
+    that sizes the contraction's internal shuffles — a caller-side
+    ``repartition`` is discarded by the internal ``.distinct()``): the
+    result must be invariant to how the edges are partitioned
+    (loop_partitions=1 = pure local union-find; 16 partitions of a
+    40-node graph = heavy cross-partition reconciliation) and equal to
+    min-label propagation's."""
     import random
 
     from slacken_spark.functions.dedup import (
@@ -413,6 +414,41 @@ def test_contract_randomized_and_partition_invariant(spark):
                 assert got == want, (trial, parts)
     finally:
         spark.conf.set(coalesce_key, prev)
+
+
+def test_contract_releases_blocks_on_failure(spark, monkeypatch):
+    """An exception mid-loop must not leak checkpoint blocks: every
+    lazy checkpoint the contraction registered (edge list, union-find
+    aggregate, label tables, relabeled edges) is drained by the
+    finally, so the persistent-RDD map returns to its pre-call state
+    (the r8 review's happy-path-only cleanup finding)."""
+    import pytest as _pytest
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from slacken_spark.functions.dedup import connected_components_contract
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    calls = {"n": 0}
+    orig = CDF.count
+
+    def flaky(self):
+        calls["n"] += 1
+        if calls["n"] == 2:  # round 1's relabeled-edge count — mid-loop,
+            # with base/g0/g/e2 checkpoints all registered
+            raise RuntimeError("injected mid-loop failure")
+        return orig(self)
+
+    monkeypatch.setattr(CDF, "count", flaky)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with _pytest.raises(RuntimeError, match="injected mid-loop"):
+        connected_components_contract(chain)
+    assert calls["n"] == 2, "the injected failure must hit mid-loop"
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before, (
+        f"mid-loop failure leaked {after - before} persisted RDD(s)"
+    )
 
 
 def test_drop_edges_high_diameter_chain(spark):
