@@ -430,6 +430,36 @@ def _unpersist_local_ckpt(df: DataFrame) -> None:
         pass
 
 
+def _stats_free(df: DataFrame) -> DataFrame:
+    """Rebuild a locally-checkpointed DataFrame over its OWN RDD with
+    the origin statistics dropped.
+
+    ``Dataset.localCheckpoint`` preserves the child plan's statistics
+    on the resulting ``LogicalRDD`` (so one checkpoint keeps broadcast
+    decisions intact), but in an ITERATIVE loop that is a trap:
+    Catalyst's size-only estimator MULTIPLIES ``sizeInBytes`` across a
+    join, so a self-join of round k's checkpoint doubles the
+    estimate's BigInteger bit length, and the next checkpoint captures
+    the product. After R checkpointed self-joins the estimate has
+    O(2^R) bits and every stats lookup (join selection runs one per
+    checkpoint/action) pays a Karatsuba multiplication on it —
+    measured here as 0.4 s -> 40 s -> 356 s per round on a scattered
+    2000-diameter chain, with the driver thread pinned in
+    BigInteger.multiply (jstack, NOTES r8). Rebuilding the frame over
+    the same RDD resets the leaf to the constant default estimate, so
+    per-round stats stay a few machine words wide. Falls back to the
+    input frame if the JVM internals differ (cost reverts to the slow
+    planning, never wrong results)."""
+    try:
+        jdf = df._jdf
+        rdd = jdf.queryExecution().analyzed().rdd()
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(rdd, jdf.schema(), False)
+        return type(df)(new_jdf, df.sparkSession)
+    except Exception:
+        return df
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -651,7 +681,10 @@ def connected_components_contract(
         # table), or mid-flight state on an exception, so a failed run
         # leaks no blocks.
         def _ckpt(df: DataFrame) -> DataFrame:
-            c = df.localCheckpoint(eager=False)
+            # the stats reset is what keeps the loop's planning cost
+            # flat across rounds — see _stats_free; unpersist works
+            # through the rebuilt frame (same backing RDD)
+            c = _stats_free(df.localCheckpoint(eager=False))
             pending.append(c)
             return c
 
