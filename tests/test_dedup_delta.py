@@ -416,6 +416,49 @@ def test_contract_randomized_and_partition_invariant(spark):
         spark.conf.set(coalesce_key, prev)
 
 
+def test_stats_free_bounds_iterated_size_estimates(spark):
+    """_stats_free must reset a checkpoint's size estimate to the
+    constant default: Dataset.localCheckpoint preserves child stats,
+    and the size-only estimator multiplies sizeInBytes across joins,
+    so an iterative checkpoint+self-join loop otherwise doubles the
+    estimate's BigInteger bit length per round until the driver pins
+    in BigInteger.multiply (the r8 scattered-chain hang). Pins both
+    the reset and that the JVM hook (internalCreateDataFrame) still
+    exists — the guarded fallback would let the blowup quietly
+    return."""
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions.dedup import _stats_free
+
+    def size_bits(df):
+        jstats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(jstats.sizeInBytes())).bit_length()
+
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "k long, v long"
+    ).localCheckpoint(eager=False)
+
+    def self_join(df):
+        return (
+            df.select("k", "v")
+            .join(df.select(F.col("k").alias("k2"), "v"), "v")
+            .select("k", F.col("k2").alias("v"))
+        )
+
+    raw, cur = base, _stats_free(base)
+    reset_bits = None
+    for _ in range(6):
+        raw = self_join(raw).localCheckpoint(eager=False)
+        cur = _stats_free(self_join(cur).localCheckpoint(eager=False))
+        reset_bits = size_bits(cur)
+        assert cur.columns == ["k", "v"]
+    # the preserved-stats path really does compound (the trap exists:
+    # bit length doubles per checkpointed self-join, 63 -> ~4000)...
+    assert size_bits(raw) > 1000, size_bits(raw)
+    # ...and the reset keeps the estimate a constant machine-word size
+    assert 1 <= reset_bits <= 72, reset_bits
+
+
 def test_contract_releases_blocks_on_failure(spark, monkeypatch):
     """An exception mid-loop must not leak checkpoint blocks: every
     lazy checkpoint the contraction registered (edge list, union-find
