@@ -811,15 +811,21 @@ def connected_components_contract(
                 " be split); raise max_iter",
                 stacklevel=2,
             )
-        # consolidate: one eager checkpoint materializes the composed
-        # labels, then the edge list, final edge checkpoint, and every
+        # consolidate: one checkpoint materializes the composed labels,
+        # then the edge list, final edge checkpoint, and every
         # per-round label table free via the pending drain — the
         # returned plan is a single |V|-sized ExistingRDD, never the
         # caller's pair list (connected_components' storage contract;
-        # one extra |V|-sized action)
-        return labels.select(
-            "node", F.col("lbl").alias("component")
-        ).localCheckpoint(eager=True)
+        # one extra |V|-sized action). Routed through _ckpt so (a) a
+        # failure during its own materialization is drained too and
+        # (b) the RETURNED frame carries the reset size estimate — a
+        # caller looping labels back through repeated maintenance
+        # batches would otherwise compound the product estimate across
+        # calls, the same trap the in-loop reset closes.
+        out = _ckpt(labels.select("node", F.col("lbl").alias("component")))
+        out.count()
+        pending.remove(out)
+        return out
     finally:
         # drains everything still pending: the full set on an
         # exception (a failed run leaks no blocks), the edge list and

@@ -445,18 +445,29 @@ def test_stats_free_bounds_iterated_size_estimates(spark):
             .select("k", F.col("k2").alias("v"))
         )
 
+    from slacken_spark.functions.dedup import _unpersist_local_ckpt
+
     raw, cur = base, _stats_free(base)
+    made = [base]
     reset_bits = None
-    for _ in range(6):
-        raw = self_join(raw).localCheckpoint(eager=False)
-        cur = _stats_free(self_join(cur).localCheckpoint(eager=False))
-        reset_bits = size_bits(cur)
-        assert cur.columns == ["k", "v"]
-    # the preserved-stats path really does compound (the trap exists:
-    # bit length doubles per checkpointed self-join, 63 -> ~4000)...
-    assert size_bits(raw) > 1000, size_bits(raw)
-    # ...and the reset keeps the estimate a constant machine-word size
-    assert 1 <= reset_bits <= 72, reset_bits
+    try:
+        for _ in range(6):
+            raw = self_join(raw).localCheckpoint(eager=False)
+            cur = _stats_free(self_join(cur).localCheckpoint(eager=False))
+            made += [raw, cur]
+            reset_bits = size_bits(cur)
+            assert cur.columns == ["k", "v"]
+        # the preserved-stats path really does compound (the trap
+        # exists: bit length doubles per checkpointed self-join,
+        # 63 -> ~4000)...
+        assert size_bits(raw) > 1000, size_bits(raw)
+        # ...and the reset keeps the estimate a machine-word size
+        assert 1 <= reset_bits <= 72, reset_bits
+    finally:
+        # deregister the never-materialized checkpoints so the shared
+        # session's persistent-RDD map stays clean for the leak test
+        for df in made:
+            _unpersist_local_ckpt(df)
 
 
 def test_contract_releases_blocks_on_failure(spark, monkeypatch):
@@ -484,14 +495,16 @@ def test_contract_releases_blocks_on_failure(spark, monkeypatch):
         return orig(self)
 
     monkeypatch.setattr(CDF, "count", flaky)
-    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # compare ID SETS, not map sizes: the persistent-RDD map is
+    # weak-valued and asynchronously pruned, so unrelated entries from
+    # earlier tests can vanish mid-run — only NEW survivors are leaks
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     with _pytest.raises(RuntimeError, match="injected mid-loop"):
         connected_components_contract(chain)
     assert calls["n"] == 2, "the injected failure must hit mid-loop"
-    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert after == before, (
-        f"mid-loop failure leaked {after - before} persisted RDD(s)"
-    )
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    leaked = after - before
+    assert not leaked, f"mid-loop failure leaked persisted RDD ids {leaked}"
 
 
 def test_drop_edges_high_diameter_chain(spark):
