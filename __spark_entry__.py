@@ -48,99 +48,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness gate records exactly the first 50 registered queries
 # and silently drops the rest, so the order is rotated each round until
-# every catalog entry's green row stays fresh. Round 8 executes the
-# rotation the r7 VERDICT/NOTES recorded, and the freshness guard in
-# tests/test_gate.py now ENFORCES the policy: every catalog entry must
-# either sit inside this round's first 50 or hold a green row in one of
-# the two most recent recorded rounds. This round's 50 =
-#   (a) the three NEW operators (two-step dynamic classification,
-#       removal-capable component maintenance, ranked-index delta),
-#   (b) every query whose code changed this round (the inverted-index
-#       CDC family via the _cdc_upd refactor + scored_index sharding;
-#       epoch_shuffle's sizing contract; the three streaming
-#       maintainers via _advance_base's checkpoint cadence; the whole
-#       classify-against-_taxonomy genomic family via the rank-depth
-#       change),
-#   (c) all 34 entries whose freshest green row is r5 — the full
-#       two-round-stale backlog, including the four genomic flagships
-#       and the ten session-displaced 1x-greens the r7 NOTES queued,
-#   (d) three 1x-green r6 entries filling the remaining seats.
-# Demoted to _TAIL: the untouched r7-gated set (freshest green row one
-# round old) and the rest of the r6 set — _TAIL is ordered as the r9
-# re-promotion queue: the r6-fresh entries first (they hit the 2-round
-# staleness bound at r9 and MUST gate then), then the r7-fresh ones.
+# every catalog entry's green row stays fresh (enforced by
+# tests/test_gate.py::test_rolling_green_window_stays_fresh: every
+# catalog entry must sit inside THIS round's first 50 or hold a green
+# row in one of the two most recent recorded rounds). Round 9's 50 =
+#   (a) every query whose code changes this round: the dedup-component
+#       family (dedup_components / _delta / keep_longest /
+#       keep_canonical — the add-path propagation switches to the
+#       union-find contraction engine, with the shared loop helpers
+#       extracted and `_stats_free` wired in) and embedding_lsh_delta
+#       (the `deletes` parameter landed late r8; the r9 fixture
+#       exercises it),
+#   (b) all 44 entries whose freshest green row is r6 — the full
+#       two-round-stale backlog at _TAIL's head per the r8 plan,
+#   (c) one NEW operator: dedup_components_mixed (drop→add CDC batch
+#       composition — the driver twin of the pytest composition test).
+# Demoted to _TAIL: nothing by choice — seats were exactly consumed by
+# (a)+(b)+(c); _TAIL is ordered as the r10 re-promotion queue: the
+# r7-fresh entries first (they hit the 2-round staleness bound at r10
+# and must gate then — budget their 39 seats plus r10's new/changed
+# set), then the r8-fresh ones.
 
 # Queries that MUST land a CORRECTNESS row this round (asserted inside
 # the first 50 by tests/test_gate.py): this round's 50 exactly — the
 # rotation IS the must-gate set, so a silent displacement cannot
 # happen.
 _MUST_GATE = [
-    # new this round:
-    #   genomic_classify2 — two-step dynamic classification (E3)
-    #   dedup_components_drop — removal-capable component maintenance
-    #   inverted_index_ranked_delta — segment-pruned tf-postings delta
-    # code changed this round: the rest of (b) above
-    "genomic_classify2",
-    "dedup_components_drop",
-    "inverted_index_ranked_delta",
-    "inverted_index_delta",
-    "inverted_index_patch",
-    "inverted_index_query_ranked",
-    "epoch_shuffle_plan",
-    "streaming_index_delta",
-    "streaming_source_stats",
-    "streaming_zone_maps",
-    "genomic_classify",
-    "genomic_classify_wide",
-    "genomic_classify_wide_hashed",
-    "genomic_classify_detail",
-    "genomic_index_lca_histogram",
-    "genomic_clade_rollup",
-    "streaming_genomic_classify",
-    "bracken_weights",
-    "genomic_kmer_totals",
-    # (c) freshest green row is r5 — the two-round-stale backlog:
-    "ann_retrieve_docs",
-    "bpe_top_pairs",
-    "corpus_diff",
-    "corpus_upsert_latest",
-    "dataset_shard_manifest",
+    # (a) code changed this round:
     "dedup_components",
-    "doc_bloom_decontaminate",
-    "doc_unigram_rarity",
-    "embedding_ivf_topk",
-    "embedding_random_projection",
-    "events_json_extract",
-    "events_rolling_stats",
-    "events_zorder_layout",
-    "media_audio_stats",
-    "media_image_stats",
-    "media_phash_neardup",
-    "pack_sequences",
-    "scalar_funcs",
-    "sessionize_events",
-    "set_ops_nations",
-    "size_histogram",
-    "streaming_dedup_keys",
-    "streaming_doc_quality",
-    "streaming_session_windows",
-    "streaming_window_counts",
-    "topk_per_group",
-    "two_level_agg",
-    "video_frame_plan",
-    # (d) the remaining seats went to three LATE-ROUND NEW operators
-    # (displacing the planned 1x-green r6 fills, which are green within
-    # the freshness window and head the r9 queue in _TAIL instead):
-    "inverted_index_ranked_compact",  # LSM compaction of the scored index
-    "streaming_index_ranked_delta",  # ranked CDC stream via the delta_fn hook
-    "genomic_gold_eval",  # readGoldSet + precision/recall (Dynamic.scala:265-312)
-]
-_EARLY = list(_MUST_GATE)
-_TAIL = [
-    # r9 re-promotion queue, in order. First the r6-fresh entries
-    # (their newest green row turns two rounds old when this round's
-    # file lands — r9 must gate them or the freshness guard fails),
-    # headed by the three fills this round's late operators displaced:
+    "dedup_components_delta",
+    "dedup_keep_longest",
+    "dedup_keep_canonical",
+    "embedding_lsh_delta",
+    # (c) new this round: dedup_components_mixed seats here the commit
+    # it lands (the lists may only name registered queries)
+    # (b) freshest green row is r6 — the two-round-stale backlog, in
+    # the r8 _TAIL queue order:
     "bpe_learned_merges",
     "bpe_tokenized_counts",
     "cube_source_lang",
@@ -185,13 +128,16 @@ _TAIL = [
     "unpivot_part_metrics",
     "value_percentiles",
     "weights_rollup",
-    # then the r7-fresh set (one round old after this round):
+]
+_EARLY = list(_MUST_GATE)
+_TAIL = [
+    # r10 re-promotion queue, in order. First the r7-fresh entries
+    # (their newest green row turns two rounds old when this round's
+    # file lands — r10 must gate them or the freshness guard fails),
+    # minus the four dedup/lsh entries promoted into this round's (a):
     "classification_join",
     "corpus_read_asof",
-    "dedup_components_delta",
     "dedup_graph_pagerank",
-    "dedup_keep_canonical",
-    "dedup_keep_longest",
     "doc_decontaminate",
     "doc_dupspan_scrub",
     "doc_heavy_hitters_cms",
@@ -201,7 +147,6 @@ _TAIL = [
     "doc_vocab_top50",
     "embedding_ivf_topk_nprobe2",
     "embedding_kmeans_clusters",
-    "embedding_lsh_delta",
     "funnel_conversion",
     "inverted_index_compact",
     "inverted_index_query",
@@ -228,6 +173,57 @@ _TAIL = [
     "value_quantile_sketch",
     "zone_map_maintain",
     "zone_map_pruned_scan",
+    # then the r8-fresh set (one round old after this round), in the
+    # r8 gate order minus dedup_components (promoted into (a)):
+    "genomic_classify2",
+    "dedup_components_drop",
+    "inverted_index_ranked_delta",
+    "inverted_index_delta",
+    "inverted_index_patch",
+    "inverted_index_query_ranked",
+    "epoch_shuffle_plan",
+    "streaming_index_delta",
+    "streaming_source_stats",
+    "streaming_zone_maps",
+    "genomic_classify",
+    "genomic_classify_wide",
+    "genomic_classify_wide_hashed",
+    "genomic_classify_detail",
+    "genomic_index_lca_histogram",
+    "genomic_clade_rollup",
+    "streaming_genomic_classify",
+    "bracken_weights",
+    "genomic_kmer_totals",
+    "ann_retrieve_docs",
+    "bpe_top_pairs",
+    "corpus_diff",
+    "corpus_upsert_latest",
+    "dataset_shard_manifest",
+    "doc_bloom_decontaminate",
+    "doc_unigram_rarity",
+    "embedding_ivf_topk",
+    "embedding_random_projection",
+    "events_json_extract",
+    "events_rolling_stats",
+    "events_zorder_layout",
+    "media_audio_stats",
+    "media_image_stats",
+    "media_phash_neardup",
+    "pack_sequences",
+    "scalar_funcs",
+    "sessionize_events",
+    "set_ops_nations",
+    "size_histogram",
+    "streaming_dedup_keys",
+    "streaming_doc_quality",
+    "streaming_session_windows",
+    "streaming_window_counts",
+    "topk_per_group",
+    "two_level_agg",
+    "video_frame_plan",
+    "inverted_index_ranked_compact",
+    "streaming_index_ranked_delta",
+    "genomic_gold_eval",
 ]
 
 
