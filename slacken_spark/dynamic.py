@@ -275,7 +275,7 @@ class Dynamic:
         }
         primary = tax.primary
         gold = {
-            int(primary[t]) if primary is not None and t < len(primary) else t
+            int(primary[t]) if primary is not None and 0 <= t < len(primary) else t
             for t in raw
         }
         library = {

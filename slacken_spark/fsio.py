@@ -17,8 +17,15 @@ behave exactly as before.
 from __future__ import annotations
 
 import posixpath
+import re
 
 from pyarrow import fs as pafs
+
+# RFC 3986 scheme followed by a path: matches both the double-slash
+# authority form (file:///x, s3://b/k) and the single-slash form
+# (file:/x) that Spark/Hadoop accept — a "://" test alone mangles the
+# latter into '<cwd>/file:/x' (r8 advice).
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
 
 
 def absolutize(path: str) -> str:
@@ -30,7 +37,7 @@ def absolutize(path: str) -> str:
     (the bucketed index + its sidecars) must be pinned to one absolute
     path before either write happens.
     """
-    if "://" in path:
+    if _URI_RE.match(path):
         return path
     import os
 
@@ -42,9 +49,11 @@ def any_fs(path: str) -> tuple["pafs.FileSystem", str]:
 
     Handles bare local paths plus any pyarrow-supported URI scheme
     (file://, s3://, hdfs://, gs://) — the any-Hadoop-FS contract of
-    the reference (HDFSUtil.scala:76-98).
+    the reference (HDFSUtil.scala:76-98). Single-slash URIs
+    (``file:/x``) resolve like their double-slash form, matching
+    Hadoop's Path parsing.
     """
-    if "://" in path:
+    if _URI_RE.match(path):
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
 

@@ -764,14 +764,31 @@ _COMPONENTS_DELTA_SQL = (
 # the gate observes splits, isolations AND partial survival.
 _DROP_PRED = "(id_a + id_b) % 4 = 0"
 
+
+def _must_replace(sql: str, old: str, new: str) -> str:
+    """``str.replace`` that RAISES when nothing matched — the drop
+    oracle below is built by textual surgery on the shared closure CTE,
+    and a silent no-op replace (after any whitespace/wording drift in
+    ``_components_cte``) would quietly revert it to the pre-drop
+    closure, surfacing only as a confusing red gate row (r8 advice)."""
+    out = sql.replace(old, new)
+    if out == sql:
+        raise ValueError(f"oracle surgery matched nothing: {old!r}")
+    return out
+
+
 _COMPONENTS_DROP_SQL = (
-    _components_cte().replace(
-        ", edges AS",
-        f""", surv AS (SELECT id_a, id_b FROM pairs
+    _must_replace(
+        _must_replace(
+            _components_cte(),
+            ", edges AS",
+            f""", surv AS (SELECT id_a, id_b FROM pairs
                 WHERE NOT ({_DROP_PRED})),
     edges AS""",
-    ).replace("FROM pairs\n                UNION ALL SELECT id_b, id_a FROM pairs",
-              "FROM surv\n                UNION ALL SELECT id_b, id_a FROM surv")
+        ),
+        "FROM pairs\n                UNION ALL SELECT id_b, id_a FROM pairs",
+        "FROM surv\n                UNION ALL SELECT id_b, id_a FROM surv",
+    )
     + """
     SELECT node AS doc_id, CAST(component AS BIGINT) AS component FROM comp
     """

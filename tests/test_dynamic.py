@@ -209,6 +209,23 @@ def test_read_gold_set(world, tmp_path):
     assert gold == {102, 103}
 
 
+def test_read_gold_set_drops_negative_ids(world, tmp_path):
+    """A negative id in the gold CSV must be DROPPED, not remapped via
+    Python negative indexing into primary[] — which could alias a valid
+    library taxon that then survives the rank filter (r8 advice;
+    the reference's primary() accepts only valid non-negative ids)."""
+    p = tmp_path / "gold_neg.csv"
+    p.write_text("102\n-1\n-102\n")
+    dyn = Dynamic(
+        world["idx"],
+        world["genomes_df"],
+        world["labels_df"],
+        MinimizerTotalCount(50),
+        reclassify_rank_depth=8,
+    )
+    assert dyn.read_gold_set(str(p)) == {102}
+
+
 def test_gold_set_metrics(world):
     dyn = Dynamic(
         world["idx"], world["genomes_df"], world["labels_df"], MinimizerTotalCount(50)

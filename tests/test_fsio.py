@@ -151,3 +151,16 @@ def test_absolutize_pins_bare_paths_and_passes_uris(tmp_path, monkeypatch):
     assert fsio.absolutize("rel/idx") == str(tmp_path / "rel" / "idx")
     assert fsio.absolutize("s3://bucket/idx") == "s3://bucket/idx"
     assert fsio.absolutize("file:///x/y") == "file:///x/y"
+    # single-slash URI form (valid to Spark/Hadoop) must pass through,
+    # not be mangled to <cwd>/file:/x/y (r8 advice)
+    assert fsio.absolutize("file:/x/y") == "file:/x/y"
+    assert fsio.absolutize("hdfs:/x/y") == "hdfs:/x/y"
+
+
+def test_any_fs_accepts_single_slash_uri(tmp_path):
+    from slacken_spark import fsio
+
+    p = tmp_path / "t.txt"
+    p.write_text("ok")
+    assert fsio.read_text(f"file:{p}") == "ok"
+    assert fsio.read_text(f"file://{p}") == "ok"

@@ -860,3 +860,22 @@ def test_contract_round_budget_is_partition_span_not_diameter(spark):
     assert not warned and off == 0, (
         "single-partition chain should collapse in one round"
     )
+
+
+def test_oracle_surgery_raises_on_no_op_replace():
+    """The drop-components oracle is built by textual surgery on the
+    shared closure CTE; a whitespace drift there must fail at import
+    time, not silently revert the oracle to the pre-drop closure
+    (r8 advice)."""
+    import pytest
+
+    from slacken_spark.plans.catalog_docs_dedup import (
+        _COMPONENTS_DROP_SQL,
+        _must_replace,
+    )
+
+    with pytest.raises(ValueError, match="matched nothing"):
+        _must_replace("SELECT 1", "no such text", "x")
+    # the real surgery DID engage: both edits are present
+    assert "surv AS" in _COMPONENTS_DROP_SQL
+    assert "FROM surv" in _COMPONENTS_DROP_SQL
