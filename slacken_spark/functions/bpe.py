@@ -129,7 +129,7 @@ def bpe_train(
     soon as the next round materializes. Stops early when no adjacent
     pair remains.
     """
-    from slacken_spark.functions.dedup import _unpersist_local_ckpt
+    from slacken_spark.functions.dedup import _stats_free, _unpersist_local_ckpt
 
     wf = word_frequencies(df, text_col)
     cur = wf.select(_chars(F.col("word")).alias("symbols"), "wc").persist()
@@ -170,7 +170,12 @@ def bpe_train(
             )
             nxt_is_ckpt = (round_no + 1) % checkpoint_every == 0
             if nxt_is_ckpt:
-                nxt = nxt.localCheckpoint(eager=False)
+                # _stats_free is hygiene here: this loop's checkpoints
+                # never self-join (map-only merges), so stats growth is
+                # sub-critical — the reset future-proofs shape changes
+                # (see dedup._stats_free; unpersist still reaches the
+                # same backing RDD through the rebuilt frame)
+                nxt = _stats_free(nxt.localCheckpoint(eager=False))
             prev, prev_is_ckpt = cur, cur_is_ckpt
             cur, cur_is_ckpt = nxt.persist(), nxt_is_ckpt
     finally:

@@ -15,6 +15,8 @@ reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -430,6 +432,94 @@ def _unpersist_local_ckpt(df: DataFrame) -> None:
         pass
 
 
+@contextmanager
+def _with_loop_partitions(spark, loop_partitions: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` to an iterative loop.
+
+    Sizes the per-round shuffles to the loop's state cardinality
+    (label tables are |V|-sized, far below the corpus setting) and
+    restores the session value afterwards. NOT safe with CONCURRENT
+    queries on the same session — pass ``None`` there and size via AQE
+    instead (the ``connected_components`` docstring contract)."""
+    if loop_partitions is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _uf_min_labels(edges) -> dict:
+    """Path-compressed, size-united union-find over an edge iterable;
+    returns {node: min node id of its component} for every endpoint.
+    The ONE local-step definition shared by the contraction engine's
+    per-partition pass and ``components_add_edges``' small-graph driver
+    path (dict UF measured at 0.83 M edges/s — within ~25% of the best
+    vectorization on realistic graphs, NOTES r8)."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if size[ra] < size[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] += size[rb]
+    mins: dict = {}
+    for v in parent:
+        r = find(v)
+        m = mins.get(r)
+        if m is None or v < m:
+            mins[r] = v
+    return {v: mins[find(v)] for v in parent}
+
+
+@contextmanager
+def _drain_pending(pending: list[DataFrame]):
+    """Release every still-registered lazy checkpoint on scope exit
+    (success or exception) — the loop's leak backstop."""
+    try:
+        yield
+    finally:
+        for c in list(pending):
+            _unpersist_local_ckpt(c)
+
+
+def _jump(labels: DataFrame, track_moved: bool = False) -> DataFrame:
+    """One pointer-jump pass over a (node, lbl) label table:
+    lbl := min(lbl, lbl[lbl]), resolving each label through the table
+    itself so label chains halve per pass. With ``track_moved`` the
+    output carries a ``_chg`` flag (this row's label actually dropped)
+    so a doubling loop can run to fixpoint on one count per pass.
+    The self-join references ``labels`` twice — callers checkpoint it
+    first (Spark does not dedupe common subplans)."""
+    lmap = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("jump"))
+    cols = [
+        F.col("node"),
+        F.least(F.col("lbl"), F.coalesce("jump", "lbl")).alias("lbl"),
+    ]
+    if track_moved:
+        cols.append((F.col("jump") < F.col("lbl")).alias("_chg"))
+    return labels.join(lmap, "lbl", "left").select(*cols)
+
+
 def _stats_free(df: DataFrame) -> DataFrame:
     """Rebuild a locally-checkpointed DataFrame over its OWN RDD with
     the origin statistics dropped.
@@ -491,11 +581,7 @@ def connected_components(
     same session — pass ``None`` there and size via AQE instead.
     """
     spark = pairs.sparkSession
-    prev_parts = None
-    if loop_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _with_loop_partitions(spark, loop_partitions):
         e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -522,18 +608,15 @@ def connected_components(
                 .agg(F.min("lbl").alias("lbl"))
             )
             # pointer jump: resolve each label through the stepped table
-            lmap = stepped.select(
-                F.col("node").alias("lbl"), F.col("lbl").alias("jump")
-            )
-            jumped = stepped.join(lmap, "lbl", "left").select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("jump", "lbl")).alias("lbl"),
-            )
+            jumped = _jump(stepped)
             # lazy localCheckpoint: truncates the logical plan (stepped
             # appears twice per round — without truncation the plan tree
             # doubles every round) and materializes under the SINGLE
-            # changed-count action below
-            nxt = (
+            # changed-count action below. _stats_free resets the leaf
+            # size estimate: this loop's growth is measured LINEAR
+            # (bits add via the fixed edge-list stats, NOTES r8), so
+            # this is hygiene against shape changes, not a live fix
+            nxt = _stats_free(
                 jumped.join(
                     labels.select("node", F.col("lbl").alias("old_lbl")), "node"
                 )
@@ -568,9 +651,6 @@ def connected_components(
         e.unpersist()
         init.unpersist()
         return labels.select("node", F.col("lbl").alias("component"))
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def connected_components_contract(
@@ -627,51 +707,25 @@ def connected_components_contract(
     """
     spark = pairs.sparkSession
     pending: list[DataFrame] = []
-    prev_parts = None
-    if loop_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    # _drain_pending runs on BOTH exits: the full pending set on an
+    # exception (a failed run leaks no blocks), the edge list and
+    # per-round label tables on success — the eager consolidation at
+    # the end has already materialized its own blocks by then
+    with _with_loop_partitions(spark, loop_partitions), _drain_pending(pending):
         id_t = pairs.schema[id_a].dataType.simpleString()
 
         def local_roots(batches):
             import pandas as pd
 
-            parent: dict = {}
-            size: dict = {}
+            def edge_iter():
+                for pdf in batches:
+                    yield from zip(pdf.iloc[:, 0], pdf.iloc[:, 1])
 
-            def find(x):
-                r = x
-                while parent[r] != r:
-                    r = parent[r]
-                while parent[x] != r:
-                    parent[x], x = r, parent[x]
-                return r
-
-            for pdf in batches:
-                for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
-                    for v in (a, b):
-                        if v not in parent:
-                            parent[v] = v
-                            size[v] = 1
-                    ra, rb = find(a), find(b)
-                    if ra == rb:
-                        continue
-                    if size[ra] < size[rb]:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-                    size[ra] += size[rb]
-            if not parent:
+            lbl = _uf_min_labels(edge_iter())
+            if not lbl:
                 return
-            mins: dict = {}
-            for v in parent:
-                r = find(v)
-                m = mins.get(r)
-                if m is None or v < m:
-                    mins[r] = v
-            nodes = list(parent)
             yield pd.DataFrame(
-                {"node": nodes, "root": [mins[find(v)] for v in nodes]}
+                {"node": list(lbl), "root": list(lbl.values())}
             )
 
         # Every lazy checkpoint registers in `pending` and deregisters
@@ -698,10 +752,23 @@ def connected_components_contract(
         # ONE lazy checkpoint serves both the node-set init and round 1's
         # two edge scans, so the caller's upstream plan (often a pruned
         # semi-join over the corpus pairs) computes exactly once.
-        base = _ckpt(
+        base_sel = (
             pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .distinct()
         )
+        if loop_partitions is not None:
+            # an ALREADY-distinct input lets Catalyst elide the
+            # distinct's shuffle, leaking the caller's partitioning into
+            # the first union-find pass (measured r9: a pre-distinct
+            # persisted chain kept its 4 scattered input partitions
+            # under loop_partitions=1 — the same class of silent-layout
+            # leak as the r8 range-distinct-key finding). The explicit
+            # repartition pins the layout; when the distinct's shuffle
+            # already produces exactly this partitioning, Spark's
+            # exchange pruning elides it, so the healthy path pays no
+            # second shuffle.
+            base_sel = base_sel.repartition(loop_partitions, "src", "dst")
+        base = _ckpt(base_sel)
         labels = (
             base.select(F.col("src").alias("node"))
             .unionByName(base.select(F.col("dst").alias("node")))
@@ -728,22 +795,11 @@ def connected_components_contract(
                 .groupBy("node")
                 .agg(F.min("root").alias("lbl"))
             )
-            # pointer jump: cross-partition label chains collapse here
-            lmap = g0.select(
-                F.col("node").alias("lbl"), F.col("lbl").alias("jump")
-            )
+            # pointer jump: cross-partition label chains collapse here.
             # lazy localCheckpoint: g is referenced three times below
             # (both edge relabels, label composition) — without it each
             # reference would recompute the jump join over g0
-            g = _ckpt(
-                g0.join(lmap, "lbl", "left")
-                .select(
-                    "node",
-                    F.least(F.col("lbl"), F.coalesce("jump", "lbl")).alias(
-                        "lbl"
-                    ),
-                )
-            )
+            g = _ckpt(_jump(g0))
             # g_ckpt tracks the checkpointed frame backing g — the
             # unpersist bookkeeping needs the LogicalRDD root, not a
             # projection over it
@@ -753,19 +809,7 @@ def connected_components_contract(
                 # label table with itself, halving hook-chain depth; the
                 # moved-count action also materializes the pass
                 for _ in range(64):
-                    lmapj = g.select(
-                        F.col("node").alias("lbl"), F.col("lbl").alias("jump")
-                    )
-                    gj = _ckpt(
-                        g.join(lmapj, "lbl", "left")
-                        .select(
-                            "node",
-                            F.least(
-                                F.col("lbl"), F.coalesce("jump", "lbl")
-                            ).alias("lbl"),
-                            (F.col("jump") < F.col("lbl")).alias("_chg"),
-                        )
-                    )
+                    gj = _ckpt(_jump(g, track_moved=True))
                     moved = gj.where("_chg").count()
                     _release(g_ckpt)
                     g_ckpt = gj
@@ -826,15 +870,6 @@ def connected_components_contract(
         out.count()
         pending.remove(out)
         return out
-    finally:
-        # drains everything still pending: the full set on an
-        # exception (a failed run leaks no blocks), the edge list and
-        # label tables on success — the eager consolidation above has
-        # already materialized its own blocks by the time this runs
-        for c in list(pending):
-            _unpersist_local_ckpt(c)
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def components_add_edges(
@@ -843,6 +878,8 @@ def components_add_edges(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    loop_partitions: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Incremental connected-components maintenance for EDGE ADDITIONS
     — the dedup-graph member of the CDC-maintenance family: when new
@@ -855,13 +892,30 @@ def components_add_edges(
     to their CURRENT labels (unseen endpoints label themselves),
     CONTRACT — the resulting graph's nodes are component labels, its
     size is bounded by the NEW edges, never the base graph — and run
-    ``connected_components`` on that contracted graph; merged
+    ``connected_components_contract`` on that contracted graph (the
+    union-find engine collapses each partition-local subgraph in one
+    round — partition-span rounds, not diameter rounds, the same
+    switch the drop path made in r8); merged
     components' new labels are mins over (old labels ∪ new node ids),
     exactly what a from-scratch run over base ∪ new edges produces.
     Relabeling is one label-table join. ADD-ONLY by construction:
     edge/document REMOVALS can split components and need the affected
     components recomputed (the same asymmetry as zone-map min/max
     stats) — this function must not be used for drops.
+
+    The contracted graph is batch-bounded by construction, and in
+    steady-state CDC it is TINY (sf0.1 gate batch: 161 edges) — paying
+    a distributed loop's per-action scheduling floor for it is the
+    wrong plan at any scale, so up to ``driver_threshold`` edges the
+    component mapping is solved by ONE collect + the shared local
+    union-find (`_uf_min_labels`, ~0.83 M edges/s) and re-enters the
+    plan as a broadcast-sized mapping table — the GraphX/GraphFrames
+    "skip to local processing below a size cutoff" pattern. Beyond the
+    threshold (a bulk backfill, not steady-state CDC) the distributed
+    ``connected_components_contract`` engine takes over; pass
+    ``driver_threshold=0`` to force it (the round-budget tests do).
+    Either way the collect/loop is bounded by the CDC batch, never the
+    base graph.
 
     ``labels`` is (node, component) covering every node of the base
     graph (callers coalesce singletons to their own id); returns the
@@ -886,9 +940,28 @@ def components_add_edges(
         )
         .distinct()
     )
-    mapping = connected_components(contracted, max_iter=max_iter).select(
-        F.col("node").alias("_old"), F.col("component").alias("_new")
-    )
+    id_t = new_pairs.schema[id_a].dataType.simpleString()
+    contracted = contracted.persist()
+    try:
+        if contracted.count() <= driver_threshold:
+            lbl = _uf_min_labels(
+                (r["id_a"], r["id_b"]) for r in contracted.collect()
+            )
+            mapping = labels.sparkSession.createDataFrame(
+                list(lbl.items()), f"_old {id_t}, _new {id_t}"
+            )
+        else:
+            mapping = connected_components_contract(
+                contracted, max_iter=max_iter,
+                loop_partitions=loop_partitions,
+            ).select(
+                F.col("node").alias("_old"), F.col("component").alias("_new")
+            )
+    finally:
+        # the driver path consumed the edges outright; the distributed
+        # path's eager consolidation owns its output blocks — either
+        # way the contracted frame is dead here
+        contracted.unpersist()
     relabeled = labels.join(
         mapping, labels["component"] == mapping["_old"], "left"
     ).select(

@@ -250,9 +250,13 @@ def _doc_components(spark, sf_dir):
         docs = tp(spark, sf_dir, "documents")
         sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
         pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
+        # union-find contraction (r9: switched from min-label
+        # propagation — partition-span rounds, not diameter rounds);
         # loop shuffles sized to the label-table cardinality (≤ |docs|
         # rows), not the scan-sized session setting
-        return D.connected_components(pairs, loop_partitions=8).persist()
+        return D.connected_components_contract(
+            pairs, loop_partitions=8
+        ).persist()
 
     return app_scoped_get(_COMPONENTS_CACHE, spark, sf_dir, build)
 
@@ -318,9 +322,9 @@ def dedup_keep_canonical(spark, sf_dir):
     """End-to-end near-dup dedup: LSH pairs → connected components →
     keep ONE document per cluster (the min doc_id, which IS the
     component label) with its cluster size — the row set a dedup pass
-    would retain. Composes the banded self-join and the O(log d) label
-    loop (shared with dedup_components via the memoized component
-    labels); one extra key-shuffle on the component label."""
+    would retain. Composes the banded self-join and the union-find
+    contraction loop (shared with dedup_components via the memoized
+    component labels); one extra key-shuffle on the component label."""
     docs = tp(spark, sf_dir, "documents")
     comp = _doc_components(spark, sf_dir)
     labeled = docs.select("doc_id").join(
@@ -903,7 +907,9 @@ def dedup_components_delta(spark, sf_dir):
         F.col("doc_id").alias("node"),
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
     )
-    maintained = D.components_add_edges(labels_full, new_pairs)
+    maintained = D.components_add_edges(
+        labels_full, new_pairs, loop_partitions=8
+    )
     # appended docs that formed no pair still need their singleton row
     merged_ids = docs.select("doc_id").unionByName(
         appended.select("doc_id")

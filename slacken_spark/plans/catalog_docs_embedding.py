@@ -395,7 +395,9 @@ def _emb_components(spark, sf_dir):
 
     def build():
         pairs = _emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
-        return D.connected_components(pairs, loop_partitions=8).persist()
+        return D.connected_components_contract(
+            pairs, loop_partitions=8
+        ).persist()
 
     return app_scoped_get(_EMB_COMPONENTS_CACHE, spark, sf_dir, build)
 
@@ -423,7 +425,8 @@ def embedding_semdedup_keep(spark, sf_dir):
     all-pairs), keep ONE vector per cluster (the min vec_id — the
     component label) with its cluster size — the embedding twin of
     ``dedup_keep_canonical``. Composes the bucket equi-join with the
-    O(log d) label loop (functions.dedup.connected_components);
+    union-find contraction loop
+    (functions.dedup.connected_components_contract);
     singletons keep themselves. The oracle replays the closure as a
     recursive CTE over the SAME pair SQL (pairs/edges MATERIALIZED —
     the recursive member re-evaluates inlined CTEs per iteration:

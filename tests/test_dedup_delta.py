@@ -529,3 +529,98 @@ def test_drop_edges_high_diameter_chain(spark):
     want = {i: 0 for i in range(31)}
     want[40] = 40
     assert got == want
+
+
+def test_add_edges_round_budget_is_partition_span_not_diameter(spark):
+    """components_add_edges' propagation runs on the union-find
+    contraction engine (r9 switch): a NEW-edge chain bridging 2000
+    existing singletons — a diameter-2000 CONTRACTED graph, the add
+    path's worst case — collapses in ONE round when its edges sit in
+    one partition, and within a 4-round budget when genuinely
+    scattered over 16 partitions (stall-triggered pointer-doubling
+    closure). Min-label propagation would pay diameter-bound rounds.
+    Same vacuity guards as the drop-path twin in test_plans.py:
+    createDataFrame fixtures (no distinct-key metadata), AQE
+    coalescing disabled, and the max_iter=1 warning assertion pins
+    that the 16-way scatter really leaves cross-partition work."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from slacken_spark.functions.dedup import components_add_edges
+
+    n = 2_000
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(n)], "node long, component long"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+
+    def run(loop_parts, budget):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            comp = components_add_edges(
+                labels, chain, max_iter=budget, loop_partitions=loop_parts,
+                driver_threshold=0,
+            ).persist()
+            rows = comp.count()
+        warned = bool([w for w in caught if "no fixpoint" in str(w.message)])
+        assert rows == n
+        off = comp.where(F.col("component") != 0).count()
+        comp.unpersist()
+        return warned, off
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        warned, off = run(16, 1)
+        assert warned and off > 0, (
+            "16-way scatter converged in one round — the scatter is"
+            " not reaching the loop (vacuous test)"
+        )
+        warned, off = run(16, 4)
+        assert not warned and off == 0, (
+            "scattered add-path chain blew the 4-round budget"
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    warned, off = run(1, 1)
+    assert not warned and off == 0, (
+        "single-partition contracted chain should collapse in one round"
+    )
+
+
+def test_add_edges_driver_path_equals_distributed(spark):
+    """components_add_edges' small-graph driver fast path (one collect
+    + the shared local union-find) and the distributed contraction
+    path must produce identical labelings on the same randomized
+    graph + batch — the two sides of the driver_threshold cutoff are
+    interchangeable by contract."""
+    import random
+
+    from slacken_spark.functions.dedup import components_add_edges
+
+    rng = random.Random(991)
+    n = 50
+    base = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(35)})
+    new = sorted(
+        {tuple(sorted(rng.sample(range(n + 12), 2))) for _ in range(18)}
+        - set(base)
+    )
+    labels = _labels_over(spark, base, set(range(n)))
+    new_df = spark.createDataFrame(new, "id_a long, id_b long")
+    via_driver = {
+        r["node"]: r["component"]
+        for r in components_add_edges(labels, new_df).collect()
+    }
+    via_loop = {
+        r["node"]: r["component"]
+        for r in components_add_edges(
+            labels, new_df, driver_threshold=0
+        ).collect()
+    }
+    assert via_driver == via_loop
+    # the driver path really engaged (sanity: batch far below cutoff)
+    assert len(new) < 100_000
