@@ -266,10 +266,11 @@ def _lsh_delta_sql() -> str:
         SELECT vec_id, {bu} AS bucket FROM embeddings WHERE vec_id % 50 = 0),
     aff AS MATERIALIZED (
         SELECT DISTINCT bucket FROM (
-            SELECT bucket FROM b WHERE vec_id % 50 = 0
+            SELECT bucket FROM b WHERE vec_id % 50 = 0 OR vec_id % 70 = 0
             UNION ALL SELECT bucket FROM u)),
     m AS MATERIALIZED (
-        SELECT vec_id, bucket FROM b WHERE vec_id % 50 <> 0
+        SELECT vec_id, bucket FROM b
+        WHERE vec_id % 50 <> 0 AND vec_id % 70 <> 0
         UNION ALL SELECT vec_id, bucket FROM u),
     rebuilt AS MATERIALIZED (
         SELECT m.bucket, count(*) AS n_vecs,
@@ -286,25 +287,30 @@ def _lsh_delta_sql() -> str:
 def embedding_lsh_delta(spark, sf_dir):
     """Incremental maintenance of the LSH-bucket ANN index — the vector
     twin of ``inverted_index_delta``. A CDC batch replaces every 50th
-    vector (deterministically: the reversed embedding), and only the
-    AFFECTED buckets' member lists rebuild: affected = old bucket ∪
-    new bucket of each changed vector (≤ 2·|batch| of the 2^6 = 64
-    buckets), broadcast as a semi-join filter ahead of the per-bucket
-    shuffle, with an explicit n=0 / md5('') tombstone when a bucket
-    empties. Bucket ids are map-only sign-bit hashes, so unlike the
-    token case the corpus scan is one cheap projection — the delta
-    bound applies to the SHUFFLE (collect_list reduces only affected
-    buckets' rows), which is what hurts at 100 TB. One left outer join
-    emits rebuilt lists and tombstones without re-evaluating the
-    aggregation (the delta_index lesson;
-    functions.similarity.lsh_delta)."""
+    vector (deterministically: the reversed embedding) and DELETES
+    every 70th outright (r9: the ``deletes`` path gates with the rest
+    of the entry — a delete is a replacement with nothing, so it only
+    widens the changed-id set; ids 0 and 350 sit in BOTH sets, so the
+    replacement-wins precedence executes on gate data, plus 6
+    pure-delete ids). Only the AFFECTED buckets' member lists rebuild:
+    affected = old bucket ∪ new bucket of each changed vector
+    (≤ 2·|batch| of the 2^6 = 64 buckets), broadcast as a semi-join
+    filter ahead of the per-bucket shuffle, with an explicit
+    n=0 / md5('') tombstone when a bucket empties. Bucket ids are
+    map-only sign-bit hashes, so unlike the token case the corpus scan
+    is one cheap projection — the delta bound applies to the SHUFFLE
+    (collect_list reduces only affected buckets' rows), which is what
+    hurts at 100 TB. One left outer join emits rebuilt lists and
+    tombstones without re-evaluating the aggregation (the delta_index
+    lesson; functions.similarity.lsh_delta)."""
     from slacken_spark.functions.inverted import postings_digest
 
     emb = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     upd = emb.where(F.col("vec_id") % 50 == 0).select(
         "vec_id", F.reverse("embedding").alias("embedding")
     )
-    out = SIM.lsh_delta(emb, upd, _planes())
+    deletes = emb.where(F.col("vec_id") % 70 == 0).select("vec_id")
+    out = SIM.lsh_delta(emb, upd, _planes(), deletes=deletes)
     return out.select(
         "bucket",
         "n_vecs",
