@@ -80,8 +80,8 @@ _MUST_GATE = [
     "dedup_keep_longest",
     "dedup_keep_canonical",
     "embedding_lsh_delta",
-    # (c) new this round: dedup_components_mixed seats here the commit
-    # it lands (the lists may only name registered queries)
+    # (c) new this round:
+    "dedup_components_mixed",
     # (b) freshest green row is r6 — the two-round-stale backlog, in
     # the r8 _TAIL queue order:
     "bpe_learned_merges",

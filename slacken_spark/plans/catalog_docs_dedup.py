@@ -185,8 +185,6 @@ def minhash_lsh_delta(spark, sf_dir):
     broadcast as a semi-join on the corpus banding, so only buckets
     containing a changed doc enter the pair join; pairs between two
     unchanged docs are never computed."""
-    from slacken_spark.appcache import app_scoped_get
-
     docs = tp(spark, sf_dir, "documents")
     # every 100th doc becomes a COPY of its neighbor's text (a
     # guaranteed new near-dup → the 'add' branch fires on gate data);
@@ -210,18 +208,8 @@ def minhash_lsh_delta(spark, sf_dir):
         )
     )
     # the base signatures feed TWO branches of the delta (old-changed
-    # lookup + merged banding) and in production are STORED at ingest
-    # rather than recomputed — the app-scoped persisted frame is the
-    # stand-in for that stored table (same convention as the genomic
-    # index and component caches)
-    base_sig = app_scoped_get(
-        _BASE_SIG_CACHE,
-        spark,
-        ("base_sig", sf_dir),
-        lambda: D.minhash_signature(
-            docs, "text", "doc_id", n_hashes=8, shingle_words=3
-        ).persist(),
-    )
+    # lookup + merged banding) — see _base_sig
+    base_sig = _base_sig(spark, sf_dir, docs)
     upd_sig = D.minhash_signature(
         upd, "text", "doc_id", n_hashes=8, shingle_words=3
     )
@@ -229,6 +217,36 @@ def minhash_lsh_delta(spark, sf_dir):
 
 
 _BASE_SIG_CACHE: dict = {}
+
+
+def _base_sig(spark, sf_dir, docs):
+    """The app-scoped persisted base MinHash signatures — in production
+    these are STORED at ingest rather than recomputed (same convention
+    as the genomic index and component caches); ONE definition for
+    every maintenance entry that reads them."""
+    from slacken_spark.appcache import app_scoped_get
+
+    return app_scoped_get(
+        _BASE_SIG_CACHE,
+        spark,
+        ("base_sig", sf_dir),
+        lambda: D.minhash_signature(
+            docs, "text", "doc_id", n_hashes=8, shingle_words=3
+        ).persist(),
+    )
+
+
+def _full_labels(spark, sf_dir, docs):
+    """(node, component) over EVERY doc — the memoized non-singleton
+    labels coalesced to self-labels (the components_* caller
+    convention); shared by the drop/delta/mixed maintenance entries."""
+    comp = _doc_components(spark, sf_dir)
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.col("doc_id").alias("node"),
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
 
 
 # The LSH-pair graph's connected components are computed once per
@@ -734,6 +752,57 @@ _APPEND_SQL = (
     " FROM documents WHERE doc_id % 40 = 0"
 )
 
+
+def _appended(docs):
+    """The append batch — _APPEND_SQL's engine twin (ONE definition
+    each): every 40th doc re-ingested under +1000000, a guaranteed
+    near-dup of its source."""
+    return docs.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+
+
+def _delta_new_pairs(spark, sf_dir, docs, appended):
+    """New candidate pairs an append batch contributes: the appended
+    docs' band keys join the MERGED banding (the banded semi-shape —
+    unchanged-unchanged pairs are never computed, same pruning as
+    minhash_lsh_delta). Shared by the delta and mixed entries."""
+    new_sig = D.minhash_signature(
+        appended, "text", "doc_id", n_hashes=8, shingle_words=3
+    )
+    bb = D.minhash_banded(
+        _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
+    )
+    nb = D.minhash_banded(new_sig, "doc_id", n_hashes=8, bands=4)
+    a, b = nb.alias("a"), bb.unionByName(nb).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _label_rows(docs, appended, maintained):
+    """(doc_id, component) over the merged id set — appended docs that
+    formed no pair still get their singleton row."""
+    merged_ids = docs.select("doc_id").unionByName(appended.select("doc_id"))
+    return merged_ids.join(
+        maintained, merged_ids["doc_id"] == maintained["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("component"),
+    )
+
 _COMPONENTS_DELTA_SQL = (
     f"""
     WITH RECURSIVE m AS MATERIALIZED (
@@ -816,30 +885,16 @@ def dedup_components_drop(spark, sf_dir):
     maintained ≡ recomputed, node for node. Reuses the memoized
     pre-drop component labels and the persisted base signatures, so
     the query prices the MAINTENANCE, not the rebuild."""
-    from slacken_spark.appcache import app_scoped_get
-
     docs = tp(spark, sf_dir, "documents")
-    base_sig = app_scoped_get(
-        _BASE_SIG_CACHE,
-        spark,
-        ("base_sig", sf_dir),
-        lambda: D.minhash_signature(
-            docs, "text", "doc_id", n_hashes=8, shingle_words=3
-        ).persist(),
+    pairs = D.minhash_band_pairs(
+        _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
     )
-    pairs = D.minhash_band_pairs(base_sig, "doc_id", n_hashes=8, bands=4)
     drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
-    dropped = pairs.where(drop)
-    surviving = pairs.where(~drop)
-    comp = _doc_components(spark, sf_dir)
-    labels_full = docs.select("doc_id").join(
-        comp, docs["doc_id"] == comp["node"], "left"
-    ).select(
-        F.col("doc_id").alias("node"),
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-    )
     maintained = D.components_drop_edges(
-        labels_full, surviving, dropped, loop_partitions=8
+        _full_labels(spark, sf_dir, docs),
+        pairs.where(~drop),
+        pairs.where(drop),
+        loop_partitions=8,
     )
     return maintained.select(
         F.col("node").alias("doc_id"),
@@ -866,59 +921,76 @@ def dedup_components_delta(spark, sf_dir):
     components and need an affected-component recompute (the min/max
     zone-map asymmetry). Oracle = the full recursive closure over the
     merged corpus: maintained ≡ recomputed, node for node."""
-    from slacken_spark.appcache import app_scoped_get
-
     docs = tp(spark, sf_dir, "documents")
-    appended = docs.where(F.col("doc_id") % 40 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    appended = _appended(docs)
+    maintained = D.components_add_edges(
+        _full_labels(spark, sf_dir, docs),
+        _delta_new_pairs(spark, sf_dir, docs, appended),
+        loop_partitions=8,
     )
-    base_sig = app_scoped_get(
-        _BASE_SIG_CACHE,
-        spark,
-        ("base_sig", sf_dir),
-        lambda: D.minhash_signature(
-            docs, "text", "doc_id", n_hashes=8, shingle_words=3
-        ).persist(),
+    return _label_rows(docs, appended, maintained)
+
+
+# ---------------------------------------------------------------------------
+# Mixed add+drop CDC batch — the maintainers COMPOSE
+# ---------------------------------------------------------------------------
+
+# One CDC batch that both removes base edges (the drop entry's
+# (id_a+id_b)%4 predicate) and appends documents (the delta entry's
+# every-40th re-ingest): the oracle is the closure over the merged
+# corpus's candidate pairs with the drop predicate applied to BASE
+# pairs only — a new pair always touches an appended (+1000000) doc,
+# arrives after the drop, and therefore survives even when it matches
+# the predicate. Built by the same assert-checked surgery as the drop
+# oracle: insert `surv` and point the edges CTE at it.
+_COMPONENTS_MIXED_SQL = _must_replace(
+    _must_replace(
+        _COMPONENTS_DELTA_SQL,
+        ", edges AS",
+        f""", surv AS (SELECT id_a, id_b FROM pairs
+                WHERE id_b >= 1000000 OR NOT ({_DROP_PRED})),
+    edges AS""",
+    ),
+    "FROM pairs\n                UNION ALL SELECT id_b, id_a FROM pairs",
+    "FROM surv\n                UNION ALL SELECT id_b, id_a FROM surv",
+)
+
+
+@register("dedup_components_mixed", _COMPONENTS_MIXED_SQL)
+def dedup_components_mixed(spark, sf_dir):
+    """Mixed add+drop CDC component maintenance — the driver twin of
+    tests/test_dedup_delta.py::test_components_mixed_batch_composes_drop_then_add,
+    completing the dedup-label CDC story the way zone maps / CMS /
+    histograms already have batch+stream+CDC symmetry: one batch both
+    DROPS base candidate edges (splits, isolations — the drop entry's
+    predicate) and APPENDS near-dup documents (new edges, merges —
+    the delta entry's batch), maintained by composing the two
+    one-directional maintainers: ``components_drop_edges`` over the
+    surviving base graph, THEN ``components_add_edges`` for the new
+    pairs. The composition is correct because drop leaves a valid
+    min-id labeling of the surviving graph, which is exactly add's
+    input contract; both maintainers stay batch-bounded (affected
+    components broadcast; the contracted add graph takes the
+    small-graph driver path). Gate data exercises splits, isolation,
+    partial triangle survival AND appended-doc merges in one row set.
+    Oracle = the full recursive closure over (surviving base pairs ∪
+    appended docs' new pairs): composed maintenance ≡ recomputed,
+    node for node."""
+    docs = tp(spark, sf_dir, "documents")
+    appended = _appended(docs)
+    pairs = D.minhash_band_pairs(
+        _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
     )
-    new_sig = D.minhash_signature(
-        appended, "text", "doc_id", n_hashes=8, shingle_words=3
-    )
-    bb = D.minhash_banded(base_sig, "doc_id", n_hashes=8, bands=4)
-    nb = D.minhash_banded(new_sig, "doc_id", n_hashes=8, bands=4)
-    allb = bb.unionByName(nb)
-    a, b = nb.alias("a"), allb.alias("b")
-    new_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("id_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
-        )
-        .distinct()
-    )
-    comp = _doc_components(spark, sf_dir)
-    labels_full = docs.select("doc_id").join(
-        comp, docs["doc_id"] == comp["node"], "left"
-    ).select(
-        F.col("doc_id").alias("node"),
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
+    after_drop = D.components_drop_edges(
+        _full_labels(spark, sf_dir, docs),
+        pairs.where(~drop),
+        pairs.where(drop),
+        loop_partitions=8,
     )
     maintained = D.components_add_edges(
-        labels_full, new_pairs, loop_partitions=8
+        after_drop,
+        _delta_new_pairs(spark, sf_dir, docs, appended),
+        loop_partitions=8,
     )
-    # appended docs that formed no pair still need their singleton row
-    merged_ids = docs.select("doc_id").unionByName(
-        appended.select("doc_id")
-    )
-    return merged_ids.join(
-        maintained, merged_ids["doc_id"] == maintained["node"], "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("component"), F.col("doc_id"))
-        .cast("long")
-        .alias("component"),
-    )
+    return _label_rows(docs, appended, maintained)
