@@ -987,6 +987,7 @@ def components_drop_edges(
     id_b: str = "id_b",
     max_iter: int = 20,
     loop_partitions: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Incremental connected-components maintenance for EDGE REMOVALS —
     the drop half ``components_add_edges`` documents itself unable to
@@ -1040,11 +1041,31 @@ def components_drop_edges(
     # contraction propagation: the recompute subgraph is drop-batch-
     # bounded but can be HIGH-DIAMETER (a split component's surviving
     # chain) — per-partition union-find collapses it in 1-2 global
-    # rounds where min-label propagation pays diameter rounds
-    recomputed = connected_components_contract(
-        sub, id_a=id_a, id_b=id_b, max_iter=max_iter,
-        loop_partitions=loop_partitions,
-    )
+    # rounds where min-label propagation pays diameter rounds. And in
+    # steady-state CDC it is TINY (sf0.1 gate batch: ~140 edges), so
+    # like ``components_add_edges`` the mapping is solved driver-side
+    # below ``driver_threshold`` edges (one collect + the shared local
+    # union-find, re-entering the plan broadcast-sized); a bulk
+    # removal beyond it takes the distributed engine, and either way
+    # the cost is bounded by the affected components' edges, never
+    # the corpus graph. ``driver_threshold=0`` forces the loop.
+    id_t = surviving_pairs.schema[id_a].dataType.simpleString()
+    sub = sub.select(id_a, id_b).persist()
+    try:
+        if sub.count() <= driver_threshold:
+            lbl = _uf_min_labels(
+                (r[id_a], r[id_b]) for r in sub.collect()
+            )
+            recomputed = labels.sparkSession.createDataFrame(
+                list(lbl.items()), f"node {id_t}, component {id_t}"
+            )
+        else:
+            recomputed = connected_components_contract(
+                sub, id_a=id_a, id_b=id_b, max_iter=max_iter,
+                loop_partitions=loop_partitions,
+            )
+    finally:
+        sub.unpersist()
     passthrough = labels.join(aff, "component", "left_anti")
     isolated = (
         members.select("node")

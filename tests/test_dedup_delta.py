@@ -511,7 +511,9 @@ def test_drop_edges_high_diameter_chain(spark):
     """The drop path's worst case for round counts: a long surviving
     chain inside one affected component — the shape the contraction
     propagation collapses partition-locally instead of paying
-    diameter rounds."""
+    diameter rounds. Run through BOTH sides of the driver_threshold
+    cutoff (r9): the driver fast path and the distributed loop must
+    agree on it."""
     from slacken_spark.functions.dedup import components_drop_edges
 
     chain = [(i, i + 1) for i in range(30)]
@@ -519,16 +521,18 @@ def test_drop_edges_high_diameter_chain(spark):
     edges = chain + [extra]
     nodes = set(range(31)) | {40}
     labels = _labels_over(spark, edges, nodes)
-    got = _cc_map(
-        components_drop_edges(
-            labels,
-            spark.createDataFrame(chain, "id_a long, id_b long"),
-            spark.createDataFrame([extra], "id_a long, id_b long"),
-        )
-    )
     want = {i: 0 for i in range(31)}
     want[40] = 40
-    assert got == want
+    for thresh in (100_000, 0):
+        got = _cc_map(
+            components_drop_edges(
+                labels,
+                spark.createDataFrame(chain, "id_a long, id_b long"),
+                spark.createDataFrame([extra], "id_a long, id_b long"),
+                driver_threshold=thresh,
+            )
+        )
+        assert got == want, thresh
 
 
 def test_add_edges_round_budget_is_partition_span_not_diameter(spark):
