@@ -452,6 +452,14 @@ def _with_loop_partitions(spark, loop_partitions: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# Optional per-round telemetry hook for the contraction loop: when
+# set to a callable it receives {"round", "remaining", "stalled",
+# "label_passes"} after each round's action — scale probes and
+# round-budget tests read convergence behavior through it instead of
+# re-deriving rounds from warnings. None (the default) costs nothing.
+_round_observer = None
+
+
 def _uf_min_labels(edges) -> dict:
     """Path-compressed, size-united union-find over an edge iterable;
     returns {node: min node id of its component} for every endpoint.
@@ -804,6 +812,7 @@ def connected_components_contract(
             # unpersist bookkeeping needs the LogicalRDD root, not a
             # projection over it
             g_ckpt = g
+            label_passes = 0
             if stalled:
                 # pointer doubling to fixpoint: each pass composes the
                 # label table with itself, halving hook-chain depth; the
@@ -811,6 +820,7 @@ def connected_components_contract(
                 for _ in range(64):
                     gj = _ckpt(_jump(g, track_moved=True))
                     moved = gj.where("_chg").count()
+                    label_passes += 1
                     _release(g_ckpt)
                     g_ckpt = gj
                     g = gj.drop("_chg")
@@ -845,6 +855,15 @@ def connected_components_contract(
                 "left",
             ).select("node", F.coalesce("_nl", "lbl").alias("lbl"))
             rounds += 1
+            if _round_observer is not None:
+                _round_observer(
+                    {
+                        "round": rounds,
+                        "remaining": remaining,
+                        "stalled": stalled,
+                        "label_passes": label_passes,
+                    }
+                )
         if remaining > 0:
             import warnings
 
