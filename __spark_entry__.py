@@ -66,8 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Demoted to _TAIL: nothing by choice — seats were exactly consumed by
 # (a)+(b)+(c); _TAIL is ordered as the r10 re-promotion queue: the
 # r7-fresh entries first (they hit the 2-round staleness bound at r10
-# and must gate then — budget their 39 seats plus r10's new/changed
-# set), then the r8-fresh ones.
+# and must gate then — budget their 38 seats plus r10's new/changed
+# set, leaving ≤12 free), then the r8-fresh ones.
 
 # Queries that MUST land a CORRECTNESS row this round (asserted inside
 # the first 50 by tests/test_gate.py): this round's 50 exactly — the

@@ -24,8 +24,11 @@ from pyarrow import fs as pafs
 # RFC 3986 scheme followed by a path: matches both the double-slash
 # authority form (file:///x, s3://b/k) and the single-slash form
 # (file:/x) that Spark/Hadoop accept — a "://" test alone mangles the
-# latter into '<cwd>/file:/x' (r8 advice).
-_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
+# latter into '<cwd>/file:/x' (r8 advice). The scheme must be ≥2
+# chars: Hadoop's Path treats a single letter before ':/' as a
+# Windows drive (C:/data), not a scheme — mirror that so drive-style
+# local paths keep resolving locally (r9 review).
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:/")
 
 
 def absolutize(path: str) -> str:

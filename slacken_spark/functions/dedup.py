@@ -454,9 +454,11 @@ def _with_loop_partitions(spark, loop_partitions: int | None):
 
 # Optional per-round telemetry hook for the contraction loop: when
 # set to a callable it receives {"round", "remaining", "stalled",
-# "label_passes"} after each round's action — scale probes and
-# round-budget tests read convergence behavior through it instead of
-# re-deriving rounds from warnings. None (the default) costs nothing.
+# "label_passes"} after each round's action — the round-budget tests
+# (tests/test_dedup_delta.py) and scale probes read convergence
+# behavior through it instead of re-deriving rounds from warnings.
+# None (the default) costs nothing. Set-try-finally-reset around the
+# measured call; the hook is a module global, not concurrency-safe.
 _round_observer = None
 
 

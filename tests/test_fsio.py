@@ -155,6 +155,9 @@ def test_absolutize_pins_bare_paths_and_passes_uris(tmp_path, monkeypatch):
     # not be mangled to <cwd>/file:/x/y (r8 advice)
     assert fsio.absolutize("file:/x/y") == "file:/x/y"
     assert fsio.absolutize("hdfs:/x/y") == "hdfs:/x/y"
+    # but a single letter before ':/' is a Windows DRIVE, not a scheme
+    # (Hadoop Path's rule) — still a local path (r9 review)
+    assert fsio.absolutize("C:/data/idx") == str(tmp_path / "C:" / "data" / "idx")
 
 
 def test_any_fs_accepts_single_slash_uri(tmp_path):
