@@ -641,3 +641,51 @@ def test_add_edges_driver_path_equals_distributed(spark):
     assert via_driver == via_loop
     # the driver path really engaged (sanity: batch far below cutoff)
     assert len(new) < 100_000
+
+
+def test_uf_min_labels_matches_reachability_model():
+    """Property test for the shared local union-find step (no Spark):
+    on random graphs, _uf_min_labels must label every endpoint with
+    the minimum node id reachable from it — checked against a plain
+    BFS closure model, including parallel edges, self-loops, chains
+    and singleton pairs."""
+    import random
+
+    from slacken_spark.functions.dedup import _uf_min_labels
+
+    def model(edges):
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        out = {}
+        seen: set = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, stack = [], [start]
+            seen.add(start)
+            while stack:
+                v = stack.pop()
+                comp.append(v)
+                for w in adj[v]:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            m = min(comp)
+            for v in comp:
+                out[v] = m
+        return out
+
+    rng = random.Random(1234)
+    for trial in range(50):
+        n = rng.randint(1, 60)
+        n_edges = rng.randint(0, 90)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        # parallel edges + a guaranteed self-loop exercise the skips
+        if edges:
+            edges.append(edges[0])
+        edges.append((0, 0))
+        assert _uf_min_labels(edges) == model(edges), (trial, edges)
