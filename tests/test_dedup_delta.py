@@ -689,3 +689,32 @@ def test_uf_min_labels_matches_reachability_model():
             edges.append(edges[0])
         edges.append((0, 0))
         assert _uf_min_labels(edges) == model(edges), (trial, edges)
+
+
+def test_add_edges_driver_path_plan_shape(spark):
+    """The driver fast path's plan contract: the component mapping
+    enters as a broadcast-sized local table — NO Arrow mapInPandas
+    stage (the distributed loop never ran) and the mapping joins
+    convert to broadcast under AQE; forcing the loop path brings the
+    consolidated ExistingRDD back."""
+    from slacken_spark.functions.dedup import components_add_edges
+
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(20)], "node long, component long"
+    )
+    new = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+
+    out = components_add_edges(labels, new)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "distributed UF ran on the driver path"
+    assert plan.count("BroadcastHashJoin") >= 1, (
+        "batch-sized mapping did not broadcast under AQE"
+    )
+
+    loop = components_add_edges(labels, new, driver_threshold=0)
+    loop.collect()
+    lplan = loop._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in lplan, (
+        "loop path should read the contraction's consolidated checkpoint"
+    )
