@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -89,6 +93,14 @@ def main() -> None:
         if best > 0:
             total += best
 
+    # host 1-min load average at start/end: this VM takes external
+    # load bursts (NOTES "Environment gotchas") that inflate untouched
+    # queries uniformly — recording both lets a reader tell a real
+    # regression from a burst without re-running
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     print(
         json.dumps(
             {
@@ -98,6 +110,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": runs,
+                "load_avg_start": load_start,
+                "load_avg_end": load_end,
             }
         )
     )
