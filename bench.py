@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     try:
         load_start = round(os.getloadavg()[0], 2)
-    except OSError:
+    except (OSError, AttributeError):
         load_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -99,7 +99,7 @@ def main() -> None:
     # regression from a burst without re-running
     try:
         load_end = round(os.getloadavg()[0], 2)
-    except OSError:
+    except (OSError, AttributeError):
         load_end = None
     print(
         json.dumps(
