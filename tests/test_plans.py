@@ -879,3 +879,21 @@ def test_oracle_surgery_raises_on_no_op_replace():
     # the real surgery DID engage: both edits are present
     assert "surv AS" in _COMPONENTS_DROP_SQL
     assert "FROM surv" in _COMPONENTS_DROP_SQL
+
+
+def test_no_catalog_entry_uses_row_at_a_time_python(spark, sf_dir):
+    """Catalog-WIDE structural guard (r9): no entry's optimized plan
+    may contain a row-at-a-time Python stage (BatchEvalPython) — the
+    only sanctioned Python boundaries are Arrow-batched
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas), the
+    repo-wide hot-path rule the per-entry plan tests spot-check.
+    Building each entry's plan at sf0.001 also smoke-checks that
+    every registered query constructs against the gate tables."""
+    from slacken_spark.plans import catalog
+
+    offenders = []
+    for name, (fn, _sql) in catalog.QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python stages in: {offenders}"
