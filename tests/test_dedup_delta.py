@@ -718,3 +718,25 @@ def test_add_edges_driver_path_plan_shape(spark):
     assert "ExistingRDD" in lplan, (
         "loop path should read the contraction's consolidated checkpoint"
     )
+
+
+def test_maintainers_empty_batch_is_identity(spark):
+    """An EMPTY CDC batch must leave the labeling untouched through
+    both maintainers — including the r9 driver fast path, whose
+    mapping table is then a zero-row createDataFrame (foreachBatch
+    empty-batch semantics, the streaming-maintainer contract)."""
+    from slacken_spark.functions.dedup import (
+        components_add_edges,
+        components_drop_edges,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    nodes = {1, 2, 3, 10, 11, 20}
+    labels = _labels_over(spark, edges, nodes)
+    want = _cc_map(labels)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got_add = _cc_map(components_add_edges(labels, empty))
+    assert got_add == want
+    surv = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_drop = _cc_map(components_drop_edges(labels, surv, empty))
+    assert got_drop == want
