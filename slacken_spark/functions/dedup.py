@@ -501,6 +501,45 @@ def _uf_min_labels(edges) -> dict:
     return {v: mins[find(v)] for v in parent}
 
 
+def _batch_mapping(
+    edges: DataFrame,
+    id_a: str,
+    id_b: str,
+    out_a: str,
+    out_b: str,
+    driver_threshold: int,
+    distributed,
+) -> DataFrame:
+    """Solve a batch-bounded component mapping with the small-graph
+    driver cutoff — the ONE definition behind both CDC maintainers'
+    fast paths (r9 review: the add/drop copies must not drift).
+
+    A single ``take(driver_threshold + 1)`` both decides the cutoff
+    and delivers the edges (count-then-collect would pay two jobs on
+    the exact path whose point is avoiding the per-action scheduling
+    floor): at or below the threshold the returned rows ARE the whole
+    frame, the shared local union-find solves them, and the mapping
+    re-enters the plan as a broadcast-sized ``(out_a, out_b)`` table;
+    above it ``distributed(edges)`` runs the contraction engine over
+    the persisted frame. Either way the driver never holds more than
+    ``driver_threshold + 1`` edge rows."""
+    id_t = edges.schema[id_a].dataType.simpleString()
+    edges = edges.select(id_a, id_b).persist()
+    try:
+        rows = edges.take(driver_threshold + 1)
+        if len(rows) <= driver_threshold:
+            lbl = _uf_min_labels((r[0], r[1]) for r in rows)
+            return edges.sparkSession.createDataFrame(
+                list(lbl.items()), f"{out_a} {id_t}, {out_b} {id_t}"
+            )
+        return distributed(edges)
+    finally:
+        # the driver path consumed the rows outright; the distributed
+        # engine's eager consolidation owns its output blocks — either
+        # way the edge frame is dead here
+        edges.unpersist()
+
+
 @contextmanager
 def _drain_pending(pending: list[DataFrame]):
     """Release every still-registered lazy checkpoint on scope exit
@@ -928,7 +967,7 @@ def components_add_edges(
     steady-state CDC it is TINY (sf0.1 gate batch: 161 edges) — paying
     a distributed loop's per-action scheduling floor for it is the
     wrong plan at any scale, so up to ``driver_threshold`` edges the
-    component mapping is solved by ONE collect + the shared local
+    component mapping is solved by ONE bounded take() + the shared local
     union-find (`_uf_min_labels`, ~0.83 M edges/s) and re-enters the
     plan as a broadcast-sized mapping table — the GraphX/GraphFrames
     "skip to local processing below a size cutoff" pattern. Beyond the
@@ -961,28 +1000,19 @@ def components_add_edges(
         )
         .distinct()
     )
-    id_t = new_pairs.schema[id_a].dataType.simpleString()
-    contracted = contracted.persist()
-    try:
-        if contracted.count() <= driver_threshold:
-            lbl = _uf_min_labels(
-                (r["id_a"], r["id_b"]) for r in contracted.collect()
-            )
-            mapping = labels.sparkSession.createDataFrame(
-                list(lbl.items()), f"_old {id_t}, _new {id_t}"
-            )
-        else:
-            mapping = connected_components_contract(
-                contracted, max_iter=max_iter,
-                loop_partitions=loop_partitions,
-            ).select(
-                F.col("node").alias("_old"), F.col("component").alias("_new")
-            )
-    finally:
-        # the driver path consumed the edges outright; the distributed
-        # path's eager consolidation owns its output blocks — either
-        # way the contracted frame is dead here
-        contracted.unpersist()
+    mapping = _batch_mapping(
+        contracted,
+        "id_a",
+        "id_b",
+        "_old",
+        "_new",
+        driver_threshold,
+        lambda e: connected_components_contract(
+            e, max_iter=max_iter, loop_partitions=loop_partitions
+        ).select(
+            F.col("node").alias("_old"), F.col("component").alias("_new")
+        ),
+    )
     relabeled = labels.join(
         mapping, labels["component"] == mapping["_old"], "left"
     ).select(
@@ -1064,29 +1094,23 @@ def components_drop_edges(
     # chain) — per-partition union-find collapses it in 1-2 global
     # rounds where min-label propagation pays diameter rounds. And in
     # steady-state CDC it is TINY (sf0.1 gate batch: ~140 edges), so
-    # like ``components_add_edges`` the mapping is solved driver-side
-    # below ``driver_threshold`` edges (one collect + the shared local
-    # union-find, re-entering the plan broadcast-sized); a bulk
-    # removal beyond it takes the distributed engine, and either way
-    # the cost is bounded by the affected components' edges, never
-    # the corpus graph. ``driver_threshold=0`` forces the loop.
-    id_t = surviving_pairs.schema[id_a].dataType.simpleString()
-    sub = sub.select(id_a, id_b).persist()
-    try:
-        if sub.count() <= driver_threshold:
-            lbl = _uf_min_labels(
-                (r[id_a], r[id_b]) for r in sub.collect()
-            )
-            recomputed = labels.sparkSession.createDataFrame(
-                list(lbl.items()), f"node {id_t}, component {id_t}"
-            )
-        else:
-            recomputed = connected_components_contract(
-                sub, id_a=id_a, id_b=id_b, max_iter=max_iter,
-                loop_partitions=loop_partitions,
-            )
-    finally:
-        sub.unpersist()
+    # like ``components_add_edges`` the mapping is solved through the
+    # shared ``_batch_mapping`` cutoff; a bulk removal beyond the
+    # threshold takes the distributed engine, and either way the cost
+    # is bounded by the affected components' edges, never the corpus
+    # graph. ``driver_threshold=0`` forces the loop.
+    recomputed = _batch_mapping(
+        sub,
+        id_a,
+        id_b,
+        "node",
+        "component",
+        driver_threshold,
+        lambda e: connected_components_contract(
+            e, id_a=id_a, id_b=id_b, max_iter=max_iter,
+            loop_partitions=loop_partitions,
+        ),
+    )
     passthrough = labels.join(aff, "component", "left_anti")
     isolated = (
         members.select("node")

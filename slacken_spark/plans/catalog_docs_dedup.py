@@ -857,15 +857,18 @@ _DROP_PRED = "(id_a + id_b) % 4 = 0"
 
 
 def _must_replace(sql: str, old: str, new: str) -> str:
-    """``str.replace`` that RAISES when nothing matched — the drop
-    oracle below is built by textual surgery on the shared closure CTE,
-    and a silent no-op replace (after any whitespace/wording drift in
-    ``_components_cte``) would quietly revert it to the pre-drop
-    closure, surfacing only as a confusing red gate row (r8 advice)."""
-    out = sql.replace(old, new)
-    if out == sql:
-        raise ValueError(f"oracle surgery matched nothing: {old!r}")
-    return out
+    """``str.replace`` that RAISES unless exactly ONE site matched —
+    the drop/mixed oracles are built by textual surgery on the shared
+    closure CTEs, and a silent no-op replace (after any whitespace/
+    wording drift) would quietly revert them to the pre-drop closure
+    (r8 advice), while a MULTI-site match (a future second edges-like
+    CTE) would surger places the author never saw (r9 review)."""
+    n = sql.count(old)
+    if n != 1:
+        raise ValueError(
+            f"oracle surgery matched {n} sites (want exactly 1): {old!r}"
+        )
+    return sql.replace(old, new)
 
 
 _COMPONENTS_DROP_SQL = (

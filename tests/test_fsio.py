@@ -158,6 +158,11 @@ def test_absolutize_pins_bare_paths_and_passes_uris(tmp_path, monkeypatch):
     # but a single letter before ':/' is a Windows DRIVE, not a scheme
     # (Hadoop Path's rule) — still a local path (r9 review)
     assert fsio.absolutize("C:/data/idx") == str(tmp_path / "C:" / "data" / "idx")
+    # a >=2-char scheme-like prefix IS a URI per RFC 3986 / java.net.URI
+    # (Hadoop parses 'out.v2:/idx' as scheme 'out.v2' too) — documented
+    # behavior, not an accident: colon-bearing local names need ./
+    assert fsio.absolutize("out.v2:/idx") == "out.v2:/idx"
+    assert fsio.absolutize("./out.v2:/idx").endswith("/out.v2:/idx")
 
 
 def test_any_fs_accepts_single_slash_uri(tmp_path):

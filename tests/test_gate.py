@@ -42,7 +42,10 @@ def _correctness_files() -> list[str]:
             for f in os.listdir(REPO)
             if f.startswith("CORRECTNESS_r") and f.endswith(".json")
         ]
-    return sorted(out)
+    # the index can list a file deleted/renamed in the worktree —
+    # filter to what actually exists so the tests fail on their own
+    # contracts, not on FileNotFoundError (r9 review)
+    return sorted(f for f in out if os.path.exists(os.path.join(REPO, f)))
 
 
 def test_must_gate_set_is_inside_the_cap():

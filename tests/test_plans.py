@@ -874,8 +874,12 @@ def test_oracle_surgery_raises_on_no_op_replace():
         _must_replace,
     )
 
-    with pytest.raises(ValueError, match="matched nothing"):
+    with pytest.raises(ValueError, match="matched 0 sites"):
         _must_replace("SELECT 1", "no such text", "x")
+    # a MULTI-site match must raise too — it would surger places the
+    # author never saw (r9 review)
+    with pytest.raises(ValueError, match="matched 2 sites"):
+        _must_replace("a b a", "a", "x")
     # the real surgery DID engage: both edits are present
     assert "surv AS" in _COMPONENTS_DROP_SQL
     assert "FROM surv" in _COMPONENTS_DROP_SQL
