@@ -740,3 +740,40 @@ def test_maintainers_empty_batch_is_identity(spark):
     surv = spark.createDataFrame(edges, "id_a long, id_b long")
     got_drop = _cc_map(components_drop_edges(labels, surv, empty))
     assert got_drop == want
+
+
+def test_batch_mapping_threshold_boundary(spark):
+    """The cutoff's boundary contract: a batch of EXACTLY
+    driver_threshold edges stays on the driver path (no contraction
+    rounds observed), one more edge routes to the distributed engine
+    (rounds observed) — and both produce the same labeling."""
+    from slacken_spark.functions import dedup as D
+    from slacken_spark.functions.dedup import components_add_edges
+
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(10)], "node long, component long"
+    )
+    chain3 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    chain4 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+
+    def run(new, thresh):
+        events = []
+        D._round_observer = events.append
+        try:
+            got = _cc_map(
+                components_add_edges(labels, new, driver_threshold=thresh)
+            )
+        finally:
+            D._round_observer = None
+        return got, len(events)
+
+    got, rounds = run(chain3, 3)   # == threshold: driver path
+    assert rounds == 0
+    assert {n: got[n] for n in range(4)} == {0: 0, 1: 0, 2: 0, 3: 0}
+    got, rounds = run(chain4, 3)   # threshold + 1: distributed engine
+    assert rounds >= 1
+    assert {n: got[n] for n in range(5)} == {i: 0 for i in range(5)}
