@@ -777,3 +777,42 @@ def test_batch_mapping_threshold_boundary(spark):
     got, rounds = run(chain4, 3)   # threshold + 1: distributed engine
     assert rounds >= 1
     assert {n: got[n] for n in range(5)} == {i: 0 for i in range(5)}
+
+
+def test_maintainers_generic_over_string_ids(spark):
+    """The engine parameterizes its schemas by the input id type
+    (``id_t``) — pin that both maintainers and both cutoff paths
+    actually work on string ids (document digests are a realistic
+    key), not just the longs every catalog fixture uses."""
+    from slacken_spark.functions.dedup import (
+        components_add_edges,
+        components_drop_edges,
+    )
+
+    labels = spark.createDataFrame(
+        [(x, x) for x in ["a", "b", "c", "x", "y"]],
+        "node string, component string",
+    )
+    new = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    for thresh in (100_000, 0):
+        got = _cc_map(
+            components_add_edges(labels, new, driver_threshold=thresh)
+        )
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "y"}, thresh
+    surv = spark.createDataFrame([("x", "y")], "id_a string, id_b string")
+    dropped = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    labels2 = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+        "node string, component string",
+    )
+    for thresh in (100_000, 0):
+        got = _cc_map(
+            components_drop_edges(
+                labels2, surv, dropped, driver_threshold=thresh
+            )
+        )
+        assert got == {"a": "a", "b": "b", "c": "c", "x": "x", "y": "x"}, thresh
