@@ -45,6 +45,9 @@ from slacken_spark.kernels.taxonomy import NONE, Taxonomy, member_mask_udf
 
 FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:300-303
 
+# Bracken's expected artifact header (BrackenWeights.scala:416).
+_DISTRIB_HEADER = "mapped_taxid\tgenome_taxids:kmers_mapped:total_genome_kmers"
+
 # Fragments shorter than this go through the whole-batch kernel
 # (_batch_classify_reads); longer ones keep the per-fragment numpy path.
 # Re-measured round 6 with realistic per-fragment minimizer lookups
@@ -622,8 +625,16 @@ class BrackenWeights:
             )
         )
 
-    def kmer_distrib_lines(self, grouped: DataFrame) -> list[str]:
-        """Bracken kmer_distrib rows (BrackenWeights.scala:413-430)."""
+    def kmer_distrib_df(self, grouped: DataFrame) -> DataFrame:
+        """(dest, line) — one kmer_distrib data row per destination
+        taxon, rendered executor-side (BrackenWeights.scala:413-430).
+
+        This is the scale path for the artifact: a high-level dest
+        (ultimately the root) aggregates every genome in the library,
+        so its line grows with library size and the full artifact must
+        never be materialized on the driver. All downstream consumers
+        (driver-list convenience, single-file writer, digest queries)
+        derive from this one definition."""
         line = F.concat_ws(
             "\t",
             F.col("dest"),
@@ -637,10 +648,53 @@ class BrackenWeights:
                 " ",
             ),
         )
-        rows = grouped.select(line.alias("l")).collect()
-        return ["mapped_taxid\tgenome_taxids:kmers_mapped:total_genome_kmers"] + [
-            r["l"] for r in rows
-        ]
+        return grouped.select(F.col("dest"), line.alias("line"))
+
+    def kmer_distrib_lines(self, grouped: DataFrame) -> list[str]:
+        """Driver-side kmer_distrib rows — small-output convenience over
+        :meth:`kmer_distrib_df` (tests, interactive inspection). Large
+        libraries should use :meth:`write_kmer_distrib`."""
+        rows = self.kmer_distrib_df(grouped).select("line").collect()
+        return [_DISTRIB_HEADER] + [r["line"] for r in rows]
+
+    def write_kmer_distrib(self, grouped: DataFrame, output_location: str) -> None:
+        """Write the single-file kmer_distrib artifact WITHOUT routing
+        its bytes through the driver.
+
+        A union-with-header (sort key 0) is repartition(1)-ed so ONE
+        executor task streams the text file — Bracken expects a single
+        TSV with the header first, and a single-file sink is inherently
+        single-writer, so the one-task final stage is the floor, not a
+        bottleneck; everything upstream (the weights build and the
+        group_data shuffle) stays distributed. The driver's only IO is
+        renaming the part file over the target (fsio.move, same-FS by
+        construction: the temp dir lives next to the target)."""
+        from slacken_spark import fsio
+
+        spark = self.index.spark
+        out = fsio.absolutize(output_location)
+        tmp = out.rstrip("/") + ".__tmp__"
+        header = spark.createDataFrame(
+            [(0, _DISTRIB_HEADER)], "k int, value string"
+        )
+        body = self.kmer_distrib_df(grouped).select(
+            F.lit(1).alias("k"), F.col("line").alias("value")
+        )
+        (
+            header.unionByName(body)
+            .repartition(1)
+            .sortWithinPartitions("k")
+            .select("value")
+            .write.mode("overwrite")
+            .text(tmp)
+        )
+        try:
+            parts = fsio.list_dir(tmp, prefix="part-")
+            if len(parts) != 1:  # repartition(1) guarantees one
+                raise RuntimeError(f"expected 1 part file in {tmp}, got {parts}")
+            fsio.move(parts[0], out)
+        finally:
+            fsio.remove_dir(tmp)
 
     def build_and_write(
         self,
@@ -651,9 +705,6 @@ class BrackenWeights:
     ) -> None:
         weights = self.build_weights(genomes, labels, taxa).persist()
         try:
-            lines = self.kmer_distrib_lines(self.group_data(weights))
-            from slacken_spark.fsio import write_text
-
-            write_text(output_location, "\n".join(lines) + "\n")
+            self.write_kmer_distrib(self.group_data(weights), output_location)
         finally:
             weights.unpersist()

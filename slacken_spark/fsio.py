@@ -136,3 +136,21 @@ def list_dir(path: str, prefix: str | None = None) -> list[str]:
             continue
         out.append(scheme_prefix + info.path)
     return out
+
+
+def move(src: str, dst: str) -> None:
+    """Same-filesystem move/rename (overwrites ``dst`` if present).
+
+    Both paths must resolve to the same filesystem — the single-file
+    artifact promotion writes its temp dir NEXT TO the target for
+    exactly this reason."""
+    filesystem, p_src = any_fs(src)
+    _, p_dst = any_fs(dst)
+    filesystem.move(p_src, p_dst)
+
+
+def remove_dir(path: str) -> None:
+    """Recursively delete a directory if it exists (any filesystem)."""
+    filesystem, p = any_fs(path)
+    if filesystem.get_file_info(p).type != pafs.FileType.NotFound:
+        filesystem.delete_dir(p)

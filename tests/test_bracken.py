@@ -156,6 +156,33 @@ def test_kmer_distrib_output(world, tmp_path):
             assert int(tot) >= int(c) > 0
 
 
+def test_kmer_distrib_distributed_write_matches_driver_lines(world, tmp_path):
+    """The single-file executor-side writer (write_kmer_distrib) must
+    produce byte-for-byte the same artifact the driver-side line list
+    renders: header first, one row per dest, trailing newline, and no
+    temp-dir / _SUCCESS residue next to the target."""
+    bw = BrackenWeights(world["idx"], READ_LEN)
+    grouped = bw.group_data(
+        bw.build_weights(world["gdf"], world["ldf"], {101, 102})
+    ).persist()
+    try:
+        out = tmp_path / "distrib.txt"
+        bw.write_kmer_distrib(grouped, str(out))
+        text = out.read_text()
+        assert text.endswith("\n")
+        lines = text[:-1].split("\n")
+        expect = bw.kmer_distrib_lines(grouped)
+        assert lines[0] == expect[0]  # header row is first
+        assert sorted(lines[1:]) == sorted(expect[1:])
+        # multi-source dest exists in this fixture (shared core → 5)
+        multi = [l for l in lines[1:] if " " in l.split("\t")[1]]
+        assert multi, "fixture must exercise a multi-source line"
+        residue = [p.name for p in tmp_path.iterdir() if p.name != "distrib.txt"]
+        assert residue == [], residue
+    finally:
+        grouped.unpersist()
+
+
 def test_gradual_build_matches_direct(world, tmp_path):
     bw = BrackenWeights(world["idx"], READ_LEN)
     direct = {
