@@ -180,3 +180,86 @@ def range_bucket_join(
     return lb.join(rb, "_bucket").where(
         (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
     ).drop("_bucket")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    buckets: int = 32,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact global 1-based row number in ``order_cols`` order — the
+    scale-safe form of ``row_number().over(Window.orderBy(...))``,
+    which moves the ENTIRE input through one task (Spark itself warns
+    "No Partition Defined for Window operation").
+
+    Two-level distributed prefix count, the same shape as
+    ``token_block_plan``'s offset sum (functions/packing.py): rows
+    range-partition on the order key (sampled boundaries keep buckets
+    balanced whatever the key distribution), row_number runs within
+    each bucket in parallel, and the per-bucket COUNTS — exactly
+    ``buckets`` rows, input-size independent — prefix-sum once and
+    broadcast back as each bucket's base. The output is
+    bucketing-invariant (pinned by test), so ``buckets`` sizes tasks,
+    never semantics.
+
+    ``order_cols`` must be a total order (no ties) for the rank to be
+    deterministic — same contract as the window form; tie-break with a
+    unique id column.
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive: {buckets}")
+    cols = [F.col(c) for c in order_cols]
+    base = df.repartitionByRange(buckets, *cols).withColumn(
+        "_bkt", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(*cols)
+    local = base.withColumn("_rn_in", F.row_number().over(w_in))
+    totals = base.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_boff") + F.col("_rn_in")).cast("long"))
+        .drop("_bkt", "_rn_in", "_boff")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[str],
+    buckets: int = 32,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact ``ntile(n)`` over a global order, distributed — SQL ntile
+    semantics (the first ``n_rows mod n_tiles`` tiles hold one extra
+    row), computed from :func:`global_row_number` plus the closed-form
+    tile formula; the row count joins in as a broadcast single-row
+    aggregate, so nothing serializes through one task and no action
+    runs at plan time."""
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive: {n_tiles}")
+    ranked = global_row_number(df, order_cols, buckets, out_col="_grank")
+    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # SQL ntile: the first rem = n mod k tiles hold big = n div k + 1
+    # rows each, the rest n div k. Integer `div` throughout (`/` is
+    # double division — loses exactness past 2^53). n < k degenerates
+    # to one row per tile: cutoff == n, the WHEN branch covers every
+    # row and the ELSE's div-by-zero never evaluates (CASE
+    # short-circuits per row, so ANSI mode stays happy).
+    k = int(n_tiles)
+    tile = F.expr(
+        f"CASE WHEN _grank <= ((_n div {k}) + 1) * (_n % {k}) "
+        f"THEN (_grank - 1) div ((_n div {k}) + 1) + 1 "
+        f"ELSE (_n % {k}) + "
+        f"(_grank - 1 - ((_n div {k}) + 1) * (_n % {k})) div (_n div {k}) + 1 "
+        f"END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .withColumn(out_col, tile.cast("long"))
+        .drop("_grank", "_n")
+    )

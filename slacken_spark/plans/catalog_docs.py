@@ -828,17 +828,20 @@ def cube_source_lang(spark, sf_dir):
     """,
 )
 def doc_length_quartiles(spark, sf_dir):
-    """ntile window: documents ranked into 4 equal-size length buckets
-    (the curriculum / length-bucketing primitive). The order key is
-    (ntok, doc_id) so tile boundaries are fully deterministic across
-    engines. A single global window is the point of the operator; at
-    warehouse scale the same statistic comes from approx quantiles or a
-    two-pass range partitioner — this is the exact small-N form."""
+    """Exact ntile(4): documents ranked into 4 equal-size length
+    buckets (the curriculum / length-bucketing primitive). The order
+    key is (ntok, doc_id) so tile boundaries are fully deterministic
+    across engines. Computed DISTRIBUTED via global_ntile — the
+    two-level range-partitioned prefix count — instead of a bare
+    global window, which would serialize the whole corpus through one
+    task (Spark's own "No Partition Defined" warning); identical exact
+    semantics, pinned against F.ntile by test."""
+    from slacken_spark.operators.relational_ext import global_ntile
+
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(X.tokens(F.col("text"))).alias("ntok")
     )
-    w = Window.orderBy("ntok", "doc_id")
-    q = docs.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    q = global_ntile(docs, 4, ["ntok", "doc_id"], out_col="quartile")
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("ntok").cast("long").alias("min_tokens"),

@@ -146,6 +146,55 @@ def test_asof_join_directions(spark):
     assert fwd == {"a": 100, "b": None, "c": 103}  # tie at 10 → min val
 
 
+def test_global_row_number_and_ntile_match_window_forms(spark):
+    """global_row_number / global_ntile (two-level range-partitioned
+    prefix count — the scale path) must equal the single-task window
+    forms exactly, for any bucket count (output is bucketing-invariant)
+    and at the n < k / n % k != 0 edges of SQL ntile semantics."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from slacken_spark.operators.relational_ext import (
+        global_ntile,
+        global_row_number,
+    )
+
+    rng = np.random.default_rng(99)
+    rows = [
+        (int(i), int(v))
+        for i, v in enumerate(rng.integers(0, 40, 101))  # heavy ties in v
+    ]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("v", "id")
+    want_rank = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    for buckets in (1, 4, 32, 200):  # incl. more buckets than rows
+        got = {
+            r["id"]: r["rank"]
+            for r in global_row_number(df, ["v", "id"], buckets).collect()
+        }
+        assert got == want_rank, f"buckets={buckets}"
+    for k in (4, 7, 101, 500):  # 101 % 4 == 1; k > n degenerates
+        want_tile = {
+            r["id"]: r["t"]
+            for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+        }
+        got = {
+            r["id"]: r["tile"]
+            for r in global_ntile(df, k, ["v", "id"], buckets=8).collect()
+        }
+        assert got == want_tile, f"k={k}"
+    # plan pin: the corpus-sized window is partitioned by the range
+    # bucket; the ONLY partition-less window runs over the per-bucket
+    # totals (`buckets` rows), never the input
+    plan = global_row_number(df, ["v", "id"], 8)._jdf.queryExecution().optimizedPlan().toString()
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    corpus = [l for l in wins if "row_number" in l]
+    assert corpus and all("_bkt" in l.split("windowspecdefinition")[1][:30] for l in corpus)
+
+
 def test_connected_components_chain_and_singleton(spark):
     """Min-label propagation: a 5-node chain (worst case for label
     hopping — pointer jumping must collapse it), a triangle, and an
