@@ -355,7 +355,15 @@ def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate candidates: LSH-bucket equi-join
     (one shuffle, no all-pairs) + exact cosine threshold (0.2) — the
     embedding twin of MinHash dedup. ``embedding_semdedup_keep`` builds
-    its component graph over these same pairs."""
+    its component graph over these same pairs.
+
+    Scale note (measured, 10x decorrelated corpus probe): with the
+    plane count FIXED the within-bucket join is quadratic — candidate
+    pairs grew ~100x on 10x vectors. The fixture pins 6 planes so the
+    oracle SQL stays literal; at corpus scale the plane count is the
+    sizing knob (lsh_hyperplane_buckets takes the planes as input:
+    ~log2(n / target_bucket_size) planes keeps bucket occupancy — and
+    the join's per-bucket cost — constant as n grows)."""
     return _emb_neardup_pairs(spark, sf_dir)
 
 
