@@ -187,41 +187,50 @@ def global_row_number(
     order_cols: list[str],
     buckets: int = 32,
     out_col: str = "rank",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact global 1-based row number in ``order_cols`` order — the
     scale-safe form of ``row_number().over(Window.orderBy(...))``,
     which moves the ENTIRE input through one task (Spark itself warns
-    "No Partition Defined for Window operation").
+    "No Partition Defined for Window operation"). With
+    ``partition_cols`` the rank restarts per group — the scale-safe
+    form of ``Window.partitionBy(group)`` when groups are few/huge
+    (one reducer per group otherwise).
 
     Two-level distributed prefix count, the same shape as
     ``token_block_plan``'s offset sum (functions/packing.py): rows
-    range-partition on the order key (sampled boundaries keep buckets
-    balanced whatever the key distribution), row_number runs within
-    each bucket in parallel, and the per-bucket COUNTS — exactly
-    ``buckets`` rows, input-size independent — prefix-sum once and
-    broadcast back as each bucket's base. The output is
-    bucketing-invariant (pinned by test), so ``buckets`` sizes tasks,
-    never semantics.
+    range-partition on (group, order key) — sampled boundaries keep
+    buckets balanced whatever the distribution, and a huge group just
+    spans several buckets — row_number runs within each
+    (bucket, group) in parallel, and the per-(bucket, group) COUNTS
+    (≤ buckets + n_groups − 1 rows: the range split gives each bucket
+    one group run, input-size independent) prefix-sum per group and
+    broadcast back as base offsets. The output is bucketing-invariant
+    (pinned by test), so ``buckets`` sizes tasks, never semantics.
 
-    ``order_cols`` must be a total order (no ties) for the rank to be
-    deterministic — same contract as the window form; tie-break with a
-    unique id column.
+    ``order_cols`` must be a total order within each group for the
+    rank to be deterministic — same contract as the window form;
+    tie-break with a unique id column (pure order statistics like
+    quantiles don't need it: tied rows carry equal values).
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
-    cols = [F.col(c) for c in order_cols]
+    pc = list(partition_cols or [])
+    cols = [F.col(c) for c in pc + list(order_cols)]
     base = df.repartitionByRange(buckets, *cols).withColumn(
         "_bkt", F.spark_partition_id()
     )
-    w_in = Window.partitionBy("_bkt").orderBy(*cols)
+    w_in = Window.partitionBy("_bkt", *pc).orderBy(*[F.col(c) for c in order_cols])
     local = base.withColumn("_rn_in", F.row_number().over(w_in))
-    totals = base.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
-    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    totals = base.groupBy("_bkt", *pc).agg(F.count(F.lit(1)).alias("_bn"))
+    w_b = (
+        Window.partitionBy(*pc) if pc else Window
+    ).orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "_bkt", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
+        "_bkt", *pc, F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
     )
     return (
-        local.join(F.broadcast(offsets), "_bkt")
+        local.join(F.broadcast(offsets), ["_bkt", *pc])
         .withColumn(out_col, (F.col("_boff") + F.col("_rn_in")).cast("long"))
         .drop("_bkt", "_rn_in", "_boff")
     )
@@ -263,3 +272,77 @@ def global_ntile(
         .withColumn(out_col, tile.cast("long"))
         .drop("_grank", "_n")
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[float],
+    buckets: int = 32,
+) -> DataFrame:
+    """EXACT per-group quantiles with linear interpolation (SQL
+    ``quantile_cont`` / Spark ``percentile`` semantics), as two
+    distributed passes instead of Spark's exact-percentile aggregate —
+    that aggregate buffers a value→count map per group on one reducer,
+    so a continuous-domain column with few groups concentrates the
+    whole corpus's distinct values into single-task state.
+
+    Pass 1: :func:`global_row_number` ranks values within each group
+    (two-level range-partitioned prefix count — every stage bounded).
+    Pass 2: each (group, percentile) needs at most TWO ranks
+    (floor/ceil of the interpolation position, from the group's
+    non-null count); those target ranks — ``groups × percentiles × 2``
+    rows — broadcast-join back onto the ranked values and interpolate
+    with the engines' shared bitwise formula
+    ``(hi − pos)·v_lo + (pos − lo)·v_hi``.
+
+    Nulls are ignored (both engines' semantics). Returns one row per
+    (group, percentile): ``(*group_cols, p double, q double, n long)``
+    with ``n`` the group's non-null value count.
+    """
+    vals = df.select(*group_cols, value_col).where(
+        F.col(value_col).isNotNull()
+    )
+    ranked = global_row_number(
+        vals, [value_col], buckets, out_col="_vrank",
+        partition_cols=group_cols,
+    )
+    counts = vals.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    p_arr = F.array(*[F.lit(float(p)) for p in percentiles])
+    pos = F.col("p") * (F.col("n") - 1).cast("double")  # 0-based
+    targets = (
+        counts.select(*group_cols, "n", F.explode(p_arr).alias("p"))
+        .select(
+            *group_cols, "n", "p", pos.alias("_pos"),
+            F.floor(pos).cast("long").alias("_lo"),
+            F.ceil(pos).cast("long").alias("_hi"),
+        )
+        .select(
+            *group_cols, "n", "p", "_pos", "_lo", "_hi",
+            F.explode(F.array_distinct(F.array("_lo", "_hi"))).alias("_t"),
+        )
+        .withColumn("_vrank", F.col("_t") + 1)  # ranks are 1-based
+        .drop("_t")
+    )
+    hit = ranked.join(F.broadcast(targets), [*group_cols, "_vrank"])
+    v = F.col(value_col).cast("double")
+    agg = hit.groupBy(*group_cols, "p").agg(
+        F.first("n").alias("n"),
+        F.first("_pos").alias("_pos"),
+        F.first("_lo").alias("_lo"),
+        F.first("_hi").alias("_hi"),
+        F.max(F.when(F.col("_vrank") == F.col("_lo") + 1, v)).alias("_vlo"),
+        F.max(F.when(F.col("_vrank") == F.col("_hi") + 1, v)).alias("_vhi"),
+    )
+    # the two-sided weighted form — bitwise what Spark's Percentile
+    # (getPercentile) and DuckDB's quantile_cont both evaluate; the
+    # algebraically-equal v_lo + frac·(v_hi − v_lo) differs in the
+    # last ulp on real data and fails exact-equality gates
+    q = F.when(F.col("_lo") == F.col("_hi"), F.col("_vlo")).otherwise(
+        (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
+        + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
+    )
+    return agg.select(*group_cols, "p", q.alias("q"), "n")

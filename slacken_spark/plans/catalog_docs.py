@@ -183,14 +183,25 @@ def doc_bpe_token_stats(spark, sf_dir):
     """,
 )
 def value_percentiles(spark, sf_dir):
-    """Exact distributed percentiles (Spark's `percentile` matches SQL
-    quantile_cont interpolation)."""
+    """Exact per-group percentiles (SQL quantile_cont interpolation),
+    computed via grouped_exact_quantiles — the two-pass rank-based
+    form — instead of Spark's exact `percentile` aggregate, whose
+    per-group value→count buffer concentrates a continuous-domain
+    corpus into single-reducer state when groups are few. Semantics
+    pinned against F.percentile by test; `n` counts all rows per
+    group (events.value is non-null, so the helper's non-null count
+    is the same number — asserted against the oracle's count(*))."""
+    from slacken_spark.operators.relational_ext import (
+        grouped_exact_quantiles,
+    )
+
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    q = grouped_exact_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+    return q.groupBy("event_type").agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("q"))).alias("p50"),
+        F.max(F.when(F.col("p") == 0.9, F.col("q"))).alias("p90"),
+        F.max(F.when(F.col("p") == 0.99, F.col("q"))).alias("p99"),
+        F.max("n").alias("n"),
     )
 
 

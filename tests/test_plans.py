@@ -195,6 +195,46 @@ def test_global_row_number_and_ntile_match_window_forms(spark):
     assert corpus and all("_bkt" in l.split("windowspecdefinition")[1][:30] for l in corpus)
 
 
+def test_grouped_exact_quantiles_matches_percentile_agg(spark):
+    """grouped_exact_quantiles (two-pass rank interpolation — the
+    scale path) must reproduce Spark's exact `percentile` aggregate
+    bitwise: grouped data with ties, group sizes 1..N, boundary
+    percentiles, nulls ignored, any bucket count."""
+    import numpy as np
+
+    from slacken_spark.operators.relational_ext import (
+        grouped_exact_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, size in (("a", 1), ("b", 2), ("c", 97), ("d", 400)):
+        for v in rng.integers(0, 50, size):
+            rows.append((g, float(v) / 3.0))
+    rows.append(("c", None))  # ignored by both forms
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.0, 0.5, 0.9, 0.99, 1.0]
+    want = {
+        r["g"]: [r[f"q{i}"] for i in range(len(ps))]
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.percentile("v", F.lit(p)).alias(f"q{i}")
+                for i, p in enumerate(ps)
+            ]
+        )
+        .collect()
+    }
+    for buckets in (1, 8, 64):
+        got = {}
+        for r in grouped_exact_quantiles(df, ["g"], "v", ps, buckets).collect():
+            got.setdefault(r["g"], {})[r["p"]] = (r["q"], r["n"])
+        for g, qs in want.items():
+            for i, p in enumerate(ps):
+                assert got[g][p][0] == qs[i], (g, p, buckets)
+        assert got["c"][0.5][1] == 97  # null excluded from n
+
+
 def test_connected_components_chain_and_singleton(spark):
     """Min-label propagation: a 5-node chain (worst case for label
     hopping — pointer jumping must collapse it), a triangle, and an
