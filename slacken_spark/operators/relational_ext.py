@@ -346,3 +346,58 @@ def grouped_exact_quantiles(
         + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
     )
     return agg.select(*group_cols, "p", q.alias("q"), "n")
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    salt_buckets: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows per group with exact ``row_number`` ranks — the
+    scale-safe form of ``Window.partitionBy(group)`` + ``rank <= k``
+    when groups are FEW and HUGE: the plain window gives each group one
+    reducer, so a 5-group corpus runs 5 tasks however big the data.
+
+    Two-level: a deterministic hash salt fans each group into
+    ``salt_buckets`` sub-windows that each keep their local top-k in
+    parallel; the survivors — at most ``groups × salt_buckets × k``
+    rows, input-size independent — re-rank in the exact group window.
+    A true top-k row can never be eliminated early: beating it inside
+    its salt bucket requires k group rows that also beat it globally.
+    The salt hashes the order columns, so the result is deterministic
+    under task retries (never salt with rand()/partition-id: a retried
+    stage would re-salt and the stage-1 FILTER would see different
+    rows). ``order_cols`` are column names or ``(name, ascending)``
+    pairs (plain names sort ascending), and must total-order rows
+    within a group — same contract as the window form.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    if salt_buckets <= 0:
+        raise ValueError(f"salt_buckets must be positive: {salt_buckets}")
+    names, order = [], []
+    for c in order_cols:
+        name, asc = (c, True) if isinstance(c, str) else c
+        names.append(name)
+        order.append(F.col(name).asc() if asc else F.col(name).desc())
+    # hash the row's sort key for the salt: deterministic, and ties
+    # colliding into one bucket cannot break correctness (only shrink
+    # stage-1 parallelism for a pathologically constant sort key)
+    salt_src = [F.col(n) for n in names]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(*salt_src), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    local = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        local.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .where(F.col(rank_col) <= k)
+    )

@@ -235,6 +235,41 @@ def test_grouped_exact_quantiles_matches_percentile_agg(spark):
         assert got["c"][0.5][1] == 97  # null excluded from n
 
 
+def test_grouped_topk_matches_window_form(spark):
+    """grouped_topk (salted two-level top-k — the scale path for few
+    huge groups) must equal the plain partitioned window + rank<=k
+    filter exactly: heavy value ties, groups smaller than k, k=1, any
+    salt bucket count."""
+    import numpy as np
+
+    from slacken_spark.operators.relational_ext import grouped_topk
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"g{int(i) % 3}", int(i), float(v))
+        for i, v in enumerate(rng.integers(0, 8, 500))  # dense ties
+    ]
+    rows += [("tiny", 9001, 5.0)]  # group smaller than k
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    for k in (1, 3, 10):
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+        want = sorted(
+            (r["g"], r["id"], r["rnk"])
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .collect()
+        )
+        for salt in (1, 4, 64):
+            got = sorted(
+                (r["g"], r["id"], r["rank"])
+                for r in grouped_topk(
+                    df, ["g"], [("v", False), ("id", True)], k, salt
+                ).collect()
+            )
+            assert got == want, (k, salt)
+
+
 def test_connected_components_chain_and_singleton(spark):
     """Min-label propagation: a 5-node chain (worst case for label
     hopping — pointer jumping must collapse it), a triangle, and an
