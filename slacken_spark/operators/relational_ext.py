@@ -212,6 +212,12 @@ def global_row_number(
     rank to be deterministic — same contract as the window form;
     tie-break with a unique id column (pure order statistics like
     quantiles don't need it: tied rows carry equal values).
+
+    Intended for FEW huge groups (the case the plain partitioned
+    window serializes): the offsets table — and its forced broadcast —
+    grows with the group count, so with MANY small groups use the
+    plain ``Window.partitionBy(group)`` instead, where each reducer's
+    group is small by assumption.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
