@@ -235,6 +235,31 @@ def test_grouped_exact_quantiles_matches_percentile_agg(spark):
         assert got["c"][0.5][1] == 97  # null excluded from n
 
 
+def test_two_level_rank_materializes_one_range_exchange(spark):
+    """LOAD-BEARING plan pin: global_row_number's two branches (local
+    window and per-bucket totals) must read the SAME materialized range
+    exchange — `_bkt` is spark_partition_id() of that exchange, so if
+    the branches ever got independent exchanges (e.g. column pruning
+    making their subplans differ), AQE could coalesce each differently
+    and the offset join would silently mis-rank. Asserts the executed
+    adaptive plan materializes exactly ONE rangepartitioning exchange
+    and reuses it."""
+    from slacken_spark.operators.relational_ext import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "value"
+    )
+    r = grouped_exact_quantiles(df, ["event_type"], "value", [0.5, 0.9])
+    r.collect()
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    materialized = final.count("+- Exchange rangepartitioning")
+    assert materialized == 1, final
+    assert "ReusedExchange" in final, final
+
+
 def test_grouped_topk_matches_window_form(spark):
     """grouped_topk (salted two-level top-k — the scale path for few
     huge groups) must equal the plain partitioned window + rank<=k
