@@ -680,20 +680,22 @@ class BrackenWeights:
         body = self.kmer_distrib_df(grouped).select(
             F.lit(1).alias("k"), F.col("line").alias("value")
         )
-        (
-            header.unionByName(body)
-            .repartition(1)
-            .sortWithinPartitions("k")
-            .select("value")
-            .write.mode("overwrite")
-            .text(tmp)
-        )
         try:
+            (
+                header.unionByName(body)
+                .repartition(1)
+                .sortWithinPartitions("k")
+                .select("value")
+                .write.mode("overwrite")
+                .text(tmp)
+            )
             parts = fsio.list_dir(tmp, prefix="part-")
             if len(parts) != 1:  # repartition(1) guarantees one
                 raise RuntimeError(f"expected 1 part file in {tmp}, got {parts}")
             fsio.move(parts[0], out)
         finally:
+            # also reached when the WRITE itself dies mid-way — a
+            # partial temp dir must not linger beside the artifact
             fsio.remove_dir(tmp)
 
     def build_and_write(

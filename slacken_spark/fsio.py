@@ -139,13 +139,19 @@ def list_dir(path: str, prefix: str | None = None) -> list[str]:
 
 
 def move(src: str, dst: str) -> None:
-    """Same-filesystem move/rename (overwrites ``dst`` if present).
+    """Same-filesystem move/rename, replacing ``dst`` if present.
 
+    An existing destination is deleted first: POSIX rename overwrites
+    but HDFS rename FAILS on an existing target (and object stores
+    emulate move as copy+delete), so the replace semantics must be
+    explicit to hold on every filesystem the module promises.
     Both paths must resolve to the same filesystem — the single-file
     artifact promotion writes its temp dir NEXT TO the target for
     exactly this reason."""
     filesystem, p_src = any_fs(src)
     _, p_dst = any_fs(dst)
+    if filesystem.get_file_info(p_dst).type != pafs.FileType.NotFound:
+        filesystem.delete_file(p_dst)
     filesystem.move(p_src, p_dst)
 
 

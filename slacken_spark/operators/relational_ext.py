@@ -182,6 +182,19 @@ def range_bucket_join(
     ).drop("_bucket")
 
 
+def _reserve(df: DataFrame, *names: str) -> None:
+    """Raise when the input already carries one of the operator's
+    internal temp/output column names — withColumn would silently
+    REPLACE the caller's column and the trailing drop() would delete
+    it (ranks computed on the wrong values beat a loud error only
+    until someone reads the output)."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved names: {clash}"
+        )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -218,9 +231,19 @@ def global_row_number(
     grows with the group count, so with MANY small groups use the
     plain ``Window.partitionBy(group)`` instead, where each reducer's
     group is small by assumption.
+
+    Correctness depends on the local and totals branches reading ONE
+    materialized range exchange (``_bkt`` is spark_partition_id of
+    that exchange): Spark's ReuseExchange provides it and the executed
+    plan is pinned by test_two_level_rank_materializes_one_range_exchange.
+    Do not run with ``spark.sql.exchange.reuse=false`` — independent
+    exchanges sample boundaries with different seeds and AQE coalesces
+    them independently, so the two branches would disagree on bucket
+    ids.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
+    _reserve(df, "_bkt", "_rn_in", "_boff")
     pc = list(partition_cols or [])
     cols = [F.col(c) for c in pc + list(order_cols)]
     base = df.repartitionByRange(buckets, *cols).withColumn(
@@ -252,13 +275,15 @@ def global_ntile(
     """Exact ``ntile(n)`` over a global order, distributed — SQL ntile
     semantics (the first ``n_rows mod n_tiles`` tiles hold one extra
     row), computed from :func:`global_row_number` plus the closed-form
-    tile formula; the row count joins in as a broadcast single-row
-    aggregate, so nothing serializes through one task and no action
-    runs at plan time."""
+    tile formula; the row count is the MAX RANK — a broadcast
+    single-row aggregate over the already-ranked lineage, so its
+    exchanges are reused rather than re-scanning the source, nothing
+    serializes through one task, and no action runs at plan time."""
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive: {n_tiles}")
+    _reserve(df, "_grank", "_n")
     ranked = global_row_number(df, order_cols, buckets, out_col="_grank")
-    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    n_row = ranked.agg(F.max("_grank").alias("_n"))
     # SQL ntile: the first rem = n mod k tiles hold big = n div k + 1
     # rows each, the rest n div k. Integer `div` throughout (`/` is
     # double division — loses exactness past 2^53). n < k degenerates
@@ -305,8 +330,14 @@ def grouped_exact_quantiles(
 
     Nulls are ignored (both engines' semantics). Returns one row per
     (group, percentile): ``(*group_cols, p double, q double, n long)``
-    with ``n`` the group's non-null value count.
+    with ``n`` the group's non-null value count — a group whose values
+    are ALL null still emits its rows with ``q`` null and ``n`` 0,
+    exactly like the percentile aggregate.
     """
+    bad = [p for p in percentiles if not (0.0 <= float(p) <= 1.0)]
+    if bad:
+        raise ValueError(f"percentiles must be in [0, 1]: {bad}")
+    _reserve(df, "p", "q", "n", "_vrank", "_pos", "_lo", "_hi", "_t")
     vals = df.select(*group_cols, value_col).where(
         F.col(value_col).isNotNull()
     )
@@ -314,20 +345,23 @@ def grouped_exact_quantiles(
         vals, [value_col], buckets, out_col="_vrank",
         partition_cols=group_cols,
     )
-    counts = vals.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # count(value) skips nulls but keeps every group — all-null groups
+    # carry n = 0 and take the left-join null-q path below
+    counts = df.groupBy(*group_cols).agg(
+        F.count(value_col).cast("long").alias("n")
     )
     p_arr = F.array(*[F.lit(float(p)) for p in percentiles])
+    want = counts.select(*group_cols, "n", F.explode(p_arr).alias("p"))
     pos = F.col("p") * (F.col("n") - 1).cast("double")  # 0-based
     targets = (
-        counts.select(*group_cols, "n", F.explode(p_arr).alias("p"))
+        want.where(F.col("n") > 0)
         .select(
-            *group_cols, "n", "p", pos.alias("_pos"),
+            *group_cols, "p", pos.alias("_pos"),
             F.floor(pos).cast("long").alias("_lo"),
             F.ceil(pos).cast("long").alias("_hi"),
         )
         .select(
-            *group_cols, "n", "p", "_pos", "_lo", "_hi",
+            *group_cols, "p", "_pos", "_lo", "_hi",
             F.explode(F.array_distinct(F.array("_lo", "_hi"))).alias("_t"),
         )
         .withColumn("_vrank", F.col("_t") + 1)  # ranks are 1-based
@@ -336,7 +370,6 @@ def grouped_exact_quantiles(
     hit = ranked.join(F.broadcast(targets), [*group_cols, "_vrank"])
     v = F.col(value_col).cast("double")
     agg = hit.groupBy(*group_cols, "p").agg(
-        F.first("n").alias("n"),
         F.first("_pos").alias("_pos"),
         F.first("_lo").alias("_lo"),
         F.first("_hi").alias("_hi"),
@@ -351,7 +384,10 @@ def grouped_exact_quantiles(
         (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
         + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
     )
-    return agg.select(*group_cols, "p", q.alias("q"), "n")
+    quant = agg.select(*group_cols, "p", q.alias("q"))
+    return want.join(quant, [*group_cols, "p"], "left").select(
+        *group_cols, "p", "q", "n"
+    )
 
 
 def grouped_topk(
@@ -384,6 +420,7 @@ def grouped_topk(
         raise ValueError(f"k must be positive: {k}")
     if salt_buckets <= 0:
         raise ValueError(f"salt_buckets must be positive: {salt_buckets}")
+    _reserve(df, "_salt", "_rn1")
     names, order = [], []
     for c in order_cols:
         name, asc = (c, True) if isinstance(c, str) else c

@@ -225,6 +225,8 @@ def test_grouped_exact_quantiles_matches_percentile_agg(spark):
         )
         .collect()
     }
+    rows.append(("allnull", None))  # group with ONLY nulls must survive
+    df = spark.createDataFrame(rows, "g string, v double")
     for buckets in (1, 8, 64):
         got = {}
         for r in grouped_exact_quantiles(df, ["g"], "v", ps, buckets).collect():
@@ -233,9 +235,19 @@ def test_grouped_exact_quantiles_matches_percentile_agg(spark):
             for i, p in enumerate(ps):
                 assert got[g][p][0] == qs[i], (g, p, buckets)
         assert got["c"][0.5][1] == 97  # null excluded from n
+        # all-null group: present at every percentile, q null, n 0 —
+        # same shape the percentile aggregate emits
+        assert set(got["allnull"]) == set(ps)
+        assert all(v == (None, 0) for v in got["allnull"].values())
+    import pytest
+
+    with pytest.raises(ValueError, match=r"percentiles"):
+        grouped_exact_quantiles(df, ["g"], "v", [1.5])
+    with pytest.raises(ValueError, match=r"reserved"):
+        grouped_exact_quantiles(df.withColumn("p", F.lit(1)), ["g"], "v", [0.5])
 
 
-def test_two_level_rank_materializes_one_range_exchange(spark):
+def test_two_level_rank_materializes_one_range_exchange(spark, sf_dir):
     """LOAD-BEARING plan pin: global_row_number's two branches (local
     window and per-bucket totals) must read the SAME materialized range
     exchange — `_bkt` is spark_partition_id() of that exchange, so if
@@ -247,10 +259,9 @@ def test_two_level_rank_materializes_one_range_exchange(spark):
     from slacken_spark.operators.relational_ext import (
         grouped_exact_quantiles,
     )
+    from slacken_spark.plans.catalog import t
 
-    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
-        "event_type", "value"
-    )
+    df = t(spark, sf_dir, "events").select("event_type", "value")
     r = grouped_exact_quantiles(df, ["event_type"], "value", [0.5, 0.9])
     r.collect()
     plan = r._jdf.queryExecution().executedPlan().toString()
