@@ -211,6 +211,7 @@ def test_grouped_exact_quantiles_matches_percentile_agg(spark):
     for g, size in (("a", 1), ("b", 2), ("c", 97), ("d", 400)):
         for v in rng.integers(0, 50, size):
             rows.append((g, float(v) / 3.0))
+    rows += [("const", 7.5)] * 60  # every rank ties — q == 7.5 at all p
     rows.append(("c", None))  # ignored by both forms
     df = spark.createDataFrame(rows, "g string, v double")
     ps = [0.0, 0.5, 0.9, 0.99, 1.0]
