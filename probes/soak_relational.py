@@ -1,0 +1,97 @@
+"""Soak the relational extensions against brute-force models on random
+data: asof_join (backward/forward incl. equal-ts ties and keys with no
+match), sessionize (exact gap threshold boundaries), range_bucket_join
+(intervals spanning many buckets, point intervals, empty overlaps)."""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+from pyspark.sql import functions as F
+from slacken_spark.operators.relational_ext import (
+    asof_join, range_bucket_join, sessionize)
+from slacken_spark.session import get_spark
+
+spark = get_spark('soak_rel', master='local[8]', shuffle_partitions=8)
+fails = 0
+for seed in (61, 62, 63):
+    rng = np.random.default_rng(seed)
+    # --- asof ---
+    left = [(int(k), int(ts), i) for i, (k, ts) in enumerate(
+        zip(rng.integers(0, 8, 150), rng.integers(0, 100, 150)))]
+    right = [(int(k), int(ts), 1000 + i) for i, (k, ts) in enumerate(
+        zip(rng.integers(0, 10, 120), rng.integers(0, 100, 120)))]
+    ldf = spark.createDataFrame(left, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(right, "k int, rts int, val int")
+    for direction in ("backward", "forward"):
+        got = {r["lid"]: r["val"] for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rts", "val"], direction=direction).collect()}
+        bad = 0
+        for k, ts, lid in left:
+            if direction == "backward":
+                cand = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+                want = max(cand)[1] if cand else None  # max (rts, val) tuple
+            else:
+                cand = [(rts, v) for rk, rts, v in right if rk == k and rts >= ts]
+                want = min(cand)[1] if cand else None  # min (rts, val) tuple
+            if got.get(lid) != want:
+                bad += 1
+        if bad: fails += 1
+        print(f"seed={seed} asof-{direction} {'OK' if not bad else f'FAIL({bad})'}", flush=True)
+    # --- sessionize: exact boundary gaps (gap, gap+1 seconds) ---
+    ev = []
+    t0 = 1_700_000_000
+    for u in range(6):
+        t = t0
+        for j in range(40):
+            t += int(rng.integers(1, 700))  # gaps straddle the 300s threshold
+            ev.append((u, t))
+    edf = spark.createDataFrame(ev, "user_id long, epoch long").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"))
+    got = {(r["user_id"], r["ts"]): r["session_id"] for r in
+           sessionize(edf, "user_id", "ts", 300).collect()}
+    bad = 0
+    by_user = {}
+    for u, t in sorted(ev):
+        by_user.setdefault(u, []).append(t)
+    import datetime
+    for u, times in by_user.items():
+        sid = -1; prev = None
+        for t in times:
+            if prev is None or (t - prev) > 300: sid += 1
+            prev = t
+            key = (u, datetime.datetime.fromtimestamp(t, datetime.timezone.utc).replace(tzinfo=None))
+            # Spark returns session-local naive timestamps in collect();
+            # compare by re-deriving from the collected keys instead
+        # model check done below via counts
+    # simpler exact check: session COUNT per user must match the model
+    model_counts = {}
+    for u, times in by_user.items():
+        n = 1 + sum(1 for a, b in zip(times, times[1:]) if (b - a) > 300)
+        model_counts[u] = n
+    got_counts = {}
+    for (u, _), sid in got.items():
+        got_counts[u] = max(got_counts.get(u, -1), sid)
+    got_counts = {u: s + 1 for u, s in got_counts.items()}
+    if got_counts != model_counts:
+        fails += 1
+        print(f"  sessionize mismatch: {got_counts} vs {model_counts}")
+    print(f"seed={seed} sessionize {'OK' if got_counts == model_counts else 'FAIL'}", flush=True)
+    # --- range_bucket_join ---
+    pts = [(i, int(v)) for i, v in enumerate(rng.integers(0, 1000, 200))]
+    ivs = []
+    for j in range(60):
+        lo = int(rng.integers(0, 950))
+        hi = lo + int(rng.integers(0, 300))  # incl. point intervals
+        ivs.append((j, lo, hi))
+    pdf = spark.createDataFrame(pts, "pid long, v long")
+    idf = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    got = {(r["pid"], r["iid"]) for r in
+           range_bucket_join(pdf, idf, "v", "lo", "hi", 64).collect()}
+    want = {(p, j) for p, v in pts for j, lo, hi in ivs if lo <= v <= hi}
+    s = "OK" if got == want else "FAIL"
+    if s == "FAIL": fails += 1
+    print(f"seed={seed} range_bucket_join {s} ({len(want)} pairs)", flush=True)
+print("RELATIONAL SOAK FAILS:", fails)
+spark.stop()
