@@ -687,6 +687,11 @@ class BrackenWeights:
                 .sortWithinPartitions("k")
                 .select("value")
                 .write.mode("overwrite")
+                # pin compression OFF: a session/Hadoop-level output
+                # codec would write a compressed part file that the
+                # rename promotes under the uncompressed artifact name
+                # — a kmer_distrib Bracken cannot parse
+                .option("compression", "none")
                 .text(tmp)
             )
             parts = fsio.list_dir(tmp, prefix="part-")

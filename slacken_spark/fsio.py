@@ -141,17 +141,32 @@ def list_dir(path: str, prefix: str | None = None) -> list[str]:
 def move(src: str, dst: str) -> None:
     """Same-filesystem move/rename, replacing ``dst`` if present.
 
-    An existing destination is deleted first: POSIX rename overwrites
-    but HDFS rename FAILS on an existing target (and object stores
-    emulate move as copy+delete), so the replace semantics must be
-    explicit to hold on every filesystem the module promises.
+    Rename-FIRST: POSIX rename atomically overwrites, so on local/NFS
+    the previous artifact is never in a deleted-but-not-replaced state
+    (a crash between a delete and the rename would lose it). Only when
+    the filesystem rejects an existing target (HDFS rename semantics;
+    object stores emulating move as copy+delete) does the replace fall
+    back to delete+retry — the non-atomic window is unavoidable there
+    and taken only there. A destination that exists as a DIRECTORY is
+    rejected loudly: delete_file would fail anyway, and silently
+    renaming a file over a directory is never what the caller meant.
     Both paths must resolve to the same filesystem — the single-file
     artifact promotion writes its temp dir NEXT TO the target for
     exactly this reason."""
     filesystem, p_src = any_fs(src)
     _, p_dst = any_fs(dst)
-    if filesystem.get_file_info(p_dst).type != pafs.FileType.NotFound:
-        filesystem.delete_file(p_dst)
+    info = filesystem.get_file_info(p_dst)
+    if info.type == pafs.FileType.Directory:
+        raise IsADirectoryError(
+            f"move target exists as a directory: {dst}"
+        )
+    try:
+        filesystem.move(p_src, p_dst)
+        return
+    except OSError:
+        if info.type == pafs.FileType.NotFound:
+            raise  # not an existing-target rejection — a real error
+    filesystem.delete_file(p_dst)
     filesystem.move(p_src, p_dst)
 
 

@@ -62,16 +62,24 @@ def pagerank_int(
     Returns ``(id, deg, rank)`` — one row per node of the pair graph
     (isolated documents are not nodes and do not rank).
     """
+    from slacken_spark.functions.dedup import _stats_free
+
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    edges = (
+    # _stats_free on every checkpoint: each round's rank table is a
+    # JOIN over two earlier checkpoints, so without the reset Catalyst's
+    # size-only estimator compounds sizeInBytes multiplicatively across
+    # rounds (the BigInteger planning blowup dedup's loops measured —
+    # see dedup._stats_free). This loop broadcast-joins nothing, so
+    # dropping the estimates costs no plan quality.
+    edges = _stats_free(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .localCheckpoint(eager=False)
     )
-    deg = (
+    deg = _stats_free(
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .localCheckpoint(eager=False)
@@ -86,7 +94,7 @@ def pagerank_int(
         contrib = edges_deg.join(
             ranks, edges_deg["src"] == ranks["id"]
         ).select(F.col("dst"), F.expr("rank div deg").alias("c"))
-        ranks = (
+        ranks = _stats_free(
             contrib.groupBy(F.col("dst").alias("id"))
             .agg(
                 (

@@ -110,9 +110,20 @@ def salted_join(
     Use when AQE's runtime skew split isn't available (e.g. the skewed
     side feeds a custom operator) and the right side is small enough to
     replicate ×salt_buckets but too big to broadcast outright.
+
+    The salt hashes the WHOLE left row, not the join key: it must vary
+    WITHIN a hot key to spread it across reducers, and it must be
+    deterministic under task retries (never rand()/partition-id — a
+    partially replayed shuffle stage would re-salt rows into different
+    buckets than the surviving map outputs, the SPARK-23207 class of
+    silent row loss/duplication). Exact duplicate rows share a salt and
+    colocate — correct, merely less spread for a degenerate all-dup key.
     """
+    _reserve(left, "_salt")
+    _reserve(right_small, "_salt")
     salted_l = left.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
@@ -134,10 +145,18 @@ def salted_agg(
     pipelines where a single reducer key would still overflow (e.g.
     collect_list on a hot key) — the same technique the engine applies
     implicitly elsewhere, made available as an operator.
+
+    Deterministic whole-row hash salt, same rationale as
+    :func:`salted_join` — varies within the hot key, stable under
+    retries.
     """
     fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    _reserve(df, "_salt")
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+    )
     partial = salted.groupBy(key, "_salt").agg(
         *[
             fns[spec.split(":")[0]](spec.split(":")[1]).alias(out)
@@ -236,14 +255,25 @@ def global_row_number(
     materialized range exchange (``_bkt`` is spark_partition_id of
     that exchange): Spark's ReuseExchange provides it and the executed
     plan is pinned by test_two_level_rank_materializes_one_range_exchange.
-    Do not run with ``spark.sql.exchange.reuse=false`` — independent
-    exchanges sample boundaries with different seeds and AQE coalesces
-    them independently, so the two branches would disagree on bucket
-    ids.
+    ``spark.sql.exchange.reuse=false`` is rejected at call time —
+    independent exchanges sample boundaries with different seeds and
+    AQE coalesces them independently, so the two branches would
+    disagree on bucket ids.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
-    _reserve(df, "_bkt", "_rn_in", "_boff")
+    # Fail loudly where the invariant would otherwise fail silently: a
+    # deployment that disables exchange reuse gives the two branches
+    # independent range exchanges (different boundary-sample seeds, AQE
+    # coalescing them independently) and the ranks go quietly wrong.
+    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    if str(reuse).lower() == "false":
+        raise RuntimeError(
+            "global_row_number requires spark.sql.exchange.reuse=true: "
+            "its local-window and totals branches must read ONE "
+            "materialized range exchange to agree on bucket ids"
+        )
+    _reserve(df, "_bkt", "_rn_in", "_boff", out_col)
     pc = list(partition_cols or [])
     cols = [F.col(c) for c in pc + list(order_cols)]
     base = df.repartitionByRange(buckets, *cols).withColumn(
@@ -281,7 +311,7 @@ def global_ntile(
     serializes through one task, and no action runs at plan time."""
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive: {n_tiles}")
-    _reserve(df, "_grank", "_n")
+    _reserve(df, "_grank", "_n", out_col)
     ranked = global_row_number(df, order_cols, buckets, out_col="_grank")
     n_row = ranked.agg(F.max("_grank").alias("_n"))
     # SQL ntile: the first rem = n mod k tiles hold big = n div k + 1
@@ -420,7 +450,7 @@ def grouped_topk(
         raise ValueError(f"k must be positive: {k}")
     if salt_buckets <= 0:
         raise ValueError(f"salt_buckets must be positive: {salt_buckets}")
-    _reserve(df, "_salt", "_rn1")
+    _reserve(df, "_salt", "_rn1", rank_col)
     names, order = [], []
     for c in order_cols:
         name, asc = (c, True) if isinstance(c, str) else c

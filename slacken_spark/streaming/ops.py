@@ -304,7 +304,7 @@ def _advance_base(
     lineage dependency on the previous checkpoint's blocks, which an
     unpersisted local checkpoint cannot recompute. tests/
     test_streaming_ivm.py pins the plan-size bound over 9 batches."""
-    from slacken_spark.functions.dedup import _unpersist_local_ckpt
+    from slacken_spark.functions.dedup import _stats_free, _unpersist_local_ckpt
 
     out = (
         base.join(batch_df.select(id_col), id_col, "left_anti")
@@ -313,7 +313,14 @@ def _advance_base(
     if state is not None:
         n = state["_advanced"] = state.get("_advanced", 0) + 1
         if n % _ADVANCE_CKPT_EVERY == 0:
-            out = out.localCheckpoint(eager=True)
+            # _stats_free: each checkpoint's plan contains a JOIN over
+            # the previous checkpoint, so over a long stream the
+            # preserved sizeInBytes estimates would compound per
+            # checkpoint (the dedup._stats_free BigInteger blowup,
+            # stream-shaped). The batch side stays broadcast-eligible —
+            # only the checkpointed base loses its estimate. unpersist
+            # reaches the same backing RDD through the rebuilt frame.
+            out = _stats_free(out.localCheckpoint(eager=True))
             prev = state.get("_base_ckpt")
             if prev is not None:
                 _unpersist_local_ckpt(prev)

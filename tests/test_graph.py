@@ -90,3 +90,29 @@ def test_pagerank_matches_reference_on_random_graphs(spark, seed):
         for r in pagerank_int(df, iters=3).collect()
     }
     assert got == _reference(pairs, 3)
+
+
+def test_pagerank_checkpoints_route_through_stats_free(spark, monkeypatch):
+    """Every lineage-truncation checkpoint in the PageRank loop must
+    rebuild through dedup._stats_free: round k's rank table is a JOIN
+    over two earlier checkpoints, so preserved sizeInBytes estimates
+    compound across rounds (the dedup BigInteger planning blowup,
+    r9-deferred hygiene). Counts the wiring — edges + degrees + one per
+    iteration — and re-checks the ranks still come out."""
+    import slacken_spark.functions.dedup as dedup
+    from slacken_spark.functions.graph import pagerank_int as pr
+
+    calls = {"n": 0}
+    orig = dedup._stats_free
+
+    def counting(df):
+        calls["n"] += 1
+        return orig(df)
+
+    monkeypatch.setattr(dedup, "_stats_free", counting)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["rank"] for r in pr(pairs, iters=3).collect()}
+    assert calls["n"] == 2 + 3, calls["n"]
+    assert set(out) == {0, 1, 2, 3} and all(v > 0 for v in out.values())

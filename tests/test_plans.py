@@ -272,6 +272,31 @@ def test_two_level_rank_materializes_one_range_exchange(spark, sf_dir):
     assert "ReusedExchange" in final, final
 
 
+def test_global_row_number_rejects_disabled_exchange_reuse(spark):
+    """The one-materialized-exchange invariant above is CONFIG-gated:
+    with spark.sql.exchange.reuse=false the two branches get
+    independent range exchanges (different boundary-sample seeds, AQE
+    coalescing each on its own) and ranks go silently wrong. The
+    operator must refuse to build a plan under that config — a loud
+    RuntimeError on a misconfigured cluster, not a plan-pin test that
+    only runs in CI."""
+    import pytest
+
+    from slacken_spark.operators.relational_ext import global_row_number
+
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    key = "spark.sql.exchange.reuse"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            global_row_number(df, ["v", "id"], 4)
+    finally:
+        spark.conf.set(key, prev)
+    # and back on, the plan builds again
+    assert global_row_number(df, ["v", "id"], 4).count() == 1
+
+
 def test_grouped_topk_matches_window_form(spark):
     """grouped_topk (salted two-level top-k — the scale path for few
     huge groups) must equal the plain partitioned window + rank<=k

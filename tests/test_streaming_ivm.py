@@ -167,3 +167,39 @@ def test_advance_base_final_checkpoint_released_after_run(spark):
     assert "_base_ckpt" not in state
     persistent = spark.sparkContext._jsc.sc().getPersistentRDDs()
     assert not persistent.contains(rdd_id), "release must unpersist the blocks"
+
+
+def test_advance_base_checkpoint_routes_through_stats_free(spark, monkeypatch):
+    """The k-th advancement's eager checkpoint must rebuild through
+    dedup._stats_free: each checkpoint's plan holds a JOIN over the
+    previous checkpoint, so over a long stream preserved sizeInBytes
+    estimates compound per checkpoint (the dedup BigInteger planning
+    blowup, stream-shaped). The stored _base_ckpt must be the REBUILT
+    frame, so the release path still reaches the same backing RDD
+    (pinned by test_advance_base_final_checkpoint_released_after_run)."""
+    import slacken_spark.functions.dedup as dedup
+
+    seen = []
+    orig = dedup._stats_free
+
+    def recording(df):
+        out = orig(df)
+        seen.append(out)
+        return out
+
+    monkeypatch.setattr(dedup, "_stats_free", recording)
+    state: dict = {}
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    for b in range(ops._ADVANCE_CKPT_EVERY):
+        batch = spark.createDataFrame(
+            [(b, f"v{b}")], "doc_id long, text string"
+        )
+        base = ops._advance_base(base, batch, "doc_id", state)
+    assert len(seen) == 1
+    assert state["_base_ckpt"] is seen[-1] is base
+    got = {r["doc_id"]: r["text"] for r in base.collect()}
+    assert got == {**{i: f"t{i}" for i in range(4, 10)},
+                   **{b: f"v{b}" for b in range(4)}}
+    ops._release_advance_ckpt(state)
