@@ -51,23 +51,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # every catalog entry's green row stays fresh (enforced by
 # tests/test_gate.py::test_rolling_green_window_stays_fresh: every
 # catalog entry must sit inside THIS round's first 50 or hold a green
-# row in one of the two most recent recorded rounds). Round 9's 50 =
-#   (a) every query whose code changes this round: the dedup-component
-#       family (dedup_components / _delta / keep_longest /
-#       keep_canonical — the add-path propagation switches to the
-#       union-find contraction engine, with the shared loop helpers
-#       extracted and `_stats_free` wired in) and embedding_lsh_delta
-#       (the `deletes` parameter landed late r8; the r9 fixture
-#       exercises it),
-#   (b) all 44 entries whose freshest green row is r6 — the full
-#       two-round-stale backlog at _TAIL's head per the r8 plan,
-#   (c) one NEW operator: dedup_components_mixed (drop→add CDC batch
-#       composition — the driver twin of the pytest composition test).
-# Demoted to _TAIL: nothing by choice — seats were exactly consumed by
-# (a)+(b)+(c); _TAIL is ordered as the r10 re-promotion queue: the
-# r7-fresh entries first (they hit the 2-round staleness bound at r10
-# and must gate then — budget their 38 seats plus r10's new/changed
-# set, leaving ≤12 free), then the r8-fresh ones.
+# row in one of the two most recent recorded rounds). Round 10's 50 =
+#   (a) every query whose code changes this round: topk_per_group (the
+#       grouped_topk switch), salted_skew_join / salted_skew_agg (the
+#       deterministic hash salt), the four streaming maintainers
+#       (_advance_base checkpoints route through _stats_free), and
+#       bracken_weights (memoized shared weights build),
+#   (b) two NEW entries: bracken_distrib_lines (the kmer_distrib
+#       artifact digest) and dedup_components_predistinct (the
+#       layout-pin regression twin),
+#   (c) all 38 entries whose freshest green row is r7 — the full
+#       two-round-stale backlog, the binding obligation
+#       (dedup_graph_pagerank's _stats_free wiring gates inside it),
+#   (d) two spare seats spent smoothing r11's backlog: the r8-fresh
+#       queue's head (genomic_classify2, dedup_components_drop) —
+#       41 r8-fresh entries remain binding at r11, inside budget.
+# _TAIL is ordered as the r11 re-promotion queue: the remaining
+# r8-fresh entries first (they hit the 2-round staleness bound at r11
+# and must gate then), then the r9-fresh ones.
 
 # Queries that MUST land a CORRECTNESS row this round (asserted inside
 # the first 50 by tests/test_gate.py): this round's 50 exactly — the
@@ -75,66 +76,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # happen.
 _MUST_GATE = [
     # (a) code changed this round:
-    "dedup_components",
-    "dedup_components_delta",
-    "dedup_keep_longest",
-    "dedup_keep_canonical",
-    "embedding_lsh_delta",
-    # (c) new this round:
-    "dedup_components_mixed",
-    # (b) freshest green row is r6 — the two-round-stale backlog, in
-    # the r8 _TAIL queue order:
-    "bpe_learned_merges",
-    "bpe_tokenized_counts",
-    "cube_source_lang",
-    "asof_event_order",
-    "asof_event_order_forward",
-    "count_distinct_multi",
-    "dataset_split_counts",
-    "dedup_exact",
-    "deterministic_sample",
-    "doc_boilerplate_scrub",
-    "doc_bpe_token_stats",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_langid",
-    "doc_length_quartiles",
-    "doc_pii_redact",
-    "doc_quality",
-    "doc_token_stats",
-    "embedding_cosine_topk",
-    "embedding_lsh_buckets",
-    "embedding_neardup_pairs",
-    "embedding_quantize_int8",
-    "embedding_semdedup_keep",
-    "event_type_pivot",
-    "events_approx_distinct",
-    "fasta_input_roundtrip",
-    "fastq_window",
-    "hit_regroup",
-    "inverted_index_digest",
-    "inverted_index_sharded",
-    "lca_fold",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "multi_stat_per_user",
-    "ngram_jaccard_adjacent",
-    "order_rejoin",
-    "range_bucket_join",
-    "rollup_revenue",
-    "salted_skew_agg",
+    "topk_per_group",
     "salted_skew_join",
-    "simhash_docs",
-    "unpivot_part_metrics",
-    "value_percentiles",
-    "weights_rollup",
-]
-_EARLY = list(_MUST_GATE)
-_TAIL = [
-    # r10 re-promotion queue, in order. First the r7-fresh entries
-    # (their newest green row turns two rounds old when this round's
-    # file lands — r10 must gate them or the freshness guard fails),
-    # minus the four dedup/lsh entries promoted into this round's (a):
+    "salted_skew_agg",
+    "streaming_index_delta",
+    "streaming_index_ranked_delta",
+    "streaming_source_stats",
+    "streaming_zone_maps",
+    "bracken_weights",
+    # (b) new this round:
+    "bracken_distrib_lines",
+    "dedup_components_predistinct",
+    # (c) freshest green row is r7 — the two-round-stale backlog, in
+    # the r9 _TAIL queue order:
     "classification_join",
     "corpus_read_asof",
     "dedup_graph_pagerank",
@@ -173,18 +127,22 @@ _TAIL = [
     "value_quantile_sketch",
     "zone_map_maintain",
     "zone_map_pruned_scan",
-    # then the r8-fresh set (one round old after this round), in the
-    # r8 gate order minus dedup_components (promoted into (a)):
+    # (d) spare seats -> r11 smoothing (head of the r8-fresh queue):
     "genomic_classify2",
     "dedup_components_drop",
+]
+_EARLY = list(_MUST_GATE)
+_TAIL = [
+    # r11 re-promotion queue, in order. First the remaining r8-fresh
+    # entries (their newest green row turns two rounds old when this
+    # round's file lands — r11 must gate them or the freshness guard
+    # fails), in the r8 gate order minus the eight promoted into this
+    # round's (a)/(d):
     "inverted_index_ranked_delta",
     "inverted_index_delta",
     "inverted_index_patch",
     "inverted_index_query_ranked",
     "epoch_shuffle_plan",
-    "streaming_index_delta",
-    "streaming_source_stats",
-    "streaming_zone_maps",
     "genomic_classify",
     "genomic_classify_wide",
     "genomic_classify_wide_hashed",
@@ -192,7 +150,6 @@ _TAIL = [
     "genomic_index_lca_histogram",
     "genomic_clade_rollup",
     "streaming_genomic_classify",
-    "bracken_weights",
     "genomic_kmer_totals",
     "ann_retrieve_docs",
     "bpe_top_pairs",
@@ -218,12 +175,60 @@ _TAIL = [
     "streaming_doc_quality",
     "streaming_session_windows",
     "streaming_window_counts",
-    "topk_per_group",
     "two_level_agg",
     "video_frame_plan",
     "inverted_index_ranked_compact",
-    "streaming_index_ranked_delta",
     "genomic_gold_eval",
+    # then the r9-fresh set (one round old after this round), in the
+    # r9 gate order minus salted_skew_join/_agg (promoted into (a)):
+    "dedup_components",
+    "dedup_components_delta",
+    "dedup_keep_longest",
+    "dedup_keep_canonical",
+    "embedding_lsh_delta",
+    "dedup_components_mixed",
+    "bpe_learned_merges",
+    "bpe_tokenized_counts",
+    "cube_source_lang",
+    "asof_event_order",
+    "asof_event_order_forward",
+    "count_distinct_multi",
+    "dataset_split_counts",
+    "dedup_exact",
+    "deterministic_sample",
+    "doc_boilerplate_scrub",
+    "doc_bpe_token_stats",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_langid",
+    "doc_length_quartiles",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "embedding_neardup_pairs",
+    "embedding_quantize_int8",
+    "embedding_semdedup_keep",
+    "event_type_pivot",
+    "events_approx_distinct",
+    "fasta_input_roundtrip",
+    "fastq_window",
+    "hit_regroup",
+    "inverted_index_digest",
+    "inverted_index_sharded",
+    "lca_fold",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multi_stat_per_user",
+    "ngram_jaccard_adjacent",
+    "order_rejoin",
+    "range_bucket_join",
+    "rollup_revenue",
+    "simhash_docs",
+    "unpivot_part_metrics",
+    "value_percentiles",
+    "weights_rollup",
 ]
 
 

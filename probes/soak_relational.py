@@ -1,7 +1,10 @@
 """Soak the relational extensions against brute-force models on random
 data: asof_join (backward/forward incl. equal-ts ties and keys with no
 match), sessionize (exact gap threshold boundaries), range_bucket_join
-(intervals spanning many buckets, point intervals, empty overlaps)."""
+(intervals spanning many buckets, point intervals, empty overlaps),
+salted_join/salted_agg (r10 hash salts: result identity vs the plain
+forms on skewed keys), grouped_topk (vs the plain window form on
+few-huge-group data with duplicate sort keys)."""
 import sys
 
 import numpy as np
@@ -93,5 +96,44 @@ for seed in (61, 62, 63):
     s = "OK" if got == want else "FAIL"
     if s == "FAIL": fails += 1
     print(f"seed={seed} range_bucket_join {s} ({len(want)} pairs)", flush=True)
+    # --- salted_join / salted_agg: salting must be invisible (r10 hash salt) ---
+    hot = [(0, i) for i in range(400)]  # one hot key + a spread tail
+    tail_rows = [(int(k), 1000 + i) for i, k in enumerate(rng.integers(1, 30, 200))]
+    big = spark.createDataFrame(hot + tail_rows, "k long, payload long")
+    dim = spark.createDataFrame([(int(k), f"d{k}") for k in range(30)], "k long, name string")
+    from slacken_spark.operators.relational_ext import salted_agg, salted_join
+    got = {(r["k"], r["payload"], r["name"]) for r in
+           salted_join(big, dim, on="k", salt_buckets=8).collect()}
+    want = {(r["k"], r["payload"], r["name"]) for r in big.join(dim, "k").collect()}
+    s = "OK" if got == want else "FAIL"
+    if s == "FAIL": fails += 1
+    print(f"seed={seed} salted_join {s} ({len(want)} rows)", flush=True)
+    got = {(r["k"], r["s"], r["n"], r["mn"], r["mx"]) for r in salted_agg(
+        big, "k", {"s": "sum:payload", "n": "count:payload",
+                   "mn": "min:payload", "mx": "max:payload"}, 8).collect()}
+    want = {(r["k"], r["s"], r["n"], r["mn"], r["mx"]) for r in
+            big.groupBy("k").agg(F.sum("payload").alias("s"),
+                                 F.count("payload").alias("n"),
+                                 F.min("payload").alias("mn"),
+                                 F.max("payload").alias("mx")).collect()}
+    s = "OK" if got == want else "FAIL"
+    if s == "FAIL": fails += 1
+    print(f"seed={seed} salted_agg {s}", flush=True)
+    # --- grouped_topk vs the plain window form (few huge groups, dup sort keys) ---
+    from pyspark.sql import Window
+    from slacken_spark.operators.relational_ext import grouped_topk
+    rows = [(int(g), int(v), i) for i, (g, v) in enumerate(
+        zip(rng.integers(0, 4, 600), rng.integers(0, 50, 600)))]  # heavy v ties
+    gdf = spark.createDataFrame(rows, "g long, v long, id long")
+    for k, salts in ((1, 2), (5, 32), (25, 3)):
+        got = {(r["g"], r["id"], r["rank"]) for r in grouped_topk(
+            gdf, ["g"], [("v", False), ("id", True)], k, salt_buckets=salts).collect()}
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+        want = {(r["g"], r["id"], r["rank"]) for r in
+                gdf.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k).collect()}
+        s = "OK" if got == want else "FAIL"
+        if s == "FAIL": fails += 1
+        print(f"seed={seed} grouped_topk k={k} salts={salts} {s}", flush=True)
 print("RELATIONAL SOAK FAILS:", fails)
 spark.stop()

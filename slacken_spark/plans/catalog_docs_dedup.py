@@ -1016,3 +1016,77 @@ def dedup_components_mixed(spark, sf_dir):
         loop_partitions=8,
     )
     return _label_rows(docs, appended, maintained)
+
+
+# ---------------------------------------------------------------------------
+# Contraction-engine regression gate: ALREADY-distinct adversarial input
+# ---------------------------------------------------------------------------
+
+# The layout-pin defect class has bitten twice (r8 range-distinct, r9
+# pre-distinct chain): Catalyst ELIDES a shuffle the algorithm depends
+# on when the input already satisfies its distribution, silently
+# ignoring loop_partitions. This entry keeps the fixed path pinned at
+# the DRIVER level: the edge list arrives pre-distinct()-ed, persisted
+# on a 4-partition round-robin layout that disagrees with the loop's
+# width — exactly the shape that stalled before the explicit
+# repartition(loop_partitions, src, dst) landed (functions/dedup.py).
+_PREDISTINCT_CACHE: dict = {}
+
+
+def _predistinct_chain_pairs(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+
+    def build():
+        docs = tp(spark, sf_dir, "documents")
+        w = Window.partitionBy(F.col("doc_id") % 7).orderBy("doc_id")
+        return (
+            docs.select(
+                "doc_id", F.lead("doc_id").over(w).alias("_nxt")
+            )
+            .where(F.col("_nxt").isNotNull())
+            .select(
+                F.col("doc_id").alias("id_a"), F.col("_nxt").alias("id_b")
+            )
+            .distinct()        # ALREADY-distinct: the defect's trigger —
+            .repartition(4)    # — on a width the loop must override
+            .persist()
+        )
+
+    return app_scoped_get(
+        _PREDISTINCT_CACHE, spark, ("predistinct", sf_dir), build
+    )
+
+
+@register(
+    "dedup_components_predistinct",
+    """
+    SELECT doc_id,
+           CAST(min(doc_id) OVER (PARTITION BY doc_id % 7) AS BIGINT)
+             AS component
+    FROM documents
+    """,
+)
+def dedup_components_predistinct(spark, sf_dir):
+    """Connected components over seven SCATTERED id-order chains
+    (consecutive-by-rank docs within doc_id % 7 linked pairwise), fed
+    to ``connected_components_contract`` as a pre-distinct persisted
+    4-partition edge list under ``loop_partitions=2`` — the regression
+    twin of the r9 layout-pin defect (an already-distinct input let
+    exchange pruning elide the loop's internal distinct shuffle, so
+    the loop width silently never applied and a scattered chain
+    stalled). Every chain spans all four input partitions, so the
+    contraction must converge on ITS layout, not the caller's. Each
+    chain connects its whole residue class, so the oracle is the
+    closed form: component = min doc_id of the class — recursion-free,
+    and any stall/mislabel breaks it loudly."""
+    docs = tp(spark, sf_dir, "documents")
+    pairs = _predistinct_chain_pairs(spark, sf_dir)
+    labels = D.connected_components_contract(pairs, loop_partitions=2)
+    return docs.select("doc_id").join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("component"),
+    )

@@ -435,22 +435,64 @@ def bracken_weights(spark, sf_dir):
     the exact (dest, source, count) table. Exercises fragment splitting,
     the distinct-minimizer left join, and the vectorized FragmentWindow
     end-to-end."""
+    _, weights = _bracken_self_weights(spark, sf_dir)
+    return weights
+
+
+# The weights table of the self-classify fixture is the shared input of
+# bracken_weights AND the kmer_distrib artifact digest — memoized
+# app-scoped like the classification index (build-once/derive-many, the
+# real artifact pipeline's shape).
+_BRACKEN_W_CACHE: dict = {}
+
+
+def _bracken_self_weights(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
     from slacken_spark.bracken import BrackenWeights
 
-    part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
-    genomes = part.select(
-        F.concat(F.lit("bk"), F.col("p_partkey")).alias("header"),
-        _dna_expr("bkuniq", F.col("p_partkey")).alias("nucleotides"),
-    )
-    labels = part.select(
-        F.concat(F.lit("bk"), F.col("p_partkey")).alias("header"),
-        (F.col("p_partkey") + 1000).cast("int").alias("taxon"),
-    )
-    idx = KeyValueIndex.build(
-        spark, genomes, labels, _taxonomy(spark, sf_dir), CFG, buckets=32
-    )
-    bw = BrackenWeights(idx, _BRACKEN_READ_LEN)
-    return bw.build_weights(genomes, labels)
+    def build():
+        part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
+        genomes = part.select(
+            F.concat(F.lit("bk"), F.col("p_partkey")).alias("header"),
+            _dna_expr("bkuniq", F.col("p_partkey")).alias("nucleotides"),
+        )
+        labels = part.select(
+            F.concat(F.lit("bk"), F.col("p_partkey")).alias("header"),
+            (F.col("p_partkey") + 1000).cast("int").alias("taxon"),
+        )
+        idx = KeyValueIndex.build(
+            spark, genomes, labels, _taxonomy(spark, sf_dir), CFG, buckets=32
+        )
+        bw = BrackenWeights(idx, _BRACKEN_READ_LEN)
+        return bw, bw.build_weights(genomes, labels).persist()
+
+    return app_scoped_get(_BRACKEN_W_CACHE, spark, ("bracken_w", sf_dir), build)
+
+
+@register(
+    "bracken_distrib_lines",
+    f"""
+    SELECT CAST(p_partkey + 1000 AS INT) AS dest,
+           CAST(p_partkey + 1000 AS VARCHAR) || chr(9)
+             || CAST(p_partkey + 1000 AS VARCHAR)
+             || ':{256 - _BRACKEN_READ_LEN + 1}:{256 - _BRACKEN_READ_LEN + 1}'
+             AS line
+    FROM part WHERE p_partkey % 40 = 0
+    """,
+)
+def bracken_distrib_lines(spark, sf_dir):
+    """The kmer_distrib artifact's DATA ROWS, rendered executor-side —
+    the reference's flagship Bracken output (BrackenWeights.scala:
+    413-430): per destination taxon, the space-joined
+    ``source:kmers_mapped:total_genome_kmers`` triples. On the
+    self-classify fixture every genome maps only to itself, so each
+    dest renders exactly ``dest\\tdest:157:157`` — the oracle
+    enumerates the rendered lines, pinning group_data's per-source
+    totals join AND the executor-side string rendering that
+    write_kmer_distrib streams to the single-file artifact (the driver
+    never materializes a line)."""
+    bw, weights = _bracken_self_weights(spark, sf_dir)
+    return bw.kmer_distrib_df(bw.group_data(weights))
 
 
 # ---------------------------------------------------------------------------
