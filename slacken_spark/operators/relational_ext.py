@@ -118,6 +118,8 @@ def salted_join(
     buckets than the surviving map outputs, the SPARK-23207 class of
     silent row loss/duplication). Exact duplicate rows share a salt and
     colocate — correct, merely less spread for a degenerate all-dup key.
+    MapType columns are not hashable in Spark — such an input fails
+    loudly at plan time (project them away or to map_entries first).
     """
     _reserve(left, "_salt")
     _reserve(right_small, "_salt")
