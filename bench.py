@@ -37,7 +37,11 @@ def main() -> None:
     # The wait and the pre-wait load are recorded either way; a burst
     # arriving MID-run is still visible via load_avg_end.
     load_pre_wait = _loadavg()
-    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0"))
+    # default scales with the host: 5% of the cores, floored at 1.0 —
+    # a flat 1.0 on a big box would burn the whole wait budget on
+    # ambient daemon load the bench wouldn't even notice
+    default_max = max(1.0, 0.05 * (os.cpu_count() or 1))
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", str(default_max)))
     wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
     waited = 0.0
     while (
@@ -45,9 +49,21 @@ def main() -> None:
         and waited < wait_budget
         and (_loadavg() or 0.0) > load_max
     ):
+        if waited == 0.0:
+            print(
+                f"bench: host load {load_pre_wait} > {load_max}, waiting "
+                f"(budget {wait_budget:.0f}s)",
+                file=sys.stderr,
+            )
         time.sleep(15)
         waited += 15
     load_start = _loadavg()
+    if waited >= wait_budget and (load_start or 0.0) > load_max:
+        print(
+            f"bench: wait budget exhausted at load {load_start} — timings "
+            "will be burst-annotated (see load_avg_* fields)",
+            file=sys.stderr,
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0

@@ -102,9 +102,11 @@ for seed in (61, 62, 63):
     big = spark.createDataFrame(hot + tail_rows, "k long, payload long")
     dim = spark.createDataFrame([(int(k), f"d{k}") for k in range(30)], "k long, name string")
     from slacken_spark.operators.relational_ext import salted_agg, salted_join
-    got = {(r["k"], r["payload"], r["name"]) for r in
-           salted_join(big, dim, on="k", salt_buckets=8).collect()}
-    want = {(r["k"], r["payload"], r["name"]) for r in big.join(dim, "k").collect()}
+    # sorted LISTS, not sets: a broken salt join's signature failure is
+    # row DUPLICATION, which a set-compare would silently dedupe away
+    got = sorted((r["k"], r["payload"], r["name"]) for r in
+                 salted_join(big, dim, on="k", salt_buckets=8).collect())
+    want = sorted((r["k"], r["payload"], r["name"]) for r in big.join(dim, "k").collect())
     s = "OK" if got == want else "FAIL"
     if s == "FAIL": fails += 1
     print(f"seed={seed} salted_join {s} ({len(want)} rows)", flush=True)

@@ -166,6 +166,13 @@ def move(src: str, dst: str) -> None:
     except OSError:
         if info.type == pafs.FileType.NotFound:
             raise  # not an existing-target rejection — a real error
+        # The fallback deletes the PREVIOUS artifact, so take it only
+        # when the failure can actually be the existing-target
+        # rejection: a missing/unreadable source would fail the retry
+        # too, and deleting dst for it destroys the one good copy
+        # (e.g. a raced part listing upstream).
+        if filesystem.get_file_info(p_src).type == pafs.FileType.NotFound:
+            raise
     filesystem.delete_file(p_dst)
     filesystem.move(p_src, p_dst)
 

@@ -96,6 +96,17 @@ def sessionize(
     )
 
 
+def _hash_salt(cols: list, salt_buckets: int):
+    """The repo's ONE deterministic salt expression:
+    ``pmod(hash(cols), buckets)``. Salts must never come from
+    rand()/partition-id — a partially replayed shuffle stage would
+    re-salt rows into different buckets than the surviving map outputs
+    (the SPARK-23207 class of silent row loss/duplication). Callers
+    pick ``cols`` so the salt varies WITHIN the hot key (the whole row
+    for salted join/agg, the sort key for grouped_topk)."""
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(salt_buckets))
+
+
 def salted_join(
     left: DataFrame,
     right_small: DataFrame,
@@ -123,10 +134,7 @@ def salted_join(
     """
     _reserve(left, "_salt")
     _reserve(right_small, "_salt")
-    salted_l = left.withColumn(
-        "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)),
-    )
+    salted_l = left.withColumn("_salt", _hash_salt(left.columns, salt_buckets))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).alias("_salt")
@@ -155,10 +163,7 @@ def salted_agg(
     fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     _reserve(df, "_salt")
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
-    )
+    salted = df.withColumn("_salt", _hash_salt(df.columns, salt_buckets))
     partial = salted.groupBy(key, "_salt").agg(
         *[
             fns[spec.split(":")[0]](spec.split(":")[1]).alias(out)
@@ -461,10 +466,7 @@ def grouped_topk(
     # hash the row's sort key for the salt: deterministic, and ties
     # colliding into one bucket cannot break correctness (only shrink
     # stage-1 parallelism for a pathologically constant sort key)
-    salt_src = [F.col(n) for n in names]
-    salted = df.withColumn(
-        "_salt", F.pmod(F.hash(*salt_src), F.lit(salt_buckets))
-    )
+    salted = df.withColumn("_salt", _hash_salt(names, salt_buckets))
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
     local = (
         salted.withColumn("_rn1", F.row_number().over(w1))

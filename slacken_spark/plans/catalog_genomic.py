@@ -447,7 +447,6 @@ _BRACKEN_W_CACHE: dict = {}
 
 
 def _bracken_self_weights(spark, sf_dir):
-    from slacken_spark.appcache import app_scoped_get
     from slacken_spark.bracken import BrackenWeights
 
     def build():

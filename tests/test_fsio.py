@@ -172,3 +172,41 @@ def test_any_fs_accepts_single_slash_uri(tmp_path):
     p.write_text("ok")
     assert fsio.read_text(f"file:{p}") == "ok"
     assert fsio.read_text(f"file://{p}") == "ok"
+
+
+def test_move_overwrites_via_rename_and_guards_bad_states(tmp_path):
+    """move() is the artifact-promotion primitive: (1) plain move, (2)
+    atomic-on-POSIX overwrite of an existing file, (3) a directory
+    destination is rejected loudly BEFORE anything is deleted, (4) a
+    missing source raises and PRESERVES the existing destination — the
+    fallback must never delete the one good artifact for an operation
+    that cannot succeed (r10 review finding)."""
+    import pytest
+
+    from slacken_spark import fsio
+
+    src = tmp_path / "part-001"
+    dst = tmp_path / "artifact.tsv"
+    src.write_text("new\n")
+    fsio.move(str(src), str(dst))
+    assert dst.read_text() == "new\n" and not src.exists()
+
+    # overwrite an existing destination
+    src2 = tmp_path / "part-002"
+    src2.write_text("newer\n")
+    fsio.move(str(src2), str(dst))
+    assert dst.read_text() == "newer\n" and not src2.exists()
+
+    # directory destination: loud, nothing deleted
+    ddir = tmp_path / "somedir"
+    ddir.mkdir()
+    src3 = tmp_path / "part-003"
+    src3.write_text("x\n")
+    with pytest.raises(IsADirectoryError):
+        fsio.move(str(src3), str(ddir))
+    assert src3.exists() and ddir.is_dir()
+
+    # missing source: raises AND the previous artifact survives
+    with pytest.raises(OSError):
+        fsio.move(str(tmp_path / "no-such-part"), str(dst))
+    assert dst.read_text() == "newer\n"
