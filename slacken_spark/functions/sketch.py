@@ -257,3 +257,110 @@ def histogram_maintain(
     pos = histogram_sketch(new_rows, group_col, cents, bin_width)
     merged = histogram_merge(hist.unionByName(neg).unionByName(pos))
     return merged.where(F.col("n") != 0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table → mergeable distinct counting
+# ---------------------------------------------------------------------------
+
+# token_hash64 yields 60 nonnegative bits; the low `p` index a register,
+# the remaining 60 − p feed the leading-zero rank. rho caps at 61 − p
+# (the all-zero suffix).
+_HLL_HASH_BITS = 60
+
+
+def hll_registers(
+    occ: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """HyperLogLog register TABLE per group (Flajolet et al. 2007) —
+    ``(*group_cols, reg, rho)``, one row per non-empty register, at
+    most ``2**p`` rows per group whatever the cardinality.
+
+    This is the distinct-counting analog of ``cms_sketch``'s grid: the
+    REGISTERS are the artifact, all-integer and max-mergeable, so they
+    build per-partition/shard/micro-batch (map-side partial max before
+    one register-sized shuffle), combine losslessly
+    (``regs(A ∪ B) == hll_merge(regs(A), regs(B))``, row for row), and
+    store as a tiny table a CDC maintainer keeps current — where
+    Spark's ``approx_count_distinct`` hides its sketch inside one
+    opaque aggregate you can neither persist nor maintain. Estimates
+    derive on demand (:func:`hll_estimate`); the register table itself
+    is hash-exact across engines (md5-derived ``token_hash64``), so an
+    oracle gates every register, not a tolerance band.
+
+    ``rho`` = 1 + leading zeros of the (60 − p)-bit suffix, computed
+    portably as ``61 − p − bit_length(suffix)`` with ``bin()`` string
+    length (both engines lack an integer bit_length; float log2 rounds
+    wrong exactly at the powers of two that matter here).
+    """
+    if not (2 <= p <= 16):
+        raise ValueError(f"p must be in [2, 16]: {p}")
+    m = 1 << p
+    h = token_hash64(
+        F.concat(F.lit("hll_"), F.col(value_col).cast("string"))
+    )
+    occ = occ.select(*group_cols, h.alias("_h"))
+    w = F.expr(f"_h div {m}")
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    return (
+        occ.select(
+            *group_cols,
+            (F.col("_h") % m).cast("int").alias("reg"),
+            (F.lit(_HLL_HASH_BITS + 1 - p) - bitlen).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge partial register tables (a union of :func:`hll_registers`
+    outputs) by per-register max — the mergeability that makes the
+    sketch shardable and streamable. Max is add-monotone, so the table
+    supports APPEND-ONLY maintenance; value deletions cannot lower a
+    register (the same one-directional asymmetry as zone-map min/max —
+    a delete-heavy workload recomputes affected groups instead)."""
+    return regs.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_maintain(
+    base_regs: DataFrame,
+    batch_occ: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Incremental register maintenance under an APPEND batch:
+    ``regs' = hll_merge(regs ∪ regs(batch))`` — batch-bounded work (one
+    batch-sized partial max + one register-sized merge shuffle, no
+    corpus rescan), maintained ≡ rebuilt row for row. Appends only, by
+    construction of max (see :func:`hll_merge`)."""
+    batch = hll_registers(batch_occ, group_cols, value_col, p)
+    return hll_merge(base_regs.unionByName(batch), group_cols)
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """→ ``(*group_cols, est)`` distinct-count estimates from a
+    register table: the standard HLL estimator with the small-range
+    linear-counting correction (the regime every gate-scale group sits
+    in; raw HLL takes over past 2.5·m). Floating-point — for tests and
+    reports; exactness gates belong on the register table itself."""
+    m = 1 << p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    # empty registers contribute 2^0 = 1 each to the harmonic sum
+    zeros = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+    linear = F.lit(m) * F.log(F.lit(float(m)) / zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("est"))

@@ -379,3 +379,127 @@ def test_streaming_histogram_two_batches_merge_to_batch_sketch(
     )
     as_rows = lambda d: {(r["grp"], r["bin"]): r["n"] for r in d.collect()}
     assert as_rows(merged) == as_rows(whole)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table
+# ---------------------------------------------------------------------------
+
+HLL_P = 9
+HLL_M = 1 << HLL_P
+
+
+def _hll_h(v) -> int:
+    return int(hashlib.md5(f"hll_{v}".encode()).hexdigest()[:15], 16)
+
+
+def _hll_model(values, p=HLL_P):
+    """Pure-Python register table over the same md5-derived hashes."""
+    m = 1 << p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = _hll_h(v)
+        reg, w = h % m, h // m
+        rho = 60 + 1 - p - (w.bit_length())
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_pure_python_model(spark):
+    """Register-for-register parity with the model: the table is the
+    hash-exact artifact (estimates are derived, tolerance-free gates
+    belong here). Groups with wildly different cardinalities, string
+    AND int values (the cast-to-string hash input)."""
+    from slacken_spark.functions.sketch import hll_registers
+
+    rows = []
+    for g, n in (("a", 3), ("b", 450), ("c", 2000)):
+        for i in range(n):
+            rows.append((g, f"u{i % (n // 2 + 1)}"))  # dups: distinct < n
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_registers(df, ["g"], "v", HLL_P).collect()
+    }
+    want = {}
+    for g, n in (("a", 3), ("b", 450), ("c", 2000)):
+        vals = {f"u{i % (n // 2 + 1)}" for i in range(n)}
+        for reg, rho in _hll_model(vals).items():
+            want[(g, reg)] = rho
+    assert got == want
+
+
+def test_hll_merge_and_maintain_equal_rebuild(spark):
+    """Mergeability (the shard/stream property) and append-CDC
+    maintenance, both row-exact: regs(A ∪ B) == merge(regs(A),
+    regs(B)) == maintain(regs(A), B)."""
+    from slacken_spark.functions.sketch import (
+        hll_maintain,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(800)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(600, 1400)]  # overlap with a
+        + [("h", f"y{i}") for i in range(200)],     # new group
+        "g string, v string",
+    )
+    whole = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_registers(a.unionByName(b), ["g"], "v", HLL_P).collect()
+    }
+    ra = hll_registers(a, ["g"], "v", HLL_P)
+    rb = hll_registers(b, ["g"], "v", HLL_P)
+    merged = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_merge(ra.unionByName(rb), ["g"]).collect()
+    }
+    maintained = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_maintain(ra, b, ["g"], "v", HLL_P).collect()
+    }
+    assert merged == whole
+    assert maintained == whole
+
+
+@pytest.mark.parametrize("n", [40, 400, 4000])
+def test_hll_estimate_tracks_true_cardinality(spark, n):
+    """The derived estimate lands within 12% of truth at p=9 across
+    three orders of magnitude (linear counting below 2.5m, raw HLL
+    above) — loose enough for hash luck, tight enough that a broken
+    rho or zero-register count fails."""
+    from slacken_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(n)], "g string, v string"
+    )
+    regs = hll_registers(df, ["g"], "v", HLL_P)
+    [row] = hll_estimate(regs, ["g"], HLL_P).collect()
+    assert abs(row["est"] - n) <= 0.12 * n, row["est"]
+
+
+def test_hll_registers_reject_bad_p(spark):
+    from slacken_spark.functions.sketch import hll_registers
+
+    df = spark.createDataFrame([("g", "v")], "g string, v string")
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, ["g"], "v", 1)
+
+
+def test_hll_register_table_is_bounded_and_integer(spark):
+    """At most 2^p rows per group whatever the input size, int types
+    throughout (the 100 TB contract: the artifact is tiny and exact)."""
+    from slacken_spark.functions.sketch import hll_registers
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(20000)], "g string, v string"
+    )
+    out = hll_registers(df, ["g"], "v", 5)
+    rows = out.collect()
+    assert len(rows) <= 32
+    assert out.schema["reg"].dataType.simpleString() == "int"
+    assert out.schema["rho"].dataType.simpleString() == "int"
+    assert all(1 <= r["rho"] <= 60 + 1 - 5 for r in rows)
