@@ -522,3 +522,50 @@ def histogram_stream(value_stream: DataFrame, sink, group_col: str,
         )
 
     return value_stream.writeStream.foreachBatch(process)
+
+
+def hll_stream(base_regs: DataFrame, value_stream: DataFrame,
+               group_cols: list[str], value_col: str, sink, p: int = 9):
+    """Streaming distinct-count maintenance: an APPEND stream keeps the
+    per-group HyperLogLog register table current — completing the
+    batch/stream/CDC symmetry the CMS, histogram, and zone-map
+    families already have (``functions.sketch.hll_registers`` /
+    ``hll_maintain`` are the batch/CDC halves, sharing ONE register
+    definition with this maintainer).
+
+    Per micro-batch: ``regs' = hll_merge(regs ∪ regs(batch))`` — one
+    batch-sized map-side partial max plus one register-table-sized
+    merge shuffle; ``sink(regs_df, epoch_id)`` observes the maintained
+    table (an empty batch still reports it — the batch operator
+    returns the table untouched for an empty append). No base
+    advancement is needed, unlike the CDC maintainers: registers are
+    max-monotone, so appends never require subtracting old rows — and
+    for the same reason value DELETIONS cannot be streamed (the
+    zone-map min/max asymmetry; recompute affected groups instead).
+
+    The register table round-trips through the driver between batches
+    (collect + recreate): it is register-cardinality-sized BY DESIGN
+    (≤ groups × 2^p tiny integer rows), and re-materializing caps the
+    otherwise per-batch-compounding lineage — the memory-sink stand-in
+    for the production shape, where the sink MERGEs into a
+    storage-backed table the next batch reads back.
+
+    Returns the DataStreamWriter (caller adds trigger and starts).
+    """
+    from slacken_spark.functions.sketch import hll_maintain
+
+    state = {"regs": base_regs}
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            sink(state["regs"], epoch_id)
+            return
+        spark = batch_df.sparkSession
+        maintained = hll_maintain(
+            state["regs"], batch_df, group_cols, value_col, p
+        )
+        schema = maintained.schema
+        state["regs"] = spark.createDataFrame(maintained.collect(), schema)
+        sink(state["regs"], epoch_id)
+
+    return value_stream.writeStream.foreachBatch(process)

@@ -503,3 +503,56 @@ def test_hll_register_table_is_bounded_and_integer(spark):
     assert out.schema["reg"].dataType.simpleString() == "int"
     assert out.schema["rho"].dataType.simpleString() == "int"
     assert all(1 <= r["rho"] <= 60 + 1 - 5 for r in rows)
+
+
+def test_streaming_hll_two_batches_equal_batch_registers(spark, tmp_path):
+    """hll_stream over a two-file stream (maxFilesPerTrigger=1 → two
+    genuine micro-batches) starting from a NON-EMPTY base table: the
+    final maintained registers equal one batch pass over base ∪ both
+    batches, row for row, and every epoch's table is a valid
+    intermediate (registers only ever grow)."""
+    from slacken_spark.functions.sketch import hll_registers
+    from slacken_spark.streaming import ops
+
+    base_rows = [("g", f"seed{i}") for i in range(100)]
+    a = [(i, "g", f"x{i}") for i in range(0, 400)]
+    b = [(i, "g", f"x{i}") for i in range(300, 700)] + [
+        (i, "h", f"y{i}") for i in range(50)
+    ]
+    spark.createDataFrame(a, "rid long, g string, v string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "src" / "a.parquet"))
+    spark.createDataFrame(b, "rid long, g string, v string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "src" / "b.parquet"))
+    stream = (
+        spark.readStream.schema("rid long, g string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(tmp_path / "src") + "/*/")
+    )
+    base = hll_registers(
+        spark.createDataFrame(base_rows, "g string, v string"),
+        ["g"], "v", HLL_P,
+    )
+    seen = []
+
+    def sink(regs_df, epoch):
+        seen.append({(r["g"], r["reg"]): r["rho"] for r in regs_df.collect()})
+
+    ops.run_foreach_to_completion(
+        ops.hll_stream(base, stream, ["g"], "v", sink, HLL_P)
+    )
+    assert len(seen) >= 2, "expected two micro-batches"
+    whole = spark.createDataFrame(
+        base_rows + [(g, v) for _, g, v in a + b], "g string, v string"
+    )
+    want = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_registers(whole, ["g"], "v", HLL_P).collect()
+    }
+    assert seen[-1] == want
+    # monotone growth: every epoch's registers dominate the previous
+    for prev, cur in zip(seen, seen[1:]):
+        assert set(prev) <= set(cur)
+        assert all(cur[k] >= v for k, v in prev.items())
