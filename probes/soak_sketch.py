@@ -1,7 +1,8 @@
-"""Soak the sketch maintainers (CMS grid, quantile histogram) and
-their mergeability: random corpora, random CDC replacement batches,
-random slice splits — maintained ≡ rebuilt cell-for-cell, and
-merge(slices) ≡ whole."""
+"""Soak the sketch maintainers (CMS grid, quantile histogram, HLL
+register table) and their mergeability: random corpora, random CDC
+replacement/append batches, random slice splits — maintained ≡ rebuilt
+cell-for-cell (register-for-register), merge(slices) ≡ whole, and HLL
+registers ≡ a pure-Python model off-seed."""
 import sys
 
 import numpy as np
@@ -69,5 +70,51 @@ for seed in (51, 52, 53):
     for s in (s1, s2, s3):
         if s == "FAIL": fails += 1
     print(f"seed={seed} cms_maintain≡rebuild {s1}  cms_merge(slices)≡whole {s2}  hist_maintain≡rebuild {s3}", flush=True)
+
+# --- HLL register table: model parity, merge, append maintenance ---
+import hashlib
+from slacken_spark.functions.sketch import hll_maintain, hll_merge, hll_registers
+
+def hll_model(values, p):
+    m, regs = 1 << p, {}
+    for v in values:
+        h = int(hashlib.md5(f"hll_{v}".encode()).hexdigest()[:15], 16)
+        reg, w = h % m, h // m
+        rho = 61 - p - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+for seed in (71, 72, 73):
+    rng = np.random.default_rng(seed)
+    p = int(rng.choice([5, 9, 12]))
+    data = {}
+    for g in GROUPS:
+        n = int(rng.integers(3, 4000))
+        data[g] = [f"v{int(x)}" for x in rng.integers(0, n, n)]
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in data.items() for v in vs], "g string, v string")
+    got = {(r["g"], r["reg"]): r["rho"]
+           for r in hll_registers(df, ["g"], "v", p).collect()}
+    want = {}
+    for g, vs in data.items():
+        for reg, rho in hll_model(set(vs), p).items():
+            want[(g, reg)] = rho
+    s1 = "OK" if got == want else "FAIL"
+    # random slice split: merge(slices) == whole
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    cut = int(rng.integers(1, len(rows) - 1))
+    ra = hll_registers(spark.createDataFrame(rows[:cut], "g string, v string"), ["g"], "v", p)
+    rb = hll_registers(spark.createDataFrame(rows[cut:], "g string, v string"), ["g"], "v", p)
+    merged = {(r["g"], r["reg"]): r["rho"]
+              for r in hll_merge(ra.unionByName(rb), ["g"]).collect()}
+    s2 = "OK" if merged == got else "FAIL"
+    # append maintenance == rebuild
+    batch = spark.createDataFrame(rows[cut:], "g string, v string")
+    maint = {(r["g"], r["reg"]): r["rho"]
+             for r in hll_maintain(ra, batch, ["g"], "v", p).collect()}
+    s3 = "OK" if maint == got else "FAIL"
+    for s in (s1, s2, s3):
+        if s == "FAIL": fails += 1
+    print(f"seed={seed} p={p} hll≡model {s1}  hll_merge(slices)≡whole {s2}  hll_maintain≡rebuild {s3}", flush=True)
 print("SKETCH SOAK FAILS:", fails)
 spark.stop()
