@@ -377,3 +377,72 @@ def source_unigram_drift(docs, text_col: str = "text",
             (F.col("nsrc") * F.col("n")).cast("long").alias("denom"),
         )
     )
+
+
+def bigram_lm_scores(
+    df, text_col: str, id_col: str, min_count: int = 30
+):
+    """Per-document bigram language-model quality signals — the bigram
+    analog of the unigram rarity scorer (``doc_unigram_rarity``), and
+    the document-scoring consumer of ``ngram_lm_counts``'s corpus
+    tables: a CCNet-style filter thresholds on these instead of a
+    floating LM perplexity, with every statistic an INTEGER (plus one
+    final int/int division), so results are exactly reproducible
+    across engines.
+
+    Per doc: ``n_bigrams`` (adjacent token pairs), ``n_known`` (pairs
+    whose corpus count ≥ min_count — template/boilerplate text scores
+    high, OCR noise and wrong-language text low), ``sum_n`` (corpus
+    popularity mass of its pairs), ``sum_cont`` (Kneser-Ney
+    continuation counts of its pairs' right tokens — diversity of
+    contexts, the signal that separates natural reuse from copy-paste
+    boilerplate), and ``known_frac`` = n_known / n_bigrams. Docs with
+    < 2 tokens emit zeros with a NULL known_frac.
+
+    Scale shape: ONE posexplode + lead window builds pairs (one
+    ``id_col`` shuffle), the corpus pair table reduces on a
+    vocab²-bounded partial-agg shuffle, the continuation count reduces
+    the ALREADY-aggregated pairs (a row per distinct pair, never per
+    occurrence), and the vocabulary-sized statistics broadcast back
+    onto the pair stream before the final per-doc aggregation — the
+    corpus is scanned once, nothing corpus-sized concentrates on one
+    task. A trillion-pair vocab outlier degrades the broadcast to a
+    shuffle join; the plan degrades, not breaks.
+    """
+    from pyspark.sql import Window as W
+
+    pt = positioned_tokens(df, text_col, id_col)
+    w = W.partitionBy(id_col).orderBy("pos")
+    bg = (
+        pt.select(
+            F.col(id_col),
+            F.col("tok").alias("l"),
+            F.lead("tok").over(w).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    c = bg.groupBy("l", "r").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cont = c.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("cont_r"))
+    stats = c.join(F.broadcast(cont), "r")
+    scored = bg.join(F.broadcast(stats), ["l", "r"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum((F.col("n") >= min_count).cast("long"))
+        .cast("long")
+        .alias("n_known"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum("cont_r").cast("long").alias("sum_cont"),
+    )
+    out = df.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_known", F.lit(0)).alias("n_known"),
+        F.coalesce("sum_n", F.lit(0)).alias("sum_n"),
+        F.coalesce("sum_cont", F.lit(0)).alias("sum_cont"),
+    )
+    return out.withColumn(
+        "known_frac",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("n_known") * F.lit(1.0) / F.col("n_bigrams"),
+        ),
+    )
