@@ -364,6 +364,37 @@ def bloom_bitmap(
     )
 
 
+def bloom_merge(words: DataFrame) -> DataFrame:
+    """Merge partial Bloom word tables (a union of :func:`bloom_bitmap`
+    outputs built with the SAME m_bits/k) by per-word bit_or — the
+    mergeability that lets the filter build per-partition, per-shard,
+    or per-micro-batch and combine losslessly:
+    ``bitmap(A ∪ B) == bloom_merge(bitmap(A), bitmap(B))``, word for
+    word. bit_or is add-monotone, so the table supports APPEND-ONLY
+    maintenance; key deletions cannot clear a bit (the zone-map /
+    HLL-register asymmetry — rebuild for delete-heavy workloads, or
+    pair with a second "deleted" filter and subtract at probe time)."""
+    return words.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_maintain(
+    base_words: DataFrame,
+    batch_df: DataFrame,
+    col: str,
+    m_bits: int = 8192,
+    k: int = 2,
+) -> DataFrame:
+    """Incremental Bloom maintenance under an APPEND batch:
+    ``words' = bloom_merge(words ∪ bitmap(batch))`` — batch-bounded
+    work (one batch-sized partial bit_or + one ≤ m_bits/32-row merge
+    shuffle, no corpus rescan), maintained ≡ rebuilt word for word.
+    The 'seen in a previous crawl' filter stays current as crawls
+    arrive instead of rebuilding over billions of historical keys."""
+    return bloom_merge(
+        base_words.unionByName(bloom_bitmap(batch_df, col, m_bits, k))
+    )
+
+
 def bloom_membership_count(
     df: DataFrame,
     col: str,

@@ -569,3 +569,33 @@ def hll_stream(base_regs: DataFrame, value_stream: DataFrame,
         sink(state["regs"], epoch_id)
 
     return value_stream.writeStream.foreachBatch(process)
+
+
+def bloom_stream(base_words: DataFrame, value_stream: DataFrame, col: str,
+                 sink, m_bits: int = 8192, k: int = 2):
+    """Streaming Bloom-filter maintenance over an APPEND stream —
+    batch/stream/CDC symmetry for the membership family, same shape as
+    :func:`hll_stream`: per micro-batch
+    ``words' = bloom_merge(words ∪ bitmap(batch))``, the sink observes
+    the maintained word table every epoch (empty batches included),
+    and the table round-trips the driver between batches (≤ m_bits/32
+    integer rows BY DESIGN — the production sink MERGEs into a
+    storage-backed table). Appends only: bit_or is monotone, deletions
+    are the zone-map asymmetry. Returns the DataStreamWriter."""
+    from slacken_spark.functions.dedup import bloom_maintain
+
+    state = {"words": base_words}
+
+    def process(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            sink(state["words"], epoch_id)
+            return
+        spark = batch_df.sparkSession
+        maintained = bloom_maintain(
+            state["words"], batch_df, col, m_bits, k
+        )
+        schema = maintained.schema
+        state["words"] = spark.createDataFrame(maintained.collect(), schema)
+        sink(state["words"], epoch_id)
+
+    return value_stream.writeStream.foreachBatch(process)

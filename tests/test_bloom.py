@@ -73,3 +73,91 @@ def test_bloom_upper_bounds_exact_overlap(spark, sf_dir):
     # every exactly-contaminated doc is flagged with at least its true count
     for doc, n in exact.items():
         assert maybe.get(doc, 0) >= n
+
+
+def test_bloom_merge_and_maintain_equal_rebuild(spark):
+    """Mergeability + append-CDC maintenance, word-exact:
+    bitmap(A ∪ B) == bloom_merge(bitmap(A), bitmap(B)) ==
+    bloom_maintain(bitmap(A), B) — the shard/stream/CDC property; and
+    probes through the maintained table still show no false
+    negatives for values inserted by EITHER side."""
+    from slacken_spark.functions.dedup import (
+        bloom_bitmap,
+        bloom_maintain,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(150)], "s string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(120)], "s string")
+    whole = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_bitmap(a.unionByName(b), "s", 4096, 2).collect()
+    }
+    wa = bloom_bitmap(a, "s", 4096, 2)
+    wb = bloom_bitmap(b, "s", 4096, 2)
+    merged = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_merge(wa.unionByName(wb)).collect()
+    }
+    maintained_df = bloom_maintain(wa, b, "s", 4096, 2)
+    maintained = {
+        r["word_idx"]: r["bits"] for r in maintained_df.collect()
+    }
+    assert merged == whole
+    assert maintained == whole
+    # no false negatives through the maintained table
+    from slacken_spark.functions.dedup import bloom_membership_count
+
+    probe = a.unionByName(b).withColumn("pid", F.monotonically_increasing_id())
+    found = bloom_membership_count(
+        probe, "s", "pid", maintained_df, m_bits=4096, k=2
+    )
+    assert found.count() == 270
+
+
+def test_bloom_stream_two_batches_equal_batch_bitmap(spark, tmp_path):
+    """bloom_stream over two genuine micro-batches from a non-empty
+    base: final maintained words == one batch build over the union,
+    word for word; per-epoch tables only ever set bits (monotone)."""
+    from slacken_spark.functions.dedup import bloom_bitmap
+    from slacken_spark.streaming import ops
+
+    base_vals = [(f"seed{i}",) for i in range(60)]
+    a = [(i, f"x{i}") for i in range(200)]
+    b = [(i, f"y{i}") for i in range(150)]
+    spark.createDataFrame(a, "rid long, s string").coalesce(1).write.parquet(
+        str(tmp_path / "src" / "a.parquet")
+    )
+    spark.createDataFrame(b, "rid long, s string").coalesce(1).write.parquet(
+        str(tmp_path / "src" / "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema("rid long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(tmp_path / "src") + "/*/")
+    )
+    base = bloom_bitmap(
+        spark.createDataFrame(base_vals, "s string"), "s", 4096, 2
+    )
+    seen = []
+
+    def sink(words_df, epoch):
+        seen.append({r["word_idx"]: r["bits"] for r in words_df.collect()})
+
+    ops.run_foreach_to_completion(
+        ops.bloom_stream(base, stream, "s", sink, 4096, 2)
+    )
+    assert len(seen) >= 2
+    whole = spark.createDataFrame(
+        base_vals + [(s,) for _, s in a + b], "s string"
+    )
+    want = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_bitmap(whole, "s", 4096, 2).collect()
+    }
+    assert seen[-1] == want
+    for prev, cur in zip(seen, seen[1:]):
+        assert set(prev) <= set(cur)
+        # monotone: every previously-set bit stays set
+        assert all((cur[w] & bits) == bits for w, bits in prev.items())
