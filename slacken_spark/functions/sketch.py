@@ -302,7 +302,12 @@ def hll_registers(
     h = token_hash64(
         F.concat(F.lit("hll_"), F.col(value_col).cast("string"))
     )
-    occ = occ.select(*group_cols, h.alias("_h"))
+    # NULL values are ignored, matching count_distinct /
+    # approx_count_distinct — without the filter a null would hash to
+    # null and land as a phantom (group, null, null) register row
+    occ = occ.where(F.col(value_col).isNotNull()).select(
+        *group_cols, h.alias("_h")
+    )
     w = F.expr(f"_h div {m}")
     bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
     return (

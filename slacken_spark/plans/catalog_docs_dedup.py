@@ -1078,7 +1078,10 @@ def dedup_components_predistinct(spark, sf_dir):
     contraction must converge on ITS layout, not the caller's. Each
     chain connects its whole residue class, so the oracle is the
     closed form: component = min doc_id of the class — recursion-free,
-    and any stall/mislabel breaks it loudly."""
+    and any stall/mislabel breaks it loudly. (The 7-partition lead
+    window is FIXTURE scaffolding — the cheapest deterministic
+    adversarial edge list, not a production plan; the operator under
+    test is the contraction loop, whose own stages are all bounded.)"""
     docs = tp(spark, sf_dir, "documents")
     pairs = _predistinct_chain_pairs(spark, sf_dir)
     labels = D.connected_components_contract(pairs, loop_partitions=2)

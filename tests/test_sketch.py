@@ -481,6 +481,24 @@ def test_hll_estimate_tracks_true_cardinality(spark, n):
     assert abs(row["est"] - n) <= 0.12 * n, row["est"]
 
 
+def test_hll_registers_ignore_nulls(spark):
+    """NULL values must not register — count_distinct semantics; a
+    phantom null register would also poison the merge with a null
+    reg key."""
+    from slacken_spark.functions.sketch import hll_registers
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b"), ("h", None)],
+        "g string, v string",
+    )
+    rows = hll_registers(df, ["g"], "v", HLL_P).collect()
+    assert all(r["reg"] is not None and r["rho"] is not None for r in rows)
+    assert {r["g"] for r in rows} == {"g"}  # all-null group: no rows
+    want = _hll_model({"a", "b"})
+    got = {r["reg"]: r["rho"] for r in rows}
+    assert got == want
+
+
 def test_hll_registers_reject_bad_p(spark):
     from slacken_spark.functions.sketch import hll_registers
 
