@@ -353,8 +353,12 @@ def bloom_bitmap(
         F.pmod(token_hash64(F.concat(F.lit(f"bloom{i}_"), F.col(col))), F.lit(m_bits))
         for i in range(k)
     ]
+    # NULL keys set no bits (membership of null is not meaningful);
+    # unfiltered they would hash to null and land as a junk
+    # (null, null) word row that merges carry along forever
     return (
-        df.select(F.explode(F.array(*pos)).alias("p"))
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.array(*pos)).alias("p"))
         .selectExpr(
             "p div 32 AS word_idx",
             "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)) AS mask",

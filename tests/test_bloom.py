@@ -161,3 +161,26 @@ def test_bloom_stream_two_batches_equal_batch_bitmap(spark, tmp_path):
         assert set(prev) <= set(cur)
         # monotone: every previously-set bit stays set
         assert all((cur[w] & bits) == bits for w, bits in prev.items())
+
+
+def test_bloom_bitmap_ignores_null_keys(spark):
+    """NULL keys must not set bits or emit the junk (null, null) word
+    row a null hash otherwise produces — and an all-null build yields
+    an EMPTY word table, not a one-row null table."""
+    from slacken_spark.functions.dedup import bloom_bitmap
+
+    df = spark.createDataFrame(
+        [("x",), (None,), ("y",)], "s string"
+    )
+    rows = bloom_bitmap(df, "s", 4096, 2).collect()
+    assert all(r["word_idx"] is not None and r["bits"] is not None for r in rows)
+    want = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_bitmap(
+            spark.createDataFrame([("x",), ("y",)], "s string"), "s", 4096, 2
+        ).collect()
+    }
+    assert {(r["word_idx"], r["bits"]) for r in rows} == want
+    assert bloom_bitmap(
+        spark.createDataFrame([(None,)], "s string"), "s", 4096, 2
+    ).count() == 0
