@@ -478,3 +478,125 @@ def grouped_topk(
         local.withColumn(rank_col, F.row_number().over(w2).cast("long"))
         .where(F.col(rank_col) <= k)
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    buckets: int = 32,
+    out_col: str = "cum",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` in ``order_cols``
+    order — the scan primitive, distributed: the scale-safe form of
+    ``sum(v).over(Window.orderBy(...))``, which moves the whole input
+    through one task exactly like the rank case
+    (:func:`global_row_number`, whose two-level shape this generalizes:
+    rank IS the prefix sum of the constant 1).
+
+    Same machinery, same contracts: rows range-partition on
+    (group, order key); per-(bucket, group) running sums compute in
+    parallel; the per-(bucket, group) TOTALS (bounded by
+    buckets + groups − 1 rows) prefix-sum per group and broadcast back
+    as base offsets. ``order_cols`` must total-order rows within a
+    group for a deterministic scan; output is bucketing-invariant;
+    ``spark.sql.exchange.reuse=false`` is rejected at call time (the
+    local and totals branches must read ONE materialized range
+    exchange). Sums are int64 — the caller keeps weights inside the
+    64-bit budget (token counts at 100 TB: ~10^14, comfortable).
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive: {buckets}")
+    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    if str(reuse).lower() == "false":
+        raise RuntimeError(
+            "global_prefix_sum requires spark.sql.exchange.reuse=true: "
+            "its local-scan and totals branches must read ONE "
+            "materialized range exchange to agree on bucket ids"
+        )
+    _reserve(df, "_bkt", "_ps_in", "_boff", out_col)
+    pc = list(partition_cols or [])
+    cols = [F.col(c) for c in pc + list(order_cols)]
+    base = df.repartitionByRange(buckets, *cols).withColumn(
+        "_bkt", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_bkt", *pc)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn(
+        "_ps_in", F.sum(F.col(value_col)).over(w_in).cast("long")
+    )
+    totals = base.groupBy("_bkt", *pc).agg(
+        F.sum(F.col(value_col)).cast("long").alias("_bn")
+    )
+    w_b = (
+        Window.partitionBy(*pc) if pc else Window
+    ).orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", *pc, F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_bkt", *pc])
+        .withColumn(out_col, (F.col("_boff") + F.col("_ps_in")).cast("long"))
+        .drop("_bkt", "_ps_in", "_boff")
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    stride: int,
+    order_cols: list[str],
+    buckets: int = 32,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling, exactly
+    reproducible: lay the rows end-to-end by their INTEGER weights in
+    ``order_cols`` order and keep every row whose cumulative interval
+    ``(cum − w, cum]`` covers a multiple of ``stride`` — the classic
+    PPS design a token-budget corpus selection needs ("fill N tokens,
+    long documents proportionally more likely"), with zero floating
+    point: selection and multiplicity are integer arithmetic over the
+    distributed prefix sum, so any engine reproduces the exact row
+    set. Expected sample size = total_weight / stride; a row with
+    w ≥ stride is always selected (``n_hits`` > 1 records the
+    multiplicity a with-replacement design would assign; zero-weight
+    rows are never selected). Weights must be nonnegative — negative
+    weights make the cumulative lay-out meaningless (and the closed
+    form below silently wrong), so they fail the plan loudly via a
+    codegen'd assertion rather than a scan-the-input pre-check.
+
+    Scale shape: one :func:`global_prefix_sum` (bounded stages,
+    broadcast offsets) + a map-side closed-form filter. Deterministic
+    by ``order_cols`` total order — same contract as the rank
+    operators; there is no seed because SYSTEMATIC sampling's
+    randomness, if wanted, enters by ordering on a hash
+    (``order_cols=[hash(id)]``-style), keeping the whole design
+    engine-exact.
+    """
+    if stride <= 0:
+        raise ValueError(f"stride must be positive: {stride}")
+    _reserve(df, "n_hits")
+    w = F.col(weight_col)
+    checked = df.withColumn(
+        weight_col,
+        F.when(w >= 0, w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pps_systematic_sample: negative weight "), w
+                )
+            )
+        ),
+    )
+    cum = global_prefix_sum(
+        checked, order_cols, weight_col, buckets,
+        out_col="cum", partition_cols=partition_cols,
+    )
+    hits = F.expr(f"(cum div {int(stride)}) - ((cum - {weight_col}) div {int(stride)})")
+    return (
+        cum.withColumn("n_hits", hits.cast("long"))
+        .where(F.col("n_hits") > 0)
+    )

@@ -1087,3 +1087,86 @@ def test_no_catalog_entry_uses_row_at_a_time_python(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python stages in: {offenders}"
+
+
+def test_global_prefix_sum_matches_window_form(spark):
+    """global_prefix_sum (the scan primitive on the two-level rank
+    machinery) must equal the single-task window cumsum exactly, for
+    any bucket count, grouped and ungrouped, with zero weights and
+    heavy order-key ties (total order restored by id)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from slacken_spark.operators.relational_ext import global_prefix_sum
+
+    rng = np.random.default_rng(41)
+    rows = [
+        (int(i), int(i % 3), int(v), int(w))
+        for i, (v, w) in enumerate(
+            zip(rng.integers(0, 20, 151), rng.integers(0, 9, 151))
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, g long, v long, w long")
+    w_all = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("w").over(w_all)).collect()
+    }
+    for buckets in (1, 7, 64):
+        got = {
+            r["id"]: r["cum"]
+            for r in global_prefix_sum(df, ["v", "id"], "w", buckets).collect()
+        }
+        assert got == want, f"buckets={buckets}"
+    w_g = Window.partitionBy("g").orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want_g = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("w").over(w_g)).collect()
+    }
+    got_g = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(
+            df, ["v", "id"], "w", 8, partition_cols=["g"]
+        ).collect()
+    }
+    assert got_g == want_g
+
+
+def test_pps_systematic_sample_properties(spark):
+    """Systematic PPS over integer weights: the kept set equals the
+    closed-form model (every row whose cumulative interval crosses a
+    stride mark), heavy rows (w >= stride) are always kept with their
+    multiplicity, zero-weight rows never, sample mass ~ total/stride,
+    and a negative weight fails the plan loudly."""
+    import numpy as np
+    import pytest
+
+    from slacken_spark.operators.relational_ext import pps_systematic_sample
+
+    rng = np.random.default_rng(17)
+    rows = [(int(i), int(w)) for i, w in enumerate(rng.integers(0, 40, 300))]
+    rows[5] = (5, 0)          # zero weight
+    rows[7] = (7, 500)        # heavier than the stride
+    df = spark.createDataFrame(rows, "id long, w long")
+    stride = 100
+    got = {
+        r["id"]: r["n_hits"]
+        for r in pps_systematic_sample(df, "w", stride, ["id"]).collect()
+    }
+    cum, want = 0, {}
+    for i, w in rows:
+        prev, cum = cum, cum + w
+        hits = cum // stride - prev // stride
+        if hits > 0:
+            want[i] = hits
+    assert got == want
+    assert 5 not in got
+    assert got[7] == 5  # w=500 crosses five 100-marks
+    assert sum(got.values()) == cum // stride
+    with pytest.raises(Exception, match="negative weight"):
+        bad = spark.createDataFrame([(1, -3)], "id long, w long")
+        pps_systematic_sample(bad, "w", 10, ["id"]).collect()
