@@ -137,5 +137,33 @@ for seed in (61, 62, 63):
         s = "OK" if got == want else "FAIL"
         if s == "FAIL": fails += 1
         print(f"seed={seed} grouped_topk k={k} salts={salts} {s}", flush=True)
+    # --- global_prefix_sum vs window cumsum; PPS vs closed-form model ---
+    from slacken_spark.operators.relational_ext import (
+        global_prefix_sum, pps_systematic_sample)
+    prows = [(i, int(g), int(v), int(w)) for i, (g, v, w) in enumerate(zip(
+        rng.integers(0, 4, 250), rng.integers(0, 30, 250), rng.integers(0, 15, 250)))]
+    pdf2 = spark.createDataFrame(prows, "id long, g long, v long, w long")
+    from pyspark.sql import Window as PW
+    wspec = PW.partitionBy("g").orderBy("v", "id").rowsBetween(
+        PW.unboundedPreceding, 0)
+    want = {r["id"]: r["c"] for r in
+            pdf2.withColumn("c", F.sum("w").over(wspec)).collect()}
+    got = {r["id"]: r["cum"] for r in global_prefix_sum(
+        pdf2, ["v", "id"], "w", int(rng.integers(1, 40)),
+        partition_cols=["g"]).collect()}
+    s = "OK" if got == want else "FAIL"
+    if s == "FAIL": fails += 1
+    print(f"seed={seed} global_prefix_sum {s}", flush=True)
+    stride = int(rng.integers(20, 200))
+    got = {r["id"]: r["n_hits"] for r in pps_systematic_sample(
+        pdf2.select("id", "w"), "w", stride, ["id"]).collect()}
+    cum, want = 0, {}
+    for i, _, _, w in prows:
+        prev, cum = cum, cum + w
+        h = cum // stride - prev // stride
+        if h > 0: want[i] = h
+    s = "OK" if got == want else "FAIL"
+    if s == "FAIL": fails += 1
+    print(f"seed={seed} pps_systematic stride={stride} {s} ({len(want)} kept)", flush=True)
 print("RELATIONAL SOAK FAILS:", fails)
 spark.stop()
