@@ -369,3 +369,38 @@ def hll_estimate(
         (raw <= 2.5 * m) & (zeros > 0), linear
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("est"))
+
+
+def hll_intersection_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """→ ``(*group_cols, est_a, est_b, est_union, est_intersection)``
+    per group present in EITHER table — sketched set arithmetic over
+    two register tables built with the SAME p from the SAME value
+    domain: union registers are the per-register max (exact at the
+    register level — the HLL union has no estimation error beyond the
+    sketches themselves), intersection by inclusion–exclusion
+    (|A∩B| ≈ |A| + |B| − |A∪B|, clamped at 0 — the standard
+    cross-corpus overlap dashboard: 'how many of crawl B's documents
+    did crawl A already contain', at register-table cost instead of an
+    exact distinct join). Groups absent from one side contribute an
+    empty sketch (est 0) rather than dropping the group."""
+    a = hll_estimate(regs_a, group_cols, p).withColumnRenamed("est", "est_a")
+    b = hll_estimate(regs_b, group_cols, p).withColumnRenamed("est", "est_b")
+    u = hll_estimate(
+        hll_merge(regs_a.unionByName(regs_b), group_cols), group_cols, p
+    ).withColumnRenamed("est", "est_union")
+    out = (
+        u.join(a, group_cols, "left")
+        .join(b, group_cols, "left")
+        .select(
+            *group_cols,
+            F.coalesce("est_a", F.lit(0.0)).alias("est_a"),
+            F.coalesce("est_b", F.lit(0.0)).alias("est_b"),
+            "est_union",
+        )
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return out.withColumn("est_intersection", inter)

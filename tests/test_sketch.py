@@ -593,3 +593,38 @@ def test_hll_registers_plan_is_one_partial_agg_shuffle(spark):
     assert final.count("Exchange hashpartitioning") == 1, final
     assert "BatchEvalPython" not in final
     assert "partial_max" in final or "HashAggregate" in final, final
+
+
+def test_hll_intersection_estimate_tracks_true_overlap(spark):
+    """Inclusion–exclusion over two register tables: overlap estimates
+    land within 15% of truth for large overlaps, disjoint sets report
+    ~0 (clamped at 0, never negative), and one-sided groups survive
+    with est 0 on the missing side."""
+    from slacken_spark.functions.sketch import (
+        hll_intersection_estimate,
+        hll_registers,
+    )
+
+    a_rows = [("g", f"x{i}") for i in range(2000)] + [
+        ("d", f"a{i}") for i in range(500)
+    ] + [("only_a", f"q{i}") for i in range(300)]
+    b_rows = [("g", f"x{i}") for i in range(1200, 3200)] + [
+        ("d", f"b{i}") for i in range(500)
+    ]
+    ra = hll_registers(
+        spark.createDataFrame(a_rows, "g string, v string"), ["g"], "v", HLL_P
+    )
+    rb = hll_registers(
+        spark.createDataFrame(b_rows, "g string, v string"), ["g"], "v", HLL_P
+    )
+    got = {
+        r["g"]: r
+        for r in hll_intersection_estimate(ra, rb, ["g"], HLL_P).collect()
+    }
+    # g: |A|=2000, |B|=2000, overlap 800
+    assert abs(got["g"]["est_intersection"] - 800) <= 0.15 * 2000
+    # d: disjoint — near zero, never negative
+    assert 0 <= got["d"]["est_intersection"] <= 0.1 * 1000
+    # only_a: present with empty B side
+    assert got["only_a"]["est_b"] == 0.0
+    assert got["only_a"]["est_union"] > 250
