@@ -166,15 +166,27 @@ def move(src: str, dst: str) -> None:
     except OSError:
         if info.type == pafs.FileType.NotFound:
             raise  # not an existing-target rejection — a real error
-        # The fallback deletes the PREVIOUS artifact, so take it only
-        # when the failure can actually be the existing-target
-        # rejection: a missing/unreadable source would fail the retry
-        # too, and deleting dst for it destroys the one good copy
-        # (e.g. a raced part listing upstream).
-        if filesystem.get_file_info(p_src).type == pafs.FileType.NotFound:
-            raise
-    filesystem.delete_file(p_dst)
-    filesystem.move(p_src, p_dst)
+    # The rename failed WITH dst present — on filesystems that reject
+    # existing targets (HDFS; object-store emulation) this is the
+    # expected path, but the error could equally be unrelated (IO
+    # blip, quota, permissions), and pyarrow gives no way to tell.
+    # So NEVER delete the one good copy on a guess: rename it ASIDE
+    # (same-FS rename, cheap everywhere), retry, and either drop the
+    # old copy on success or RESTORE it on any failure — no error
+    # mode leaves dst deleted-but-not-replaced (r10 high-review).
+    aside = p_dst + ".__replaced__"
+    if filesystem.get_file_info(aside).type != pafs.FileType.NotFound:
+        filesystem.delete_file(aside)
+    filesystem.move(p_dst, aside)
+    try:
+        filesystem.move(p_src, p_dst)
+    except BaseException:
+        try:
+            filesystem.move(aside, p_dst)
+        except OSError:
+            pass  # restoration is best-effort; the original error wins
+        raise
+    filesystem.delete_file(aside)
 
 
 def remove_dir(path: str) -> None:

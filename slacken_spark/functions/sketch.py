@@ -354,12 +354,41 @@ def hll_estimate(
     register table: the standard HLL estimator with the small-range
     linear-counting correction (the regime every gate-scale group sits
     in; raw HLL takes over past 2.5·m). Floating-point — for tests and
-    reports; exactness gates belong on the register table itself."""
+    reports; exactness gates belong on the register table itself.
+
+    ``p`` must match the build precision. A LARGER build-p is detected
+    and fails loudly (reg/nz exceed this p's register count); a
+    SMALLER one is structurally indistinguishable from sparse data, so
+    carry ``p`` alongside any stored register table."""
     m = 1 << p
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
         F.count(F.lit(1)).alias("_nz"),
+        F.max("reg").alias("_maxreg"),
+        F.max("rho").alias("_maxrho"),
+    )
+    # a register table built with a DIFFERENT p is detectable and must
+    # fail loudly, not return a plausible float: a larger build-p
+    # leaves reg >= m (and nz > m); a smaller one leaves rho beyond
+    # this p's 61-p cap (the zero-register count would go negative and
+    # the estimator silently degrades otherwise)
+    mismatch = (
+        (F.col("_nz") > m)
+        | (F.col("_maxreg") >= m)
+        | (F.col("_maxrho") > _HLL_HASH_BITS + 1 - p)
+    )
+    agg = agg.withColumn(
+        "_s",
+        F.when(
+            mismatch,
+            F.raise_error(
+                F.lit(
+                    f"hll_estimate: register table inconsistent with p={p} "
+                    "(built with a different precision?)"
+                )
+            ),
+        ).otherwise(F.col("_s")),
     )
     # empty registers contribute 2^0 = 1 each to the harmonic sum
     zeros = F.lit(m) - F.col("_nz")
@@ -385,14 +414,19 @@ def hll_intersection_estimate(
     did crawl A already contain', at register-table cost instead of an
     exact distinct join). Groups absent from one side contribute an
     empty sketch (est 0) rather than dropping the group."""
+    from slacken_spark.operators.relational_ext import nullsafe_equi_join
+
     a = hll_estimate(regs_a, group_cols, p).withColumnRenamed("est", "est_a")
     b = hll_estimate(regs_b, group_cols, p).withColumnRenamed("est", "est_b")
     u = hll_estimate(
         hll_merge(regs_a.unionByName(regs_b), group_cols), group_cols, p
     ).withColumnRenamed("est", "est_union")
+    # null-SAFE joins: a NULL group key (e.g. lang unknown) is a real
+    # group to groupBy, and plain equality would zero both sides and
+    # clamp its overlap to 0 (the r10 high-review's confirmed failure)
     out = (
-        u.join(a, group_cols, "left")
-        .join(b, group_cols, "left")
+        nullsafe_equi_join(u, a, group_cols, "left")
+        .transform(lambda d: nullsafe_equi_join(d, b, group_cols, "left"))
         .select(
             *group_cols,
             F.coalesce("est_a", F.lit(0.0)).alias("est_a"),

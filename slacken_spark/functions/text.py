@@ -379,6 +379,33 @@ def source_unigram_drift(docs, text_col: str = "text",
     )
 
 
+def bigram_count_tables(df, text_col: str, id_col: str):
+    """``(bg, c, cont)``: per-occurrence adjacent token pairs
+    (id, l, r), the corpus-wide pair-count table (l, r, n), and the
+    Kneser-Ney continuation counts (r, cont_r) — THE one definition of
+    the bigram statistics, shared by the ``ngram_lm_counts`` tables
+    entry and :func:`bigram_lm_scores` so pair construction cannot
+    drift between the count tables and the document scorer. One
+    posexplode + lead window (single ``id_col`` shuffle); ``c``
+    reduces per-occurrence rows to the vocab²-bounded table; ``cont``
+    reduces the ALREADY-aggregated pairs."""
+    from pyspark.sql import Window as W
+
+    pt = positioned_tokens(df, text_col, id_col)
+    w = W.partitionBy(id_col).orderBy("pos")
+    bg = (
+        pt.select(
+            F.col(id_col),
+            F.col("tok").alias("l"),
+            F.lead("tok").over(w).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    c = bg.groupBy("l", "r").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cont = c.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("cont_r"))
+    return bg, c, cont
+
+
 def bigram_lm_scores(
     df, text_col: str, id_col: str, min_count: int = 30
 ):
@@ -409,22 +436,15 @@ def bigram_lm_scores(
     task. A trillion-pair vocab outlier degrades the broadcast to a
     shuffle join; the plan degrades, not breaks.
     """
-    from pyspark.sql import Window as W
-
-    pt = positioned_tokens(df, text_col, id_col)
-    w = W.partitionBy(id_col).orderBy("pos")
-    bg = (
-        pt.select(
-            F.col(id_col),
-            F.col("tok").alias("l"),
-            F.lead("tok").over(w).alias("r"),
-        )
-        .where(F.col("r").isNotNull())
-    )
-    c = bg.groupBy("l", "r").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cont = c.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("cont_r"))
+    bg, c, cont = bigram_count_tables(df, text_col, id_col)
+    # cont is vocabulary-sized — force the broadcast; the PAIR table is
+    # vocab²-BOUNDED, so leave its join to the optimizer: small corpora
+    # broadcast it anyway, and a corpus whose distinct-bigram table
+    # outgrows the broadcast limit degrades to a shuffle join instead
+    # of failing on a forced hint (r10 review: an unconditional hint
+    # never degrades — it OOMs)
     stats = c.join(F.broadcast(cont), "r")
-    scored = bg.join(F.broadcast(stats), ["l", "r"]).groupBy(id_col).agg(
+    scored = bg.join(stats, ["l", "r"]).groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum((F.col("n") >= min_count).cast("long"))
         .cast("long")

@@ -221,6 +221,34 @@ def _reserve(df: DataFrame, *names: str) -> None:
         )
 
 
+def nullsafe_equi_join(
+    left: DataFrame, right: DataFrame, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Equi-join on ``on`` treating NULL == NULL as a match (SQL's
+    ``<=>``), returning the join columns ONCE like the list form of
+    ``join``. groupBy keeps NULL as a real group, so any operator that
+    aggregates per group and joins the result back on the group key
+    with plain equality silently DROPS every NULL-group row — the
+    confirmed r10 failure of the two-level rank/scan offsets join and
+    the quantile target join. EqualNullSafe is a valid hash/broadcast
+    join key, so plan shape is unchanged."""
+    _reserve(left, *[f"__r_{c}" for c in on])
+    rr = right
+    for c in on:
+        rr = rr.withColumnRenamed(c, f"__r_{c}")
+    # renamed right keys make NAME-based resolution unambiguous even
+    # when both sides share lineage (the offsets joins are self-joins
+    # of one range exchange)
+    cond = None
+    for c in on:
+        e = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        cond = e if cond is None else (cond & e)
+    out = left.join(rr, cond, how)
+    if how in ("left", "leftouter", "left_outer", "inner"):
+        return out.drop(*[f"__r_{c}" for c in on])
+    raise ValueError(f"unsupported how: {how}")
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -295,8 +323,10 @@ def global_row_number(
     offsets = totals.select(
         "_bkt", *pc, F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
     )
+    # null-SAFE on the partition cols: groupBy kept a NULL group in the
+    # offsets, and a plain equi-join would silently drop its rows
     return (
-        local.join(F.broadcast(offsets), ["_bkt", *pc])
+        nullsafe_equi_join(local, F.broadcast(offsets), ["_bkt", *pc])
         .withColumn(out_col, (F.col("_boff") + F.col("_rn_in")).cast("long"))
         .drop("_bkt", "_rn_in", "_boff")
     )
@@ -404,7 +434,11 @@ def grouped_exact_quantiles(
         .withColumn("_vrank", F.col("_t") + 1)  # ranks are 1-based
         .drop("_t")
     )
-    hit = ranked.join(F.broadcast(targets), [*group_cols, "_vrank"])
+    # null-safe: a NULL group key is a real group to the percentile
+    # aggregate, and must hit its targets here too
+    hit = nullsafe_equi_join(
+        ranked, F.broadcast(targets), [*group_cols, "_vrank"]
+    )
     v = F.col(value_col).cast("double")
     agg = hit.groupBy(*group_cols, "p").agg(
         F.first("_pos").alias("_pos"),
@@ -422,7 +456,7 @@ def grouped_exact_quantiles(
         + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
     )
     quant = agg.select(*group_cols, "p", q.alias("q"))
-    return want.join(quant, [*group_cols, "p"], "left").select(
+    return nullsafe_equi_join(want, quant, [*group_cols, "p"], "left").select(
         *group_cols, "p", "q", "n"
     )
 
@@ -538,8 +572,10 @@ def global_prefix_sum(
     offsets = totals.select(
         "_bkt", *pc, F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
     )
+    # null-SAFE on the partition cols — same rationale as
+    # global_row_number's offsets join
     return (
-        local.join(F.broadcast(offsets), ["_bkt", *pc])
+        nullsafe_equi_join(local, F.broadcast(offsets), ["_bkt", *pc])
         .withColumn(out_col, (F.col("_boff") + F.col("_ps_in")).cast("long"))
         .drop("_bkt", "_ps_in", "_boff")
     )

@@ -888,21 +888,12 @@ def ngram_lm_counts(spark, sf_dir):
     broadcasts back onto the frequent-bigram rows. The n ≥ 30
     threshold is non-vacuous at every gate SF (keeps 429-900 of
     ~916-931 observed bigrams). All-integer output."""
-    from pyspark.sql import Window as W
-
     docs = tp(spark, sf_dir, "documents")
-    pt = X.positioned_tokens(docs, "text", "doc_id")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        pt.select(
-            F.col("tok").alias("l"), F.lead("tok").over(w).alias("r")
-        )
-        .where(F.col("r").isNotNull())
-    )
-    c = bg.groupBy("l", "r").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cont = c.groupBy("r").agg(
-        F.count(F.lit(1)).cast("long").alias("cont_r")
-    )
+    # ONE shared definition of the bigram statistics with the
+    # per-document scorer (text.bigram_lm_scores) — pair construction
+    # cannot drift between the tables and their consumer (r10 review);
+    # the unused id column prunes out of this entry's plan
+    _, c, cont = X.bigram_count_tables(docs, "text", "doc_id")
     return (
         c.where(F.col("n") >= 30)
         .join(F.broadcast(cont), "r")

@@ -81,9 +81,11 @@ def test_bigram_lm_scores_match_model_randomized(spark, seed):
 
 
 def test_bigram_lm_plan_broadcasts_statistics(spark):
-    """Scale pin: the vocab-bounded statistics tables must come back
-    as BROADCAST joins onto the pair stream (never a corpus-sized
-    shuffle join), and the whole plan stays JVM-side."""
+    """Scale pin: the vocabulary-sized continuation table is a FORCED
+    broadcast; the vocab²-bounded pair table is the optimizer's call
+    (broadcast at this scale, free to shuffle beyond the limit — a
+    forced hint would OOM instead of degrading). Whole plan
+    JVM-side."""
     from slacken_spark.functions.text import bigram_lm_scores
 
     df = spark.range(200).selectExpr(
@@ -94,5 +96,5 @@ def test_bigram_lm_plan_broadcasts_statistics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     final = plan.split("Initial Plan")[0]
-    assert final.count("BroadcastHashJoin") >= 2, final
+    assert final.count("BroadcastHashJoin") >= 1, final
     assert "BatchEvalPython" not in final

@@ -210,3 +210,64 @@ def test_move_overwrites_via_rename_and_guards_bad_states(tmp_path):
     with pytest.raises(OSError):
         fsio.move(str(tmp_path / "no-such-part"), str(dst))
     assert dst.read_text() == "newer\n"
+
+
+def test_move_fallback_replaces_on_hdfs_style_fs_and_restores_on_unrelated_error(
+    tmp_path, monkeypatch
+):
+    """The fallback path local POSIX never takes: on a filesystem that
+    REJECTS renames onto an existing target (HDFS semantics) the
+    replace must still land; and when the retry fails for an UNRELATED
+    reason, the previous artifact must be RESTORED at its path — no
+    error mode leaves dst deleted-but-not-replaced (r10 high-review:
+    the old fallback deleted dst on any OSError and then failed)."""
+    import pyarrow.fs as pafs
+    import pytest
+
+    from slacken_spark import fsio
+
+    class HdfsStyle:
+        """Delegates to the local FS but rejects move onto an existing
+        target; optionally fails every move FROM a poisoned source."""
+
+        def __init__(self, inner, poison_src=None):
+            self._i = inner
+            self._poison = poison_src
+
+        def get_file_info(self, p):
+            return self._i.get_file_info(p)
+
+        def delete_file(self, p):
+            return self._i.delete_file(p)
+
+        def move(self, a, b):
+            if self._poison is not None and a == self._poison:
+                raise OSError("unrelated IO error")
+            if self._i.get_file_info(b).type != pafs.FileType.NotFound:
+                raise OSError(f"rename target exists: {b}")
+            return self._i.move(a, b)
+
+    inner = pafs.LocalFileSystem()
+    src = tmp_path / "part-a"
+    dst = tmp_path / "artifact"
+    src.write_text("new\n")
+    dst.write_text("old\n")
+
+    orig_any_fs = fsio.any_fs
+    wrap = {"fs": HdfsStyle(inner)}
+    monkeypatch.setattr(
+        fsio, "any_fs", lambda p: (wrap["fs"], orig_any_fs(p)[1])
+    )
+    # HDFS-style replace: fallback renames aside, retries, cleans up
+    fsio.move(str(src), str(dst))
+    assert dst.read_text() == "new\n"
+    assert not (tmp_path / "artifact.__replaced__").exists()
+
+    # unrelated persistent error: dst must be RESTORED, not lost
+    src2 = tmp_path / "part-b"
+    src2.write_text("newer\n")
+    wrap["fs"] = HdfsStyle(inner, poison_src=str(src2))
+    with pytest.raises(OSError, match="unrelated"):
+        fsio.move(str(src2), str(dst))
+    assert dst.read_text() == "new\n", "previous artifact must survive"
+    assert src2.exists()

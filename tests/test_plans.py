@@ -1170,3 +1170,76 @@ def test_pps_systematic_sample_properties(spark):
     with pytest.raises(Exception, match="negative weight"):
         bad = spark.createDataFrame([(1, -3)], "id long, w long")
         pps_systematic_sample(bad, "w", 10, ["id"]).collect()
+
+
+def test_two_level_operators_keep_null_groups(spark):
+    """The r10 high-review's confirmed bug class: groupBy keeps NULL as
+    a real group, so the offsets/targets joins must be NULL-SAFE — a
+    plain equi-join silently DROPPED every NULL-group row from
+    global_row_number / global_prefix_sum / grouped_exact_quantiles.
+    Pinned against the window / percentile-aggregate forms, which have
+    always kept NULL groups."""
+    from pyspark.sql import Window
+
+    from slacken_spark.operators.relational_ext import (
+        global_prefix_sum,
+        global_row_number,
+        grouped_exact_quantiles,
+        pps_systematic_sample,
+    )
+
+    rows = [
+        (1, None, 5.0, 5), (2, None, 7.0, 7), (3, "a", 3.0, 3),
+        (4, None, 1.0, 1), (5, "a", 9.0, 9),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double, w long")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want_rank = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got_rank = {
+        r["id"]: r["rank"]
+        for r in global_row_number(
+            df, ["v", "id"], 4, partition_cols=["g"]
+        ).collect()
+    }
+    assert got_rank == want_rank  # 5 rows, NULL group ranked 1..3
+
+    want_cum = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c",
+            F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).collect()
+    }
+    got_cum = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(
+            df, ["v", "id"], "w", 4, partition_cols=["g"]
+        ).collect()
+    }
+    assert got_cum == want_cum
+
+    want_q = {
+        r["g"]: r["q"]
+        for r in df.groupBy("g").agg(
+            F.percentile("v", F.lit(0.5)).alias("q")
+        ).collect()
+    }
+    got_q = {
+        r["g"]: r["q"]
+        for r in grouped_exact_quantiles(df, ["g"], "v", [0.5], 4).collect()
+    }
+    assert got_q == want_q and None in got_q and got_q[None] == 5.0
+
+    # PPS with a NULL partition group keeps its rows too
+    got_pps = {
+        r["id"]
+        for r in pps_systematic_sample(
+            df.select("id", "g", "w"), "w", 5, ["id"], partition_cols=["g"]
+        ).collect()
+    }
+    assert any(
+        i in got_pps for i in (1, 2, 4)
+    ), "NULL-group rows must be sampleable"
