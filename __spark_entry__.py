@@ -51,93 +51,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # every catalog entry's green row stays fresh (enforced by
 # tests/test_gate.py::test_rolling_green_window_stays_fresh: every
 # catalog entry must sit inside THIS round's first 50 or hold a green
-# row in one of the two most recent recorded rounds). Round 10's 50 =
-#   (a) every query whose code changes this round: topk_per_group (the
-#       grouped_topk switch), salted_skew_join / salted_skew_agg (the
-#       deterministic hash salt), the four streaming maintainers
-#       (_advance_base checkpoints route through _stats_free), and
-#       bracken_weights (memoized shared weights build),
-#   (b) two NEW entries: bracken_distrib_lines (the kmer_distrib
-#       artifact digest) and dedup_components_predistinct (the
-#       layout-pin regression twin),
-#   (c) all 38 entries whose freshest green row is r7 — the full
-#       two-round-stale backlog, the binding obligation
-#       (dedup_graph_pagerank's _stats_free wiring gates inside it),
-#   (d) two spare seats spent smoothing r11's backlog: the r8-fresh
-#       queue's head (genomic_classify2, dedup_components_drop) —
-#       41 r8-fresh entries remain binding at r11, inside budget.
-# _TAIL is ordered as the r11 re-promotion queue: the remaining
-# r8-fresh entries first (they hit the 2-round staleness bound at r11
-# and must gate then), then the r9-fresh ones.
+# row in one of the two most recent recorded rounds). Round 11's 50 =
+#   (a) the full binding backlog: all 41 entries whose freshest green
+#       row is r8 (they turn two rounds stale the moment
+#       CORRECTNESS_r10.json is tracked) — the r10 _TAIL's head, in
+#       order; doc_bloom_decontaminate re-gates the r10 bloom NULL-key
+#       fix inside it,
+#   (b) five NEW entries: events_hll_registers + events_hll_maintain
+#       (the mergeable distinct-count register family),
+#       doc_bigram_lm_scores (the CCNet-style per-doc LM scorer),
+#       corpus_pps_sample (integer-exact token-budget PPS selection),
+#       doc_bloom_maintain (the membership family's CDC parity row),
+#   (c) three re-gates for code changed this round: salted_skew_join /
+#       salted_skew_agg (the salt_cols escape hatch routes through the
+#       shared _hash_salt call) and ngram_lm_counts (the forced
+#       continuation-table broadcast became the optimizer's size-based
+#       call, same rationale as the bigram-scorer advice fix),
+#   (d) one spare seat smoothing r12's 47-entry binding backlog:
+#       dedup_components_delta (the most expensive r9-fresh entry).
+# _TAIL is ordered as the r12 re-promotion queue: the 47 remaining
+# r9-fresh entries first (they hit the 2-round staleness bound at r12
+# and must gate then), then the r10-fresh ones.
 
 # Queries that MUST land a CORRECTNESS row this round (asserted inside
 # the first 50 by tests/test_gate.py): this round's 50 exactly — the
 # rotation IS the must-gate set, so a silent displacement cannot
 # happen.
 _MUST_GATE = [
-    # (a) code changed this round:
-    "topk_per_group",
-    "salted_skew_join",
-    "salted_skew_agg",
-    "streaming_index_delta",
-    "streaming_index_ranked_delta",
-    "streaming_source_stats",
-    "streaming_zone_maps",
-    "bracken_weights",
-    # (b) new this round:
-    "bracken_distrib_lines",
-    "dedup_components_predistinct",
-    # (c) freshest green row is r7 — the two-round-stale backlog, in
-    # the r9 _TAIL queue order:
-    "classification_join",
-    "corpus_read_asof",
-    "dedup_graph_pagerank",
-    "doc_decontaminate",
-    "doc_dupspan_scrub",
-    "doc_heavy_hitters_cms",
-    "doc_heavy_hitters_delta",
-    "doc_repetition",
-    "doc_shard_zone_maps",
-    "doc_vocab_top50",
-    "embedding_ivf_topk_nprobe2",
-    "embedding_kmeans_clusters",
-    "funnel_conversion",
-    "inverted_index_compact",
-    "inverted_index_query",
-    "minhash_lsh_delta",
-    "ngram_lm_counts",
-    "nullsafe_join",
-    "pack_sequences_sharded",
-    "pricing_summary",
-    "retention_cohorts",
-    "scan_filter_project",
-    "semi_anti_join",
-    "source_quota_sample",
-    "source_quota_sample_hash",
-    "source_stats_maintain",
-    "source_temperature_mix",
-    "source_token_drift",
-    "star_broadcast_join",
-    "streaming_heavy_hitters",
-    "streaming_running_totals",
-    "streaming_value_quantiles",
-    "tfidf_top_terms",
-    "token_block_plan",
-    "value_quantile_delta",
-    "value_quantile_sketch",
-    "zone_map_maintain",
-    "zone_map_pruned_scan",
-    # (d) spare seats -> r11 smoothing (head of the r8-fresh queue):
-    "genomic_classify2",
-    "dedup_components_drop",
-]
-_EARLY = list(_MUST_GATE)
-_TAIL = [
-    # r11 re-promotion queue, in order. First the remaining r8-fresh
-    # entries (their newest green row turns two rounds old when this
-    # round's file lands — r11 must gate them or the freshness guard
-    # fails), in the r8 gate order minus the eight promoted into this
-    # round's (a)/(d):
+    # (a) the binding 41 (freshest green row is r8), in the r10 _TAIL
+    # queue order:
     "inverted_index_ranked_delta",
     "inverted_index_delta",
     "inverted_index_patch",
@@ -179,10 +121,27 @@ _TAIL = [
     "video_frame_plan",
     "inverted_index_ranked_compact",
     "genomic_gold_eval",
-    # then the r9-fresh set (one round old after this round), in the
-    # r9 gate order minus salted_skew_join/_agg (promoted into (a)):
-    "dedup_components",
+    # (b) new this round:
+    "events_hll_registers",
+    "events_hll_maintain",
+    "doc_bigram_lm_scores",
+    "corpus_pps_sample",
+    "doc_bloom_maintain",
+    # (c) code changed this round:
+    "salted_skew_join",
+    "salted_skew_agg",
+    "ngram_lm_counts",
+    # (d) spare seat -> r12 smoothing (the heaviest r9-fresh entry):
     "dedup_components_delta",
+]
+_EARLY = list(_MUST_GATE)
+_TAIL = [
+    # r12 re-promotion queue, in order. First the 47 remaining
+    # r9-fresh entries (their newest green row turns two rounds old
+    # when this round's file lands — r12 must gate them or the
+    # freshness guard fails), in the r9 gate order minus
+    # dedup_components_delta (promoted into this round's (d)):
+    "dedup_components",
     "dedup_keep_longest",
     "dedup_keep_canonical",
     "embedding_lsh_delta",
@@ -229,6 +188,56 @@ _TAIL = [
     "unpivot_part_metrics",
     "value_percentiles",
     "weights_rollup",
+    # then the r10-fresh set (one round old after this round), in the
+    # r10 gate order minus salted_skew_join / salted_skew_agg /
+    # ngram_lm_counts (promoted into (c)):
+    "topk_per_group",
+    "streaming_index_delta",
+    "streaming_index_ranked_delta",
+    "streaming_source_stats",
+    "streaming_zone_maps",
+    "bracken_weights",
+    "bracken_distrib_lines",
+    "dedup_components_predistinct",
+    "classification_join",
+    "corpus_read_asof",
+    "dedup_graph_pagerank",
+    "doc_decontaminate",
+    "doc_dupspan_scrub",
+    "doc_heavy_hitters_cms",
+    "doc_heavy_hitters_delta",
+    "doc_repetition",
+    "doc_shard_zone_maps",
+    "doc_vocab_top50",
+    "embedding_ivf_topk_nprobe2",
+    "embedding_kmeans_clusters",
+    "funnel_conversion",
+    "inverted_index_compact",
+    "inverted_index_query",
+    "minhash_lsh_delta",
+    "nullsafe_join",
+    "pack_sequences_sharded",
+    "pricing_summary",
+    "retention_cohorts",
+    "scan_filter_project",
+    "semi_anti_join",
+    "source_quota_sample",
+    "source_quota_sample_hash",
+    "source_stats_maintain",
+    "source_temperature_mix",
+    "source_token_drift",
+    "star_broadcast_join",
+    "streaming_heavy_hitters",
+    "streaming_running_totals",
+    "streaming_value_quantiles",
+    "tfidf_top_terms",
+    "token_block_plan",
+    "value_quantile_delta",
+    "value_quantile_sketch",
+    "zone_map_maintain",
+    "zone_map_pruned_scan",
+    "genomic_classify2",
+    "dedup_components_drop",
 ]
 
 

@@ -113,23 +113,73 @@ def main() -> None:
     # for tens of seconds, and a single-shot timing randomly charges
     # that to one unlucky query. The minimum is the reproducible cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # a query's timing counts as CLEAN once at least one of its runs
+    # was sampled below run_max. The bench's own local[32] work keeps
+    # the 1-min load around ~3 on a quiet host (r9 clean anchor ended
+    # at 3.11; the six burst-hit r10 attempts ended 6.7-10.4), so the
+    # mid-run threshold is the start gate's threshold plus that
+    # self-load allowance.
+    run_max = float(
+        os.environ.get("SPARK_GRAFT_LOAD_RUN_MAX", str(load_max + 3.5))
+    )
+    repasses = int(os.environ.get("SPARK_GRAFT_BENCH_REPASSES", "2"))
+
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, (fn, _sql) in catalog.QUERIES.items():
-        best = -1.0
+    hot: set[str] = set()
+
+    def measure(name, fn, n_runs):
+        """min-of-n timing; a query stays `hot` until at least one run
+        is sampled below run_max (or it fails — failures don't
+        requeue)."""
+        best = timings.get(name, -1.0)
+        if name not in timings:
+            hot.add(name)
         try:
-            for _ in range(runs):
+            for _ in range(n_runs):
                 start = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 elapsed = time.perf_counter() - start
                 best = elapsed if best < 0 else min(best, elapsed)
+                if (_loadavg() or 0.0) <= run_max:
+                    hot.discard(name)
         except Exception as e:  # record failures as negative sentinel
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            best = -1.0
+            if best < 0:
+                best = -1.0  # a pre-failure min is still evidence
+            hot.discard(name)
         timings[name] = round(best, 3)
-        if best > 0:
-            total += best
+
+    for name, (fn, _sql) in catalog.QUERIES.items():
+        measure(name, fn, runs)
+
+    # Mid-run burst defense (the r10 lesson: the start gate can't help
+    # when the burst arrives mid-run — all six r10 attempts recorded
+    # clean starts and 2-4x inflated tails): queries whose EVERY run
+    # was sampled above run_max get re-measured — after waiting,
+    # bounded, for the burst to pass — and keep their min. Bounded at
+    # `repasses` extra passes over only the affected queries, so a
+    # permanently-loaded host still terminates with the burst honestly
+    # annotated in `hot_queries`.
+    repassed: list[str] = []
+    for _ in range(repasses):
+        if not hot:
+            break
+        rewait = 0.0
+        while rewait < wait_budget and (_loadavg() or 0.0) > run_max:
+            time.sleep(15)
+            rewait += 15
+        requeue = sorted(hot)
+        print(
+            f"bench: re-measuring {len(requeue)} burst-hit queries "
+            f"(waited {rewait:.0f}s, load {_loadavg()})",
+            file=sys.stderr,
+        )
+        repassed.extend(q for q in requeue if q not in repassed)
+        for name in requeue:
+            measure(name, catalog.QUERIES[name][0], 1)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
 
     # host 1-min load average at start/end: this VM takes external
     # load bursts (NOTES "Environment gotchas") that inflate untouched
@@ -140,7 +190,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
@@ -149,6 +199,9 @@ def main() -> None:
                 "load_avg_end": load_end,
                 "load_pre_wait": load_pre_wait,
                 "load_waited_sec": waited,
+                "load_run_max": run_max,
+                "repassed_queries": repassed,
+                "hot_queries": sorted(hot),
             }
         )
     )

@@ -362,6 +362,12 @@ def hll_estimate(
     carry ``p`` alongside any stored register table."""
     m = 1 << p
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    # an UNMERGED union of partials (duplicate (group, reg) rows)
+    # would pass the p-mismatch guard whenever nz <= m and silently
+    # inflate both the nonzero count and the harmonic sum — so merge
+    # first (idempotent on already-merged input, one register-sized
+    # shuffle; r10 advice)
+    regs = hll_merge(regs, group_cols)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
         F.count(F.lit(1)).alias("_nz"),

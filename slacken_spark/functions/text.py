@@ -430,20 +430,22 @@ def bigram_lm_scores(
     ``id_col`` shuffle), the corpus pair table reduces on a
     vocab²-bounded partial-agg shuffle, the continuation count reduces
     the ALREADY-aggregated pairs (a row per distinct pair, never per
-    occurrence), and the vocabulary-sized statistics broadcast back
-    onto the pair stream before the final per-doc aggregation — the
-    corpus is scanned once, nothing corpus-sized concentrates on one
-    task. A trillion-pair vocab outlier degrades the broadcast to a
+    occurrence), and the statistics tables join back onto the pair
+    stream before the final per-doc aggregation — the corpus is
+    scanned once, nothing corpus-sized concentrates on one task. Both
+    stat joins are size-based broadcasts (never forced hints): small
+    corpora broadcast, an open-vocabulary outlier degrades to a
     shuffle join; the plan degrades, not breaks.
     """
     bg, c, cont = bigram_count_tables(df, text_col, id_col)
-    # cont is vocabulary-sized — force the broadcast; the PAIR table is
-    # vocab²-BOUNDED, so leave its join to the optimizer: small corpora
-    # broadcast it anyway, and a corpus whose distinct-bigram table
-    # outgrows the broadcast limit degrades to a shuffle join instead
-    # of failing on a forced hint (r10 review: an unconditional hint
-    # never degrades — it OOMs)
-    stats = c.join(F.broadcast(cont), "r")
+    # BOTH joins are left to the optimizer: cont is vocabulary-sized
+    # and open-vocabulary web text grows the distinct-token table with
+    # the corpus, so by the same rule as the vocab²-bounded pair table
+    # (r10 review: an unconditional hint never degrades — it OOMs) the
+    # broadcast must be Spark's size-based decision, not a forced
+    # hint. Small corpora broadcast either table anyway; an outlier
+    # vocabulary degrades to a shuffle join instead of failing.
+    stats = c.join(cont, "r")
     scored = bg.join(stats, ["l", "r"]).groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum((F.col("n") >= min_count).cast("long"))

@@ -112,6 +112,7 @@ def salted_join(
     right_small: DataFrame,
     on: str,
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the (skewed) left side into
     ``salt_buckets`` sub-keys and replicate the right side across every
@@ -131,10 +132,21 @@ def salted_join(
     colocate — correct, merely less spread for a degenerate all-dup key.
     MapType columns are not hashable in Spark — such an input fails
     loudly at plan time (project them away or to map_entries first).
+
+    ``salt_cols`` points the salt at specific left columns when the
+    whole-row hash gives no spread — a hot key whose NON-key payload
+    is constant/low-cardinality hashes its rows into one or few
+    buckets, and a MapType payload fails the hash at plan time; pass a
+    high-cardinality column (a row id, an event timestamp) to restore
+    the spread in both cases (r10 advice). Correctness is unaffected
+    by the choice — any deterministic salt is valid; only the spread
+    changes.
     """
     _reserve(left, "_salt")
     _reserve(right_small, "_salt")
-    salted_l = left.withColumn("_salt", _hash_salt(left.columns, salt_buckets))
+    salted_l = left.withColumn(
+        "_salt", _hash_salt(salt_cols or left.columns, salt_buckets)
+    )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).alias("_salt")
@@ -147,6 +159,7 @@ def salted_agg(
     key: str,
     aggs: dict[str, str],
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe aggregation: two-phase partial → final over a salted
     key. ``aggs`` maps output column → 'sum'|'count'|'min'|'max' of an
@@ -156,14 +169,17 @@ def salted_agg(
     collect_list on a hot key) — the same technique the engine applies
     implicitly elsewhere, made available as an operator.
 
-    Deterministic whole-row hash salt, same rationale as
-    :func:`salted_join` — varies within the hot key, stable under
-    retries.
+    Deterministic whole-row hash salt, same rationale (and same
+    ``salt_cols`` escape hatch for constant/low-cardinality payloads
+    or MapType columns) as :func:`salted_join` — varies within the hot
+    key, stable under retries.
     """
     fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     _reserve(df, "_salt")
-    salted = df.withColumn("_salt", _hash_salt(df.columns, salt_buckets))
+    salted = df.withColumn(
+        "_salt", _hash_salt(salt_cols or df.columns, salt_buckets)
+    )
     partial = salted.groupBy(key, "_salt").agg(
         *[
             fns[spec.split(":")[0]](spec.split(":")[1]).alias(out)
@@ -232,7 +248,12 @@ def nullsafe_equi_join(
     confirmed r10 failure of the two-level rank/scan offsets join and
     the quantile target join. EqualNullSafe is a valid hash/broadcast
     join key, so plan shape is unchanged."""
+    # the __r_ names are reserved on BOTH frames: a pre-existing
+    # __r_<key> on the RIGHT would collide with the rename below and
+    # surface later as an ambiguous-reference error instead of this
+    # message (r10 advice)
     _reserve(left, *[f"__r_{c}" for c in on])
+    _reserve(right, *[f"__r_{c}" for c in on])
     rr = right
     for c in on:
         rr = rr.withColumnRenamed(c, f"__r_{c}")
@@ -617,12 +638,27 @@ def pps_systematic_sample(
         raise ValueError(f"stride must be positive: {stride}")
     _reserve(df, "n_hits")
     w = F.col(weight_col)
+    # NULL gets its OWN branch with a literal message: `w >= 0` on a
+    # NULL is NULL (not true), so without this branch a NULL weight
+    # fell through to the negative-weight raise whose concat-with-NULL
+    # message rendered as NULL — loud but mislabeled (r10 advice).
     checked = df.withColumn(
         weight_col,
-        F.when(w >= 0, w).otherwise(
+        F.when(
+            w.isNull(),
+            F.raise_error(
+                F.lit(
+                    "pps_systematic_sample: NULL weight (coalesce or "
+                    "filter NULL weights before sampling)"
+                )
+            ),
+        )
+        .when(w >= 0, w)
+        .otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("pps_systematic_sample: negative weight "), w
+                    F.lit("pps_systematic_sample: negative weight "),
+                    w.cast("string"),
                 )
             )
         ),

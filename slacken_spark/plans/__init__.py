@@ -13,6 +13,7 @@ def load_all():
     from slacken_spark.plans import catalog_docs_dedup  # noqa: F401
     from slacken_spark.plans import catalog_docs_embedding  # noqa: F401
     from slacken_spark.plans import catalog_docs_layout  # noqa: F401
+    from slacken_spark.plans import catalog_docs_lm  # noqa: F401
     from slacken_spark.plans import catalog_docs_pipeline  # noqa: F401
     from slacken_spark.plans import catalog_docs_sketch  # noqa: F401
     from slacken_spark.plans import catalog_genomic  # noqa: F401

@@ -884,8 +884,10 @@ def ngram_lm_counts(spark, sf_dir):
     (single doc_id shuffle), one (l, r) partial-agg shuffle reduces
     occurrences to the vocab²-bounded count table, the continuation
     count reduces those ALREADY-aggregated rows (a row per distinct
-    pair, never per occurrence), and the vocabulary-sized result
-    broadcasts back onto the frequent-bigram rows. The n ≥ 30
+    pair, never per occurrence), and the result joins back onto the
+    frequent-bigram rows as a size-based broadcast (never a forced
+    hint — an open-vocabulary outlier degrades to a shuffle join
+    instead of OOMing). The n ≥ 30
     threshold is non-vacuous at every gate SF (keeps 429-900 of
     ~916-931 observed bigrams). All-integer output."""
     docs = tp(spark, sf_dir, "documents")
@@ -894,9 +896,14 @@ def ngram_lm_counts(spark, sf_dir):
     # cannot drift between the tables and their consumer (r10 review);
     # the unused id column prunes out of this entry's plan
     _, c, cont = X.bigram_count_tables(docs, "text", "doc_id")
+    # the cont join is the optimizer's size-based call, not a forced
+    # hint: cont is vocabulary-sized and open-vocabulary text grows it
+    # with the corpus (the r11 bigram_lm_scores advice applies here
+    # identically — an unconditional hint OOMs where the unhinted join
+    # degrades to a shuffle)
     return (
         c.where(F.col("n") >= 30)
-        .join(F.broadcast(cont), "r")
+        .join(cont, "r")
         .select(
             F.col("l").alias("left_tok"),
             F.col("r").alias("right_tok"),

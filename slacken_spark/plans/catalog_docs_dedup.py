@@ -438,6 +438,48 @@ def doc_bloom_decontaminate(spark, sf_dir):
 
 
 @register(
+    "doc_bloom_maintain",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(0, greatest(len(toks) - 2, 0)),
+                      i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]
+                           || ' ' || toks[CAST(i+3 AS INT)]))) AS shingle
+           FROM d),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    pos AS (SELECT unnest([{_bloom_h(0, 8192)}, {_bloom_h(1, 8192)}]) AS p FROM ev)
+    SELECT p // 32 AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+    FROM pos GROUP BY p // 32
+    """,
+)
+def doc_bloom_maintain(spark, sf_dir):
+    """CDC maintenance for the Bloom word table
+    (functions.dedup.bloom_maintain): the stored filter (built from
+    the even-doc half of the eval set's 3-gram shingles) absorbs an
+    APPEND batch (the odd half) by per-word bit_or — batch-bounded
+    work (one batch-sized partial bit_or + one ≤ m_bits/32-row merge
+    shuffle, no rescan of the already-filtered keys). The membership
+    family now has the same batch/CDC/stream symmetry as its
+    CMS/histogram/HLL siblings, and gates against the same strongest
+    invariant: the oracle is doc_bloom_decontaminate's words CTE over
+    the WHOLE eval set — maintained ≡ rebuilt, word for word (bit_or
+    is add-monotone: appends maintain exactly, deletes cannot clear a
+    bit — the documented zone-map/HLL asymmetry; pair a second
+    'deleted' filter or rebuild for delete-heavy workloads)."""
+    docs = tp(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    base_sh = X.shingle_rows(
+        ev.where(F.col("doc_id") % 2 == 0), "text", "doc_id", n=3
+    ).select("shingle")
+    batch_sh = X.shingle_rows(
+        ev.where(F.col("doc_id") % 2 == 1), "text", "doc_id", n=3
+    ).select("shingle")
+    base = D.bloom_bitmap(base_sh, "shingle", m_bits=8192, k=2)
+    return D.bloom_maintain(base, batch_sh, "shingle", m_bits=8192, k=2)
+
+
+@register(
     "ngram_jaccard_adjacent",
     f"""
     WITH d AS (SELECT doc_id, {SQL_TOKENS.format(expr='text')} AS toks FROM documents),

@@ -461,3 +461,79 @@ def retention_cohorts(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register tables (exact, mergeable distinct-count artifact)
+# ---------------------------------------------------------------------------
+
+# the ONE definition of the register-table oracle (p=9, m=512): shared
+# verbatim by the batch build and the CDC maintainer, whose strongest
+# invariant is maintained ≡ rebuilt-over-the-whole-stream. 60-bit
+# md5-derived hash (token_hash64's SQL twin); rho = 52 − bit_length of
+# the high 51 bits, written with bin()-string length because neither
+# engine has an integer bit_length and float log2 rounds wrong exactly
+# at powers of two.
+HLL_REGISTERS_ORACLE_SQL = """
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type,
+           CAST(hv % 512 AS INT) AS reg,
+           CAST(max(52 - (CASE WHEN hv // 512 = 0 THEN 0
+                               ELSE length(bin(hv // 512)) END)) AS INT)
+             AS rho
+    FROM h GROUP BY event_type, reg
+    """
+
+
+@register("events_hll_registers", HLL_REGISTERS_ORACLE_SQL)
+def events_hll_registers(spark, sf_dir):
+    """HyperLogLog register TABLE per event type over user_id
+    (functions.sketch.hll_registers, p=9) — the mergeable
+    distinct-counting artifact the CMS grid / quantile histogram
+    families already have for counts/quantiles: at most 2^9 = 512
+    all-integer rows per group whatever the user cardinality, built
+    with ONE map-side partial max that collapses every task's output
+    to register size before the only (register-sized) shuffle, and
+    max-mergeable across shards/micro-batches
+    (regs(A ∪ B) ≡ hll_merge(regs(A), regs(B)), row for row). Where
+    Spark's approx_count_distinct hides its sketch inside one opaque
+    aggregate you can neither persist nor maintain, the register
+    table stores, merges, and CDC-maintains — estimates derive on
+    demand (hll_estimate; events_approx_distinct gates the built-in's
+    accuracy). md5-derived hashing makes every register engine-
+    portable, so the oracle gates all ~512×types rows hash-exact, not
+    a tolerance band. 1×→10× probe FLAT (0.78→0.67 s): the shuffle is
+    register-sized, never row-sized."""
+    from slacken_spark.functions.sketch import hll_registers
+
+    ev = t(spark, sf_dir, "events")
+    return hll_registers(ev, ["event_type"], "user_id", 9)
+
+
+@register("events_hll_maintain", HLL_REGISTERS_ORACLE_SQL)
+def events_hll_maintain(spark, sf_dir):
+    """CDC maintenance for the HLL register table
+    (functions.sketch.hll_maintain): the stored registers (built from
+    the even-event_id half) absorb an APPEND batch (the odd half) by
+    per-register max — batch-bounded work (one batch-sized partial
+    max + one register-sized merge shuffle, no corpus rescan), the
+    same maintained ≡ rebuilt contract as doc_heavy_hitters_delta /
+    value_quantile_delta. The oracle is the strongest invariant: the
+    register build over the WHOLE stream, row for row — max is
+    add-monotone, so appends maintain exactly (deletes cannot lower a
+    register; a delete-heavy workload recomputes affected groups, the
+    zone-map asymmetry, documented on hll_merge)."""
+    from slacken_spark.functions.sketch import hll_maintain, hll_registers
+
+    ev = t(spark, sf_dir, "events")
+    base = hll_registers(
+        ev.where(F.col("event_id") % 2 == 0), ["event_type"], "user_id", 9
+    )
+    return hll_maintain(
+        base, ev.where(F.col("event_id") % 2 == 1),
+        ["event_type"], "user_id", 9,
+    )

@@ -81,20 +81,21 @@ def test_bigram_lm_scores_match_model_randomized(spark, seed):
 
 
 def test_bigram_lm_plan_broadcasts_statistics(spark):
-    """Scale pin: the vocabulary-sized continuation table is a FORCED
-    broadcast; the vocab²-bounded pair table is the optimizer's call
-    (broadcast at this scale, free to shuffle beyond the limit — a
-    forced hint would OOM instead of degrading). Whole plan
-    JVM-side."""
+    """Scale pin: NEITHER statistics join carries a forced broadcast
+    hint (r10 advice: the continuation table is vocabulary-sized and
+    open-vocabulary text grows it with the corpus — an unconditional
+    hint OOMs where the unhinted join degrades to a shuffle), yet at
+    this scale the optimizer still picks size-based broadcasts for
+    both. Whole plan JVM-side."""
     from slacken_spark.functions.text import bigram_lm_scores
 
     df = spark.range(200).selectExpr(
         "id AS doc_id", "concat('a b c d', ' e', id % 7) AS text"
     )
-    plan = (
-        bigram_lm_scores(df, "text", "doc_id", 5)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    scored = bigram_lm_scores(df, "text", "doc_id", 5)
+    analyzed = scored._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = scored._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
     assert final.count("BroadcastHashJoin") >= 1, final
     assert "BatchEvalPython" not in final

@@ -816,7 +816,13 @@ def test_session7c_query_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     fn, _ = REGISTRY["ngram_lm_counts"]
-    plan = _plan(fn(spark, sf_dir))
+    df = fn(spark, sf_dir)
+    # size-based broadcast, never a forced hint: the continuation
+    # table is vocabulary-sized and grows with an open-vocabulary
+    # corpus (r11 advice — an unconditional hint OOMs where the
+    # unhinted join degrades to a shuffle)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _plan(df)
     assert "BroadcastHashJoin" in plan, "continuation counts broadcast back"
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -1243,3 +1249,89 @@ def test_two_level_operators_keep_null_groups(spark):
     assert any(
         i in got_pps for i in (1, 2, 4)
     ), "NULL-group rows must be sampleable"
+
+
+def test_pps_null_weight_fails_with_its_own_message(spark):
+    """`w >= 0` on a NULL weight is NULL (not true), so without an
+    explicit isNull branch a NULL weight fell through to the
+    negative-weight raise whose concat-with-NULL message rendered as
+    NULL — loud but mislabeled (r10 advice). It must fail with ITS OWN
+    literal message."""
+    import pytest
+
+    from slacken_spark.operators.relational_ext import pps_systematic_sample
+
+    df = spark.createDataFrame([(1, 3), (2, None)], "id long, w long")
+    with pytest.raises(Exception, match="NULL weight"):
+        pps_systematic_sample(df, "w", 10, ["id"]).collect()
+
+
+def test_nullsafe_equi_join_reserves_right_side_names(spark):
+    """The __r_<key> rename is applied to the RIGHT frame, so a right
+    frame already carrying __r_<key> must fail with the clear _reserve
+    message, not a downstream ambiguous-reference error (r10
+    advice)."""
+    import pytest
+
+    from slacken_spark.operators.relational_ext import nullsafe_equi_join
+
+    left = spark.createDataFrame([(1, "x")], "k long, a string")
+    right = spark.createDataFrame(
+        [(1, 9, "boom")], "k long, b long, __r_k string"
+    )
+    with pytest.raises(ValueError, match="reserved names"):
+        nullsafe_equi_join(left, right, ["k"])
+
+
+def test_salted_ops_accept_salt_cols(spark):
+    """salt_cols (r10 advice): a hot key whose NON-key payload is
+    constant gets zero spread from the whole-row hash — pointing the
+    salt at a high-cardinality column restores it; results are
+    identical either way (any deterministic salt is semantically
+    valid). Also the escape hatch for MapType payloads, which the
+    whole-row hash rejects at plan time."""
+    from slacken_spark.operators.relational_ext import (
+        _hash_salt,
+        salted_agg,
+        salted_join,
+    )
+
+    # hot key, CONSTANT payload: whole-row salt collapses to 1 bucket,
+    # salt_cols=["id"] spreads
+    left = spark.range(400).selectExpr(
+        "id", "'hot' AS k", "'same' AS payload"
+    )
+    nspread = (
+        left.select(_hash_salt(["id"], 16).alias("s"))
+        .distinct()
+        .count()
+    )
+    ncollapse = (
+        left.select(_hash_salt(["k", "payload"], 16).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert ncollapse == 1 and nspread > 8
+
+    right = spark.createDataFrame([("hot", 1.5)], "k string, rate double")
+    base = salted_join(left, right, "k").collect()
+    with_cols = salted_join(left, right, "k", salt_cols=["id"]).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, with_cols))
+    assert len(with_cols) == 400
+
+    want = {r["k"]: r["n"] for r in left.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = {
+        r["k"]: r["n"]
+        for r in salted_agg(
+            left, "k", {"n": "count:id"}, salt_cols=["id"]
+        ).collect()
+    }
+    assert got == want
+
+    # MapType payload: whole-row hash fails at plan time; salt_cols works
+    mleft = spark.range(10).selectExpr(
+        "id", "'hot' AS k", "map('a', id) AS m"
+    )
+    rows = salted_agg(mleft, "k", {"n": "count:id"}, salt_cols=["id"]).collect()
+    assert rows[0]["n"] == 10

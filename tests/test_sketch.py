@@ -670,3 +670,36 @@ def test_hll_intersection_keeps_null_group(spark):
     assert r["g"] is None
     assert abs(r["est_a"] - 50) <= 10 and abs(r["est_b"] - 50) <= 10
     assert abs(r["est_intersection"] - 50) <= 12, r["est_intersection"]
+
+
+def test_hll_estimate_merges_unmerged_partials(spark):
+    """An UNMERGED union of register partials (duplicate (group, reg)
+    rows) passed the p-mismatch guard whenever nz <= m and silently
+    inflated the nonzero count and harmonic sum (r10 advice) —
+    hll_estimate now merges internally (idempotent on merged input),
+    so the unmerged union estimates EXACTLY like the merged table."""
+    from slacken_spark.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(200)], "g string, v string"
+    )
+    a = hll_registers(df.where("substr(v, 2) % 2 = 0"), ["g"], "v", 9)
+    # b overlaps a (shares the < 50 values) so the union has duplicate
+    # (group, reg) rows with differing partial maxima
+    b = hll_registers(
+        df.where("substr(v, 2) % 2 = 1 OR substr(v, 2) < 50"),
+        ["g"], "v", 9,
+    )
+    unmerged = a.unionByName(b)
+    assert unmerged.count() > hll_merge(unmerged, ["g"]).count()
+    est_unmerged = hll_estimate(unmerged, ["g"], 9).collect()[0]["est"]
+    est_merged = hll_estimate(
+        hll_merge(unmerged, ["g"]), ["g"], 9
+    ).collect()[0]["est"]
+    assert est_unmerged == est_merged
+    # and it still tracks the truth (200 distinct values)
+    assert abs(est_merged - 200) / 200 < 0.15
