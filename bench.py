@@ -28,6 +28,81 @@ def _loadavg():
         return None
 
 
+# ---------------------------------------------------------------------------
+# External-CPU attribution (the r11 burst detector). The 1-min loadavg
+# cannot tell the bench's OWN local[32] work from an external burst —
+# the first absolute-threshold cut marked 85/144 queries hot on a quiet
+# host because the bench itself drives the load to 6-9 mid-run. The
+# exact signal is /proc arithmetic over each query's own measurement
+# window: external busy jiffies = (all-CPU busy delta) − (our process
+# SUBTREE's delta, python driver + the Spark JVM + its python workers,
+# reaped children included via cutime/cstime). Zero timing overhead —
+# two /proc sweeps (~ms) bracketing work that is being timed anyway.
+# ---------------------------------------------------------------------------
+
+try:
+    _CLK_TCK = os.sysconf("SC_CLK_TCK")
+except (OSError, AttributeError, ValueError):
+    _CLK_TCK = None
+
+
+def _proc_snapshot():
+    """(total busy jiffies across all CPUs, {pid: (ppid, jiffies)})
+    where jiffies = utime+stime+cutime+cstime (self + reaped children
+    — each reaped descendant lands exactly once, in its reaper's
+    cutime). None when /proc is unavailable."""
+    if _CLK_TCK is None:
+        return None
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+        procs = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    s = f.read()
+            except OSError:
+                continue  # process exited mid-sweep
+            rest = s[s.rindex(")") + 2:].split()  # comm may hold spaces
+            procs[int(d)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
+        return busy, procs
+    except OSError:
+        return None
+
+
+def _subtree_jiffies(procs: dict) -> int:
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        stack.extend(kids.get(p, []))
+    return total
+
+
+def _external_cores(snap0, snap1, dt: float) -> float | None:
+    """Average EXTERNAL cores busy over the window — the burst signal.
+    None when /proc attribution is unavailable (detector off)."""
+    if snap0 is None or snap1 is None or dt <= 0:
+        return None
+    ext = (snap1[0] - snap0[0]) - (
+        _subtree_jiffies(snap1[1]) - _subtree_jiffies(snap0[1])
+    )
+    return max(0.0, ext / _CLK_TCK / dt)
+
+
 def main() -> None:
     # Load-gated start (r9 lesson: a file recorded at host load ~3 cost
     # a round of regression adjudication on unchanged code): when an
@@ -114,14 +189,12 @@ def main() -> None:
     # that to one unlucky query. The minimum is the reproducible cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # a query's timing counts as CLEAN once at least one of its runs
-    # was sampled below run_max. The bench's own local[32] work keeps
-    # the 1-min load around ~3 on a quiet host (r9 clean anchor ended
-    # at 3.11; the six burst-hit r10 attempts ended 6.7-10.4), so the
-    # mid-run threshold is the start gate's threshold plus that
-    # self-load allowance.
-    run_max = float(
-        os.environ.get("SPARK_GRAFT_LOAD_RUN_MAX", str(load_max + 3.5))
-    )
+    # saw fewer than ext_max EXTERNAL cores busy during its own
+    # measurement window (/proc attribution — the bench's own work is
+    # subtracted exactly, so its local[32] self-load never trips the
+    # detector; an absolute-loadavg cut cannot make that distinction
+    # and mis-flagged 85/144 queries on a quiet host).
+    ext_max = float(os.environ.get("SPARK_GRAFT_EXT_CORES_MAX", "2.0"))
     repasses = int(os.environ.get("SPARK_GRAFT_BENCH_REPASSES", "2"))
 
     timings: dict[str, float] = {}
@@ -129,19 +202,21 @@ def main() -> None:
 
     def measure(name, fn, n_runs):
         """min-of-n timing; a query stays `hot` until at least one run
-        is sampled below run_max (or it fails — failures don't
-        requeue)."""
+        executes with external CPU below ext_max (or it fails, or the
+        detector is unavailable — neither requeues)."""
         best = timings.get(name, -1.0)
         if name not in timings:
             hot.add(name)
         try:
             for _ in range(n_runs):
+                snap0 = _proc_snapshot()
                 start = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 elapsed = time.perf_counter() - start
+                ext = _external_cores(snap0, _proc_snapshot(), elapsed)
                 best = elapsed if best < 0 else min(best, elapsed)
-                if (_loadavg() or 0.0) <= run_max:
+                if ext is None or ext <= ext_max:
                     hot.discard(name)
         except Exception as e:  # record failures as negative sentinel
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
@@ -156,23 +231,31 @@ def main() -> None:
     # Mid-run burst defense (the r10 lesson: the start gate can't help
     # when the burst arrives mid-run — all six r10 attempts recorded
     # clean starts and 2-4x inflated tails): queries whose EVERY run
-    # was sampled above run_max get re-measured — after waiting,
-    # bounded, for the burst to pass — and keep their min. Bounded at
-    # `repasses` extra passes over only the affected queries, so a
-    # permanently-loaded host still terminates with the burst honestly
-    # annotated in `hot_queries`.
+    # executed under external contention get re-measured — after
+    # waiting, bounded, for the burst to pass — and keep their min.
+    # Bounded at `repasses` extra passes over only the affected
+    # queries, so a permanently-loaded host still terminates with the
+    # burst honestly annotated in `hot_queries`.
+    def _external_now(window: float = 1.0) -> float | None:
+        s0 = _proc_snapshot()
+        time.sleep(window)
+        return _external_cores(s0, _proc_snapshot(), window)
+
     repassed: list[str] = []
     for _ in range(repasses):
         if not hot:
             break
         rewait = 0.0
-        while rewait < wait_budget and (_loadavg() or 0.0) > run_max:
-            time.sleep(15)
+        while rewait < wait_budget:
+            ext_now = _external_now()
+            if ext_now is None or ext_now <= ext_max:
+                break
+            time.sleep(14)
             rewait += 15
         requeue = sorted(hot)
         print(
             f"bench: re-measuring {len(requeue)} burst-hit queries "
-            f"(waited {rewait:.0f}s, load {_loadavg()})",
+            f"(waited {rewait:.0f}s, external cores now {_external_now()})",
             file=sys.stderr,
         )
         repassed.extend(q for q in requeue if q not in repassed)
@@ -199,7 +282,7 @@ def main() -> None:
                 "load_avg_end": load_end,
                 "load_pre_wait": load_pre_wait,
                 "load_waited_sec": waited,
-                "load_run_max": run_max,
+                "ext_cores_max": ext_max,
                 "repassed_queries": repassed,
                 "hot_queries": sorted(hot),
             }
