@@ -1,0 +1,175 @@
+"""Content-defined chunking (CDC) — the storage-level dedup primitive.
+
+Fixed-window chunking (``doc_chunks``) moves every boundary after an
+insertion, so two crawl snapshots of the same page share almost no
+chunk hashes once one byte shifts. Content-DEFINED chunking cuts where
+a rolling hash of the trailing ``window`` characters hits a divisor
+residue (Rabin/LBFS lineage; FastCDC is the same idea with a gear
+table), so boundaries are a function of LOCAL content: an edit only
+perturbs the chunks that overlap it and the rest of the document
+re-aligns — the property that makes chunk-hash dedup across snapshots
+work, and the reason backup/dedup systems (and crawl-snapshot
+pipelines) use CDC instead of fixed blocks.
+
+Everything here is INTEGER arithmetic on code points (polynomial hash
+mod 2^31, boundary iff ``h % divisor == 0``), so any engine reproduces
+the exact boundary set — the DuckDB oracle replays it position by
+position. Expected chunk length ≈ ``divisor`` characters.
+
+Scale shape: the boundary scan is embarrassingly parallel — ONE
+Arrow-batched ``mapInPandas`` pass over the documents (numpy
+convolution per doc, no shuffle, the genomic ``batch_span_arrays``
+convention), emitting only (id, ord, start, length) integers; chunk
+TEXT never crosses the Python boundary — hashes are computed JVM-side
+(``md5(substring(...))``) after a join back to the corpus, and the
+dedup statistics reduce on one chunk-hash-keyed partial-agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CDC_BASE = 257
+CDC_MOD = 1 << 31
+
+CHUNK_SCHEMA = "chunk_ord long, start long, length long"
+
+
+def cdc_weights(window: int, base: int = CDC_BASE, mod: int = CDC_MOD):
+    """``[base^j mod m for j in 0..window-1]`` — the polynomial weights,
+    exported so the oracle SQL inlines the identical constants."""
+    return [pow(base, j, mod) for j in range(window)]
+
+
+def cdc_chunk_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """→ ``(id_col, chunk_ord, start, length)`` content-defined chunk
+    spans per document (0-based ``start``, chunks partition the text).
+
+    The rolling hash over the window ENDING at 0-based position ``i``
+    is ``h(i) = (Σ_{j<window} code(i−j)·base^j) mod 2^31`` (code = the
+    Unicode code point, so character indexing agrees with SQL
+    ``substr`` on both engines); a boundary falls AFTER position ``i``
+    iff ``h(i) % divisor == 0`` and the cut is interior (no empty
+    trailing chunk). Documents shorter than ``window`` (or with no
+    qualifying position) are one chunk; NULL/empty text emits no rows.
+
+    Why a kernel and not SQL: the scan is per-CHARACTER — the honest
+    cost of CDC — and Spark's array higher-order functions run
+    interpreted per element (NOTES "Environment gotchas"), so the
+    vectorized numpy convolution over Arrow batches is the hot path;
+    it emits 4 integers per chunk and nothing else. No shuffle: chunk
+    spans are computed where the documents already live.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1: {divisor}")
+    id_type = dict(df.dtypes)[id_col]
+    # np.convolve(a, v)[i] = Σ_k a[k]·v[i−k]; with v[lag] = base^lag
+    # that is exactly Σ_j codes[i−j]·base^j — the window ending at i.
+    # int64 headroom: window·max_codepoint·mod ≈ 2^4·2^21·2^31 < 2^57.
+    weights = np.array(cdc_weights(window), dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ords, starts_out, lens_out = [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) == 0:
+                    continue
+                codes = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes)
+                if n >= window:
+                    conv = np.convolve(codes, weights)
+                    h = conv[window - 1 : n] % CDC_MOD
+                    cut = np.nonzero(h % divisor == 0)[0] + window
+                    cut = cut[cut < n]
+                    starts = np.concatenate(
+                        [np.zeros(1, dtype=np.int64), cut]
+                    )
+                else:
+                    starts = np.zeros(1, dtype=np.int64)
+                lens = np.diff(np.append(starts, n))
+                k = len(starts)
+                ids.extend([did] * k)
+                ords.extend(range(k))
+                starts_out.extend(starts.tolist())
+                lens_out.extend(lens.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "chunk_ord": pd.Series(ords, dtype="int64"),
+                    "start": pd.Series(starts_out, dtype="int64"),
+                    "length": pd.Series(lens_out, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, {CHUNK_SCHEMA}"
+    )
+
+
+def cdc_chunk_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """→ ``(id_col, chunk_ord, start, length, chunk_hash)`` — the spans
+    plus the portable md5 hex of each chunk's text, computed JVM-SIDE
+    (``md5(substring(...))`` over a join back to the corpus on
+    ``id_col``) so chunk text never crosses the Python boundary and
+    the hash is engine-portable (the doc_fingerprints convention)."""
+    spans = cdc_chunk_spans(df, text_col, id_col, window, divisor)
+    return spans.join(df.select(id_col, text_col), id_col).select(
+        id_col,
+        "chunk_ord",
+        "start",
+        "length",
+        F.md5(
+            F.expr(f"substring({text_col}, start + 1, length)")
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Corpus chunk-level dedup statistics → one row
+    ``(n_chunks, n_distinct, dup_chunks, dup_chars)``: how much of the
+    corpus is REDUNDANT at sub-document granularity — the
+    crawl-snapshot storage question exact-doc dedup can't answer
+    (a boilerplate header shared by every page dedups here, not
+    there). ``dup_chars`` counts characters in surplus copies
+    (occurrences beyond each hash's first). One chunk-hash-keyed
+    partial-agg shuffle over chunk-sized rows; the corpus itself is
+    scanned once by the span kernel and once by the hash projection."""
+    hashed = cdc_chunk_hashes(df, text_col, id_col, window, divisor)
+    per_hash = hashed.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("length").alias("length"),
+    )
+    return per_hash.agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("dup_chunks"),
+        F.sum((F.col("n") - 1) * F.col("length"))
+        .cast("long")
+        .alias("dup_chars"),
+    )

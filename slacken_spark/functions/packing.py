@@ -498,3 +498,111 @@ def token_blocks(
         (lo - F.col("block_id") * L).cast("long").alias("block_offset"),
         (hi - lo).cast("long").alias("n_toks"),
     )
+
+
+def hamilton_allocate(
+    df: DataFrame,
+    total: int,
+    group_cols: list[str],
+    weight_col: str,
+    out_col: str = "quota",
+    buckets: int = 32,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    ``total`` across groups proportionally to ``weight_col`` so the
+    shares SUM TO ``total`` EXACTLY — the allocator a dataset-mixing
+    recipe needs before :func:`quota_sample`'s per-group dict mode
+    ("2T tokens at these source proportions" must hand each source an
+    integer budget whose sum is exactly 2T; independent rounding
+    drifts by up to n_groups/2).
+
+    Each group gets ``floor(total·w/W)``; the ``total − Σfloor`` units
+    left over (< n_groups) go to the largest remainders
+    ``(total·w) mod W``, ties broken by the group key ascending — all
+    int64 arithmetic (exact while ``total·w < 2^63``; rescale weights
+    for larger corpora), so any engine reproduces the identical
+    allocation and the zero-remainder groups can never receive a
+    surplus unit (R ≤ #{rem > 0} by construction). NULL or negative
+    weights fail the plan loudly; an all-zero weight table raises
+    rather than dividing by zero.
+
+    Scale shape: the input is an already-aggregated per-group weight
+    table (group-cardinality rows); the grand total reduces once and
+    broadcasts back, and the remainder ranking runs on the two-level
+    :func:`~slacken_spark.operators.relational_ext.global_row_number`
+    — no single-task global window even at extreme group counts.
+    """
+    from slacken_spark.operators.relational_ext import (
+        _reserve,
+        global_row_number,
+    )
+
+    if total < 0:
+        raise ValueError(f"total must be nonnegative: {total}")
+    _reserve(df, out_col, "_w", "_W", "_base", "_rem", "_negrem", "_rk", "_B")
+    w = F.col(weight_col)
+    checked = df.withColumn(
+        "_w",
+        F.when(
+            w.isNull(),
+            F.raise_error(F.lit("hamilton_allocate: NULL weight")),
+        )
+        .when(
+            w < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("hamilton_allocate: negative weight "),
+                    w.cast("string"),
+                )
+            ),
+        )
+        .otherwise(w.cast("long")),
+    )
+    tot = checked.agg(F.sum("_w").alias("_W")).select(
+        F.when(
+            (F.col("_W").isNull()) | (F.col("_W") <= 0),
+            F.raise_error(
+                F.lit("hamilton_allocate: weights sum to zero (or empty)")
+            ),
+        )
+        .otherwise(F.col("_W"))
+        .alias("_W")
+    )
+    # the broadcast total/surplus frames derive FROM the frame they
+    # rejoin, so every reference is dataframe-ALIAS-qualified: Spark 4
+    # resolves bare names through both join children's lineage when the
+    # children share a plan subtree and fails them as ambiguous (the
+    # same reason nullsafe_equi_join renames its right keys)
+    base = (
+        checked.alias("_hal")
+        .crossJoin(F.broadcast(tot.alias("_hat")))
+        .select(
+            *[F.col(f"_hal.`{c}`") for c in group_cols],
+            F.expr(f"({int(total)}L * _hal._w) div _hat._W").alias("_base"),
+            F.expr(f"({int(total)}L * _hal._w) % _hat._W").alias("_rem"),
+        )
+    )
+    ranked = global_row_number(
+        base.withColumn("_negrem", -F.col("_rem")),
+        ["_negrem", *group_cols],
+        buckets,
+        out_col="_rk",
+    )
+    surplus = base.agg(
+        (F.lit(int(total)) - F.sum("_base")).cast("long").alias("_B")
+    )
+    return (
+        ranked.alias("_hrl")
+        .crossJoin(F.broadcast(surplus.alias("_hrs")))
+        .select(
+            *[F.col(f"_hrl.`{c}`") for c in group_cols],
+            (
+                F.col("_hrl._base")
+                + F.when(
+                    F.col("_hrl._rk") <= F.col("_hrs._B"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(out_col),
+        )
+    )

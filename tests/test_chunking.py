@@ -1,0 +1,153 @@
+"""functions.chunking — content-defined chunking: model parity with a
+pure-Python rolling-hash reference, the shift-invariance property that
+is CDC's whole point, JVM-side hashing, and plan shape."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from slacken_spark.functions.chunking import (
+    CDC_BASE,
+    CDC_MOD,
+    cdc_chunk_hashes,
+    cdc_chunk_spans,
+    cdc_dedup_stats,
+    cdc_weights,
+)
+
+
+def _model_spans(text, window, divisor):
+    """Pure-Python reference: h(i) = Σ_j code(i−j)·base^j mod 2^31,
+    boundary after i iff h % divisor == 0 and the cut is interior."""
+    n = len(text)
+    if n == 0:
+        return []
+    starts = [0]
+    for i in range(window - 1, n):
+        h = (
+            sum(
+                ord(text[i - j]) * pow(CDC_BASE, j, CDC_MOD)
+                for j in range(window)
+            )
+            % CDC_MOD
+        )
+        if h % divisor == 0 and i + 1 < n:
+            starts.append(i + 1)
+    return [
+        (k, s, (starts[k + 1] if k + 1 < len(starts) else n) - s)
+        for k, s in enumerate(starts)
+    ]
+
+
+def _rand_text(rng, n):
+    # mixed-case words + punctuation + a couple of non-ASCII code
+    # points (the kernel hashes CODE POINTS so substr-char indexing
+    # agrees across engines)
+    alphabet = list("abcdefgh XYZ.,!\n") + ["é", "Ж"]
+    return "".join(alphabet[i] for i in rng.integers(0, len(alphabet), n))
+
+
+def test_cdc_spans_match_model(spark):
+    rng = np.random.default_rng(7)
+    docs = {i: _rand_text(rng, int(rng.integers(0, 400))) for i in range(40)}
+    docs[100] = ""          # empty: no rows
+    docs[101] = "short"     # shorter than the window: one chunk
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_chunk_spans(df, "text", "doc_id", 16, 64).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_ord"], r["start"], r["length"])
+        )
+    for did, txt in docs.items():
+        want = _model_spans(txt, 16, 64)
+        assert sorted(got.get(did, [])) == want, f"doc {did}"
+    assert 100 not in got
+    assert got[101] == [(0, 0, 5)]
+    # chunks partition each text
+    for did, spans in got.items():
+        spans = sorted(spans)
+        assert spans[0][1] == 0
+        for (o1, s1, l1), (o2, s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 == s2 and o2 == o1 + 1
+        assert spans[-1][1] + spans[-1][2] == len(docs[did])
+
+
+def test_cdc_shift_invariance(spark):
+    """THE selling point vs fixed windows: an insertion near the front
+    perturbs only the chunks overlapping it — the tail re-aligns and
+    re-shares its chunk hashes. Fixed windows would share ~none."""
+    rng = np.random.default_rng(11)
+    base = _rand_text(rng, 4000)
+    edited = base[:97] + "INSERTED BYTES " + base[97:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunk_hashes(df, "text", "doc_id", 16, 64).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.7, f"only {shared:.0%} of chunks re-aligned"
+    # and the fixed-window strawman really does lose the tail: chunks
+    # at fixed 64-char offsets share nothing after the insertion point
+    fixed1 = {base[i : i + 64] for i in range(0, len(base), 64)}
+    fixed2 = {edited[i : i + 64] for i in range(0, len(edited), 64)}
+    assert len(fixed1 & fixed2) / len(fixed1) < 0.1
+
+
+def test_cdc_hashes_are_portable_md5(spark):
+    rng = np.random.default_rng(13)
+    txt = _rand_text(rng, 500)
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    for r in cdc_chunk_hashes(df, "text", "doc_id", 16, 64).collect():
+        piece = txt[r["start"] : r["start"] + r["length"]]
+        assert r["chunk_hash"] == hashlib.md5(piece.encode()).hexdigest()
+
+
+def test_cdc_dedup_stats_count_surplus_copies(spark):
+    """Three identical docs + one unique: every chunk of the two
+    surplus copies is a duplicate, and dup_chars counts their
+    characters exactly."""
+    rng = np.random.default_rng(17)
+    a, b = _rand_text(rng, 3000), _rand_text(rng, 1000)
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, a), (4, b)], "doc_id long, text string"
+    )
+    row = cdc_dedup_stats(df, "text", "doc_id", 16, 64).collect()[0]
+    spans = cdc_chunk_spans(
+        spark.createDataFrame([(1, a)], "doc_id long, text string"),
+        "text", "doc_id", 16, 64,
+    ).collect()
+    n_a = len(spans)
+    assert row["dup_chunks"] == 2 * n_a
+    assert row["dup_chars"] == 2 * len(a)
+    assert row["n_chunks"] == row["n_distinct"] + row["dup_chunks"]
+
+
+def test_cdc_validation_and_plan(spark, sf_dir):
+    with pytest.raises(ValueError, match="window"):
+        cdc_chunk_spans(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "text", "doc_id", window=0,
+        )
+    with pytest.raises(ValueError, match="divisor"):
+        cdc_chunk_spans(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "text", "doc_id", divisor=0,
+        )
+    from slacken_spark.plans.catalog import t
+
+    docs = t(spark, sf_dir, "documents")
+    spans = cdc_chunk_spans(docs, "text", "doc_id")
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    # the boundary scan is map-only Arrow (no shuffle, no per-row python)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    stats = cdc_dedup_stats(docs, "text", "doc_id")
+    splan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in splan
+    r = stats.collect()[0]
+    assert r["n_chunks"] > 0 and r["n_distinct"] <= r["n_chunks"]

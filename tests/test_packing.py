@@ -740,3 +740,131 @@ def test_epoch_shuffle_rejects_bad_rows_per_shard(spark):
     df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         epoch_shuffle(df, rows_per_shard=0)
+
+
+# ---------------- hamilton_allocate ----------------
+
+
+def _hamilton_model(weights, total):
+    """{group: quota} by largest remainder, ties by group key asc."""
+    W = sum(weights.values())
+    base = {g: total * w // W for g, w in weights.items()}
+    rem = {g: total * w % W for g, w in weights.items()}
+    surplus = total - sum(base.values())
+    order = sorted(weights, key=lambda g: (-rem[g], g))
+    for g in order[:surplus]:
+        base[g] += 1
+    return base
+
+
+def test_hamilton_allocate_matches_model_and_sums_exactly(spark):
+    import numpy as np
+
+    from slacken_spark.functions.packing import hamilton_allocate
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n = int(rng.integers(2, 30))
+        weights = {
+            f"s{i:02d}": int(rng.integers(0, 1000)) for i in range(n)
+        }
+        if sum(weights.values()) == 0:
+            weights["s00"] = 7
+        total = int(rng.integers(1, 100_000))
+        df = spark.createDataFrame(
+            list(weights.items()), "source string, w long"
+        )
+        got = {
+            r["source"]: r["quota"]
+            for r in hamilton_allocate(
+                df, total, ["source"], "w", buckets=4
+            ).collect()
+        }
+        assert got == _hamilton_model(weights, total), f"trial {trial}"
+        assert sum(got.values()) == total
+
+
+def test_hamilton_allocate_edges(spark):
+    import pytest
+
+    from slacken_spark.functions.packing import hamilton_allocate
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 0), ("c", 1)], "source string, w long"
+    )
+    # total = 0 -> all zero; zero-weight groups present with quota 0
+    got = {
+        r["source"]: r["quota"]
+        for r in hamilton_allocate(df, 0, ["source"], "w").collect()
+    }
+    assert got == {"a": 0, "b": 0, "c": 0}
+    # a zero-REMAINDER group never receives a surplus unit
+    got = {
+        r["source"]: r["quota"]
+        for r in hamilton_allocate(df, 8, ["source"], "w").collect()
+    }
+    assert got == {"a": 6, "b": 0, "c": 2}
+    with pytest.raises(Exception, match="NULL weight"):
+        bad = spark.createDataFrame(
+            [("a", 3), ("b", None)], "source string, w long"
+        )
+        hamilton_allocate(bad, 10, ["source"], "w").collect()
+    with pytest.raises(Exception, match="negative weight"):
+        bad = spark.createDataFrame(
+            [("a", 3), ("b", -1)], "source string, w long"
+        )
+        hamilton_allocate(bad, 10, ["source"], "w").collect()
+    with pytest.raises(Exception, match="sum to zero"):
+        zero = spark.createDataFrame(
+            [("a", 0), ("b", 0)], "source string, w long"
+        )
+        hamilton_allocate(zero, 10, ["source"], "w").collect()
+    with pytest.raises(ValueError, match="nonnegative"):
+        hamilton_allocate(df, -1, ["source"], "w")
+
+
+def test_hamilton_allocate_null_group_and_composition(spark):
+    """A NULL group key is a real group (ranked NULLS FIRST on the
+    tie-break, Spark's asc default — an oracle must say NULLS FIRST
+    explicitly; DuckDB defaults NULLS LAST), and the output feeds
+    quota_sample's per-group dict mode directly."""
+    from slacken_spark.functions.packing import (
+        hamilton_allocate,
+        quota_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), (None, 5)], "source string, w long"
+    )
+    got = {
+        r["source"]: r["quota"]
+        for r in hamilton_allocate(df, 5, ["source"], "w").collect()
+    }
+    assert sum(got.values()) == 5 and set(got) == {"a", None}
+    # equal weights, odd total: the surplus unit goes to the NULL
+    # group (NULLS FIRST tie-break)
+    assert got[None] == 3 and got["a"] == 2
+
+    rows = [(i, "a" if i % 2 else None, 10) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+    quotas = {
+        r["source"]: r["quota"]
+        for r in hamilton_allocate(
+            docs.groupBy("source").agg(
+                __import__("pyspark.sql.functions", fromlist=["sum"]).sum(
+                    "ntok"
+                ).alias("w")
+            ),
+            100,
+            ["source"],
+            "w",
+        ).collect()
+    }
+    kept = quota_sample(docs, quotas, "source", "doc_id", "ntok", "window")
+    per = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert sum(per.values()) == 10  # 100 tokens / 10 per doc
