@@ -245,17 +245,17 @@ def main() -> None:
     for _ in range(repasses):
         if not hot:
             break
-        rewait = 0.0
-        while rewait < wait_budget:
-            ext_now = _external_now()
-            if ext_now is None or ext_now <= ext_max:
-                break
+        rewait, ext_now = 0.0, _external_now()
+        while rewait < wait_budget and not (
+            ext_now is None or ext_now <= ext_max
+        ):
             time.sleep(14)
             rewait += 15
+            ext_now = _external_now()
         requeue = sorted(hot)
         print(
             f"bench: re-measuring {len(requeue)} burst-hit queries "
-            f"(waited {rewait:.0f}s, external cores now {_external_now()})",
+            f"(waited {rewait:.0f}s, external cores now {ext_now})",
             file=sys.stderr,
         )
         repassed.extend(q for q in requeue if q not in repassed)

@@ -106,6 +106,11 @@ def cdc_chunk_spans(
                 ords.extend(range(k))
                 starts_out.extend(starts.tolist())
                 lens_out.extend(lens.tolist())
+            if not ids:
+                # a batch of only empty/NULL texts would build an
+                # all-object-dtype empty frame that Arrow can't cast to
+                # the declared schema — yield nothing instead
+                continue
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids),

@@ -126,6 +126,16 @@ def test_cdc_dedup_stats_count_surplus_copies(spark):
     assert row["n_chunks"] == row["n_distinct"] + row["dup_chunks"]
 
 
+def test_cdc_all_empty_partition_yields_no_frame(spark):
+    """A partition holding ONLY empty/NULL texts must yield nothing
+    from the kernel (an all-object-dtype empty pandas frame fails the
+    Arrow cast to the declared schema) — r11 self-review edge."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "")], "doc_id long, text string"
+    ).repartition(3)
+    assert cdc_chunk_spans(df, "text", "doc_id").count() == 0
+
+
 def test_cdc_validation_and_plan(spark, sf_dir):
     with pytest.raises(ValueError, match="window"):
         cdc_chunk_spans(
