@@ -178,3 +178,64 @@ def cdc_dedup_stats(
         .cast("long")
         .alias("dup_chars"),
     )
+
+
+def cdc_snapshot_diff(
+    base: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Cross-snapshot storage cost at chunk granularity → one row
+    ``(new_chunks, shared_chunks, new_distinct, new_chars,
+    shared_chars)``: of the NEW snapshot's chunks, how many (and how
+    many characters) already exist in the base snapshot's chunk store
+    vs must be stored anew — THE question CDC chunking exists to
+    answer ("this crawl re-fetched 50M pages; how much is actually new
+    bytes?"), which doc-level ``corpus_diff`` overstates whenever
+    documents are edited rather than replaced wholesale (an edited doc
+    is 100% new to a doc-level diff; here only the chunks overlapping
+    the edit are).
+
+    Counting is by DISTINCT chunk hash on the new side (a chunk store
+    keeps one copy): ``new_distinct``/``new_chars`` are the distinct
+    new-side hashes absent from base and their one-copy character
+    cost; ``new_chunks``/``shared_chunks`` count new-side chunk
+    OCCURRENCES by membership, and ``shared_chars`` the re-used
+    occurrence characters. Scale shape: two span-kernel passes (one
+    per snapshot, each shuffle-free), chunk hashes reduce per side on
+    a chunk-hash-keyed partial agg, and the membership check is ONE
+    left join of the new side's distinct hashes against the base
+    side's (both already hash-distinct — chunk-store-sized, not
+    corpus-sized)."""
+    b = (
+        cdc_chunk_hashes(base, text_col, id_col, window, divisor)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("_in_base", F.lit(1))
+    )
+    n = cdc_chunk_hashes(new, text_col, id_col, window, divisor).groupBy(
+        "chunk_hash"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("length").alias("_len"),
+    )
+    joined = n.join(b, "chunk_hash", "left")
+    is_new = F.col("_in_base").isNull()
+    return joined.agg(
+        F.sum(F.when(is_new, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("new_chunks"),
+        F.sum(F.when(is_new, 0).otherwise(F.col("_n")))
+        .cast("long")
+        .alias("shared_chunks"),
+        F.sum(is_new.cast("long")).cast("long").alias("new_distinct"),
+        F.sum(F.when(is_new, F.col("_len")).otherwise(0))
+        .cast("long")
+        .alias("new_chars"),
+        F.sum(F.when(is_new, 0).otherwise(F.col("_n") * F.col("_len")))
+        .cast("long")
+        .alias("shared_chars"),
+    )

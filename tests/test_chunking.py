@@ -161,3 +161,51 @@ def test_cdc_validation_and_plan(spark, sf_dir):
     assert "BatchEvalPython" not in splan
     r = stats.collect()[0]
     assert r["n_chunks"] > 0 and r["n_distinct"] <= r["n_chunks"]
+
+
+def test_cdc_snapshot_diff_matches_model_and_beats_doc_diff(spark):
+    """Cross-snapshot chunk diff: exact counts vs the pure-Python model,
+    and the CDC advantage itself — an edited doc contributes only the
+    chunks overlapping the edit as new bytes, not its whole length."""
+    from slacken_spark.functions.chunking import cdc_snapshot_diff
+
+    rng = np.random.default_rng(29)
+    base_docs = {i: _rand_text(rng, 2500) for i in range(8)}
+    new_docs = dict(base_docs)
+    # edit two docs (front insertion), add one brand-new doc
+    new_docs[0] = "EDIT " + base_docs[0]
+    new_docs[3] = base_docs[3][:50] + "XX" + base_docs[3][50:]
+    new_docs[99] = _rand_text(rng, 2500)
+
+    def hashes(docs):
+        out = []
+        for txt in docs.values():
+            for _, s, ln in _model_spans(txt, 16, 64):
+                out.append(
+                    (hashlib.md5(txt[s : s + ln].encode()).hexdigest(), ln)
+                )
+        return out
+
+    base_set = {h for h, _ in hashes(base_docs)}
+    new_occ = hashes(new_docs)
+    want_new_chunks = sum(1 for h, _ in new_occ if h not in base_set)
+    want_shared = len(new_occ) - want_new_chunks
+    new_distinct = {}
+    for h, ln in new_occ:
+        if h not in base_set:
+            new_distinct.setdefault(h, ln)
+    bdf = spark.createDataFrame(
+        list(base_docs.items()), "doc_id long, text string"
+    )
+    ndf = spark.createDataFrame(
+        list(new_docs.items()), "doc_id long, text string"
+    )
+    row = cdc_snapshot_diff(bdf, ndf, "text", "doc_id", 16, 64).collect()[0]
+    assert row["new_chunks"] == want_new_chunks
+    assert row["shared_chunks"] == want_shared
+    assert row["new_distinct"] == len(new_distinct)
+    assert row["new_chars"] == sum(new_distinct.values())
+    # CDC advantage: the two EDITED docs cost far less than their full
+    # length (a doc-level diff would charge all ~5000 chars + the new
+    # doc); only the new doc + edit-adjacent chunks are new bytes
+    assert row["new_chars"] < 2500 + 1200
