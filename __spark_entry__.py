@@ -67,8 +67,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #       shared _hash_salt call) and ngram_lm_counts (the forced
 #       continuation-table broadcast became the optimizer's size-based
 #       call, same rationale as the bigram-scorer advice fix),
-#   (d) one spare seat smoothing r12's 47-entry binding backlog:
-#       dedup_components_delta (the most expensive r9-fresh entry).
+#   (d) one seat that both re-gates changed code AND smooths r12's
+#       binding backlog: value_percentiles — the r11 two-level fix
+#       (bucket ids frozen by a lazy localCheckpoint after runtime
+#       exchange reuse was shown to fail silently in composed plans)
+#       reaches it through grouped_exact_quantiles/global_row_number;
+#       corpus_pps_sample (seated in (b)) gates the same fix through
+#       global_prefix_sum. The fix's other two consumer entries
+#       (doc_length_quartiles via global_ntile, token_block_plan via
+#       packing) were re-verified oracle-green at sf0.01 in-round and
+#       are pytest-pinned (the r10 seat-accounting precedent) — both
+#       also re-gate at r12 where they are binding.
 # _TAIL is ordered as the r12 re-promotion queue: the 47 remaining
 # r9-fresh entries first (they hit the 2-round staleness bound at r12
 # and must gate then), then the r10-fresh ones.
@@ -131,8 +140,8 @@ _MUST_GATE = [
     "salted_skew_join",
     "salted_skew_agg",
     "ngram_lm_counts",
-    # (d) spare seat -> r12 smoothing (the heaviest r9-fresh entry):
-    "dedup_components_delta",
+    # (d) changed-code re-gate + r12 smoothing:
+    "value_percentiles",
 ]
 _EARLY = list(_MUST_GATE)
 _TAIL = [
@@ -140,8 +149,9 @@ _TAIL = [
     # r9-fresh entries (their newest green row turns two rounds old
     # when this round's file lands — r12 must gate them or the
     # freshness guard fails), in the r9 gate order minus
-    # dedup_components_delta (promoted into this round's (d)):
+    # value_percentiles (promoted into this round's (d)):
     "dedup_components",
+    "dedup_components_delta",
     "dedup_keep_longest",
     "dedup_keep_canonical",
     "embedding_lsh_delta",
@@ -186,7 +196,6 @@ _TAIL = [
     "rollup_revenue",
     "simhash_docs",
     "unpivot_part_metrics",
-    "value_percentiles",
     "weights_rollup",
     # then the r10-fresh set (one round old after this round), in the
     # r10 gate order minus salted_skew_join / salted_skew_agg /

@@ -444,12 +444,11 @@ def token_blocks(
     Rows with ``size <= 0`` contribute nothing to the stream and emit
     no plan rows.
 
-    The plan scans ``df``'s lineage twice (the per-row window branch
-    and the bucket-totals branch — Spark does not dedupe common
-    subplans); callers whose ``size_col`` derives from an expensive
-    expression should persist ``df`` or pass a stored token-count
-    column (what a production corpus carries anyway) — the catalog
-    query reads the persisted table for this reason.
+    The ranged (id, size) rows are pinned by a lazy localCheckpoint
+    (both branches MUST agree on bucket membership and runtime
+    exchange reuse silently fails in composed plans — the r11
+    two-level finding), so ``df``'s lineage computes once into the
+    checkpoint; the blocks live as long as the returned plan.
     """
     if block_tokens <= 0:
         raise ValueError(f"block_tokens must be positive: {block_tokens}")
@@ -462,6 +461,11 @@ def token_blocks(
         .where(sz > 0)
         .repartitionByRange(buckets, F.col(id_col))
         .withColumn("_bkt", F.spark_partition_id())
+        # bucket ids FROZEN by a lazy localCheckpoint — the window and
+        # totals branches must agree on bucket membership, and runtime
+        # exchange reuse silently fails in composed plans (the r11
+        # two-level finding; see relational_ext.global_row_number)
+        .localCheckpoint(eager=False)
     )
     w_in = (
         Window.partitionBy("_bkt")

@@ -307,34 +307,30 @@ def global_row_number(
     plain ``Window.partitionBy(group)`` instead, where each reducer's
     group is small by assumption.
 
-    Correctness depends on the local and totals branches reading ONE
-    materialized range exchange (``_bkt`` is spark_partition_id of
-    that exchange): Spark's ReuseExchange provides it and the executed
-    plan is pinned by test_two_level_rank_materializes_one_range_exchange.
-    ``spark.sql.exchange.reuse=false`` is rejected at call time —
-    independent exchanges sample boundaries with different seeds and
-    AQE coalesces them independently, so the two branches would
-    disagree on bucket ids.
+    Correctness requires the local and totals branches to read ONE
+    materialization of the range exchange (``_bkt`` is
+    spark_partition_id of that exchange). Through r10 this leaned on
+    Spark's runtime exchange/stage reuse — and r11's scale probes
+    showed that reuse SILENTLY FAILS in composed plans (attaching one
+    more broadcast branch over the same lineage was enough): the two
+    branches then sample range boundaries independently (the sample
+    seed derives from the RDD id) and disagree on bucket membership —
+    nondeterministically wrong ranks, no error. The bucket ids are
+    therefore now FROZEN by a lazy ``localCheckpoint`` of the ranged
+    rows: both branches read the one computed RDD, whatever the
+    optimizer does around them, under any exchange-reuse setting. The
+    checkpoint blocks live as long as the returned plan (the
+    ``apply_delta`` convention) — the honest price of an exact global
+    order statistic.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
-    # Fail loudly where the invariant would otherwise fail silently: a
-    # deployment that disables exchange reuse gives the two branches
-    # independent range exchanges (different boundary-sample seeds, AQE
-    # coalescing them independently) and the ranks go quietly wrong.
-    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
-    if str(reuse).lower() == "false":
-        raise RuntimeError(
-            "global_row_number requires spark.sql.exchange.reuse=true: "
-            "its local-window and totals branches must read ONE "
-            "materialized range exchange to agree on bucket ids"
-        )
     _reserve(df, "_bkt", "_rn_in", "_boff", out_col)
     pc = list(partition_cols or [])
     cols = [F.col(c) for c in pc + list(order_cols)]
     base = df.repartitionByRange(buckets, *cols).withColumn(
         "_bkt", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=False)
     w_in = Window.partitionBy("_bkt", *pc).orderBy(*[F.col(c) for c in order_cols])
     local = base.withColumn("_rn_in", F.row_number().over(w_in))
     totals = base.groupBy("_bkt", *pc).agg(F.count(F.lit(1)).alias("_bn"))
@@ -556,26 +552,21 @@ def global_prefix_sum(
     buckets + groups − 1 rows) prefix-sum per group and broadcast back
     as base offsets. ``order_cols`` must total-order rows within a
     group for a deterministic scan; output is bucketing-invariant;
-    ``spark.sql.exchange.reuse=false`` is rejected at call time (the
-    local and totals branches must read ONE materialized range
-    exchange). Sums are int64 — the caller keeps weights inside the
-    64-bit budget (token counts at 100 TB: ~10^14, comfortable).
+    the bucket ids are FROZEN by a lazy ``localCheckpoint`` of the
+    ranged rows — see :func:`global_row_number` for why runtime
+    exchange reuse cannot be trusted to keep the two branches agreeing
+    (the r11 finding). Sums are int64 — the caller keeps weights
+    inside the 64-bit budget (token counts at 100 TB: ~10^14,
+    comfortable).
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
-    reuse = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
-    if str(reuse).lower() == "false":
-        raise RuntimeError(
-            "global_prefix_sum requires spark.sql.exchange.reuse=true: "
-            "its local-scan and totals branches must read ONE "
-            "materialized range exchange to agree on bucket ids"
-        )
     _reserve(df, "_bkt", "_ps_in", "_boff", out_col)
     pc = list(partition_cols or [])
     cols = [F.col(c) for c in pc + list(order_cols)]
     base = df.repartitionByRange(buckets, *cols).withColumn(
         "_bkt", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy("_bkt", *pc)
         .orderBy(*[F.col(c) for c in order_cols])

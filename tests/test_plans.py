@@ -248,15 +248,20 @@ def test_grouped_exact_quantiles_matches_percentile_agg(spark):
         grouped_exact_quantiles(df.withColumn("p", F.lit(1)), ["g"], "v", [0.5])
 
 
-def test_two_level_rank_materializes_one_range_exchange(spark, sf_dir):
-    """LOAD-BEARING plan pin: global_row_number's two branches (local
-    window and per-bucket totals) must read the SAME materialized range
-    exchange — `_bkt` is spark_partition_id() of that exchange, so if
-    the branches ever got independent exchanges (e.g. column pruning
-    making their subplans differ), AQE could coalesce each differently
-    and the offset join would silently mis-rank. Asserts the executed
-    adaptive plan materializes exactly ONE rangepartitioning exchange
-    and reuses it."""
+def test_two_level_rank_branches_share_one_checkpointed_exchange(
+    spark, sf_dir
+):
+    """LOAD-BEARING: global_row_number's two branches (local window and
+    per-bucket totals) must agree on bucket membership — `_bkt` is
+    spark_partition_id() of the range exchange. Through r10 this
+    leaned on runtime exchange/stage reuse; r11's scale probes showed
+    that reuse SILENTLY fails in composed plans (one extra broadcast
+    branch over the same lineage sufficed), letting the branches
+    sample range boundaries independently — nondeterministically wrong
+    ranks. The ranged rows are now pinned by a lazy localCheckpoint:
+    the executed plan must show ZERO live rangepartitioning exchanges
+    (the one exchange is frozen inside the checkpointed RDD both
+    branches scan)."""
     from slacken_spark.operators.relational_ext import (
         grouped_exact_quantiles,
     )
@@ -267,34 +272,63 @@ def test_two_level_rank_materializes_one_range_exchange(spark, sf_dir):
     r.collect()
     plan = r._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
-    materialized = final.count("+- Exchange rangepartitioning")
-    assert materialized == 1, final
-    assert "ReusedExchange" in final, final
+    assert "Exchange rangepartitioning" not in final, final
+    assert "ExistingRDD" in final or "Scan ExistingRDD" in plan, final
 
 
-def test_global_row_number_rejects_disabled_exchange_reuse(spark):
-    """The one-materialized-exchange invariant above is CONFIG-gated:
-    with spark.sql.exchange.reuse=false the two branches get
-    independent range exchanges (different boundary-sample seeds, AQE
-    coalescing each on its own) and ranks go silently wrong. The
-    operator must refuse to build a plan under that config — a loud
-    RuntimeError on a misconfigured cluster, not a plan-pin test that
-    only runs in CI."""
-    import pytest
-
+def test_global_row_number_exact_under_any_exchange_reuse_setting(spark):
+    """With the checkpoint pin, correctness no longer depends on
+    spark.sql.exchange.reuse (the r10 guard rejected reuse=false; the
+    r11 fix makes the setting irrelevant) — ranks must be exact under
+    both values."""
     from slacken_spark.operators.relational_ext import global_row_number
 
-    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    df = spark.range(2000).select(
+        F.col("id"), F.pmod(F.hash("id"), 50).alias("v")
+    )
+    want = {
+        r["id"]: i + 1
+        for i, r in enumerate(
+            sorted(df.collect(), key=lambda r: (r["v"], r["id"]))
+        )
+    }
     key = "spark.sql.exchange.reuse"
     prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
     try:
-        with pytest.raises(RuntimeError, match="exchange.reuse"):
-            global_row_number(df, ["v", "id"], 4)
+        for setting in ("true", "false"):
+            spark.conf.set(key, setting)
+            got = {
+                r["id"]: r["rank"]
+                for r in global_row_number(df, ["v", "id"], 8).collect()
+            }
+            assert got == want, f"reuse={setting}"
     finally:
         spark.conf.set(key, prev)
-    # and back on, the plan builds again
-    assert global_row_number(df, ["v", "id"], 4).count() == 1
+
+
+def test_hamilton_composition_regression_100k(spark):
+    """The r11 finding's reproducer: hamilton_allocate attaches a
+    broadcast surplus branch over the same lineage as the rank input —
+    the exact composition where runtime exchange reuse silently failed
+    and the quota sum drifted nondeterministically (observed +1751 /
+    −248 / +379 at 100k-1M groups). With the checkpointed exchange the
+    sum is EXACT at 100k groups, every run."""
+    from slacken_spark.functions.packing import hamilton_allocate
+
+    n, total = 100_000, 777_777_777
+    w = spark.range(n).select(
+        F.concat(F.lit("g"), F.col("id")).alias("g"),
+        (
+            F.pmod(F.hash("id"), 1000)
+            + (F.col("id") % 7 == 0).cast("long") * 50_000
+        ).alias("w"),
+    )
+    out = hamilton_allocate(w, total, ["g"], "w", buckets=64)
+    row = out.agg(
+        F.sum("quota").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert row["n"] == n
+    assert row["s"] == total, f"quota sum {row['s']} != {total}"
 
 
 def test_grouped_topk_matches_window_form(spark):
