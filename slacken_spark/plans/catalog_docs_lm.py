@@ -103,11 +103,13 @@ def corpus_pps_sample(spark, sf_dir):
     design would assign to a document longer than the stride.
 
     Scale shape: ONE global_prefix_sum — range-partitioned local
-    cumsums + a broadcast bucket-offset join, bounded stages, the
-    exchange-reuse contract guarded at runtime — then a map-side
-    closed-form filter; nothing corpus-sized concentrates on one
-    task. Randomness, when wanted, enters by ordering on a hash
-    (order_cols=[hash(id)]), keeping the design engine-exact."""
+    cumsums + a broadcast bucket-offset join, bounded stages, bucket
+    ids frozen by the operator's lazy checkpoint (the r11 two-level
+    fix: branch agreement never leans on runtime exchange reuse) —
+    then a map-side closed-form filter; nothing corpus-sized
+    concentrates on one task. Randomness, when wanted, enters by
+    ordering on a hash (order_cols=[hash(id)]), keeping the design
+    engine-exact."""
     from slacken_spark.operators.relational_ext import pps_systematic_sample
 
     docs = t(spark, sf_dir, "documents").select(
