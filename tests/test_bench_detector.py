@@ -1,0 +1,105 @@
+"""bench.py's external-CPU attribution detector — the burst signal the
+benchmark's targeted re-measurement keys on. Pure /proc arithmetic, no
+Spark: our own process subtree's work must never read as external
+(that mis-classification is exactly what the r11 loadavg threshold got
+wrong, flagging 85/144 queries on a quiet host), while a process
+OUTSIDE the subtree must be counted."""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+pytestmark = pytest.mark.skipif(
+    bench._proc_snapshot() is None, reason="/proc attribution unavailable"
+)
+
+
+def _ext(window):
+    s0 = bench._proc_snapshot()
+    time.sleep(window)
+    return bench._external_cores(s0, bench._proc_snapshot(), window)
+
+
+def test_own_child_burn_is_not_external():
+    """A CPU burn in our OWN subtree must be fully attributed to us:
+    external during the burn stays within noise of ambient."""
+    ambient = _ext(0.6)
+    kids = [
+        subprocess.Popen([sys.executable, "-c", "while True: pass"])
+        for _ in range(3)
+    ]
+    try:
+        time.sleep(0.2)
+        during = _ext(1.0)
+    finally:
+        for c in kids:
+            c.kill()
+        for c in kids:
+            c.wait()
+    assert during <= ambient + 1.0, (
+        f"own 3-core burn leaked into external: ambient={ambient:.2f} "
+        f"during={during:.2f}"
+    )
+
+
+def test_reaped_child_cpu_stays_attributed():
+    """A subtree child that exits MID-window moves its jiffies into its
+    reaper's cutime — the subtree delta must not lose (or double-count)
+    them, so external still reads ~ambient."""
+    ambient = _ext(0.6)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import time\nt=time.time()\nwhile time.time()-t < 0.5: pass",
+        ]
+    )
+    s0 = bench._proc_snapshot()
+    child.wait()  # burns ~0.5 s then is reaped inside the window
+    time.sleep(0.5)
+    during = bench._external_cores(s0, bench._proc_snapshot(), 1.0)
+    assert during <= ambient + 0.8, (
+        f"reaped child mis-attributed: ambient={ambient:.2f} "
+        f"during={during:.2f}"
+    )
+
+
+def test_detached_external_burn_is_counted():
+    """A double-forked process reparented away from our subtree is a
+    genuine external load and must register ~1 core."""
+    p = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import os, time\n"
+                "if os.fork() == 0:\n"
+                "    os.setsid()\n"
+                "    if os.fork() == 0:\n"
+                "        t = time.time()\n"
+                "        while time.time() - t < 3: pass\n"
+                "    os._exit(0)\n"
+                "os._exit(0)"
+            ),
+        ]
+    )
+    p.wait()
+    time.sleep(0.4)  # let the orphan reparent and spin up
+    during = _ext(1.2)
+    assert during >= 0.6, f"external 1-core burn read {during:.2f} cores"
+
+
+def test_snapshot_fields_parse_sanely():
+    busy, procs = bench._proc_snapshot()
+    assert busy > 0 and os.getpid() in procs
+    ppid, jiff = procs[os.getpid()]
+    assert ppid > 0 and jiff >= 0
+    assert bench._subtree_jiffies(procs) >= jiff
