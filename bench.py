@@ -103,6 +103,36 @@ def _external_cores(snap0, snap1, dt: float) -> float | None:
     return max(0.0, ext / _CLK_TCK / dt)
 
 
+def _measure(name, fn, n_runs, spark, sf_dir, ext_max, timings, hot):
+    """min-of-n timing; a query stays `hot` until at least one run
+    executes with external CPU below ext_max (or the detector is
+    unavailable — which never requeues). A FAILURE only clears the hot
+    annotation when no timing was ever recorded: if a prior successful
+    run's min is contaminated (the reason the query was requeued), the
+    annotation must survive the failed re-measure so the JSON doesn't
+    report a burst-inflated timing as clean (r11 advice)."""
+    best = timings.get(name, -1.0)
+    if name not in timings:
+        hot.add(name)
+    try:
+        for _ in range(n_runs):
+            snap0 = _proc_snapshot()
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = time.perf_counter() - start
+            ext = _external_cores(snap0, _proc_snapshot(), elapsed)
+            best = elapsed if best < 0 else min(best, elapsed)
+            if ext is None or ext <= ext_max:
+                hot.discard(name)
+    except Exception as e:  # record failures as negative sentinel
+        print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+        if best < 0:
+            best = -1.0  # a pre-failure min is still evidence
+            hot.discard(name)
+    timings[name] = round(best, 3)
+
+
 def main() -> None:
     # Load-gated start (r9 lesson: a file recorded at host load ~3 cost
     # a round of regression adjudication on unchanged code): when an
@@ -201,32 +231,22 @@ def main() -> None:
     hot: set[str] = set()
 
     def measure(name, fn, n_runs):
-        """min-of-n timing; a query stays `hot` until at least one run
-        executes with external CPU below ext_max (or it fails, or the
-        detector is unavailable — neither requeues)."""
-        best = timings.get(name, -1.0)
-        if name not in timings:
-            hot.add(name)
-        try:
-            for _ in range(n_runs):
-                snap0 = _proc_snapshot()
-                start = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-                elapsed = time.perf_counter() - start
-                ext = _external_cores(snap0, _proc_snapshot(), elapsed)
-                best = elapsed if best < 0 else min(best, elapsed)
-                if ext is None or ext <= ext_max:
-                    hot.discard(name)
-        except Exception as e:  # record failures as negative sentinel
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            if best < 0:
-                best = -1.0  # a pre-failure min is still evidence
-            hot.discard(name)
-        timings[name] = round(best, 3)
+        _measure(name, fn, n_runs, spark, sf_dir, ext_max, timings, hot)
 
     for name, (fn, _sql) in catalog.QUERIES.items():
         measure(name, fn, runs)
+
+    # sub-0.5 s entries are dominated by fixed costs and swing 2-3x run
+    # to run on this host (r11 verdict item 5) — one bounded extra pass
+    # over just those (min kept) tames the variance for ~a second of
+    # total wall; the count is recorded in the JSON so a reader knows
+    # the small entries are min-of-(runs+N).
+    small_extra = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_RUNS", "1"))
+    small_cut = float(os.environ.get("SPARK_GRAFT_BENCH_SMALL_CUTOFF", "0.5"))
+    small = [n for n, v in timings.items() if 0 <= v < small_cut]
+    for _ in range(small_extra):
+        for name in small:
+            measure(name, catalog.QUERIES[name][0], 1)
 
     # Mid-run burst defense (the r10 lesson: the start gate can't help
     # when the burst arrives mid-run — all six r10 attempts recorded
@@ -278,6 +298,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": runs,
+                "small_query_extra_runs": small_extra,
+                "small_query_cutoff_sec": small_cut,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
                 "load_pre_wait": load_pre_wait,

@@ -70,10 +70,24 @@ def cdc_chunk_spans(
     import numpy as np
     import pandas as pd
 
+    from slacken_spark.operators.relational_ext import _reserve
+
     if window < 1:
         raise ValueError(f"window must be >= 1: {window}")
+    # int64 convolution headroom (see the weights comment below):
+    # window·2^21·2^31 must stay under 2^63, so window above 2^11 would
+    # WRAP in numpy and silently diverge from the pure-Python/SQL
+    # oracle — fail loudly instead (r11 advice).
+    if window > 2048:
+        raise ValueError(
+            f"window must be <= 2048 (int64 rolling-hash headroom): {window}"
+        )
     if divisor < 1:
         raise ValueError(f"divisor must be >= 1: {divisor}")
+    # the output schema appends chunk_ord/start/length next to id_col —
+    # an id or text column NAMED one of those would emit a
+    # duplicate-name schema instead of the repo's standard loud error
+    _reserve(df.select(id_col, text_col), "chunk_ord", "start", "length")
     id_type = dict(df.dtypes)[id_col]
     # np.convolve(a, v)[i] = Σ_k a[k]·v[i−k]; with v[lag] = base^lag
     # that is exactly Σ_j codes[i−j]·base^j — the window ending at i.
@@ -137,6 +151,9 @@ def cdc_chunk_hashes(
     (``md5(substring(...))`` over a join back to the corpus on
     ``id_col``) so chunk text never crosses the Python boundary and
     the hash is engine-portable (the doc_fingerprints convention)."""
+    from slacken_spark.operators.relational_ext import _reserve
+
+    _reserve(df.select(id_col, text_col), "chunk_hash")
     spans = cdc_chunk_spans(df, text_col, id_col, window, divisor)
     return spans.join(df.select(id_col, text_col), id_col).select(
         id_col,

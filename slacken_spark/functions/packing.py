@@ -545,23 +545,40 @@ def hamilton_allocate(
         raise ValueError(f"total must be nonnegative: {total}")
     _reserve(df, out_col, "_w", "_W", "_base", "_rem", "_negrem", "_rk", "_B")
     w = F.col(weight_col)
-    checked = df.withColumn(
-        "_w",
-        F.when(
-            w.isNull(),
-            F.raise_error(F.lit("hamilton_allocate: NULL weight")),
-        )
-        .when(
-            w < 0,
+    guarded = F.when(
+        w.isNull(),
+        F.raise_error(F.lit("hamilton_allocate: NULL weight")),
+    ).when(
+        w < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("hamilton_allocate: negative weight "),
+                w.cast("string"),
+            )
+        ),
+    )
+    # a fractional weight would silently TRUNCATE through cast('long')
+    # (0.3/0.7 collapse to a confusing "weights sum to zero", 1.9 -> 1
+    # skews the shares without warning) — the exact-integer contract
+    # fails loudly instead; callers with proportions rescale to
+    # integers first (r11 advice). Integer/long columns skip the check
+    # (floor over int64 > 2^53 would itself be lossy through double).
+    wtype = dict(df.dtypes)[weight_col]
+    if wtype in ("float", "double") or wtype.startswith("decimal"):
+        nonintegral = w != F.floor(w)
+        if wtype in ("float", "double"):
+            nonintegral = nonintegral | F.isnan(w)
+        guarded = guarded.when(
+            nonintegral,
             F.raise_error(
                 F.concat(
-                    F.lit("hamilton_allocate: negative weight "),
+                    F.lit("hamilton_allocate: non-integral weight "),
                     w.cast("string"),
+                    F.lit(" (rescale proportions to integers)"),
                 )
             ),
         )
-        .otherwise(w.cast("long")),
-    )
+    checked = df.withColumn("_w", guarded.otherwise(w.cast("long")))
     tot = checked.agg(F.sum("_w").alias("_W")).select(
         F.when(
             (F.col("_W").isNull()) | (F.col("_W") <= 0),

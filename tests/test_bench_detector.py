@@ -97,6 +97,48 @@ def test_detached_external_burn_is_counted():
     assert during >= 0.6, f"external 1-core burn read {during:.2f} cores"
 
 
+class _FakeDF:
+    class _W:
+        def mode(self, _):
+            return self
+
+        def format(self, _):
+            return self
+
+        def save(self):
+            pass
+
+    @property
+    def write(self):
+        return self._W()
+
+
+def test_failed_repass_keeps_contaminated_hot_annotation():
+    """A query requeued because its only timing was burst-contaminated
+    must KEEP its hot annotation when the re-measure run FAILS — the
+    JSON would otherwise report the inflated min as clean (r11 advice).
+    A query that fails before ANY timing still clears (the -1 sentinel
+    is not a contaminated measurement)."""
+    timings = {"q": 3.2}  # prior successful-but-contaminated min
+    hot = {"q"}
+
+    def boom(_spark, _sf):
+        raise RuntimeError("re-measure failed")
+
+    bench._measure("q", boom, 1, None, "/nowhere", 2.0, timings, hot)
+    assert "q" in hot and timings["q"] == 3.2
+    # never-succeeded query: sentinel recorded, hot cleared
+    timings2, hot2 = {}, set()
+    bench._measure("r", boom, 1, None, "/nowhere", 2.0, timings2, hot2)
+    assert timings2["r"] == -1.0 and "r" not in hot2
+    # a clean successful run still clears hot and records the timing
+    timings3, hot3 = {}, set()
+    bench._measure(
+        "s", lambda *_: _FakeDF(), 1, None, "/nowhere", 1e9, timings3, hot3
+    )
+    assert timings3["s"] >= 0 and "s" not in hot3
+
+
 def test_snapshot_fields_parse_sanely():
     busy, procs = bench._proc_snapshot()
     assert busy > 0 and os.getpid() in procs

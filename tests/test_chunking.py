@@ -147,6 +147,24 @@ def test_cdc_validation_and_plan(spark, sf_dir):
             spark.createDataFrame([(1, "x")], "doc_id long, text string"),
             "text", "doc_id", divisor=0,
         )
+    # int64 convolution headroom: window > 2048 would WRAP in numpy and
+    # silently diverge from the oracle — loud error instead (r11 advice)
+    with pytest.raises(ValueError, match="2048"):
+        cdc_chunk_spans(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "text", "doc_id", window=2049,
+        )
+    # reserved output names: an id/text column named chunk_ord / start /
+    # length / chunk_hash would produce a duplicate-name schema — the
+    # repo-standard _reserve error fires instead (r11 advice)
+    clash = spark.createDataFrame([(1, "x")], "start long, text string")
+    with pytest.raises(ValueError, match="reserved"):
+        cdc_chunk_spans(clash, "text", "start")
+    clash2 = spark.createDataFrame(
+        [(1, "x")], "doc_id long, chunk_hash string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        cdc_chunk_hashes(clash2, "chunk_hash", "doc_id")
     from slacken_spark.plans.catalog import t
 
     docs = t(spark, sf_dir, "documents")

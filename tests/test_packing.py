@@ -823,6 +823,42 @@ def test_hamilton_allocate_edges(spark):
         hamilton_allocate(df, -1, ["source"], "w")
 
 
+def test_hamilton_allocate_rejects_fractional_weights(spark):
+    """A double weight column with fractional values used to TRUNCATE
+    through cast('long') — 0.3/0.7 collapsed to a confusing 'weights
+    sum to zero', 1.9 -> 1 skewed shares silently (r11 advice). The
+    exact-integer contract now fails loudly; integral doubles still
+    pass (the check is value-level, not type-level)."""
+    import pytest
+
+    from slacken_spark.functions.packing import hamilton_allocate
+
+    frac = spark.createDataFrame(
+        [("a", 0.3), ("b", 0.7)], "source string, w double"
+    )
+    with pytest.raises(Exception, match="non-integral weight"):
+        hamilton_allocate(frac, 10, ["source"], "w").collect()
+    mixed = spark.createDataFrame(
+        [("a", 1.9), ("b", 3.0)], "source string, w double"
+    )
+    with pytest.raises(Exception, match="non-integral weight"):
+        hamilton_allocate(mixed, 10, ["source"], "w").collect()
+    nan = spark.createDataFrame(
+        [("a", float("nan")), ("b", 3.0)], "source string, w double"
+    )
+    with pytest.raises(Exception, match="non-integral weight"):
+        hamilton_allocate(nan, 10, ["source"], "w").collect()
+    # integral doubles are fine and allocate exactly like their longs
+    ok = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0)], "source string, w double"
+    )
+    got = {
+        r["source"]: r["quota"]
+        for r in hamilton_allocate(ok, 8, ["source"], "w").collect()
+    }
+    assert got == {"a": 6, "b": 2}
+
+
 def test_hamilton_allocate_null_group_and_composition(spark):
     """A NULL group key is a real group (ranked NULLS FIRST on the
     tie-break, Spark's asc default — an oracle must say NULLS FIRST
