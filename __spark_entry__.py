@@ -51,105 +51,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # every catalog entry's green row stays fresh (enforced by
 # tests/test_gate.py::test_rolling_green_window_stays_fresh: every
 # catalog entry must sit inside THIS round's first 50 or hold a green
-# row in one of the two most recent recorded rounds). Round 11's 50 =
-#   (a) the full binding backlog: all 41 entries whose freshest green
-#       row is r8 (they turn two rounds stale the moment
-#       CORRECTNESS_r10.json is tracked) — the r10 _TAIL's head, in
-#       order; doc_bloom_decontaminate re-gates the r10 bloom NULL-key
-#       fix inside it,
-#   (b) five NEW entries: events_hll_registers + events_hll_maintain
-#       (the mergeable distinct-count register family),
-#       doc_bigram_lm_scores (the CCNet-style per-doc LM scorer),
-#       corpus_pps_sample (integer-exact token-budget PPS selection),
-#       doc_bloom_maintain (the membership family's CDC parity row),
-#   (c) three re-gates for code changed this round: salted_skew_join /
-#       salted_skew_agg (the salt_cols escape hatch routes through the
-#       shared _hash_salt call) and ngram_lm_counts (the forced
-#       continuation-table broadcast became the optimizer's size-based
-#       call, same rationale as the bigram-scorer advice fix),
-#   (d) one seat that both re-gates changed code AND smooths r12's
-#       binding backlog: value_percentiles — the r11 two-level fix
-#       (bucket ids frozen by a lazy localCheckpoint after runtime
-#       exchange reuse was shown to fail silently in composed plans)
-#       reaches it through grouped_exact_quantiles/global_row_number;
-#       corpus_pps_sample (seated in (b)) gates the same fix through
-#       global_prefix_sum. The fix's other two consumer entries
-#       (doc_length_quartiles via global_ntile, token_block_plan via
-#       packing) were re-verified oracle-green at sf0.01 in-round and
-#       are pytest-pinned (the r10 seat-accounting precedent) — both
-#       also re-gate at r12 where they are binding.
-# _TAIL is ordered as the r12 re-promotion queue: the 47 remaining
-# r9-fresh entries first (they hit the 2-round staleness bound at r12
-# and must gate then), then the r10-fresh ones.
+# row in one of the two most recent recorded rounds). Round 12's 50 =
+#   (a) the full binding backlog: all 47 entries whose freshest green
+#       row is r9 (they turn two rounds stale the moment
+#       CORRECTNESS_r11.json is tracked) — the r11 _TAIL's head, in
+#       order. doc_length_quartiles re-gates the r11 two-level
+#       checkpoint fix through global_ntile inside this set (it was
+#       re-verified oracle-green in-round at r11 under the
+#       seat-accounting precedent; its driver row lands here),
+#   (b) three NEW entries, oracles PROVEN row-equal at both gate SFs
+#       in r11 AND re-verified on this tree: doc_cdc_chunks
+#       (hash-gates every chunk of the content-defined-chunking
+#       family), corpus_cdc_snapshot_diff (the cross-snapshot storage
+#       claim — the operator's whole point), source_hamilton_quota
+#       (largest-remainder apportionment; also gates this round's
+#       fractional-weight advice fix). cdc_dedup_stats stays
+#       pytest-grade by the one-gating-member-per-family capacity
+#       decision (NOTES r11; the hll_estimate precedent).
+# Seat math: 47 binding + 3 new = 50 exactly, zero free seats — code
+# changed this round must either sit behind a seated entry (the CDC
+# window/reserve guards and the hamilton fractional-weight guard land
+# driver rows through (b); doc_length_quartiles/token_block_plan
+# re-gate the r11 checkpoint fix via (a) and the r10-fresh tail) or be
+# pytest-only (bench.py).
+# _TAIL is ordered as the r13 re-promotion queue: the 47 r10-fresh
+# entries first (they hit the 2-round staleness bound at r13 and must
+# gate then), then the 50 r11-fresh ones.
 
 # Queries that MUST land a CORRECTNESS row this round (asserted inside
 # the first 50 by tests/test_gate.py): this round's 50 exactly — the
 # rotation IS the must-gate set, so a silent displacement cannot
 # happen.
 _MUST_GATE = [
-    # (a) the binding 41 (freshest green row is r8), in the r10 _TAIL
+    # (a) the binding 47 (freshest green row is r9), in the r11 _TAIL
     # queue order:
-    "inverted_index_ranked_delta",
-    "inverted_index_delta",
-    "inverted_index_patch",
-    "inverted_index_query_ranked",
-    "epoch_shuffle_plan",
-    "genomic_classify",
-    "genomic_classify_wide",
-    "genomic_classify_wide_hashed",
-    "genomic_classify_detail",
-    "genomic_index_lca_histogram",
-    "genomic_clade_rollup",
-    "streaming_genomic_classify",
-    "genomic_kmer_totals",
-    "ann_retrieve_docs",
-    "bpe_top_pairs",
-    "corpus_diff",
-    "corpus_upsert_latest",
-    "dataset_shard_manifest",
-    "doc_bloom_decontaminate",
-    "doc_unigram_rarity",
-    "embedding_ivf_topk",
-    "embedding_random_projection",
-    "events_json_extract",
-    "events_rolling_stats",
-    "events_zorder_layout",
-    "media_audio_stats",
-    "media_image_stats",
-    "media_phash_neardup",
-    "pack_sequences",
-    "scalar_funcs",
-    "sessionize_events",
-    "set_ops_nations",
-    "size_histogram",
-    "streaming_dedup_keys",
-    "streaming_doc_quality",
-    "streaming_session_windows",
-    "streaming_window_counts",
-    "two_level_agg",
-    "video_frame_plan",
-    "inverted_index_ranked_compact",
-    "genomic_gold_eval",
-    # (b) new this round:
-    "events_hll_registers",
-    "events_hll_maintain",
-    "doc_bigram_lm_scores",
-    "corpus_pps_sample",
-    "doc_bloom_maintain",
-    # (c) code changed this round:
-    "salted_skew_join",
-    "salted_skew_agg",
-    "ngram_lm_counts",
-    # (d) changed-code re-gate + r12 smoothing:
-    "value_percentiles",
-]
-_EARLY = list(_MUST_GATE)
-_TAIL = [
-    # r12 re-promotion queue, in order. First the 47 remaining
-    # r9-fresh entries (their newest green row turns two rounds old
-    # when this round's file lands — r12 must gate them or the
-    # freshness guard fails), in the r9 gate order minus
-    # value_percentiles (promoted into this round's (d)):
     "dedup_components",
     "dedup_components_delta",
     "dedup_keep_longest",
@@ -197,9 +132,17 @@ _TAIL = [
     "simhash_docs",
     "unpivot_part_metrics",
     "weights_rollup",
-    # then the r10-fresh set (one round old after this round), in the
-    # r10 gate order minus salted_skew_join / salted_skew_agg /
-    # ngram_lm_counts (promoted into (c)):
+    # (b) new this round (oracles proven row-equal at both gate SFs):
+    "doc_cdc_chunks",
+    "corpus_cdc_snapshot_diff",
+    "source_hamilton_quota",
+]
+_EARLY = list(_MUST_GATE)
+_TAIL = [
+    # r13 re-promotion queue, in order. First the 47 r10-fresh entries
+    # (their newest green row turns two rounds old when this round's
+    # file lands — r13 must gate them or the freshness guard fails),
+    # in the r10 gate order:
     "topk_per_group",
     "streaming_index_delta",
     "streaming_index_ranked_delta",
@@ -247,6 +190,58 @@ _TAIL = [
     "zone_map_pruned_scan",
     "genomic_classify2",
     "dedup_components_drop",
+    # then the r11-fresh set (one round old after this round), in the
+    # r11 gate order:
+    "inverted_index_ranked_delta",
+    "inverted_index_delta",
+    "inverted_index_patch",
+    "inverted_index_query_ranked",
+    "epoch_shuffle_plan",
+    "genomic_classify",
+    "genomic_classify_wide",
+    "genomic_classify_wide_hashed",
+    "genomic_classify_detail",
+    "genomic_index_lca_histogram",
+    "genomic_clade_rollup",
+    "streaming_genomic_classify",
+    "genomic_kmer_totals",
+    "ann_retrieve_docs",
+    "bpe_top_pairs",
+    "corpus_diff",
+    "corpus_upsert_latest",
+    "dataset_shard_manifest",
+    "doc_bloom_decontaminate",
+    "doc_unigram_rarity",
+    "embedding_ivf_topk",
+    "embedding_random_projection",
+    "events_json_extract",
+    "events_rolling_stats",
+    "events_zorder_layout",
+    "media_audio_stats",
+    "media_image_stats",
+    "media_phash_neardup",
+    "pack_sequences",
+    "scalar_funcs",
+    "sessionize_events",
+    "set_ops_nations",
+    "size_histogram",
+    "streaming_dedup_keys",
+    "streaming_doc_quality",
+    "streaming_session_windows",
+    "streaming_window_counts",
+    "two_level_agg",
+    "video_frame_plan",
+    "inverted_index_ranked_compact",
+    "genomic_gold_eval",
+    "events_hll_registers",
+    "events_hll_maintain",
+    "doc_bigram_lm_scores",
+    "corpus_pps_sample",
+    "doc_bloom_maintain",
+    "salted_skew_join",
+    "salted_skew_agg",
+    "ngram_lm_counts",
+    "value_percentiles",
 ]
 
 

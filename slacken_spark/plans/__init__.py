@@ -10,6 +10,7 @@ def load_all():
     # each import populates catalog.QUERIES
     from slacken_spark.plans import catalog_docs  # noqa: F401
     from slacken_spark.plans import catalog_events  # noqa: F401
+    from slacken_spark.plans import catalog_docs_cdc  # noqa: F401
     from slacken_spark.plans import catalog_docs_dedup  # noqa: F401
     from slacken_spark.plans import catalog_docs_embedding  # noqa: F401
     from slacken_spark.plans import catalog_docs_layout  # noqa: F401

@@ -217,6 +217,58 @@ def source_temperature_mix(spark, sf_dir):
         )
     )
 
+@register(
+    "source_hamilton_quota",
+    f"""
+    WITH sw AS (SELECT source,
+                   CAST(sum(len({SQL_TOKENS.format(expr='text')}))
+                        AS BIGINT) AS w
+                FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM sw),
+    b AS (SELECT source, (100000 * w) // tot.wt AS base,
+                 (100000 * w) % tot.wt AS rem
+          FROM sw CROSS JOIN tot),
+    s AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS surplus FROM b),
+    r AS (SELECT source, base,
+                 row_number() OVER (ORDER BY rem DESC,
+                                    source ASC NULLS FIRST) AS rk
+          FROM b)
+    SELECT r.source,
+           CAST(r.base + (CASE WHEN r.rk <= s.surplus THEN 1 ELSE 0 END)
+                AS BIGINT) AS quota
+    FROM r CROSS JOIN s
+    """,
+)
+def source_hamilton_quota(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of an integer token
+    budget across sources (functions.packing.hamilton_allocate,
+    total=100000 over per-source token sums): each source gets
+    ``floor(total·w/W)`` and the ``total − Σfloor`` leftover units go
+    to the largest remainders (ties by source key ascending NULLS
+    FIRST — Spark's asc default; the oracle must say it explicitly,
+    DuckDB defaults NULLS LAST), so the shares SUM TO the budget
+    EXACTLY — the allocator a dataset-mixing recipe needs before
+    quota_sample's per-group dict mode ("2T tokens at these
+    proportions" must hand each source an integer budget with zero
+    rounding drift). All-int64 arithmetic, so any engine reproduces
+    the identical allocation.
+
+    Scale shape: the weight table is group-cardinality-sized (one
+    tokenize + per-source partial agg over the corpus); the grand
+    total reduces once and broadcasts back, and the remainder ranking
+    runs on the two-level global_row_number (bucket ids frozen by the
+    r11 lazy-checkpoint fix) — no single-task global window at
+    extreme group counts."""
+    from slacken_spark.functions.packing import hamilton_allocate
+
+    sw = (
+        _sized_docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("long").alias("w"))
+    )
+    return hamilton_allocate(sw, 100000, ["source"], "w")
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (greedy per-group sample packing for training)
 # ---------------------------------------------------------------------------

@@ -90,6 +90,24 @@ def test_gate_union_across_rounds_plus_this_round_covers_catalog():
     assert not uncovered, f"queries with no driver row and not gated: {uncovered}"
 
 
+def test_catalog_respects_the_rotation_capacity_ceiling():
+    """The 50-seat/2-round freshness contract implies a HARD catalog
+    ceiling (VERDICT r11 item 4; derivation NOTES r11): steady-state
+    binding load per round is |catalog| − |union of the last two
+    rounds' greens| = |catalog| − 100, so seats free for new entries or
+    changed-code re-gates = 150 − |catalog|. At 150 the rotation is
+    exactly full with ZERO slack — a single changed-code re-gate would
+    break the freshness guard. Hold the catalog at ≤147 (3 free
+    seats/round): new work beyond that must CONSOLIDATE — one gating
+    member per family, derived statistics pytest-grade by documented
+    decision (the hll_estimate / cdc_dedup_stats precedent)."""
+    assert len(entry._catalog.QUERIES) <= 147, (
+        f"catalog has {len(entry._catalog.QUERIES)} entries — past 147 "
+        "the 50-seat rotation loses its re-gate slack (see docstring); "
+        "consolidate families instead of registering more entries"
+    )
+
+
 def test_rolling_green_window_stays_fresh():
     """The freshness guard (VERDICT r7 item 7): union coverage alone
     lets an entry's newest green row age silently — r7 left 34 entries
