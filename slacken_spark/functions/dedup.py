@@ -788,6 +788,12 @@ def connected_components_contract(
     partition's edges — bounded by the partition size, which
     ``loop_partitions`` (applied like ``connected_components``; not
     concurrency-safe) sizes.
+
+    localCheckpoint blocks are executor-local — losing an executor
+    mid-query fails the QUERY (deterministic, so the retry is
+    idempotent), not the task; spot deployments can set a checkpoint
+    dir and substitute reliable ``checkpoint()`` (ARCHITECTURE.md
+    "localCheckpoint fault-tolerance posture").
     """
     spark = pairs.sparkSession
     pending: list[DataFrame] = []

@@ -57,7 +57,11 @@ def pagerank_int(
     apply_delta/lsh_delta convention: the checkpointed frames back the
     RETURNED plan, so they free with the JVM, not eagerly. Rank
     magnitudes stay ≤ scale · max-degree per round, far inside int64
-    at the default scale.
+    at the default scale. localCheckpoint blocks are executor-local —
+    losing an executor mid-query fails the QUERY (idempotent retry),
+    not the task; spot deployments can set a checkpoint dir and use
+    reliable ``checkpoint()`` instead (ARCHITECTURE.md
+    "localCheckpoint fault-tolerance posture").
 
     Returns ``(id, deg, rank)`` — one row per node of the pair graph
     (isolated documents are not nodes and do not rank).

@@ -448,7 +448,11 @@ def token_blocks(
     (both branches MUST agree on bucket membership and runtime
     exchange reuse silently fails in composed plans — the r11
     two-level finding), so ``df``'s lineage computes once into the
-    checkpoint; the blocks live as long as the returned plan.
+    checkpoint; the blocks live as long as the returned plan. The
+    checkpoint's fault-tolerance posture — executor loss during the
+    query = query retry, not task retry; reliable ``checkpoint()`` is
+    the spot-deployment alternative — is documented at
+    relational_ext.global_row_number and in ARCHITECTURE.md.
     """
     if block_tokens <= 0:
         raise ValueError(f"block_tokens must be positive: {block_tokens}")

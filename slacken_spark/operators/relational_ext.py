@@ -322,6 +322,17 @@ def global_row_number(
     checkpoint blocks live as long as the returned plan (the
     ``apply_delta`` convention) — the honest price of an exact global
     order statistic.
+
+    Fault-tolerance posture: ``localCheckpoint`` blocks are
+    EXECUTOR-LOCAL and lineage is truncated, so losing an executor
+    mid-query fails the QUERY, not the task — Spark cannot recompute
+    the pinned rows, where a pure shuffle-backed plan would retry. The
+    query is deterministic and side-effect-free, so the recovery is an
+    idempotent query retry; spot/preemptible deployments that can't
+    afford that should set a checkpoint dir and use reliable
+    ``checkpoint()`` at this site instead (see ARCHITECTURE.md
+    "localCheckpoint fault-tolerance posture"; the reference batches
+    work for exactly this reason, BrackenWeights.scala:359-374).
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
@@ -555,7 +566,10 @@ def global_prefix_sum(
     the bucket ids are FROZEN by a lazy ``localCheckpoint`` of the
     ranged rows — see :func:`global_row_number` for why runtime
     exchange reuse cannot be trusted to keep the two branches agreeing
-    (the r11 finding). Sums are int64 — the caller keeps weights
+    (the r11 finding) and for the fault-tolerance posture the
+    checkpoint implies (executor loss = query retry, not task retry;
+    ARCHITECTURE.md has the reliable-checkpoint alternative for spot
+    deployments). Sums are int64 — the caller keeps weights
     inside the 64-bit budget (token counts at 100 TB: ~10^14,
     comfortable).
     """
