@@ -95,42 +95,73 @@ def cdc_chunk_spans(
     weights = np.array(cdc_weights(window), dtype=np.int64)
 
     def kernel(batches):
+        # ONE encode + ONE convolution per Arrow batch (r11 verdict
+        # item 7): the batch's documents concatenate into a single
+        # codes array with offsets, windows STRADDLING a document
+        # boundary compute garbage that the per-doc validity mask
+        # (local position ≥ window−1 inside its own doc) filters out,
+        # and the span assembly is numpy repeat/cumsum arithmetic —
+        # no Python-level per-document loop in the hot path.
         for pdf in batches:
-            ids, ords, starts_out, lens_out = [], [], [], []
+            dids, texts = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 if txt is None or len(txt) == 0:
                     continue
-                codes = np.frombuffer(
-                    txt.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                n = len(codes)
-                if n >= window:
-                    conv = np.convolve(codes, weights)
-                    h = conv[window - 1 : n] % CDC_MOD
-                    cut = np.nonzero(h % divisor == 0)[0] + window
-                    cut = cut[cut < n]
-                    starts = np.concatenate(
-                        [np.zeros(1, dtype=np.int64), cut]
-                    )
-                else:
-                    starts = np.zeros(1, dtype=np.int64)
-                lens = np.diff(np.append(starts, n))
-                k = len(starts)
-                ids.extend([did] * k)
-                ords.extend(range(k))
-                starts_out.extend(starts.tolist())
-                lens_out.extend(lens.tolist())
-            if not ids:
+                dids.append(did)
+                texts.append(txt)
+            if not dids:
                 # a batch of only empty/NULL texts would build an
                 # all-object-dtype empty frame that Arrow can't cast to
                 # the declared schema — yield nothing instead
                 continue
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            lens = np.fromiter(
+                (len(t) for t in texts), dtype=np.int64, count=len(texts)
+            )
+            offs = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(lens)]
+            )
+            n_total = len(codes)
+            if n_total >= window:
+                conv = np.convolve(codes, weights)
+                h = conv[window - 1 : n_total] % CDC_MOD
+                # global end positions i of windows with h % divisor == 0
+                hit = np.nonzero(h % divisor == 0)[0] + window - 1
+            else:
+                hit = np.empty(0, dtype=np.int64)
+            d_idx = np.searchsorted(offs, hit, side="right") - 1
+            local_i = hit - offs[d_idx]
+            # window fully inside its doc AND the cut is interior
+            ok = (local_i >= window - 1) & (local_i + 1 < lens[d_idx])
+            hit_doc = d_idx[ok]
+            cut_local = local_i[ok] + 1
+            # hits are globally sorted, so hit_doc is nondecreasing and
+            # cuts are in (doc, position) order already
+            n_cuts = np.bincount(hit_doc, minlength=len(dids))
+            chunk_counts = n_cuts + 1  # the implicit start-0 chunk
+            total = int(chunk_counts.sum())
+            first_pos = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(chunk_counts)[:-1]]
+            )
+            starts_all = np.zeros(total, dtype=np.int64)
+            nonfirst = np.ones(total, dtype=bool)
+            nonfirst[first_pos] = False
+            starts_all[nonfirst] = cut_local
+            ends_all = np.empty(total, dtype=np.int64)
+            ends_all[:-1] = starts_all[1:]
+            ends_all[first_pos + n_cuts] = lens
+            ords_all = np.arange(total, dtype=np.int64) - np.repeat(
+                first_pos, chunk_counts
+            )
+            ids_all = np.repeat(np.asarray(dids, dtype=object), chunk_counts)
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids),
-                    "chunk_ord": pd.Series(ords, dtype="int64"),
-                    "start": pd.Series(starts_out, dtype="int64"),
-                    "length": pd.Series(lens_out, dtype="int64"),
+                    id_col: pd.Series(ids_all),
+                    "chunk_ord": pd.Series(ords_all, dtype="int64"),
+                    "start": pd.Series(starts_all, dtype="int64"),
+                    "length": pd.Series(ends_all - starts_all, dtype="int64"),
                 }
             )
 
