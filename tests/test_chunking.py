@@ -181,6 +181,56 @@ def test_cdc_validation_and_plan(spark, sf_dir):
     assert r["n_chunks"] > 0 and r["n_distinct"] <= r["n_chunks"]
 
 
+def test_cdc_kernel_is_arrow_batch_shape_invariant(spark):
+    """The r12 batched kernel concatenates a whole Arrow batch before
+    ONE convolution, so windows straddle document boundaries and must
+    be masked out — the output can depend on HOW pandas batches the
+    rows only if that mask is wrong. Adversarial arrangement
+    (straddle-prone neighbors: long/empty/1-char/window-length/short
+    docs interleaved, plus string ids) compared across
+    maxRecordsPerBatch settings and against the pure-Python model."""
+    rng = np.random.default_rng(31)
+    docs = [
+        ("a", _rand_text(rng, 900)),
+        ("b", ""),
+        ("c", "x"),
+        ("d", _rand_text(rng, 16)),   # exactly the window
+        ("e", _rand_text(rng, 700)),
+        ("f", "ab"),
+        ("g", _rand_text(rng, 15)),   # one short of the window
+        ("h", _rand_text(rng, 300)),
+        ("i", None),
+        ("j", _rand_text(rng, 17)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf, None)
+    try:
+        results = []
+        for batch_rows in ("2", "3", "10000"):
+            spark.conf.set(conf, batch_rows)
+            rows = sorted(
+                (r["doc_id"], r["chunk_ord"], r["start"], r["length"])
+                for r in cdc_chunk_spans(
+                    df.coalesce(1), "text", "doc_id", 16, 64
+                ).collect()
+            )
+            results.append(rows)
+        assert results[0] == results[1] == results[2]
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+    want = sorted(
+        (did, k, s, ln)
+        for did, txt in docs
+        if txt
+        for k, s, ln in _model_spans(txt, 16, 64)
+    )
+    assert results[0] == want
+
+
 def test_cdc_snapshot_diff_matches_model_and_beats_doc_diff(spark):
     """Cross-snapshot chunk diff: exact counts vs the pure-Python model,
     and the CDC advantage itself — an edited doc contributes only the
