@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 
 CDC_BASE = 257
 CDC_MOD = 1 << 31
+# transient kernel memory is ~16 bytes/char (utf-32 codes + the int64
+# convolution), so each processed slice is capped in CHARS — an Arrow
+# batch of pathologically long documents degrades to several slices
+# instead of one multi-GB allocation
+CDC_SLICE_CHARS = 1 << 23  # ~128 MiB of transient int64 per slice
 
 CHUNK_SCHEMA = "chunk_ord long, start long, length long"
 
@@ -48,6 +53,7 @@ def cdc_chunk_spans(
     id_col: str,
     window: int = 16,
     divisor: int = 64,
+    slice_chars: int = CDC_SLICE_CHARS,
 ) -> DataFrame:
     """→ ``(id_col, chunk_ord, start, length)`` content-defined chunk
     spans per document (0-based ``start``, chunks partition the text).
@@ -94,14 +100,63 @@ def cdc_chunk_spans(
     # int64 headroom: window·max_codepoint·mod ≈ 2^4·2^21·2^31 < 2^57.
     weights = np.array(cdc_weights(window), dtype=np.int64)
 
+    def emit(dids: list, texts: list):
+        """Span rows for one bounded slice of documents: ONE encode +
+        ONE convolution over the concatenated codes (r11 verdict item
+        7) — windows STRADDLING a document boundary compute garbage
+        that the per-doc validity mask (local position ≥ window−1
+        inside its own doc) filters out, and the span assembly is
+        numpy repeat/cumsum arithmetic, no per-document Python loop."""
+        codes = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        lens = np.fromiter(
+            (len(t) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+        n_total = len(codes)
+        if n_total >= window:
+            conv = np.convolve(codes, weights)
+            h = conv[window - 1 : n_total] % CDC_MOD
+            # global end positions i of windows with h % divisor == 0
+            hit = np.nonzero(h % divisor == 0)[0] + window - 1
+        else:
+            hit = np.empty(0, dtype=np.int64)
+        d_idx = np.searchsorted(offs, hit, side="right") - 1
+        local_i = hit - offs[d_idx]
+        # window fully inside its doc AND the cut is interior
+        ok = (local_i >= window - 1) & (local_i + 1 < lens[d_idx])
+        hit_doc = d_idx[ok]
+        cut_local = local_i[ok] + 1
+        # hits are globally sorted, so hit_doc is nondecreasing and
+        # cuts are in (doc, position) order already
+        n_cuts = np.bincount(hit_doc, minlength=len(dids))
+        chunk_counts = n_cuts + 1  # the implicit start-0 chunk
+        total = int(chunk_counts.sum())
+        first_pos = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(chunk_counts)[:-1]]
+        )
+        starts_all = np.zeros(total, dtype=np.int64)
+        nonfirst = np.ones(total, dtype=bool)
+        nonfirst[first_pos] = False
+        starts_all[nonfirst] = cut_local
+        ends_all = np.empty(total, dtype=np.int64)
+        ends_all[:-1] = starts_all[1:]
+        ends_all[first_pos + n_cuts] = lens
+        ords_all = np.arange(total, dtype=np.int64) - np.repeat(
+            first_pos, chunk_counts
+        )
+        ids_all = np.repeat(np.asarray(dids, dtype=object), chunk_counts)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids_all),
+                "chunk_ord": pd.Series(ords_all, dtype="int64"),
+                "start": pd.Series(starts_all, dtype="int64"),
+                "length": pd.Series(ends_all - starts_all, dtype="int64"),
+            }
+        )
+
     def kernel(batches):
-        # ONE encode + ONE convolution per Arrow batch (r11 verdict
-        # item 7): the batch's documents concatenate into a single
-        # codes array with offsets, windows STRADDLING a document
-        # boundary compute garbage that the per-doc validity mask
-        # (local position ≥ window−1 inside its own doc) filters out,
-        # and the span assembly is numpy repeat/cumsum arithmetic —
-        # no Python-level per-document loop in the hot path.
         for pdf in batches:
             dids, texts = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
@@ -114,56 +169,19 @@ def cdc_chunk_spans(
                 # all-object-dtype empty frame that Arrow can't cast to
                 # the declared schema — yield nothing instead
                 continue
-            codes = np.frombuffer(
-                "".join(texts).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            lens = np.fromiter(
-                (len(t) for t in texts), dtype=np.int64, count=len(texts)
-            )
-            offs = np.concatenate(
-                [np.zeros(1, dtype=np.int64), np.cumsum(lens)]
-            )
-            n_total = len(codes)
-            if n_total >= window:
-                conv = np.convolve(codes, weights)
-                h = conv[window - 1 : n_total] % CDC_MOD
-                # global end positions i of windows with h % divisor == 0
-                hit = np.nonzero(h % divisor == 0)[0] + window - 1
-            else:
-                hit = np.empty(0, dtype=np.int64)
-            d_idx = np.searchsorted(offs, hit, side="right") - 1
-            local_i = hit - offs[d_idx]
-            # window fully inside its doc AND the cut is interior
-            ok = (local_i >= window - 1) & (local_i + 1 < lens[d_idx])
-            hit_doc = d_idx[ok]
-            cut_local = local_i[ok] + 1
-            # hits are globally sorted, so hit_doc is nondecreasing and
-            # cuts are in (doc, position) order already
-            n_cuts = np.bincount(hit_doc, minlength=len(dids))
-            chunk_counts = n_cuts + 1  # the implicit start-0 chunk
-            total = int(chunk_counts.sum())
-            first_pos = np.concatenate(
-                [np.zeros(1, dtype=np.int64), np.cumsum(chunk_counts)[:-1]]
-            )
-            starts_all = np.zeros(total, dtype=np.int64)
-            nonfirst = np.ones(total, dtype=bool)
-            nonfirst[first_pos] = False
-            starts_all[nonfirst] = cut_local
-            ends_all = np.empty(total, dtype=np.int64)
-            ends_all[:-1] = starts_all[1:]
-            ends_all[first_pos + n_cuts] = lens
-            ords_all = np.arange(total, dtype=np.int64) - np.repeat(
-                first_pos, chunk_counts
-            )
-            ids_all = np.repeat(np.asarray(dids, dtype=object), chunk_counts)
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids_all),
-                    "chunk_ord": pd.Series(ords_all, dtype="int64"),
-                    "start": pd.Series(starts_all, dtype="int64"),
-                    "length": pd.Series(ends_all - starts_all, dtype="int64"),
-                }
-            )
+            # a single doc longer than the cap still processes whole
+            # (its transient cost is its own)
+            cap = slice_chars
+            lo = 0
+            while lo < len(dids):
+                hi, tot = lo, 0
+                while hi < len(dids) and (
+                    hi == lo or tot + len(texts[hi]) <= cap
+                ):
+                    tot += len(texts[hi])
+                    hi += 1
+                yield emit(dids[lo:hi], texts[lo:hi])
+                lo = hi
 
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, {CHUNK_SCHEMA}"

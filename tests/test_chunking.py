@@ -229,6 +229,16 @@ def test_cdc_kernel_is_arrow_batch_shape_invariant(spark):
         for k, s, ln in _model_spans(txt, 16, 64)
     )
     assert results[0] == want
+    # the memory-bounding sub-slice path (slice_chars caps the chars
+    # per encode+convolve; a doc longer than the cap processes whole):
+    # forcing ~2-doc slices must not change a single span
+    sliced = sorted(
+        (r["doc_id"], r["chunk_ord"], r["start"], r["length"])
+        for r in cdc_chunk_spans(
+            df, "text", "doc_id", 16, 64, slice_chars=40
+        ).collect()
+    )
+    assert sliced == want
 
 
 def test_cdc_snapshot_diff_matches_model_and_beats_doc_diff(spark):
