@@ -35,7 +35,15 @@ def _cdc_cte(p: str, src: str) -> str:
     in ONE statement): h(i) = Σ_j code(i−j)·257^j mod 2^31 over the
     window ending at 0-based position i, a cut after i iff
     h % 64 == 0 and the cut is interior. Produces ``{p}hashed``
-    (doc_id, chunk_ord, start, length, chunk_hash)."""
+    (doc_id, chunk_ord, start, length, chunk_hash).
+
+    Cross-engine character semantics verified (r12): DuckDB's
+    length/substr/ord count CODE POINTS exactly like Python and the
+    utf-32 kernel — length('e'+combining acute)=2, substr slices the
+    combining mark alone, ord of an astral char returns the code
+    point — so parity holds on non-BMP and combining-mark text, not
+    just the fixture's alphabet (test_cdc_handles_astral_codepoints
+    pins the engine side against the Python model)."""
     return f"""
     {p}d AS MATERIALIZED (
         SELECT doc_id, text, length(text) AS n FROM {src}

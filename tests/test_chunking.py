@@ -241,6 +241,37 @@ def test_cdc_kernel_is_arrow_batch_shape_invariant(spark):
     assert sliced == want
 
 
+def test_cdc_handles_astral_codepoints_and_diff_identity(spark):
+    """Non-BMP characters (surrogate pairs in UTF-16, single code
+    points in Python/utf-32/DuckDB) must hash and SLICE by code point
+    so engine spans agree — and a snapshot diffed against itself must
+    be 100% shared (the identity the storage accounting hinges on)."""
+    from slacken_spark.functions.chunking import cdc_snapshot_diff
+
+    rng = np.random.default_rng(37)
+    base = _rand_text(rng, 600)
+    # sprinkle astral-plane chars (musical G-clef, emoji, CJK ext B)
+    astral = list("𝄞🎵😀𪚥")
+    chars = list(base)
+    for k, pos in enumerate(rng.integers(0, len(chars), 40)):
+        chars[pos] = astral[k % len(astral)]
+    txt = "".join(chars)
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_ord"], r["start"], r["length"])
+        for r in cdc_chunk_spans(df, "text", "doc_id", 16, 64).collect()
+    )
+    assert got == _model_spans(txt, 16, 64)
+    # hashes slice by code point: md5 of the python slice must match
+    for r in cdc_chunk_hashes(df, "text", "doc_id", 16, 64).collect():
+        piece = txt[r["start"] : r["start"] + r["length"]]
+        assert r["chunk_hash"] == hashlib.md5(piece.encode()).hexdigest()
+    # diff identity: a snapshot vs itself stores nothing new
+    row = cdc_snapshot_diff(df, df, "text", "doc_id", 16, 64).collect()[0]
+    assert row["new_chunks"] == 0 and row["new_distinct"] == 0
+    assert row["new_chars"] == 0 and row["shared_chunks"] == len(got)
+
+
 def test_cdc_snapshot_diff_matches_model_and_beats_doc_diff(spark):
     """Cross-snapshot chunk diff: exact counts vs the pure-Python model,
     and the CDC advantage itself — an edited doc contributes only the
