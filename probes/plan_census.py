@@ -23,15 +23,20 @@ Entries that execute work at plan-build time (streaming drivers,
 collect-backed mixes) are signed by their RESULT's plan — the same
 frame the driver gates.
 
-Known env-sensitivity (measured at first census, r12): the iterative
-contraction entries (dedup_components_{delta,drop,mixed,predistinct})
-embed the loop's ROUND COUNT in their plan, and under heavy EXTERNAL
-host load the count can wobble by one round (AQE's runtime partition
-coalescing feeds the partition-local union-find, so a coalescing
-tie-break changes the contraction rate, not the result — outputs stay
-oracle-exact). A DRIFT line on exactly that family with a uniform
-few-exchange delta on a loaded host is that wobble; regenerate or
-re-diff on a quiet host before reading it as a regression.
+Known env-sensitivity (observed once at the first census, r12): the
+iterative contraction entries (dedup_components_{delta,drop,mixed,
+predistinct}) embed the loop's ROUND COUNT in their plan, and one
+census taken while the full pytest suite ran in a second JVM read
+mixed at 184 shuffle exchanges vs the stable 181 (~one extra
+contraction pass). Reproduction attempts: 3× alone, 3× with the
+family's cache context, and 3× under a 24-core external CPU burn all
+read 181 — pure CPU contention does NOT reproduce it; the residual
+suspect is the concurrent JVM's memory pressure perturbing a runtime
+decision that feeds the loop's contraction TRAJECTORY (never its
+result — outputs are oracle-gated exact regardless of round count).
+A DRIFT line on exactly that family with a uniform few-exchange delta
+taken beside heavy co-tenant work is that wobble; re-diff on a quiet
+host before reading it as a regression.
 """
 import json
 import os
