@@ -49,7 +49,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 CENSUS_PATH = os.path.join("/root/repo", "PLAN_CENSUS.json")
 
 PATTERNS = {
-    "shuffle_exchanges": r"\bExchange (?:hash|range|rounds|SinglePartition)",
+    # hashpartitioning / rangepartitioning / RoundRobinPartitioning /
+    # SinglePartition — the four shuffle-exchange partitionings Spark
+    # prints (r12 review: a 'rounds' typo left repartition(n)'s
+    # RoundRobinPartitioning invisible, under-counting the baseline)
+    "shuffle_exchanges": (
+        r"\bExchange (?:hash|range|RoundRobin|SinglePartition)"
+    ),
     "broadcast_exchanges": r"\bBroadcastExchange\b",
     "sort_merge_joins": r"\bSortMergeJoin\b",
     "broadcast_hash_joins": r"\bBroadcastHashJoin\b",

@@ -45,12 +45,14 @@ def run_once(path: str) -> float:
     def sink(bdf, _epoch):
         got.append(bdf.groupBy("k").count().count())
 
-    ckpt = tempfile.mkdtemp(prefix="stream_floor_ck_", dir=tmp)
+    # checkpoint location is run_foreach_to_completion's own throwaway
+    # scratch dir (it overrides the option) — the same wiring every
+    # catalog streaming entry uses, so the floor measured here is the
+    # floor those entries pay (r12 review: a per-run option here was
+    # dead code)
     t0 = time.perf_counter()
-    writer = (
-        ops.file_stream(spark, path, SCHEMA)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
+    writer = ops.file_stream(spark, path, SCHEMA).writeStream.foreachBatch(
+        sink
     )
     ops.run_foreach_to_completion(writer, "floor_probe")
     return time.perf_counter() - t0
