@@ -108,6 +108,31 @@ def test_catalog_respects_the_rotation_capacity_ceiling():
     )
 
 
+def test_plan_census_tracks_the_catalog():
+    """PLAN_CENSUS.json (the probes/plan_census.py baseline) must name
+    exactly the registered entries — registering, renaming, or removing
+    a query without regenerating the census would leave the
+    plan-regression detector diffing against a stale universe. Key-set
+    equality only (no Spark): the SIGNATURES are compared by the probe
+    on demand, not in CI, because the iterative contraction entries'
+    plans embed a round count that can wobble under co-tenant load
+    (see the probe docstring) — a flaky CI red would gate commits on
+    host weather."""
+    import json
+
+    path = os.path.join(REPO, "PLAN_CENSUS.json")
+    assert os.path.exists(path), (
+        "PLAN_CENSUS.json missing — run probes/plan_census.py --write"
+    )
+    census = set(json.load(open(path)))
+    registered = set(entry._catalog.QUERIES)
+    assert census == registered, (
+        f"census out of date — missing {sorted(registered - census)}, "
+        f"stale {sorted(census - registered)}; regenerate with "
+        "probes/plan_census.py --write"
+    )
+
+
 def test_rolling_green_window_stays_fresh():
     """The freshness guard (VERDICT r7 item 7): union coverage alone
     lets an entry's newest green row age silently — r7 left 34 entries
