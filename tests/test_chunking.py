@@ -241,6 +241,52 @@ def test_cdc_kernel_is_arrow_batch_shape_invariant(spark):
     assert sliced == want
 
 
+def test_cdc_batch_spans_hypothesis_fuzz():
+    """Property fuzz of the batched span assembly (_batch_spans —
+    module-level exactly so this can run WITHOUT a Spark job per
+    example): arbitrary unicode documents (astral planes included),
+    arbitrary small windows/divisors, output must equal the pure-Python
+    per-document model — the straddle mask, searchsorted attribution,
+    and repeat/cumsum assembly have no failure mode the model
+    wouldn't expose."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from slacken_spark.functions.chunking import _batch_spans, cdc_weights
+
+    text_st = st.text(
+        alphabet=st.characters(
+            min_codepoint=1, max_codepoint=0x10FFFF,
+            exclude_categories=("Cs",),  # no lone surrogates
+        ),
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        texts=st.lists(text_st, min_size=1, max_size=6),
+        window=st.integers(min_value=1, max_value=24),
+        divisor=st.integers(min_value=1, max_value=16),
+    )
+    def check(texts, window, divisor):
+        dids = list(range(len(texts)))
+        weights = np.array(cdc_weights(window), dtype=np.int64)
+        pdf = _batch_spans(dids, texts, "doc_id", window, divisor, weights)
+        got = sorted(
+            zip(pdf["doc_id"], pdf["chunk_ord"], pdf["start"], pdf["length"])
+        )
+        want = sorted(
+            (did, k, s, ln)
+            for did, txt in zip(dids, texts)
+            for k, s, ln in _model_spans(txt, window, divisor)
+        )
+        assert got == want
+
+    check()
+
+
 def test_cdc_handles_astral_codepoints_and_diff_identity(spark):
     """Non-BMP characters (surrogate pairs in UTF-16, single code
     points in Python/utf-32/DuckDB) must hash and SLICE by code point
