@@ -51,98 +51,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # every catalog entry's green row stays fresh (enforced by
 # tests/test_gate.py::test_rolling_green_window_stays_fresh: every
 # catalog entry must sit inside THIS round's first 50 or hold a green
-# row in one of the two most recent recorded rounds). Round 12's 50 =
+# row in one of the two most recent recorded rounds). Round 13's 50 =
 #   (a) the full binding backlog: all 47 entries whose freshest green
-#       row is r9 (they turn two rounds stale the moment
-#       CORRECTNESS_r11.json is tracked) — the r11 _TAIL's head, in
-#       order. doc_length_quartiles re-gates the r11 two-level
-#       checkpoint fix through global_ntile inside this set (it was
-#       re-verified oracle-green in-round at r11 under the
-#       seat-accounting precedent; its driver row lands here),
-#   (b) three NEW entries, oracles PROVEN row-equal at both gate SFs
-#       in r11 AND re-verified on this tree: doc_cdc_chunks
-#       (hash-gates every chunk of the content-defined-chunking
-#       family), corpus_cdc_snapshot_diff (the cross-snapshot storage
-#       claim — the operator's whole point), source_hamilton_quota
-#       (largest-remainder apportionment; also gates this round's
-#       fractional-weight advice fix). cdc_dedup_stats stays
-#       pytest-grade by the one-gating-member-per-family capacity
-#       decision (NOTES r11; the hll_estimate precedent).
-# Seat math: 47 binding + 3 new = 50 exactly, zero free seats — code
-# changed this round must either sit behind a seated entry (the CDC
-# window/reserve guards and the hamilton fractional-weight guard land
-# driver rows through (b); doc_length_quartiles/token_block_plan
-# re-gate the r11 checkpoint fix via (a) and the r10-fresh tail) or be
-# pytest-only (bench.py).
-# _TAIL is ordered as the r13 re-promotion queue: the 47 r10-fresh
-# entries first (they hit the 2-round staleness bound at r13 and must
-# gate then), then the 50 r11-fresh ones.
+#       row is r10 (they turn two rounds stale the moment
+#       CORRECTNESS_r12.json is tracked) — the r12 _TAIL's head, in
+#       order,
+#   (b) three pre-promoted r11-fresh entries (the head of the r12
+#       _TAIL's r11 segment): inverted_index_ranked_delta /
+#       inverted_index_delta / inverted_index_patch. They would bind at
+#       r14 anyway; seating them now ALSO re-gates inverted.py's only
+#       code change this round (the lineage-pin routing through
+#       session.pin — default path byte-identical, see
+#       slacken_spark/session.py) and thins the r14 binding load.
+# Seat math: 47 binding + 3 pre-promotions = 50 exactly. The r13
+# consolidation (embedding_ivf_topk folded into catalog.DEMOTED —
+# superset entry embedding_ivf_topk_nprobe2 and same-code-path consumer
+# ann_retrieve_docs stay driver-gated) shrinks the catalog to 146, so
+# the r14 binding load is the 46 remaining r11-fresh entries, leaving
+# 4 free seats at r14.
+# _TAIL is ordered as the r14 re-promotion queue: the 46 r11-fresh
+# entries first (they hit the 2-round staleness bound at r14 and must
+# gate then), then the 50 r12-fresh ones.
 
 # Queries that MUST land a CORRECTNESS row this round (asserted inside
 # the first 50 by tests/test_gate.py): this round's 50 exactly — the
 # rotation IS the must-gate set, so a silent displacement cannot
 # happen.
 _MUST_GATE = [
-    # (a) the binding 47 (freshest green row is r9), in the r11 _TAIL
+    # (a) the binding 47 (freshest green row is r10), in the r12 _TAIL
     # queue order:
-    "dedup_components",
-    "dedup_components_delta",
-    "dedup_keep_longest",
-    "dedup_keep_canonical",
-    "embedding_lsh_delta",
-    "dedup_components_mixed",
-    "bpe_learned_merges",
-    "bpe_tokenized_counts",
-    "cube_source_lang",
-    "asof_event_order",
-    "asof_event_order_forward",
-    "count_distinct_multi",
-    "dataset_split_counts",
-    "dedup_exact",
-    "deterministic_sample",
-    "doc_boilerplate_scrub",
-    "doc_bpe_token_stats",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_langid",
-    "doc_length_quartiles",
-    "doc_pii_redact",
-    "doc_quality",
-    "doc_token_stats",
-    "embedding_cosine_topk",
-    "embedding_lsh_buckets",
-    "embedding_neardup_pairs",
-    "embedding_quantize_int8",
-    "embedding_semdedup_keep",
-    "event_type_pivot",
-    "events_approx_distinct",
-    "fasta_input_roundtrip",
-    "fastq_window",
-    "hit_regroup",
-    "inverted_index_digest",
-    "inverted_index_sharded",
-    "lca_fold",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "multi_stat_per_user",
-    "ngram_jaccard_adjacent",
-    "order_rejoin",
-    "range_bucket_join",
-    "rollup_revenue",
-    "simhash_docs",
-    "unpivot_part_metrics",
-    "weights_rollup",
-    # (b) new this round (oracles proven row-equal at both gate SFs):
-    "doc_cdc_chunks",
-    "corpus_cdc_snapshot_diff",
-    "source_hamilton_quota",
-]
-_EARLY = list(_MUST_GATE)
-_TAIL = [
-    # r13 re-promotion queue, in order. First the 47 r10-fresh entries
-    # (their newest green row turns two rounds old when this round's
-    # file lands — r13 must gate them or the freshness guard fails),
-    # in the r10 gate order:
     "topk_per_group",
     "streaming_index_delta",
     "streaming_index_ranked_delta",
@@ -190,11 +127,17 @@ _TAIL = [
     "zone_map_pruned_scan",
     "genomic_classify2",
     "dedup_components_drop",
-    # then the r11-fresh set (one round old after this round), in the
-    # r11 gate order:
     "inverted_index_ranked_delta",
     "inverted_index_delta",
     "inverted_index_patch",
+]
+# (b) starts at position 47: the three pre-promoted r11-fresh entries.
+_EARLY = list(_MUST_GATE)
+_TAIL = [
+    # r14 re-promotion queue, in order. First the 46 r11-fresh entries
+    # (their newest green row turns two rounds old when this round's
+    # file lands — r14 must gate them or the freshness guard fails),
+    # in the r11 gate order:
     "inverted_index_query_ranked",
     "epoch_shuffle_plan",
     "genomic_classify",
@@ -212,7 +155,6 @@ _TAIL = [
     "dataset_shard_manifest",
     "doc_bloom_decontaminate",
     "doc_unigram_rarity",
-    "embedding_ivf_topk",
     "embedding_random_projection",
     "events_json_extract",
     "events_rolling_stats",
@@ -242,6 +184,58 @@ _TAIL = [
     "salted_skew_agg",
     "ngram_lm_counts",
     "value_percentiles",
+    # then the r12-fresh set (one round old after this round), in the
+    # r12 gate order:
+    "dedup_components",
+    "dedup_components_delta",
+    "dedup_keep_longest",
+    "dedup_keep_canonical",
+    "embedding_lsh_delta",
+    "dedup_components_mixed",
+    "bpe_learned_merges",
+    "bpe_tokenized_counts",
+    "cube_source_lang",
+    "asof_event_order",
+    "asof_event_order_forward",
+    "count_distinct_multi",
+    "dataset_split_counts",
+    "dedup_exact",
+    "deterministic_sample",
+    "doc_boilerplate_scrub",
+    "doc_bpe_token_stats",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_langid",
+    "doc_length_quartiles",
+    "doc_pii_redact",
+    "doc_quality",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "embedding_neardup_pairs",
+    "embedding_quantize_int8",
+    "embedding_semdedup_keep",
+    "event_type_pivot",
+    "events_approx_distinct",
+    "fasta_input_roundtrip",
+    "fastq_window",
+    "hit_regroup",
+    "inverted_index_digest",
+    "inverted_index_sharded",
+    "lca_fold",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multi_stat_per_user",
+    "ngram_jaccard_adjacent",
+    "order_rejoin",
+    "range_bucket_join",
+    "rollup_revenue",
+    "simhash_docs",
+    "unpivot_part_metrics",
+    "weights_rollup",
+    "doc_cdc_chunks",
+    "corpus_cdc_snapshot_diff",
+    "source_hamilton_quota",
 ]
 
 

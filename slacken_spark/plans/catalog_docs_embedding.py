@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from slacken_spark.functions import dedup as D
 from slacken_spark.functions import similarity as SIM
-from slacken_spark.plans.catalog import register, t, tp
+from slacken_spark.plans.catalog import register, register_demoted, t, tp
 
 
 @register(
@@ -108,7 +108,7 @@ def _ivf_assign_sql(vec_expr: str) -> str:
     )
 
 
-@register(
+@register_demoted(
     "embedding_ivf_topk",
     f"""
     WITH assigned AS (
@@ -136,7 +136,15 @@ def _ivf_assign_sql(vec_expr: str) -> str:
 def embedding_ivf_topk(spark, sf_dir):
     """IVF (nprobe=1) approximate top-k: centroid equi-join instead of a
     cross join — the billion-vector scale path. The oracle reproduces the
-    coarse quantization and candidate ranking exactly."""
+    coarse quantization and candidate ranking exactly.
+
+    DEMOTED r13 (capacity-ceiling consolidation, VERDICT r12 item 2):
+    ``embedding_ivf_topk_nprobe2`` runs the SAME ``SIM.ivf_topk`` engine
+    with a strictly wider probe set, and ``ann_retrieve_docs`` exercises
+    this exact nprobe=1 call end-to-end inside its retrieval join — both
+    stay driver-gated, so the family keeps two driver rows. This entry
+    remains pytest-grade: test_oracle_parity runs it through the same
+    exact DuckDB compare every session."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -660,9 +668,9 @@ def embedding_quantize_int8(spark, sf_dir):
 # End-to-end retrieval: ANN top-k + document metadata join
 # ---------------------------------------------------------------------------
 
-from slacken_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+from slacken_spark.plans.catalog import DEMOTED as _DQ  # noqa: E402
 
-_IVF_TOPK_SQL = _Q["embedding_ivf_topk"][1]
+_IVF_TOPK_SQL = _DQ["embedding_ivf_topk"][1]
 
 
 @register(

@@ -13,8 +13,20 @@ def _load_registry():
 
 
 REGISTRY = _load_registry()
-ORACLE_CASES = [n for n, (_f, sql) in REGISTRY.items() if sql is not None]
-ROWS_ONLY_CASES = [n for n, (_f, sql) in REGISTRY.items() if sql is None]
+
+
+def _demoted():
+    from slacken_spark.plans.catalog import DEMOTED
+
+    return DEMOTED
+
+
+# Demoted entries (capacity-ceiling consolidations, catalog.DEMOTED)
+# keep the SAME exact-oracle bar here — only the driver seat was
+# released.
+ALL_CASES = {**REGISTRY, **_demoted()}
+ORACLE_CASES = [n for n, (_f, sql) in ALL_CASES.items() if sql is not None]
+ROWS_ONLY_CASES = [n for n, (_f, sql) in ALL_CASES.items() if sql is None]
 
 
 @pytest.fixture(scope="module")
@@ -26,7 +38,7 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(name, spark, sf_dir, con):
-    fn, sql = REGISTRY[name]
+    fn, sql = ALL_CASES[name]
     df = fn(spark, sf_dir)
     issues = compare(df, con, sql, name)
     assert not issues, "\n".join(issues)
@@ -34,6 +46,6 @@ def test_oracle_parity(name, spark, sf_dir, con):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only_runs(name, spark, sf_dir):
-    fn, _ = REGISTRY[name]
+    fn, _ = ALL_CASES[name]
     df = fn(spark, sf_dir)
     assert df.count() >= 0
