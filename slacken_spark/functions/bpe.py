@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from slacken_spark.functions.text import BPE_PATTERN
+from slacken_spark.session import pin as _pin
 
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
@@ -175,7 +176,7 @@ def bpe_train(
                 # sub-critical — the reset future-proofs shape changes
                 # (see dedup._stats_free; unpersist still reaches the
                 # same backing RDD through the rebuilt frame)
-                nxt = _stats_free(nxt.localCheckpoint(eager=False))
+                nxt = _stats_free(nxt.transform(_pin))
             prev, prev_is_ckpt = cur, cur_is_ckpt
             cur, cur_is_ckpt = nxt.persist(), nxt_is_ckpt
     finally:

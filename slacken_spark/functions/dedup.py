@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from slacken_spark.functions.text import token_hash64, tokens
+from slacken_spark.session import pin as _pin
 
 
 def content_digest(col: Column) -> Column:
@@ -183,7 +184,7 @@ def lsh_pair_delta(
     # (pair side + broadcast keys) share one scan
     old_changed = base_banded.join(
         upd_ids, id_col, "left_semi"
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     merged_banded = base_banded.join(upd_ids, id_col, "left_anti").unionByName(
         upd_banded
     )
@@ -709,7 +710,7 @@ def connected_components(
                     "lbl",
                     (F.col("lbl") != F.col("old_lbl")).cast("int").alias("chg"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(_pin)
             )
             changed = nxt.agg(F.sum("chg")).first()[0] or 0
             # the aggregate scanned every partition, so this round's
@@ -791,9 +792,12 @@ def connected_components_contract(
 
     localCheckpoint blocks are executor-local — losing an executor
     mid-query fails the QUERY (deterministic, so the retry is
-    idempotent), not the task; spot deployments can set a checkpoint
-    dir and substitute reliable ``checkpoint()`` (ARCHITECTURE.md
-    "localCheckpoint fault-tolerance posture").
+    idempotent), not the task; spot deployments set
+    ``spark.slacken.reliableCheckpoint=true`` plus a checkpoint dir and
+    every pin site here becomes reliable ``checkpoint()`` — see
+    ``session.pin`` (ARCHITECTURE.md "localCheckpoint fault-tolerance
+    posture"; proven result-identical in
+    tests/test_reliable_checkpoint.py).
     """
     spark = pairs.sparkSession
     pending: list[DataFrame] = []
@@ -828,7 +832,7 @@ def connected_components_contract(
             # the stats reset is what keeps the loop's planning cost
             # flat across rounds — see _stats_free; unpersist works
             # through the rebuilt frame (same backing RDD)
-            c = _stats_free(df.localCheckpoint(eager=False))
+            c = _stats_free(df.transform(_pin))
             pending.append(c)
             return c
 

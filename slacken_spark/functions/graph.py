@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from slacken_spark.session import pin as _pin
 
 PR_SCALE = 1_000_000
 PR_DAMP_NUM = 85
@@ -59,9 +60,11 @@ def pagerank_int(
     magnitudes stay ≤ scale · max-degree per round, far inside int64
     at the default scale. localCheckpoint blocks are executor-local —
     losing an executor mid-query fails the QUERY (idempotent retry),
-    not the task; spot deployments can set a checkpoint dir and use
-    reliable ``checkpoint()`` instead (ARCHITECTURE.md
-    "localCheckpoint fault-tolerance posture").
+    not the task; spot deployments set
+    ``spark.slacken.reliableCheckpoint=true`` plus a checkpoint dir and
+    every pin site here becomes reliable ``checkpoint()`` — see
+    ``session.pin`` (ARCHITECTURE.md "localCheckpoint fault-tolerance
+    posture").
 
     Returns ``(id, deg, rank)`` — one row per node of the pair graph
     (isolated documents are not nodes and do not rank).
@@ -81,12 +84,12 @@ def pagerank_int(
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     deg = _stats_free(
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     # (src, dst, deg) — one join per round over the two checkpointed RDDs
     edges_deg = edges.join(deg, "src")
@@ -108,7 +111,7 @@ def pagerank_int(
                 .cast("long")
                 .alias("rank")
             )
-            .localCheckpoint(eager=False)
+            .transform(_pin)
         )
     return (
         deg.select(F.col("src").alias("id"), "deg")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from slacken_spark.session import pin as _pin
 
 
 def segment_expr(id_col: str, segment_rows: int) -> Column:
@@ -197,7 +198,7 @@ def apply_delta(index: DataFrame, delta: DataFrame) -> DataFrame:
     materialized the delta (the real CDC shape — you persist the
     patch you ship) pay nothing extra."""
     keys = ["term", "segment"]
-    delta = delta.localCheckpoint(eager=False)
+    delta = delta.transform(_pin)
     return index.join(
         F.broadcast(delta.select(*keys)), keys, "left_anti"
     ).unionByName(delta.where(F.col("df_segment") > 0))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from slacken_spark.session import pin as _pin
 
 
 def pack_greedy(
@@ -469,7 +470,7 @@ def token_blocks(
         # totals branches must agree on bucket membership, and runtime
         # exchange reuse silently fails in composed plans (the r11
         # two-level finding; see relational_ext.global_row_number)
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     w_in = (
         Window.partitionBy("_bkt")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from slacken_spark.session import pin as _pin
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -458,13 +459,13 @@ def lsh_delta(
     bucket falls out as the same n_vecs = 0 tombstone). An id in both
     ``upd`` and ``deletes`` is a replacement (the new vector wins)."""
     base = base.select(id_col, vec_col)
-    upd = upd.select(id_col, vec_col).localCheckpoint(eager=False)
+    upd = upd.select(id_col, vec_col).transform(_pin)
     base_b = lsh_hyperplane_buckets(base, vec_col, planes).select(
         id_col, "bucket"
     )
     upd_b = lsh_hyperplane_buckets(upd, vec_col, planes).select(
         id_col, "bucket"
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     changed_ids = upd.select(id_col)
     if deletes is not None:
         # plain union — both consumers are semi/anti joins, so an id in
@@ -473,12 +474,10 @@ def lsh_delta(
         # references below share one batch-sized computation
         changed_ids = changed_ids.unionByName(
             deletes.select(id_col)
-        ).localCheckpoint(eager=False)
+        ).transform(_pin)
     upd_ids = F.broadcast(changed_ids)
     old_b = base_b.join(upd_ids, id_col, "left_semi").select("bucket")
-    aff = old_b.unionByName(upd_b.select("bucket")).distinct().localCheckpoint(
-        eager=False
-    )
+    aff = old_b.unionByName(upd_b.select("bucket")).distinct().transform(_pin)
     merged_b = base_b.join(upd_ids, id_col, "left_anti").unionByName(upd_b)
     rebuilt = (
         merged_b.join(F.broadcast(aff), "bucket", "left_semi")

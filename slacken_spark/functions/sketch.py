@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from slacken_spark.functions.text import token_hash64
+from slacken_spark.session import pin as _pin
 
 
 def cms_position(term: Column, row: int, width: int) -> Column:
@@ -137,9 +138,7 @@ def cms_heavy_hitters(
         # the documented two). localCheckpoint is the blessed fix when
         # re-evaluation rescans the CORPUS; the checkpointed blocks are
         # grid-sized (≤ depth*width rows), not corpus-sized.
-        sketch = cms_sketch(occ, term_col, depth, width).localCheckpoint(
-            eager=False
-        )
+        sketch = cms_sketch(occ, term_col, depth, width).transform(_pin)
     for i in range(depth):
         side = sketch.where(F.col("row") == i).select(
             F.col("pos").alias(f"h{i}"), F.col("c").alias(f"c{i}")

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from slacken_spark.session import pin as _pin
 
 
 def asof_join(
@@ -329,8 +330,9 @@ def global_row_number(
     the pinned rows, where a pure shuffle-backed plan would retry. The
     query is deterministic and side-effect-free, so the recovery is an
     idempotent query retry; spot/preemptible deployments that can't
-    afford that should set a checkpoint dir and use reliable
-    ``checkpoint()`` at this site instead (see ARCHITECTURE.md
+    afford that set ``spark.slacken.reliableCheckpoint=true`` plus a
+    checkpoint dir — this site routes through ``session.pin`` and
+    becomes reliable ``checkpoint()`` (see ARCHITECTURE.md
     "localCheckpoint fault-tolerance posture"; the reference batches
     work for exactly this reason, BrackenWeights.scala:359-374).
     """
@@ -341,7 +343,7 @@ def global_row_number(
     cols = [F.col(c) for c in pc + list(order_cols)]
     base = df.repartitionByRange(buckets, *cols).withColumn(
         "_bkt", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     w_in = Window.partitionBy("_bkt", *pc).orderBy(*[F.col(c) for c in order_cols])
     local = base.withColumn("_rn_in", F.row_number().over(w_in))
     totals = base.groupBy("_bkt", *pc).agg(F.count(F.lit(1)).alias("_bn"))
@@ -580,7 +582,7 @@ def global_prefix_sum(
     cols = [F.col(c) for c in pc + list(order_cols)]
     base = df.repartitionByRange(buckets, *cols).withColumn(
         "_bkt", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     w_in = (
         Window.partitionBy("_bkt", *pc)
         .orderBy(*[F.col(c) for c in order_cols])

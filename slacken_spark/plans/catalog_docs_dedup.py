@@ -14,6 +14,7 @@ from slacken_spark.functions import dedup as D
 from slacken_spark.functions import text as X
 from slacken_spark.plans.catalog import register, t, tp
 from slacken_spark.plans.catalog_docs import SQL_H64, SQL_TOKENS
+from slacken_spark.session import pin as _pin
 
 
 # ---------------------------------------------------------------------------
@@ -768,7 +769,7 @@ def dedup_graph_pagerank(spark, sf_dir):
         )
         .where(F.col("df").between(2, 4))
         .select("doc_id", "shingle")
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     a, b = rare_td.alias("a"), rare_td.alias("b")
     pairs = (

@@ -66,6 +66,70 @@ def get_spark(
     return spark
 
 
+# Every lineage-pin site in the engine (iterative contraction loops,
+# two-level rank/scan, IVM maintainers, token packing, BPE, CMS) routes
+# through ``pin`` below. Default = executor-local ``localCheckpoint``:
+# zero external storage, but blocks die with their executor, so an
+# executor loss mid-query fails the QUERY (deterministic → the retry is
+# idempotent — ARCHITECTURE.md "localCheckpoint fault-tolerance
+# posture"). Spot/preemptible deployments flip this conf (and set a
+# checkpoint dir) to route the SAME sites to reliable ``checkpoint()``
+# so lost executors cost a task retry, not the query.
+RELIABLE_CHECKPOINT_CONF = "spark.slacken.reliableCheckpoint"
+
+_WARNED_NO_CKPT_DIR = False
+
+
+def pin(df, eager: bool = False):
+    """Pin ``df``'s lineage: truncate the plan and materialize it once.
+
+    ``localCheckpoint(eager=...)`` unless ``spark.slacken.
+    reliableCheckpoint=true`` AND ``sparkContext.setCheckpointDir`` was
+    called, in which case the site becomes a reliable ``checkpoint``
+    (same laziness). When the conf is set without a checkpoint dir the
+    site falls back to localCheckpoint with one loud warning —
+    ``checkpoint()`` would otherwise throw mid-query deep inside a loop.
+
+    The conf is read per call, so a session can flip it between
+    queries; block-release bookkeeping (``functions.dedup.
+    _unpersist_local_ckpt``) is checkpoint-agnostic — unpersisting a
+    reliably-checkpointed plan's RDD drops cached blocks while the
+    checkpoint files keep the data recomputable.
+    """
+    spark = df.sparkSession
+    try:
+        reliable = (
+            str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower()
+            == "true"
+        )
+    except Exception:
+        reliable = False
+    if reliable:
+        try:
+            ckpt_dir = spark.sparkContext.getCheckpointDir()
+        except Exception:
+            ckpt_dir = None
+        if ckpt_dir:
+            return df.checkpoint(eager=eager)
+        global _WARNED_NO_CKPT_DIR
+        if not _WARNED_NO_CKPT_DIR:
+            _WARNED_NO_CKPT_DIR = True
+            import warnings
+
+            warnings.warn(
+                f"{RELIABLE_CHECKPOINT_CONF}=true but no checkpoint dir is"
+                " set (sparkContext.setCheckpointDir) — falling back to"
+                " localCheckpoint",
+                stacklevel=2,
+            )
+    return df.localCheckpoint(eager=eager)
+
+
+def pin_eager(df):
+    """``pin`` with eager materialization — for ``df.transform`` sites."""
+    return pin(df, eager=True)
+
+
 _SHIPPED_APPS: set[str] = set()
 
 

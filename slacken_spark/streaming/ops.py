@@ -27,6 +27,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from slacken_spark.session import pin as _pin, pin_eager as _pin_eager
 
 
 def windowed_counts(
@@ -320,7 +321,7 @@ def _advance_base(
             # stream-shaped). The batch side stays broadcast-eligible —
             # only the checkpointed base loses its estimate. unpersist
             # reaches the same backing RDD through the rebuilt frame.
-            out = _stats_free(out.localCheckpoint(eager=True))
+            out = _stats_free(out.transform(_pin_eager))
             prev = state.get("_base_ckpt")
             if prev is not None:
                 _unpersist_local_ckpt(prev)
