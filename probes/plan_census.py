@@ -23,20 +23,25 @@ Entries that execute work at plan-build time (streaming drivers,
 collect-backed mixes) are signed by their RESULT's plan — the same
 frame the driver gates.
 
-Known env-sensitivity (observed once at the first census, r12): the
-iterative contraction entries (dedup_components_{delta,drop,mixed,
-predistinct}) embed the loop's ROUND COUNT in their plan, and one
-census taken while the full pytest suite ran in a second JVM read
-mixed at 184 shuffle exchanges vs the stable 181 (~one extra
-contraction pass). Reproduction attempts: 3× alone, 3× with the
-family's cache context, and 3× under a 24-core external CPU burn all
-read 181 — pure CPU contention does NOT reproduce it; the residual
-suspect is the concurrent JVM's memory pressure perturbing a runtime
-decision that feeds the loop's contraction TRAJECTORY (never its
-result — outputs are oracle-gated exact regardless of round count).
-A DRIFT line on exactly that family with a uniform few-exchange delta
-taken beside heavy co-tenant work is that wobble; re-diff on a quiet
-host before reading it as a regression.
+Loop-entry normalization (r13, VERDICT r12 item 4): the contraction-
+maintenance entries (LOOP_ENTRIES below) compose persisted/memoized
+subtrees whose plan STRINGS re-print under every reference, so their
+counts are large and scale with the contraction loop's TRAJECTORY —
+observed once at r12: a census taken beside a concurrent JVM's memory
+pressure read mixed ~one contraction pass higher (a UNIFORM
+few-exchange delta; outputs stayed oracle-exact). Signatures are
+in-session deterministic (probe: 4 builds × 2 orders, byte-identical),
+so the diff for exactly these entries tolerates a uniform proportional
+rescale of all nonzero fields (±1 after scaling) and nothing else:
+zero fields (python_per_row, nested loops, arrow kernels) stay EXACT,
+and a shape change — a broadcast degrading to sort-merge shifts the
+field MIX, not the scale — still flags. Tolerated diffs print a
+TOLERATED line so they stay visible.
+
+Baselines must be healthy: --write refuses (exit 3) when any entry
+errors at plan-build time, and an {"error": ...} entry on either side
+of a diff is unconditional drift — a permanently broken entry can
+never diff as stable/clean (r12 ADVICE).
 """
 import json
 import os
@@ -71,6 +76,44 @@ def signature(plan: str) -> dict:
     return {k: len(re.findall(p, plan)) for k, p in PATTERNS.items()}
 
 
+# Entries whose plan string scales with the contraction loop's
+# trajectory (see docstring) — diffed under the uniform-rescale
+# tolerance instead of exact equality.
+LOOP_ENTRIES = {
+    "dedup_components_delta",
+    "dedup_components_drop",
+    "dedup_components_mixed",
+}
+
+
+def loop_tolerated(base: dict, cur: dict) -> bool:
+    """True iff ``cur`` is ``base`` under a uniform proportional rescale
+    of the nonzero count fields (±1 per field after scaling) with every
+    zero field still exactly zero — the loop-trajectory wobble shape.
+    Any field-mix change (broadcast→SMJ, new Python, new nested loop)
+    fails."""
+    if "error" in base or "error" in cur:
+        return False
+    keys = set(base) | set(cur)
+    if any(
+        not isinstance(base.get(k, 0), int) or not isinstance(cur.get(k, 0), int)
+        for k in keys
+    ):
+        return False
+    if any(cur.get(k, 0) != 0 for k in keys if base.get(k, 0) == 0):
+        return False
+    total_b = sum(base.values())
+    total_c = sum(cur.values())
+    if total_b <= 0 or total_c <= 0:
+        return False
+    scale = total_c / total_b
+    return all(
+        abs(cur.get(k, 0) - base[k] * scale) <= 1.0
+        for k in keys
+        if base.get(k, 0) != 0
+    )
+
+
 def main() -> None:
     write = "--write" in sys.argv
     strict = "--strict" in sys.argv
@@ -88,6 +131,18 @@ def main() -> None:
         except Exception as e:  # a census must be total — record the error
             census[name] = {"error": str(e)[:200]}
     if write:
+        errs = {n: s["error"] for n, s in census.items() if "error" in s}
+        if errs:
+            # a baseline holding error entries would diff as stable
+            # forever (r12 ADVICE) — refuse to write it
+            for n, msg in sorted(errs.items()):
+                print(f"ERROR {n}: {msg}")
+            print(
+                f"REFUSING to write baseline: {len(errs)} entries failed"
+                " at plan-build time (fix them first)"
+            )
+            spark.stop()
+            sys.exit(3)
         with open(CENSUS_PATH, "w") as f:
             json.dump(census, f, indent=1, sort_keys=True)
         print(f"wrote {CENSUS_PATH} ({len(census)} entries)")
@@ -107,14 +162,32 @@ def main() -> None:
         elif name not in base:
             print(f"NEW  {name} {census[name]}")
             fails += strict
+        elif "error" in base[name] or "error" in census[name]:
+            # identical error strings would otherwise compare stable —
+            # an error entry is unconditional drift wherever it appears
+            print(
+                f"DRIFT {name}: error entry"
+                f" (base={base[name].get('error')!r},"
+                f" current={census[name].get('error')!r})"
+            )
+            fails += 1
         elif census[name] != base[name]:
             drift = {
                 k: (base[name].get(k), census[name].get(k))
                 for k in set(base[name]) | set(census[name])
                 if base[name].get(k) != census[name].get(k)
             }
-            print(f"DRIFT {name}: {drift}")
-            fails += 1
+            # an error on either side is unconditional drift (r12
+            # ADVICE); loop entries get the uniform-rescale tolerance
+            if name in LOOP_ENTRIES and loop_tolerated(base[name], census[name]):
+                scale = sum(census[name].values()) / sum(base[name].values())
+                print(
+                    f"TOLERATED {name}: uniform rescale x{scale:.4f}"
+                    f" (loop-trajectory wobble) {drift}"
+                )
+            else:
+                print(f"DRIFT {name}: {drift}")
+                fails += 1
     print(f"PLAN CENSUS FAILS: {fails}")
     spark.stop()
     sys.exit(1 if fails else 0)
