@@ -236,18 +236,6 @@ def main() -> None:
     for name, (fn, _sql) in catalog.QUERIES.items():
         measure(name, fn, runs)
 
-    # sub-0.5 s entries are dominated by fixed costs and swing 2-3x run
-    # to run on this host (r11 verdict item 5) — one bounded extra pass
-    # over just those (min kept) tames the variance for ~a second of
-    # total wall; the count is recorded in the JSON so a reader knows
-    # the small entries are min-of-(runs+N).
-    small_extra = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_RUNS", "1"))
-    small_cut = float(os.environ.get("SPARK_GRAFT_BENCH_SMALL_CUTOFF", "0.5"))
-    small = [n for n, v in timings.items() if 0 <= v < small_cut]
-    for _ in range(small_extra):
-        for name in small:
-            measure(name, catalog.QUERIES[name][0], 1)
-
     # Mid-run burst defense (the r10 lesson: the start gate can't help
     # when the burst arrives mid-run — all six r10 attempts recorded
     # clean starts and 2-4x inflated tails): queries whose EVERY run
@@ -280,6 +268,21 @@ def main() -> None:
         )
         repassed.extend(q for q in requeue if q not in repassed)
         for name in requeue:
+            measure(name, catalog.QUERIES[name][0], 1)
+
+    # sub-0.5 s entries are dominated by fixed costs and swing 2-3x run
+    # to run on this host (r11 verdict item 5) — one bounded extra pass
+    # over just those (min kept) tames the variance for ~a second of
+    # total wall; the count is recorded in the JSON so a reader knows
+    # the small entries are min-of-(runs+N). Selected AFTER the burst
+    # repass (r12 ADVICE): a first-pass timing inflated past the cutoff
+    # by a burst would otherwise hide a genuinely-small query from its
+    # variance-taming extra run.
+    small_extra = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_RUNS", "1"))
+    small_cut = float(os.environ.get("SPARK_GRAFT_BENCH_SMALL_CUTOFF", "0.5"))
+    small = [n for n, v in timings.items() if 0 <= v < small_cut]
+    for _ in range(small_extra):
+        for name in small:
             measure(name, catalog.QUERIES[name][0], 1)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
