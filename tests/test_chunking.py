@@ -6,6 +6,7 @@ import hashlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from slacken_spark.functions.chunking import (
     CDC_BASE,
@@ -124,6 +125,31 @@ def test_cdc_dedup_stats_count_surplus_copies(spark):
     assert row["dup_chunks"] == 2 * n_a
     assert row["dup_chars"] == 2 * len(a)
     assert row["n_chunks"] == row["n_distinct"] + row["dup_chunks"]
+
+
+def test_cdc_dedup_stats_first_length_invariant(spark):
+    """cdc_dedup_stats takes ``F.first("length")`` per chunk_hash group
+    — sound ONLY because equal md5 ⇒ equal chunk text ⇒ equal length
+    (the r12 nondeterminism sweep's checklist). This pins the data
+    invariant executable: across a corpus with heavy cross-document
+    chunk sharing, every chunk_hash group is length-constant. A future
+    edit that weakens the hash or adds a length-varying column to the
+    group breaks HERE, not as a silent nondeterministic stat."""
+    rng = np.random.default_rng(23)
+    shared = _rand_text(rng, 800)
+    docs = [
+        (i, _rand_text(rng, 200) + shared + _rand_text(rng, 200))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    per_hash = (
+        cdc_chunk_hashes(df, "text", "doc_id", 16, 64)
+        .groupBy("chunk_hash")
+        .agg(F.countDistinct("length").alias("nl"), F.count(F.lit(1)).alias("n"))
+    )
+    assert per_hash.where("nl != 1").count() == 0
+    # the fixture must actually exercise sharing (groups with n > 1)
+    assert per_hash.where("n > 1").count() > 0
 
 
 def test_cdc_all_empty_partition_yields_no_frame(spark):
