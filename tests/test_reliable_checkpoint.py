@@ -93,6 +93,95 @@ def test_contraction_identical_under_reliable_checkpoint(spark, reliable):
     )
 
 
+def _both_postures(spark, reliable, run):
+    """Collect ``run()`` once under reliable posture, once under the
+    default; the fixture already flipped the conf on."""
+    got = run()
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+    want = run()
+    return got, want
+
+
+def test_ivm_lsh_delta_identical_under_reliable_checkpoint(spark, reliable):
+    """similarity.lsh_delta pins four frames per maintenance batch —
+    the IVM family's heaviest pin consumer."""
+    from slacken_spark.functions.similarity import lsh_delta
+
+    def vec(seed):
+        return [((seed * 31 + j) % 7 - 3) / 3.0 for j in range(8)]
+
+    planes = [vec(90 + i) for i in range(4)]
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id: long, embedding: array<double>"
+    )
+    upd = spark.createDataFrame(
+        [(i, vec(i + 100)) for i in range(0, 40, 7)],
+        "vec_id: long, embedding: array<double>",
+    )
+    dels = spark.createDataFrame([(3,), (10,)], "vec_id: long")
+    got, want = _both_postures(
+        spark,
+        reliable,
+        lambda: sorted(
+            (r["bucket"], r["n_vecs"], sorted(r["members"]))
+            for r in lsh_delta(base, upd, planes, deletes=dels).collect()
+        ),
+    )
+    assert got == want
+
+
+def test_token_blocks_identical_under_reliable_checkpoint(spark, reliable):
+    from slacken_spark.functions.packing import token_blocks
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 13 % 97 + 1).alias("ntok")
+    )
+    got, want = _both_postures(
+        spark,
+        reliable,
+        lambda: sorted(map(tuple, token_blocks(df, 64, buckets=4).collect())),
+    )
+    assert got == want
+
+
+def test_bpe_train_identical_under_reliable_checkpoint(spark, reliable):
+    from slacken_spark.functions.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest new newer newest " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got, want = _both_postures(
+        spark,
+        reliable,
+        # checkpoint_every=2 forces pin sites to fire inside the loop
+        lambda: bpe_train(df, "text", n_merges=6, checkpoint_every=2),
+    )
+    assert got == want
+
+
+def test_inverted_delta_identical_under_reliable_checkpoint(spark, reliable):
+    from slacken_spark.functions.inverted import delta_index
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5}") for i in range(30)], "doc_id long, text string"
+    )
+    upd = spark.createDataFrame(
+        [(4, "gamma beta"), (9, "alpha delta")], "doc_id long, text string"
+    )
+    got, want = _both_postures(
+        spark,
+        reliable,
+        lambda: sorted(
+            (r["term"], r["segment"], r["df_segment"], sorted(r["postings"]))
+            for r in delta_index(
+                base, upd, F.split(F.col("text"), " "), segment_rows=8
+            ).collect()
+        ),
+    )
+    assert got == want
+
+
 def test_two_level_rank_identical_under_reliable_checkpoint(spark, reliable):
     from slacken_spark.operators.relational_ext import global_row_number
 
