@@ -95,6 +95,12 @@ def pin(df, eager: bool = False):
     _unpersist_local_ckpt``) is checkpoint-agnostic — unpersisting a
     reliably-checkpointed plan's RDD drops cached blocks while the
     checkpoint files keep the data recomputable.
+
+    Storage lifecycle: Spark does NOT delete reliable checkpoint files
+    by default — long-running reliable-posture sessions should set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (files
+    freed when their RDD is GC'd) or lifecycle the checkpoint dir
+    externally (e.g. object-store TTL).
     """
     spark = df.sparkSession
     try:

@@ -27,7 +27,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from slacken_spark.session import pin as _pin, pin_eager as _pin_eager
+from slacken_spark.session import pin_eager as _pin_eager
 
 
 def windowed_counts(
