@@ -108,6 +108,24 @@ def test_catalog_respects_the_rotation_capacity_ceiling():
     )
 
 
+def test_demoted_registry_is_disjoint_and_oracle_backed():
+    """A name registered in BOTH QUERIES and DEMOTED would gate through
+    the driver while the consolidation note claims it's pytest-grade —
+    the two registries must stay disjoint. And a demoted entry keeps
+    the SAME exact-oracle bar (that's the consolidation contract), so
+    sql=None is not allowed there."""
+    from slacken_spark.plans.catalog import DEMOTED
+
+    overlap = set(DEMOTED) & set(entry._catalog.QUERIES)
+    assert not overlap, f"names in both QUERIES and DEMOTED: {sorted(overlap)}"
+    no_oracle = [n for n, (_f, sql) in DEMOTED.items() if sql is None]
+    assert not no_oracle, f"demoted entries without an oracle: {no_oracle}"
+    # demoted names must also not linger in the rotation lists
+    for lst, label in ((entry._EARLY, "_EARLY"), (entry._TAIL, "_TAIL")):
+        stale = [n for n in lst if n in DEMOTED]
+        assert not stale, f"demoted names in {label}: {stale}"
+
+
 def test_plan_census_tracks_the_catalog():
     """PLAN_CENSUS.json (the probes/plan_census.py baseline) must name
     exactly the registered entries — registering, renaming, or removing
