@@ -61,6 +61,59 @@ def test_error_entries_never_tolerated():
     assert not loop_tolerated({"error": "boom"}, {"error": "boom"})
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _SIG = st.fixed_dictionaries(
+        {
+            "aggregates": st.integers(0, 500),
+            "arrow_kernels": st.just(0),
+            "broadcast_exchanges": st.integers(0, 300),
+            "broadcast_hash_joins": st.integers(0, 300),
+            "nested_loop_joins": st.just(0),
+            "python_per_row": st.just(0),
+            "shuffle_exchanges": st.integers(1, 600),
+            "sort_merge_joins": st.integers(0, 50),
+            "sorts": st.integers(0, 200),
+        }
+    )
+
+    @given(base=_SIG, scale_pct=st.integers(90, 110))
+    @settings(max_examples=200, deadline=None)
+    def test_fuzz_uniform_rescale_tolerated(base, scale_pct):
+        cur = {
+            k: (round(v * scale_pct / 100) if v else 0) for k, v in base.items()
+        }
+        # exact proportional rescale of every nonzero field: tolerated
+        # whenever the rounding error stays within the ±1 contract
+        # (tiny bases can round past it — then flagging is CORRECT, so
+        # only assert the acceptance direction on clean rescales)
+        if all(abs(cur[k] - base[k] * sum(cur.values()) / sum(base.values())) <= 1.0
+               for k in base if base[k]):
+            assert loop_tolerated(base, cur)
+
+    @given(base=_SIG, bump=st.integers(5, 50))
+    @settings(max_examples=200, deadline=None)
+    def test_fuzz_single_field_shape_change_flagged(base, bump):
+        # a LARGE change to one field with everything else fixed is a
+        # shape change, not a rescale — must flag (guard: only when the
+        # bump is big enough that the induced global scale can't absorb
+        # it within ±1 on some other nonzero field)
+        cur = dict(base)
+        cur["sort_merge_joins"] = base["sort_merge_joins"] + bump
+        others = [k for k in base if base[k] and k != "sort_merge_joins"]
+        if not others:
+            return
+        scale = sum(cur.values()) / sum(base.values())
+        if all(abs(base[k] - base[k] * scale) <= 1.0 for k in others):
+            return  # tiny vectors where the rescale legally absorbs it
+        assert not loop_tolerated(base, cur)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_loop_entry_set_matches_contraction_family():
     assert LOOP_ENTRIES == {
         "dedup_components_delta",
