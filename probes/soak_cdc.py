@@ -25,6 +25,19 @@ def gt(edges):
     return {x: lbl[find(x)] for x in parent}
 
 spark = get_spark('soak_cdc', master='local[8]', shuffle_partitions=8)
+# SLACKEN_RELIABLE=1 re-runs the whole soak under the reliable-
+# checkpoint posture (session.pin routes every maintainer pin site to
+# checkpoint()), extending the fixed-fixture identity tests to random
+# add/drop/mixed sequences
+import os as _os
+if _os.environ.get("SLACKEN_RELIABLE") == "1":
+    import tempfile as _tf
+
+    from slacken_spark.session import RELIABLE_CHECKPOINT_CONF
+
+    spark.sparkContext.setCheckpointDir(_tf.mkdtemp(prefix="soak_ckpt_"))
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    print("soak_cdc: RELIABLE posture enabled")
 fails = 0
 for seed in (5, 6, 7):
     rng = np.random.default_rng(seed)
