@@ -108,6 +108,40 @@ def test_catalog_respects_the_rotation_capacity_ceiling():
     )
 
 
+def test_rotation_planner_agrees_with_the_freshness_guard():
+    """probes/rotation_plan.py automates the next round's seat math; its
+    binding set must equal what this file's own freshness recomputation
+    implies: every oracle-backed entry NOT green in either of the two
+    most recent recorded rounds. A drift between the planner and the
+    guard would hand the next rotation a wrong seed."""
+    sys.path.insert(0, os.path.join(REPO, "probes"))
+    from rotation_plan import compute_plan
+
+    plan = compute_plan(entry)
+    by_round: dict[int, set] = {}
+    for f in _correctness_files():
+        rnd = int(f[len("CORRECTNESS_r"):].split(".")[0])
+        d = json.load(open(os.path.join(REPO, f)))
+        by_round[rnd] = {
+            k
+            for k, v in d.items()
+            if isinstance(v, dict)
+            and v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match")
+            and not v.get("err")
+        }
+    recent = set()
+    for rnd in sorted(by_round)[-2:]:
+        recent |= by_round[rnd]
+    rows_only = {
+        n for n, (_f, sql) in entry._catalog.QUERIES.items() if sql is None
+    }
+    want = set(entry._catalog.QUERIES) - recent - rows_only
+    assert set(plan["binding"]) == want
+    assert plan["free"] == GATE_CAP - len(want)
+
+
 def test_demoted_registry_is_disjoint_and_oracle_backed():
     """A name registered in BOTH QUERIES and DEMOTED would gate through
     the driver while the consolidation note claims it's pytest-grade —
