@@ -250,8 +250,18 @@ def dupspan_scrub(df, text_col: str, id_col: str, n: int = 5):
     state, so the plan survives corpora where a suffix array would not
     shard.
     """
+    from slacken_spark.session import pin
+
+    # The gram subtree is consumed twice below (ownership agg AND the
+    # covered join), and Spark does not dedupe common subplans — the
+    # un-pinned plan re-ran the scan+posexplode+window pipeline three
+    # times (measured r13-opt: 3 × ~15 s executor time at sf0.1, the
+    # entry's dominant cost). One lazy pin materializes the pass once;
+    # both consumers read the blocks. The window-free pos_toks
+    # recompute for the kept anti-join is cheap next to a second
+    # materialization layer.
     pos_toks = positioned_tokens(df, text_col, id_col)
-    grams = positioned_grams(pos_toks, id_col, n)
+    grams = pin(positioned_grams(pos_toks, id_col, n))
     owners = (
         grams.groupBy("gram")
         .agg(
@@ -306,8 +316,16 @@ def boilerplate_scrub(
     # corpus of <= 1/min_df_frac docs and silently deletes all text
     min_df = max(2, math.ceil(min_df_frac * n_docs))
 
+    from slacken_spark.session import pin
+
+    # same duplicated-subtree shape as dupspan_scrub (grams feeds the
+    # frequency agg AND the covered join) — pin the scan+posexplode+
+    # window pass once instead of recomputing it per consumer (guide
+    # §3.3: common subtrees are not deduped; measured r13-opt). The
+    # window-free pos_toks recompute for the kept anti-join is cheap
+    # next to a second materialization layer.
     pos_toks = positioned_tokens(df, text_col, id_col)
-    grams = positioned_grams(pos_toks, id_col, n)
+    grams = pin(positioned_grams(pos_toks, id_col, n))
     frequent = (
         grams.select(id_col, "gram")
         .distinct()
