@@ -550,20 +550,25 @@ def _batch_mapping(
     driver cutoff — the ONE definition behind both CDC maintainers'
     fast paths (r9 review: the add/drop copies must not drift).
 
-    A single ``take(driver_threshold + 1)`` both decides the cutoff
-    and delivers the edges (count-then-collect would pay two jobs on
-    the exact path whose point is avoiding the per-action scheduling
-    floor): at or below the threshold the returned rows ARE the whole
-    frame, the shared local union-find solves them, and the mapping
-    re-enters the plan as a broadcast-sized ``(out_a, out_b)`` table;
-    above it ``distributed(edges)`` runs the contraction engine over
-    the persisted frame. Either way the driver never holds more than
-    ``driver_threshold + 1`` edge rows."""
+    ``count()`` materializes the persisted frame in ONE full-parallelism
+    job and decides the cutoff; at or below the threshold a ``collect``
+    then reads the already-cached blocks (near-free second job), the
+    shared local union-find solves the rows, and the mapping re-enters
+    the plan as a broadcast-sized ``(out_a, out_b)`` table; above it
+    ``distributed(edges)`` runs the contraction engine over the (now
+    fully materialized) persisted frame. The r9 shape used ONE
+    ``take(threshold + 1)`` instead, but ``take``'s incremental
+    partition scan-up (1, then ×4 waves) re-ran the frame's un-cached
+    upstream — broadcast-join map lineage with no shuffle boundary to
+    reuse — 3-4 times before concluding the frame was small (measured
+    r13-opt: the take stages dominated the delta entry's executor
+    time). Either way the driver never holds more than the edge count
+    the threshold allows."""
     id_t = edges.schema[id_a].dataType.simpleString()
     edges = edges.select(id_a, id_b).persist()
     try:
-        rows = edges.take(driver_threshold + 1)
-        if len(rows) <= driver_threshold:
+        if edges.count() <= driver_threshold:
+            rows = edges.collect()
             lbl = _uf_min_labels((r[0], r[1]) for r in rows)
             return edges.sparkSession.createDataFrame(
                 list(lbl.items()), f"{out_a} {id_t}, {out_b} {id_t}"
@@ -1030,7 +1035,12 @@ def components_add_edges(
     la = labels.select(
         F.col("node").alias("_n"), F.col("component").alias("_c")
     )
-    e = new_pairs.select(id_a, id_b)
+    # pin the batch-bounded pair list once: it feeds both the
+    # contraction chain and the new-node anti-join below, and the
+    # caller's pair-discovery subtree (often a banded LSH join) would
+    # otherwise re-run per reference (r13-opt; Spark does not dedupe
+    # common subplans)
+    e = _pin(new_pairs.select(id_a, id_b))
     ea = e.join(la, e[id_a] == la["_n"], "left").select(
         F.coalesce("_c", id_a).alias("_ca"), id_b
     )

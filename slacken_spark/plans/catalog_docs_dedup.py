@@ -237,16 +237,37 @@ def _base_sig(spark, sf_dir, docs):
     )
 
 
+_FULL_LABELS_CACHE: dict = {}
+
+
 def _full_labels(spark, sf_dir, docs):
     """(node, component) over EVERY doc — the memoized non-singleton
     labels coalesced to self-labels (the components_* caller
-    convention); shared by the drop/delta/mixed maintenance entries."""
-    comp = _doc_components(spark, sf_dir)
-    return docs.select("doc_id").join(
-        comp, docs["doc_id"] == comp["node"], "left"
-    ).select(
-        F.col("doc_id").alias("node"),
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    convention); shared by the drop/delta/mixed maintenance entries.
+
+    Persisted app-scoped (r13-opt): the maintainers reference their
+    input labels 3-4 times each (add_edges: two contraction joins,
+    relabel, new-node anti; drop_edges: affected semi, member semi,
+    passthrough anti) and Spark does not dedupe common subplans, so
+    the un-materialized coalesce-join re-ran once per reference —
+    measured as the dominant slice of the delta entry's take() stages
+    at sf0.1. This is the |V|-sized stored label table a production
+    maintainer reads (the ``_doc_components`` / mixed ``after_drop``
+    convention), not a result memo: every consumer still computes its
+    maintenance from it."""
+    from slacken_spark.appcache import app_scoped_get
+
+    def build():
+        comp = _doc_components(spark, sf_dir)
+        return docs.select("doc_id").join(
+            comp, docs["doc_id"] == comp["node"], "left"
+        ).select(
+            F.col("doc_id").alias("node"),
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        ).persist()
+
+    return app_scoped_get(
+        _FULL_LABELS_CACHE, spark, ("full_labels", sf_dir), build
     )
 
 
@@ -266,18 +287,40 @@ def _doc_components(spark, sf_dir):
     from slacken_spark.appcache import app_scoped_get
 
     def build():
-        docs = tp(spark, sf_dir, "documents")
-        sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, shingle_words=3)
-        pairs = D.minhash_band_pairs(sig, "doc_id", n_hashes=8, bands=4)
         # union-find contraction (r9: switched from min-label
         # propagation — partition-span rounds, not diameter rounds);
         # loop shuffles sized to the label-table cardinality (≤ |docs|
-        # rows), not the scan-sized session setting
+        # rows), not the scan-sized session setting. Pairs come from
+        # the shared persisted candidate-pair store (r13-opt) — the
+        # same LSH pairs the drop maintainer splits, one definition.
         return D.connected_components_contract(
-            pairs, loop_partitions=8
+            _base_pairs(spark, sf_dir), loop_partitions=8
         ).persist()
 
     return app_scoped_get(_COMPONENTS_CACHE, spark, sf_dir, build)
+
+
+# The banded LSH candidate pairs over the BASE corpus — in production
+# the stored output of the ingest-time LSH pass (the candidate-pair
+# index), read by the full component build and split by the drop/mixed
+# maintainers. Persisted app-scoped (r13-opt): the drop maintainer
+# references the pair list twice (surviving vs dropped split) and the
+# full build once more, and the banding self-join re-ran per reference.
+_BASE_PAIRS_CACHE: dict = {}
+
+
+def _base_pairs(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+
+    def build():
+        docs = tp(spark, sf_dir, "documents")
+        return D.minhash_band_pairs(
+            _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
+        ).persist()
+
+    return app_scoped_get(
+        _BASE_PAIRS_CACHE, spark, ("base_pairs", sf_dir), build
+    )
 
 
 def _components_cte() -> str:
@@ -879,9 +922,7 @@ def _drop_maintained(spark, sf_dir, docs):
     ``components_drop_edges`` — ONE definition for the drop and mixed
     entries, so the two gates cannot silently test different drop
     batches (r9 review)."""
-    pairs = D.minhash_band_pairs(
-        _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
-    )
+    pairs = _base_pairs(spark, sf_dir)
     drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
     return D.components_drop_edges(
         _full_labels(spark, sf_dir, docs),
