@@ -169,13 +169,18 @@ def lsh_pair_delta(
     old + new) broadcast as a semi-join on the corpus banding, so only
     buckets CONTAINING a changed doc enter the pair join — per-batch
     cost is affected-bucket-sized, never the full banded self-join.
-    Only ONE local checkpoint per call (old_changed — its lineage
-    scans the corpus-sized base, so a second reference would rescan
-    it; callers that store signatures/bands at ingest, the production
-    shape, pay nothing): batch-bounded subplans are allowed to
-    re-evaluate instead of accumulating checkpoint blocks across
-    invocations, and the add/drop diff is ONE full-outer join so each
-    pair set evaluates once."""
+    TWO local checkpoints per call, both batch-sized: ``old_changed``
+    (its lineage scans the corpus-sized base, so a second reference
+    would rescan it) and ``upd_sig`` (its lineage is the CALLER's
+    update construction — often corpus-scanning joins, as in the
+    minhash_lsh_delta entry — and it feeds the broadcast id set plus
+    both new-pair branches, so un-pinned it re-evaluated 3-4 times;
+    r13-opt). Callers that store signatures/bands at ingest, the
+    production shape, pay nothing. Cheap band derivations over the
+    pinned rows still re-evaluate instead of accumulating more
+    checkpoint blocks, and the add/drop diff is ONE full-outer join so
+    each pair set evaluates once."""
+    upd_sig = upd_sig.transform(_pin)
     upd_ids = F.broadcast(upd_sig.select(id_col))
     base_banded = minhash_banded(base_sig, id_col, n_hashes, bands)
     upd_banded = minhash_banded(upd_sig, id_col, n_hashes, bands)

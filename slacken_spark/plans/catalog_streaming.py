@@ -45,7 +45,9 @@ def _event_stream(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # infer the schema from a batch read (streams require an explicit
     # schema), then glob-filter the directory stream to events only
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    from slacken_spark.plans.catalog import table_schema
+
+    schema = table_schema(spark, sf_dir, "events")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -205,7 +207,9 @@ def streaming_doc_quality(spark, sf_dir):
 
     from slacken_spark.functions import text as X
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    from slacken_spark.plans.catalog import table_schema
+
+    schema = table_schema(spark, sf_dir, "documents")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -248,9 +252,9 @@ def streaming_index_delta(spark, sf_dir):
     from slacken_spark.streaming import ops
 
     base = t(spark, sf_dir, "documents").select("doc_id", "text")
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    from slacken_spark.plans.catalog import table_schema
+
+    schema = table_schema(spark, sf_dir, "documents")
     upd_stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -318,9 +322,9 @@ def streaming_index_ranked_delta(spark, sf_dir):
     from slacken_spark.plans.catalog_docs_pipeline import _cdc_upd
 
     base = t(spark, sf_dir, "documents").select("doc_id", "text")
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    from slacken_spark.plans.catalog import table_schema
+
+    schema = table_schema(spark, sf_dir, "documents")
     upd_stream = _cdc_upd(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -387,9 +391,9 @@ def streaming_heavy_hitters(spark, sf_dir):
         cms_occurrences,
     )
 
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    from slacken_spark.plans.catalog import table_schema
+
+    schema = table_schema(spark, sf_dir, "documents")
     doc_stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -459,9 +463,9 @@ def streaming_source_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(size).cast("long").alias("n_tokens"),
     )
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    from slacken_spark.plans.catalog import table_schema
+
+    schema = table_schema(spark, sf_dir, "documents")
     upd_stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -525,9 +529,9 @@ def streaming_zone_maps(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     sized = zm_sized(docs)
     zm = zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    from slacken_spark.plans.catalog import table_schema
+
+    schema = table_schema(spark, sf_dir, "documents")
     upd_stream = zm_update_batch(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
