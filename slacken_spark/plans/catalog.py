@@ -419,14 +419,11 @@ def lca_fold(spark, sf_dir):
     region = t(spark, sf_dir, "region")
     # Driver-side tree over the (small, dimension-sized) hierarchy — the
     # same broadcast pattern the reference uses for the NCBI taxonomy
-    # (~2.5M nodes ≈ tens of MB as int arrays). Guard the collect so a
-    # mis-sized input fails loudly instead of OOMing the driver.
-    n_nodes = region.count() + nation.count() + cust.count()
-    if n_nodes > 50_000_000:
-        raise ValueError(
-            f"hierarchy has {n_nodes} nodes - too large to collect for the"
-            " broadcast-tree LCA pattern; partition the dimension first"
-        )
+    # (~2.5M nodes ≈ tens of MB as int arrays). The OOM guard rides the
+    # collect itself via limit(N+1) — hitting the cap raises before
+    # anything larger materializes driver-side; the r12 shape paid
+    # three extra count() jobs for the same guarantee (r13-opt).
+    _MAX_NODES = 50_000_000
     # One union job collects all three levels (vs three cold scans).
     edges = (
         region.select((F.col("r_regionkey") + 2).alias("id"), F.lit(1).alias("parent"))
@@ -442,8 +439,15 @@ def lca_fold(spark, sf_dir):
                 (F.col("c_nationkey") + 100).alias("parent"),
             )
         )
+        .limit(_MAX_NODES + 1)
         .toPandas()
     )
+    if len(edges) > _MAX_NODES:
+        raise ValueError(
+            f"hierarchy has more than {_MAX_NODES} nodes - too large to"
+            " collect for the broadcast-tree LCA pattern; partition the"
+            " dimension first"
+        )
     tax = Taxonomy.from_edges(edges["id"].to_numpy(), edges["parent"].to_numpy())
 
     df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(

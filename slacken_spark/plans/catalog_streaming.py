@@ -459,9 +459,17 @@ def streaming_source_stats(spark, sf_dir):
     # the same tokenizer expression as the batch operator — the oracle
     # gates both, so the size definitions must not diverge
     size = F.size(X.tokens(F.col("text"))).cast("long")
-    view = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(size).cast("long").alias("n_tokens"),
+    # pinned: the initial view (a full-corpus tokenize aggregation) is
+    # consumed twice — the seed collect below AND the first micro-
+    # batch's maintenance merge — and would re-aggregate per reference
+    # (r13-opt); the production shape reads the STORED view anyway
+    from slacken_spark.session import pin
+
+    view = pin(
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(size).cast("long").alias("n_tokens"),
+        )
     )
     from slacken_spark.plans.catalog import table_schema
 
@@ -526,9 +534,14 @@ def streaming_zone_maps(spark, sf_dir):
     from slacken_spark.functions.skipping import layout_shard, zone_maps
     from slacken_spark.plans.catalog import t
 
+    from slacken_spark.session import pin
+
     docs = t(spark, sf_dir, "documents")
     sized = zm_sized(docs)
-    zm = zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"])
+    # pinned: the initial stats table (a corpus scan + shard agg) seeds
+    # the collect below AND the first micro-batch's maintenance pass
+    # (r13-opt; the production shape reads the stored stats table)
+    zm = pin(zone_maps(sized, layout_shard("n_chars", _ZM_WIDTH), ["n_tokens"]))
     from slacken_spark.plans.catalog import table_schema
 
     schema = table_schema(spark, sf_dir, "documents")
