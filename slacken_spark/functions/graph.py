@@ -79,10 +79,21 @@ def pagerank_int(
     # rounds (the BigInteger planning blowup dedup's loops measured —
     # see dedup._stats_free). This loop broadcast-joins nothing, so
     # dropping the estimates costs no plan quality.
-    edges = _stats_free(
+    # pin the DIRECTED pair list first: the symmetric union references
+    # it twice, and without the pin each branch re-runs the caller's
+    # pair-discovery subtree (often a corpus-scanning self-join +
+    # distinct — Spark does not dedupe common subplans; r13-opt). The
+    # union over the pinned blocks is then two block reads, so the
+    # edges checkpoint costs one pair evaluation instead of two.
+    directed = _stats_free(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        .transform(_pin)
+    )
+    edges = _stats_free(
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
         .transform(_pin)
     )

@@ -47,6 +47,29 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE (incl. partition coalescing) run INSIDE persist()
+        # materializations: the app-scoped stored-table stand-ins
+        # (_base_pairs, _full_labels, genomic index) otherwise build
+        # their cache with fixed-width shuffles — measured r13: the
+        # dedup maintenance family ran ~800 tasks moving 0.5 MB total
+        # (kilobyte tasks, pure scheduling overhead) because coalescing
+        # was disabled under the cache build. With AQE active there the
+        # same shuffles coalesce via minPartitionSize, and the setting
+        # stays scale-adaptive: partition count derives from runtime
+        # data size, not a local constant. (parallelismFirst keeps its
+        # default: respecting the 64 MB advisory target instead would
+        # serialize sf0.1's ~20 MB mid-size shuffles to one task —
+        # measured 2.5 s → 5.3 s on doc_dupspan_scrub — while the
+        # parallelism-first floor already coalesces the kilobyte
+        # shuffles this change targets.) Output partitioning of a
+        # cached plan is not load-bearing anywhere in this engine —
+        # every layout-sensitive site pins explicitly (repartition /
+        # repartitionByRange with explicit numPartitions, which AQE
+        # preserves).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
