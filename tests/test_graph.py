@@ -97,8 +97,10 @@ def test_pagerank_checkpoints_route_through_stats_free(spark, monkeypatch):
     rebuild through dedup._stats_free: round k's rank table is a JOIN
     over two earlier checkpoints, so preserved sizeInBytes estimates
     compound across rounds (the dedup BigInteger planning blowup,
-    r9-deferred hygiene). Counts the wiring — edges + degrees + one per
-    iteration — and re-checks the ranks still come out."""
+    r9-deferred hygiene). Counts the wiring — directed pair list (pinned
+    once so the symmetric union doesn't re-run the caller's
+    pair-discovery subtree per branch, r13-opt) + edges + degrees + one
+    per iteration — and re-checks the ranks still come out."""
     import slacken_spark.functions.dedup as dedup
     from slacken_spark.functions.graph import pagerank_int as pr
 
@@ -114,5 +116,5 @@ def test_pagerank_checkpoints_route_through_stats_free(spark, monkeypatch):
         [(0, 1), (0, 2), (1, 2), (2, 3)], "id_a long, id_b long"
     )
     out = {r["id"]: r["rank"] for r in pr(pairs, iters=3).collect()}
-    assert calls["n"] == 2 + 3, calls["n"]
+    assert calls["n"] == 3 + 3, calls["n"]
     assert set(out) == {0, 1, 2, 3} and all(v > 0 for v in out.values())
