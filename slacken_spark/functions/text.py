@@ -397,7 +397,9 @@ def source_unigram_drift(docs, text_col: str = "text",
     )
 
 
-def bigram_count_tables(df, text_col: str, id_col: str):
+def bigram_count_tables(
+    df, text_col: str, id_col: str, pin_pairs: bool = False
+):
     """``(bg, c, cont)``: per-occurrence adjacent token pairs
     (id, l, r), the corpus-wide pair-count table (l, r, n), and the
     Kneser-Ney continuation counts (r, cont_r) — THE one definition of
@@ -406,8 +408,22 @@ def bigram_count_tables(df, text_col: str, id_col: str):
     drift between the count tables and the document scorer. One
     posexplode + lead window (single ``id_col`` shuffle); ``c``
     reduces per-occurrence rows to the vocab²-bounded table; ``cont``
-    reduces the ALREADY-aggregated pairs."""
+    reduces the ALREADY-aggregated pairs.
+
+    ``c`` is pinned (lazy localCheckpoint, the scrubs' convention):
+    every consumer references it at least twice (directly AND under
+    ``cont``), and Spark does not dedupe common subplans — un-pinned,
+    each reference re-ran the whole corpus tokenize + window pipeline
+    (r13-opt; the captured ngram_lm_counts/bigram_lm_scores plans
+    scanned the corpus 2-4 times). Pinning preserves the child plan's
+    size statistics, so the downstream size-based broadcasts still
+    fire. ``pin_pairs=True`` additionally pins the per-occurrence
+    pair stream for consumers that join back onto it
+    (:func:`bigram_lm_scores`) — corpus-occurrence-sized, so only
+    worth one materialization when ``bg`` itself is re-read."""
     from pyspark.sql import Window as W
+
+    from slacken_spark.session import pin
 
     pt = positioned_tokens(df, text_col, id_col)
     w = W.partitionBy(id_col).orderBy("pos")
@@ -419,7 +435,11 @@ def bigram_count_tables(df, text_col: str, id_col: str):
         )
         .where(F.col("r").isNotNull())
     )
-    c = bg.groupBy("l", "r").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    if pin_pairs:
+        bg = pin(bg)
+    c = pin(
+        bg.groupBy("l", "r").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     cont = c.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("cont_r"))
     return bg, c, cont
 
@@ -455,7 +475,11 @@ def bigram_lm_scores(
     corpora broadcast, an open-vocabulary outlier degrades to a
     shuffle join; the plan degrades, not breaks.
     """
-    bg, c, cont = bigram_count_tables(df, text_col, id_col)
+    # pin_pairs: the scorer joins the statistics back onto the
+    # per-occurrence pair stream, so bg is consumed once for the count
+    # table AND once in the scored join — pinned, the corpus tokenize
+    # + window pass runs once instead of 3-4 times (r13-opt)
+    bg, c, cont = bigram_count_tables(df, text_col, id_col, pin_pairs=True)
     # BOTH joins are left to the optimizer: cont is vocabulary-sized
     # and open-vocabulary web text grows the distinct-token table with
     # the corpus, so by the same rule as the vocab²-bounded pair table
