@@ -214,7 +214,17 @@ def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame
     (16-band tolerance)); equi-join on (band_id, band_value), then exact
     Hamming filter. One shuffle, no all-pairs blowup — the image twin of
     dedup.minhash_band_pairs.
+
+    The feature source feeds BOTH sides of the self-join and Spark does
+    not dedupe common subplans, so an expensive upstream (the batched
+    image decode) would run once per side; project to the two columns
+    the banding needs and pin (r13-opt) so the decode pass runs exactly
+    once and both join sides read the materialized fixed-width rows
+    (media_id, phash — 16 bytes/row, bounded by the media count).
     """
+    from slacken_spark.session import pin as _pin
+
+    features = _pin(features.select("media_id", "phash"))
     bands = F.array(
         *[
             F.struct(

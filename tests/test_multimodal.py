@@ -72,6 +72,19 @@ def test_phash_near_dup_banding(spark, images):
     assert pairs[0]["hamming"] == 0
 
 
+def test_phash_near_dup_decodes_once(spark, images):
+    """The feature source feeds BOTH sides of the band self-join;
+    r13-opt pins the (media_id, phash) projection so the batched decode
+    runs exactly once — the returned plan must read the pinned blocks
+    (Scan ExistingRDD) on both sides and contain NO Python kernel of
+    its own (the decode happened inside the one pin materialization)."""
+    feats = M.image_features(images)
+    pairs = M.phash_near_dup_pairs(feats, max_hamming=0)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "decode subtree re-printed into the join"
+    assert plan.count("Scan ExistingRDD") >= 2, "join sides not on pinned blocks"
+
+
 @pytest.mark.skipif(
     not M.decoder_available(), reason="Pillow not installed in this env"
 )
