@@ -356,13 +356,28 @@ def source_unigram_drift(docs, text_col: str = "text",
     ALREADY-aggregated rows and broadcast back (Heaps' law).
     Returns ``(group_col, l1_num, denom)``. ONE definition shared by
     the ``source_token_drift`` catalog entry and the CLI report.
+
+    ``sc`` is pinned (lazy localCheckpoint, the scrubs' convention):
+    it is referenced FOUR times below (``st``, ``vc``, and the
+    ``present`` join) and Spark does not dedupe common subplans —
+    un-pinned, every reference re-ran the corpus tokenize + explode +
+    partial-agg shuffle (the captured plan scanned the corpus parquet
+    12 times; r13-opt). The pinned rows are the ALREADY-aggregated
+    (group, token) counts — vocabulary-bounded by Heaps' law, tiny
+    next to the per-occurrence stream they replace — so this is the
+    profitable side of the pin trade (the reverted ngram shingle pin
+    is the unprofitable side).
     """
+    from slacken_spark.session import pin as _pin
+
     o = docs.select(
         F.col(group_col).alias("_g"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
-    sc = o.groupBy("_g", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("ns")
+    sc = _pin(
+        o.groupBy("_g", "tok").agg(
+            F.count(F.lit(1)).cast("long").alias("ns")
+        )
     )
     st = sc.groupBy("_g").agg(F.sum("ns").cast("long").alias("nsrc"))
     vc = sc.groupBy("tok").agg(F.sum("ns").cast("long").alias("nc"))

@@ -89,3 +89,23 @@ def test_tfidf_shape_and_determinism(spark, big_docs):
     assert (
         top.where((F.col("rnk") == 1) & (F.col("term") != "the")).count() == 0
     )
+
+
+def test_source_drift_tokenizes_once(spark, big_docs):
+    """source_unigram_drift references its (group, token) count table
+    four times (per-group totals, vocabulary counts, the present join);
+    r13-opt pins it so the corpus tokenize + explode + partial agg runs
+    exactly once — the returned plan must read the pinned blocks (Scan
+    ExistingRDD) and contain NO Generate (explode) of its own. Also
+    pins correctness at this scale: every source's drift vs itself-only
+    corpus is 0 when there is a single source."""
+    from slacken_spark.functions.text import source_unigram_drift
+
+    docs = big_docs.select("doc_id", "text", F.lit("s0").alias("source"))
+    out = source_unigram_drift(docs, "text", "source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "tokenize subtree re-printed per reference"
+    assert "Scan ExistingRDD" in plan, "count table not on pinned blocks"
+    rows = out.collect()
+    # one source == the whole corpus -> exact L1 distance is zero
+    assert len(rows) == 1 and rows[0]["l1_num"] == 0 and rows[0]["denom"] > 0
