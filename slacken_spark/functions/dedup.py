@@ -421,9 +421,17 @@ def bloom_membership_count(
     The words table broadcasts (≤ m_bits/32 rows); each probe is k
     broadcast joins + a bitwise check, so the scan side stays map-only
     until the final id-count shuffle.
+
+    ``words`` is pinned (r13-opt): the k broadcast joins each re-print
+    its subtree and Spark does not dedupe common subplans, so an
+    expensive build upstream (e.g. the eval-set tokenize + shingle +
+    bit_or pipeline in doc_bloom_decontaminate) would run once per
+    hash. The pinned table is ≤ m_bits/32 rows — the profitable side
+    of the pin trade by construction.
     """
     from slacken_spark.functions.text import token_hash64
 
+    words = _pin(words.select("word_idx", "bits"))
     cur = df
     cond = F.lit(True)
     for i in range(k):

@@ -184,3 +184,24 @@ def test_bloom_bitmap_ignores_null_keys(spark):
     assert bloom_bitmap(
         spark.createDataFrame([(None,)], "s string"), "s", 4096, 2
     ).count() == 0
+
+
+def test_membership_probe_builds_filter_once(spark):
+    """The k broadcast joins each re-print the words subtree and Spark
+    does not dedupe common subplans, so an expensive filter build would
+    run once per hash; r13-opt pins the word table so the build runs
+    exactly once — the returned plan's broadcast sides must read the
+    pinned blocks (Scan ExistingRDD), with no aggregate (the build's
+    bit_or) re-printed under them."""
+    vals = spark.createDataFrame(
+        [(f"item {i} payload",) for i in range(200)], "s string"
+    )
+    words = bloom_bitmap(vals, "s", m_bits=4096, k=2)
+    probe = vals.withColumn("pid", F.monotonically_increasing_id())
+    found = bloom_membership_count(probe, "s", "pid", words, m_bits=4096, k=2)
+    plan = found._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 2, "broadcast sides not pinned"
+    # the one aggregate left is the per-id count; the build's bit_or
+    # aggregate must not appear under either broadcast
+    import re
+    assert len(re.findall(r"bit_or", plan)) == 0, "filter build re-printed"
