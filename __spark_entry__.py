@@ -51,93 +51,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # every catalog entry's green row stays fresh (enforced by
 # tests/test_gate.py::test_rolling_green_window_stays_fresh: every
 # catalog entry must sit inside THIS round's first 50 or hold a green
-# row in one of the two most recent recorded rounds). Round 13's 50 =
-#   (a) the full binding backlog: all 47 entries whose freshest green
-#       row is r10 (they turn two rounds stale the moment
-#       CORRECTNESS_r12.json is tracked) — the r12 _TAIL's head, in
-#       order,
-#   (b) three pre-promoted r11-fresh entries (the head of the r12
-#       _TAIL's r11 segment): inverted_index_ranked_delta /
-#       inverted_index_delta / inverted_index_patch. They would bind at
-#       r14 anyway; seating them now ALSO re-gates inverted.py's only
-#       code change this round (the lineage-pin routing through
-#       session.pin — default path byte-identical, see
-#       slacken_spark/session.py) and thins the r14 binding load.
-# Seat math: 47 binding + 3 pre-promotions = 50 exactly. The r13
-# consolidation (embedding_ivf_topk folded into catalog.DEMOTED —
-# superset entry embedding_ivf_topk_nprobe2 and same-code-path consumer
-# ann_retrieve_docs stay driver-gated) shrinks the catalog to 146, so
-# the r14 binding load is the 46 remaining r11-fresh entries, leaving
-# 4 free seats at r14.
-# _TAIL is ordered as the r14 re-promotion queue: the 46 r11-fresh
-# entries first (they hit the 2-round staleness bound at r14 and must
-# gate then), then the 50 r12-fresh ones.
+# row in one of the two most recent recorded rounds). Round 14's 50 =
+#   (a) the full binding backlog: all 46 entries whose freshest green
+#       row is r11 (they turn two rounds stale the moment
+#       CORRECTNESS_r13.json is tracked) — the r13 _TAIL's head, in
+#       order (probes/rotation_plan.py recomputes this mechanically),
+#   (b) four free seats given to the entries this round's optimization
+#       RESTRUCTURED (r13 verdict item 7): inverted_index_patch /
+#       inverted_index_compact / inverted_index_ranked_delta (now read
+#       the app-scoped stored fine index instead of rebuilding it per
+#       invocation) and dedup_components_mixed (its contraction engine
+#       gained known-size broadcast hints), so the driver independently
+#       re-verifies every restructured path.
+# Seat math: 46 binding + 4 free picks = 50 exactly.
+# _TAIL is ordered as the r15 re-promotion queue: the 46 r12-fresh
+# entries first (they hit the 2-round staleness bound at r15 and must
+# gate then), then the r13-fresh ones.
 
 # Queries that MUST land a CORRECTNESS row this round (asserted inside
 # the first 50 by tests/test_gate.py): this round's 50 exactly — the
 # rotation IS the must-gate set, so a silent displacement cannot
 # happen.
 _MUST_GATE = [
-    # (a) the binding 47 (freshest green row is r10), in the r12 _TAIL
-    # queue order:
-    "topk_per_group",
-    "streaming_index_delta",
-    "streaming_index_ranked_delta",
-    "streaming_source_stats",
-    "streaming_zone_maps",
-    "bracken_weights",
-    "bracken_distrib_lines",
-    "dedup_components_predistinct",
-    "classification_join",
-    "corpus_read_asof",
-    "dedup_graph_pagerank",
-    "doc_decontaminate",
-    "doc_dupspan_scrub",
-    "doc_heavy_hitters_cms",
-    "doc_heavy_hitters_delta",
-    "doc_repetition",
-    "doc_shard_zone_maps",
-    "doc_vocab_top50",
-    "embedding_ivf_topk_nprobe2",
-    "embedding_kmeans_clusters",
-    "funnel_conversion",
-    "inverted_index_compact",
-    "inverted_index_query",
-    "minhash_lsh_delta",
-    "nullsafe_join",
-    "pack_sequences_sharded",
-    "pricing_summary",
-    "retention_cohorts",
-    "scan_filter_project",
-    "semi_anti_join",
-    "source_quota_sample",
-    "source_quota_sample_hash",
-    "source_stats_maintain",
-    "source_temperature_mix",
-    "source_token_drift",
-    "star_broadcast_join",
-    "streaming_heavy_hitters",
-    "streaming_running_totals",
-    "streaming_value_quantiles",
-    "tfidf_top_terms",
-    "token_block_plan",
-    "value_quantile_delta",
-    "value_quantile_sketch",
-    "zone_map_maintain",
-    "zone_map_pruned_scan",
-    "genomic_classify2",
-    "dedup_components_drop",
-    "inverted_index_ranked_delta",
-    "inverted_index_delta",
-    "inverted_index_patch",
-]
-# (b) starts at position 47: the three pre-promoted r11-fresh entries.
-_EARLY = list(_MUST_GATE)
-_TAIL = [
-    # r14 re-promotion queue, in order. First the 46 r11-fresh entries
-    # (their newest green row turns two rounds old when this round's
-    # file lands — r14 must gate them or the freshness guard fails),
-    # in the r11 gate order:
+    # (a) the binding 46 (freshest green row is r11 — they turn two
+    # rounds stale the moment CORRECTNESS_r13.json is tracked), in the
+    # r13 _TAIL promotion-queue order:
     "inverted_index_query_ranked",
     "epoch_shuffle_plan",
     "genomic_classify",
@@ -184,14 +122,29 @@ _TAIL = [
     "salted_skew_agg",
     "ngram_lm_counts",
     "value_percentiles",
-    # then the r12-fresh set (one round old after this round), in the
-    # r12 gate order:
+    # (b) four free seats: the entries this round RESTRUCTURED
+    # (r13 verdict item 7 — seat touched paths so the driver
+    # independently re-verifies them): the three index-maintenance
+    # entries that now read the app-scoped stored fine index
+    # (_fine_index/_fine_scored_index) and the mixed dedup maintainer
+    # whose contraction engine gained the known-size broadcast hints.
+    "inverted_index_patch",
+    "inverted_index_compact",
+    "inverted_index_ranked_delta",
+    "dedup_components_mixed",
+]
+_EARLY = list(_MUST_GATE)
+_TAIL = [
+    # r15 re-promotion queue, in order: first the r12-fresh entries
+    # (their newest green row turns two rounds old when this round's
+    # file lands — r15 must gate them), in the r12 gate order, minus
+    # the free-seat pick gated this round; then the r13-fresh set in
+    # the r13 gate order, minus the three free-seat picks.
     "dedup_components",
     "dedup_components_delta",
     "dedup_keep_longest",
     "dedup_keep_canonical",
     "embedding_lsh_delta",
-    "dedup_components_mixed",
     "bpe_learned_merges",
     "bpe_tokenized_counts",
     "cube_source_lang",
@@ -236,6 +189,53 @@ _TAIL = [
     "doc_cdc_chunks",
     "corpus_cdc_snapshot_diff",
     "source_hamilton_quota",
+    "topk_per_group",
+    "streaming_index_delta",
+    "streaming_index_ranked_delta",
+    "streaming_source_stats",
+    "streaming_zone_maps",
+    "bracken_weights",
+    "bracken_distrib_lines",
+    "dedup_components_predistinct",
+    "classification_join",
+    "corpus_read_asof",
+    "dedup_graph_pagerank",
+    "doc_decontaminate",
+    "doc_dupspan_scrub",
+    "doc_heavy_hitters_cms",
+    "doc_heavy_hitters_delta",
+    "doc_repetition",
+    "doc_shard_zone_maps",
+    "doc_vocab_top50",
+    "embedding_ivf_topk_nprobe2",
+    "embedding_kmeans_clusters",
+    "funnel_conversion",
+    "inverted_index_query",
+    "minhash_lsh_delta",
+    "nullsafe_join",
+    "pack_sequences_sharded",
+    "pricing_summary",
+    "retention_cohorts",
+    "scan_filter_project",
+    "semi_anti_join",
+    "source_quota_sample",
+    "source_quota_sample_hash",
+    "source_stats_maintain",
+    "source_temperature_mix",
+    "source_token_drift",
+    "star_broadcast_join",
+    "streaming_heavy_hitters",
+    "streaming_running_totals",
+    "streaming_value_quantiles",
+    "tfidf_top_terms",
+    "token_block_plan",
+    "value_quantile_delta",
+    "value_quantile_sketch",
+    "zone_map_maintain",
+    "zone_map_pruned_scan",
+    "genomic_classify2",
+    "dedup_components_drop",
+    "inverted_index_delta",
 ]
 
 

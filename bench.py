@@ -103,14 +103,20 @@ def _external_cores(snap0, snap1, dt: float) -> float | None:
     return max(0.0, ext / _CLK_TCK / dt)
 
 
-def _measure(name, fn, n_runs, spark, sf_dir, ext_max, timings, hot):
+def _measure(name, fn, n_runs, spark, sf_dir, ext_max, timings, hot, cold):
     """min-of-n timing; a query stays `hot` until at least one run
     executes with external CPU below ext_max (or the detector is
     unavailable — which never requeues). A FAILURE only clears the hot
     annotation when no timing was ever recorded: if a prior successful
     run's min is contaminated (the reason the query was requeued), the
     annotation must survive the failed re-measure so the JSON doesn't
-    report a burst-inflated timing as clean (r11 advice)."""
+    report a burst-inflated timing as clean (r11 advice).
+
+    ``cold`` records each entry's FIRST-ever run wall time: for the
+    maintenance entries whose first invocation builds an app-scoped
+    stored-table stand-in (dedup/_base_pairs, genomic index, ...), the
+    min structurally excludes that build cost — the cold number makes
+    it attributable instead of invisible (r13 verdict item 3)."""
     best = timings.get(name, -1.0)
     if name not in timings:
         hot.add(name)
@@ -122,6 +128,8 @@ def _measure(name, fn, n_runs, spark, sf_dir, ext_max, timings, hot):
             df.write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - start
             ext = _external_cores(snap0, _proc_snapshot(), elapsed)
+            if name not in cold:
+                cold[name] = round(elapsed, 3)
             best = elapsed if best < 0 else min(best, elapsed)
             if ext is None or ext <= ext_max:
                 hot.discard(name)
@@ -229,9 +237,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     hot: set[str] = set()
+    cold: dict[str, float] = {}
 
     def measure(name, fn, n_runs):
-        _measure(name, fn, n_runs, spark, sf_dir, ext_max, timings, hot)
+        _measure(name, fn, n_runs, spark, sf_dir, ext_max, timings, hot, cold)
 
     for name, (fn, _sql) in catalog.QUERIES.items():
         measure(name, fn, runs)
@@ -292,28 +301,38 @@ def main() -> None:
     # queries uniformly — recording both lets a reader tell a real
     # regression from a burst without re-running
     load_end = _loadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-                "small_query_extra_runs": small_extra,
-                "small_query_cutoff_sec": small_cut,
-                "load_avg_start": load_start,
-                "load_avg_end": load_end,
-                "load_pre_wait": load_pre_wait,
-                "load_waited_sec": waited,
-                "ext_cores_max": ext_max,
-                "repassed_queries": repassed,
-                "hot_queries": sorted(hot),
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "catalog_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "runs_per_query": runs,
+            "small_query_extra_runs": small_extra,
+            "small_query_cutoff_sec": small_cut,
+            "queries_first_run": cold,
+            "load_avg_start": load_start,
+            "load_avg_end": load_end,
+            "load_pre_wait": load_pre_wait,
+            "load_waited_sec": waited,
+            "ext_cores_max": ext_max,
+            "repassed_queries": repassed,
+            "hot_queries": sorted(hot),
+        },
+        separators=(",", ":"),
     )
+    # Stop the session BEFORE printing the record so no JVM shutdown
+    # chatter can land after the JSON in a combined stdout+stderr
+    # capture — the r12 bench record was lost to exactly that kind of
+    # tail truncation (r13 verdict item 3). The stderr copy printed
+    # first is a redundant record; stdout still carries exactly ONE
+    # JSON line, as the driver contract requires.
     spark.stop()
+    print(record, file=sys.stderr)
+    sys.stderr.flush()
+    print(record)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

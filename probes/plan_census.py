@@ -106,9 +106,12 @@ def loop_tolerated(base: dict, cur: dict) -> bool:
     total_c = sum(cur.values())
     if total_b <= 0 or total_c <= 0:
         return False
-    scale = total_c / total_b
+    # Exact integer arithmetic: |cur[k] - base[k]*(total_c/total_b)| <= 1
+    # rearranged to avoid float rounding at the tolerance boundary
+    # (e.g. base[k]*(total_c/total_b) = 222.99999999999997 made an exact
+    # proportional rescale read as 1.0000000000000284 > 1.0 and flag).
     return all(
-        abs(cur.get(k, 0) - base[k] * scale) <= 1.0
+        abs(cur.get(k, 0) * total_b - base[k] * total_c) <= total_b
         for k in keys
         if base.get(k, 0) != 0
     )

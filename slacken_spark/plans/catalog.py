@@ -65,8 +65,19 @@ def register_demoted(name: str, sql: str | None):
 # warehouse scale the same fix is "declare the table in a catalog":
 # scans carry the stored schema instead of re-listing footers. Keyed by
 # applicationId so a restarted session (or rewritten test fixture
-# between app runs) re-infers.
+# between app runs) re-infers, PLUS a cheap staleness token (the path's
+# mtime/size from one os.stat, ~µs next to the ~0.2 s inference job) so
+# a fixture rewritten WITHIN one application re-infers too instead of
+# silently reading with the stale schema (r13 ADVICE).
 _SCHEMA_CACHE: dict = {}
+
+
+def _stat_token(path: str):
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,7 +92,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId, sf_dir, name, _stat_token(path)
+    )
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
@@ -99,12 +112,13 @@ def table_schema(spark: SparkSession, sf_dir: str, name: str):
     events/nanosAsLong convention."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (
+        spark.sparkContext.applicationId, sf_dir, name, _stat_token(path)
+    )
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        schema = spark.read.parquet(
-            os.path.join(sf_dir, f"{name}.parquet")
-        ).schema
+        schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
     return schema
 
@@ -422,8 +436,13 @@ def lca_fold(spark, sf_dir):
     # (~2.5M nodes ≈ tens of MB as int arrays). The OOM guard rides the
     # collect itself via limit(N+1) — hitting the cap raises before
     # anything larger materializes driver-side; the r12 shape paid
-    # three extra count() jobs for the same guarantee (r13-opt).
-    _MAX_NODES = 50_000_000
+    # three extra count() jobs for the same guarantee (r13-opt). The cap
+    # sits at 2x the reference taxonomy (~80 MB of collected int64
+    # pairs), so the guard fires while the driver-side cost is still
+    # tens of MB — a 50M cap would have materialized ~800 MB before
+    # raising, degrading "fail loudly" to a possible driver OOM
+    # (r13 ADVICE).
+    _MAX_NODES = 5_000_000
     # One union job collects all three levels (vs three cold scans).
     edges = (
         region.select((F.col("r_regionkey") + 2).alias("id"), F.lit(1).alias("parent"))

@@ -240,7 +240,7 @@ def _base_sig(spark, sf_dir, docs):
 _FULL_LABELS_CACHE: dict = {}
 
 
-def _full_labels(spark, sf_dir, docs):
+def _full_labels(spark, sf_dir):
     """(node, component) over EVERY doc — the memoized non-singleton
     labels coalesced to self-labels (the components_* caller
     convention); shared by the drop/delta/mixed maintenance entries.
@@ -254,10 +254,13 @@ def _full_labels(spark, sf_dir, docs):
     at sf0.1. This is the |V|-sized stored label table a production
     maintainer reads (the ``_doc_components`` / mixed ``after_drop``
     convention), not a result memo: every consumer still computes its
-    maintenance from it."""
+    maintenance from it. Builds its own docs frame (like
+    ``_base_pairs``) so the signature cannot promise per-docs behavior
+    the app-scoped cache does not deliver (r13 ADVICE)."""
     from slacken_spark.appcache import app_scoped_get
 
     def build():
+        docs = tp(spark, sf_dir, "documents")
         comp = _doc_components(spark, sf_dir)
         return docs.select("doc_id").join(
             comp, docs["doc_id"] == comp["node"], "left"
@@ -916,16 +919,18 @@ _COMPONENTS_DELTA_SQL = (
 # Incremental component maintenance under edge REMOVALS
 # ---------------------------------------------------------------------------
 
-def _drop_maintained(spark, sf_dir, docs):
+def _drop_maintained(spark, sf_dir):
     """The drop entry's maintained labels: the base banded pairs split
     by ``_DROP_PRED``'s engine twin, run through
     ``components_drop_edges`` — ONE definition for the drop and mixed
     entries, so the two gates cannot silently test different drop
-    batches (r9 review)."""
+    batches (r9 review). Like ``_full_labels`` it takes no docs frame:
+    its pair discovery reads the app-scoped stored tables only (r13
+    ADVICE signature note)."""
     pairs = _base_pairs(spark, sf_dir)
     drop = (F.col("id_a") + F.col("id_b")) % 4 == 0
     return D.components_drop_edges(
-        _full_labels(spark, sf_dir, docs),
+        _full_labels(spark, sf_dir),
         pairs.where(~drop),
         pairs.where(drop),
         loop_partitions=8,
@@ -991,7 +996,7 @@ def dedup_components_drop(spark, sf_dir):
     pre-drop component labels and the persisted base signatures, so
     the query prices the MAINTENANCE, not the rebuild."""
     docs = tp(spark, sf_dir, "documents")
-    return _drop_maintained(spark, sf_dir, docs).select(
+    return _drop_maintained(spark, sf_dir).select(
         F.col("node").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
@@ -1019,7 +1024,7 @@ def dedup_components_delta(spark, sf_dir):
     docs = tp(spark, sf_dir, "documents")
     appended = _appended(docs)
     maintained = D.components_add_edges(
-        _full_labels(spark, sf_dir, docs),
+        _full_labels(spark, sf_dir),
         _delta_new_pairs(spark, sf_dir, docs, appended),
         loop_partitions=8,
     )
@@ -1092,7 +1097,7 @@ def dedup_components_mixed(spark, sf_dir):
         _MIXED_DROP_CACHE,
         spark,
         ("after_drop", sf_dir),
-        lambda: _drop_maintained(spark, sf_dir, docs).persist(),
+        lambda: _drop_maintained(spark, sf_dir).persist(),
     )
     maintained = D.components_add_edges(
         after_drop,

@@ -579,6 +579,55 @@ def inverted_index_delta(spark, sf_dir):
     )
 
 
+# The fine-grained (10-row-segment) base indexes — in production the
+# STORED artifacts every maintenance verb reads: the patcher applies
+# its delta to the stored index, the compactor merges the stored
+# index's segments; neither re-tokenizes the corpus to obtain its
+# input (inverted_index_compact's own docstring: "compaction reads
+# only INDEX rows"). Persisted app-scoped like _base_sig /
+# _doc_components (r13 verdict item 4): before this, patch+compact
+# each rebuilt the boolean fine index per invocation and
+# ranked_delta+ranked_compact each rebuilt the scored one — four
+# corpus tokenize+explode+segment-shuffle passes per bench pass
+# pricing work a production maintainer never repeats. The oracles
+# still rebuild from scratch, and the bench's queries_first_run
+# column carries the build cost.
+_FINE_INDEX_CACHE: dict = {}
+_FINE_SCORED_CACHE: dict = {}
+
+
+def _fine_index(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+    from slacken_spark.functions.inverted import inverted_index
+
+    return app_scoped_get(
+        _FINE_INDEX_CACHE,
+        spark,
+        ("fine_index", sf_dir),
+        lambda: inverted_index(
+            tp(spark, sf_dir, "documents").select("doc_id", "text"),
+            X.tokens(F.col("text")),
+            segment_rows=10,
+        ).persist(),
+    )
+
+
+def _fine_scored_index(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+    from slacken_spark.functions.inverted import scored_index
+
+    return app_scoped_get(
+        _FINE_SCORED_CACHE,
+        spark,
+        ("fine_scored_index", sf_dir),
+        lambda: scored_index(
+            tp(spark, sf_dir, "documents").select("doc_id", "text"),
+            X.tokens(F.col("text")),
+            segment_rows=10,
+        ).persist(),
+    )
+
+
 @register(
     "inverted_index_patch",
     f"""
@@ -598,8 +647,10 @@ def inverted_index_delta(spark, sf_dir):
 )
 def inverted_index_patch(spark, sf_dir):
     """The APPLY side of incremental index maintenance
-    (functions.inverted.apply_delta), closing the CDC loop: build the
-    sharded index over the ORIGINAL corpus, compute the same
+    (functions.inverted.apply_delta), closing the CDC loop: read the
+    STORED sharded index of the original corpus (the app-scoped
+    ``_fine_index`` stand-in — a production patcher patches a stored
+    artifact, it does not rebuild its input), compute the same
     clustered-update delta as ``inverted_index_delta``, apply it —
     affected pairs anti-join out (broadcast, batch-sized), rebuilt
     lists union in, tombstones are pure deletes — and the oracle is
@@ -610,13 +661,12 @@ def inverted_index_patch(spark, sf_dir):
     from slacken_spark.functions.inverted import (
         apply_delta,
         delta_index,
-        inverted_index,
         postings_digest,
     )
 
     docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
     upd = _cdc_upd(docs)
-    index = inverted_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    index = _fine_index(spark, sf_dir)
     delta = delta_index(docs, upd, X.tokens(F.col("text")), "doc_id", 10)
     patched = apply_delta(index, delta)
     return patched.select(
@@ -701,13 +751,12 @@ def inverted_index_ranked_delta(spark, sf_dir):
     from slacken_spark.functions.inverted import (
         apply_delta,
         delta_scored_index,
-        scored_index,
         scored_postings_digest,
     )
 
     docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
     upd = _cdc_upd(docs)
-    index = scored_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    index = _fine_scored_index(spark, sf_dir)
     delta = delta_scored_index(docs, upd, X.tokens(F.col("text")), "doc_id", 10)
     patched = apply_delta(index, delta)
     return patched.select(
@@ -921,12 +970,10 @@ def inverted_index_compact(spark, sf_dir):
     and pays one key-shuffle on (term, coarse segment)."""
     from slacken_spark.functions.inverted import (
         compact_segments,
-        inverted_index,
         postings_digest,
     )
 
-    docs = tp(spark, sf_dir, "documents")
-    fine = inverted_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    fine = _fine_index(spark, sf_dir)
     idx = compact_segments(fine, 10)
     return idx.select(
         "term",
@@ -963,12 +1010,10 @@ def inverted_index_ranked_compact(spark, sf_dir):
     COMPACT / flatten / serve."""
     from slacken_spark.functions.inverted import (
         compact_segments,
-        scored_index,
         scored_postings_digest,
     )
 
-    docs = tp(spark, sf_dir, "documents")
-    fine = scored_index(docs, X.tokens(F.col("text")), segment_rows=10)
+    fine = _fine_scored_index(spark, sf_dir)
     idx = compact_segments(fine, 10)
     return idx.select(
         "term",
