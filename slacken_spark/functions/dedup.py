@@ -770,6 +770,7 @@ def connected_components_contract(
     max_iter: int = 20,
     loop_partitions: int | None = None,
     broadcast_label_rows: int = 2_000_000,
+    broadcast_label_min_edges: int = 100_000,
 ) -> DataFrame:
     """Weakly-connected components via per-partition union-find
     CONTRACTION — same output contract as ``connected_components``
@@ -808,17 +809,23 @@ def connected_components_contract(
     apart without exactly that pass.
 
     Join strategy (r14): the per-round label table is provably
-    ≤ 2·|edges| rows and |edges| is MEASURED each round, so when that
-    bound is at most ``broadcast_label_rows`` every label-table join in
-    the round (jump self-join, the two edge relabels, the label
-    composition) carries an explicit broadcast hint — the checkpoints'
-    reset stats mean Spark itself can never discover the table is
-    small, and the hint turns ~4 of the ~6 per-round shuffles into
-    map-side joins. Rounds whose bound exceeds the threshold keep
-    shuffle joins, so a 100 TB-scale graph pays broadcasts only once it
-    has contracted below the bound; size the threshold to what the
-    cluster's executors can hold (~16 bytes of key/label per row before
-    overhead). Each round is one action (the
+    ≤ 2·|edges| rows and |edges| is MEASURED each round, so when
+    |edges| sits inside [``broadcast_label_min_edges``,
+    ``broadcast_label_rows``/2] every label-table join in the round
+    (jump self-join, the two edge relabels, the label composition)
+    carries an explicit broadcast hint — the checkpoints' reset stats
+    mean Spark itself can never discover the table is small, and the
+    hint turns ~4 of the ~6 per-round shuffles into map-side joins; in
+    particular the |V|-sized label-composition chain evaluates fully
+    map-side at consolidation instead of re-shuffling the node set once
+    per round. Rounds above the upper bound keep shuffle joins (the
+    table genuinely isn't broadcastable); rounds below the LOWER bound
+    also keep them, because each BroadcastExchange costs ~0.1-0.2 s of
+    sequential driver latency and on gate-sized rounds that DOUBLED the
+    wall (measured r14) while the shuffles it replaced were nearly
+    free. Both bounds are data-adaptive per round, not local-mode
+    constants; size the upper one to what executors can hold (~16
+    bytes of key/label per row before overhead). Each round is one action (the
     relabeled-edge count) plus one final |V|-sized consolidation; the
     contracted edge list is lazily localCheckpointed per round and the
     previous round's blocks are freed once the next materializes, and
@@ -933,7 +940,17 @@ def connected_components_contract(
             # 100 TB-scale graph the bound exceeds the threshold and
             # every join stays a shuffle join — the decision is
             # per-round data-adaptive, not a local-mode constant.
-            small = remaining * 2 <= broadcast_label_rows
+            # LOWER bound (measured r14): each BroadcastExchange costs
+            # ~0.1-0.2 s of DRIVER latency (collect + relation build),
+            # and the loop is sequential, so on gate-sized rounds
+            # (hundreds of edges) 4 broadcasts/round DOUBLED the wall
+            # while the 8-partition shuffles they replaced were nearly
+            # free — broadcast only when the edge list is big enough
+            # that the saved shuffles dominate that fixed cost.
+            small = (
+                remaining >= broadcast_label_min_edges
+                and remaining * 2 <= broadcast_label_rows
+            )
             # lazy checkpoint: the jump self-join below references g0
             # twice, and Spark does not dedupe common subplans — without
             # it the union-find pass would run twice per round

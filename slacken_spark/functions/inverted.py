@@ -99,10 +99,20 @@ def _delta_rebuild(
         .distinct()
     )
     new_t = upd.select(F.col(id_col), F.explode(tokens).alias("term")).distinct()
+    # aff is batch-bounded (the changed docs' terms × their segments)
+    # and referenced twice below — pin it so the old∪new tokenize runs
+    # once (Spark does not dedupe common subplans), and BROADCAST it
+    # into the occurrence-row join: the rows side is the exploded token
+    # stream of every affected segment, and the r14 plan showed that
+    # stream being SHUFFLED for a sort-merge join against this
+    # batch-sized table (the §3.2 shape: prefilter the big side
+    # map-side, then the aggregation shuffles only matched, partially
+    # aggregated rows instead of the whole exploded stream).
     aff = (
         old_t.unionByName(new_t)
         .select("term", seg.alias("segment"))
         .distinct()
+        .transform(_pin)
     )
     pruned = base.withColumn("segment", seg).join(
         aff_segs, "segment", "left_semi"
@@ -114,14 +124,14 @@ def _delta_rebuild(
     )
     rows = occurrence_rows(merged).withColumn("segment", seg)
     rebuilt = (
-        rows.join(aff, ["term", "segment"])
+        rows.join(F.broadcast(aff), ["term", "segment"])
         .groupBy("term", "segment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df_segment"),
             F.sort_array(F.collect_list(posting_col)).alias("postings"),
         )
     )
-    return aff.join(rebuilt, ["term", "segment"], "left").select(
+    return aff.join(F.broadcast(rebuilt), ["term", "segment"], "left").select(
         "term",
         "segment",
         F.coalesce(F.col("df_segment"), F.lit(0)).cast("long").alias(
