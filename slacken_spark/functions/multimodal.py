@@ -212,8 +212,7 @@ def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame
     Band the 64-bit phash into 4×16-bit bands (pigeonhole: ≤ max_hamming
     bits differ → at least one band equal when max_hamming < 4·
     (16-band tolerance)); equi-join on (band_id, band_value), then exact
-    Hamming filter. One shuffle, no all-pairs blowup — the image twin of
-    dedup.minhash_band_pairs.
+    Hamming filter — the image twin of dedup.minhash_band_pairs.
 
     The feature source feeds BOTH sides of the self-join and Spark does
     not dedupe common subplans, so an expensive upstream (the batched
@@ -221,10 +220,37 @@ def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame
     the banding needs and pin (r13-opt) so the decode pass runs exactly
     once and both join sides read the materialized fixed-width rows
     (media_id, phash — 16 bytes/row, bounded by the media count).
+
+    Scale shape (r14, guide §2.5/§8): the self-join runs over DISTINCT
+    phashes, not media rows. Re-uploads/re-encodes concentrate on
+    identical phashes, so a media-row band join's within-group pair
+    output grows quadratically with duplication (the r13 10× probe
+    measured a ~204 MB candidate shuffle) and every one of those pairs
+    crossed the band exchange AND a final pair-distinct exchange. Here
+    each distinct phash carries its sorted member list through one
+    |media|-row groupBy; the band join, hamming filter, and pair
+    DISTINCT all operate on rep pairs (bounded by distinct-phash
+    collisions, not duplication); the media-level pairs are generated
+    map-side AFTER the distinct — identical-phash groups via in-group
+    index pairs (members sorted, so id_a < id_b by construction),
+    cross-phash rep pairs via a member cross-product per rep pair. No
+    media pair is produced twice (a pair's two phashes identify its
+    unique source rep pair), so the quadratic output never crosses an
+    exchange. Output is row-identical to the media-level join: same
+    (share-a-band ∧ hamming ≤ max ∧ id_a < id_b) predicate, same
+    columns.
     """
     from slacken_spark.session import pin as _pin
 
-    features = _pin(features.select("media_id", "phash"))
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0: {max_hamming}")
+    features = features.select("media_id", "phash")
+    # one |media|-row shuffle: distinct phashes with their sorted members
+    groups = _pin(
+        features.groupBy("phash").agg(
+            F.sort_array(F.collect_list("media_id")).alias("members")
+        )
+    )
     bands = F.array(
         *[
             F.struct(
@@ -236,20 +262,20 @@ def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame
             for b in range(4)
         ]
     )
-    banded = features.select(
-        "media_id", "phash", F.explode(bands).alias("band")
-    ).select("media_id", "phash", "band.band_id", "band.band_value")
+    banded = groups.select("phash", F.explode(bands).alias("band")).select(
+        "phash", "band.band_id", "band.band_value"
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_value") == F.col("b.band_value"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.phash") < F.col("b.phash")),
         )
         .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
             F.bit_count(
                 F.col("a.phash").bitwiseXOR(F.col("b.phash"))
             ).alias("hamming"),
@@ -257,4 +283,43 @@ def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+    ga = groups.select(
+        F.col("phash").alias("pa"), F.col("members").alias("ma")
+    )
+    gb = groups.select(
+        F.col("phash").alias("pb"), F.col("members").alias("mb")
+    )
+    cross = (
+        rep_pairs.join(ga, "pa")
+        .join(gb, "pb")
+        .select(
+            F.explode("ma").alias("a_id"), F.col("mb"), F.col("hamming")
+        )
+        .select(
+            "a_id", F.explode("mb").alias("b_id"), "hamming"
+        )
+        .select(
+            F.least("a_id", "b_id").alias("id_a"),
+            F.greatest("a_id", "b_id").alias("id_b"),
+            "hamming",
+        )
+    )
+    # identical-phash members: every in-group pair, hamming 0 (always
+    # ≤ max_hamming since max_hamming ≥ 0); members are sorted so
+    # pos_a < pos_b ⇒ id_a < id_b
+    within = (
+        groups.where(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "id_a"), "members")
+        .select(
+            "id_a",
+            F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias(
+                "id_b"
+            ),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.lit(0).cast("long")).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
