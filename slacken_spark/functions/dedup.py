@@ -180,7 +180,7 @@ def lsh_pair_delta(
     pinned rows still re-evaluate instead of accumulating more
     checkpoint blocks, and the add/drop diff is ONE full-outer join so
     each pair set evaluates once."""
-    upd_sig = upd_sig.transform(_pin)
+    upd_sig = upd_sig.transform(_pin_unless_materialized)
     upd_ids = F.broadcast(upd_sig.select(id_col))
     base_banded = minhash_banded(base_sig, id_col, n_hashes, bands)
     upd_banded = minhash_banded(upd_sig, id_col, n_hashes, bands)
@@ -405,6 +405,33 @@ def bloom_maintain(
     )
 
 
+def _pin_unless_materialized(df: DataFrame) -> DataFrame:
+    """``_pin``, skipped when the plan is already a materialized scan —
+    a LogicalRDD (an earlier pin/checkpoint) or a cached
+    InMemoryRelation (a persisted stored table), possibly under one
+    projection. Re-pinning those pays a redundant block copy per call
+    (r13 ADVICE on bloom words / upd_sig). Block lifetime of the pins
+    that DO fire: executor-local checkpoint blocks live until the
+    session ends (there is no per-call unpersist path — the returned
+    plan owns them); every call site bounds the pinned table by the
+    CDC batch / filter size, so a bench pass accumulates batch-sized
+    blocks, not corpus-sized ones."""
+    try:
+        # withCachedData = the analyzed plan AFTER CacheManager
+        # substitution, so a persisted subtree shows as InMemoryRelation
+        # (the bare analyzed plan would still print the original child)
+        root = df._jdf.queryExecution().withCachedData()
+        name = root.getClass().getSimpleName()
+        if name == "Project":
+            root = root.child()
+            name = root.getClass().getSimpleName()
+        if name in ("LogicalRDD", "InMemoryRelation"):
+            return df
+    except Exception:
+        pass
+    return _pin(df)
+
+
 def bloom_membership_count(
     df: DataFrame,
     col: str,
@@ -427,11 +454,13 @@ def bloom_membership_count(
     expensive build upstream (e.g. the eval-set tokenize + shingle +
     bit_or pipeline in doc_bloom_decontaminate) would run once per
     hash. The pinned table is ≤ m_bits/32 rows — the profitable side
-    of the pin trade by construction.
+    of the pin trade by construction. A words table that is ALREADY a
+    materialized scan (stored table / prior checkpoint) skips the pin
+    instead of paying a redundant copy (r13 ADVICE).
     """
     from slacken_spark.functions.text import token_hash64
 
-    words = _pin(words.select("word_idx", "bits"))
+    words = _pin_unless_materialized(words.select("word_idx", "bits"))
     cur = df
     cond = F.lit(True)
     for i in range(k):

@@ -816,3 +816,54 @@ def test_maintainers_generic_over_string_ids(spark):
             )
         )
         assert got == {"a": "a", "b": "b", "c": "c", "x": "x", "y": "x"}, thresh
+
+
+def test_contract_broadcast_window_result_identical(spark):
+    """The r14 known-size label-broadcast hints must not change labels:
+    run the contraction engine with the hints forced ON (min_edges=0)
+    and forced OFF (broadcast_label_rows=0) over a multi-chain graph
+    and compare the full labelings."""
+    from slacken_spark.functions.dedup import connected_components_contract
+
+    edges = spark.createDataFrame(
+        [(i, i + 5) for i in range(0, 200)]  # 5 interleaved chains
+        + [(1000, 2000), (2000, 3000)],
+        "id_a long, id_b long",
+    )
+
+    def labels(**kw):
+        return {
+            r["node"]: r["component"]
+            for r in connected_components_contract(edges, **kw).collect()
+        }
+
+    on = labels(broadcast_label_min_edges=0, broadcast_label_rows=10_000_000)
+    off = labels(broadcast_label_rows=0)
+    assert on == off
+    # 5 chains over range(0,205) -> component = min of residue class
+    assert on[204] == 4 and on[3000] == 1000
+
+
+def test_pin_unless_materialized_skips_materialized_scans(spark):
+    """r13 ADVICE: re-pinning an already-materialized scan pays a
+    redundant block copy — the helper must return such frames
+    unchanged (persisted InMemoryRelation, prior checkpoint, and one
+    projection over either) and still pin computed plans."""
+    from slacken_spark.functions.dedup import _pin_unless_materialized
+
+    base = spark.range(10).selectExpr("id AS a", "id + 1 AS b")
+    cached = base.persist()
+    cached.count()
+    try:
+        assert _pin_unless_materialized(cached) is cached
+        proj = cached.select("a", "b")
+        assert _pin_unless_materialized(proj) is proj
+        ckpt = base.localCheckpoint(eager=True)
+        assert _pin_unless_materialized(ckpt) is ckpt
+        computed = base.where("a > 2")
+        pinned = _pin_unless_materialized(computed)
+        assert pinned is not computed
+        root = pinned._jdf.queryExecution().analyzed()
+        assert root.getClass().getSimpleName() == "LogicalRDD"
+    finally:
+        cached.unpersist()
