@@ -197,10 +197,16 @@ def lsh_pair_delta(
     def pairs_with(changed, universe):
         keys = F.broadcast(changed.select("band_id", "band_key").distinct())
         bucket_members = universe.join(keys, ["band_id", "band_key"], "left_semi")
+        # `changed` is batch-bounded (≤ bands·|batch| pinned rows) but
+        # checkpoint stats are reset, so the pair join sort-merged and
+        # shuffled BOTH sides; broadcasting the batch side keeps the
+        # semi-filtered universe map-side — only matched pairs reach
+        # the distinct (r14, same shape as _delta_new_pairs).
         a, b = changed.alias("a"), bucket_members.alias("b")
         ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
         return (
-            a.join(
+            F.broadcast(a)
+            .join(
                 b,
                 (F.col("a.band_id") == F.col("b.band_id"))
                 & (F.col("a.band_key") == F.col("b.band_key"))

@@ -862,10 +862,19 @@ def _delta_new_pairs(spark, sf_dir, docs, appended):
     bb = D.minhash_banded(
         _base_sig(spark, sf_dir, docs), "doc_id", n_hashes=8, bands=4
     )
-    nb = D.minhash_banded(new_sig, "doc_id", n_hashes=8, bands=4)
+    # nb is batch-bounded (4 band rows per appended doc) but its stats
+    # are unknown (tokenize lineage), so Spark sort-merge-joined it
+    # against the corpus-sized merged banding — shuffling BOTH sides
+    # per invocation (r14 warm-stage profile: the pair join was the
+    # entry's heaviest stage). Pin nb once (it feeds both the probe
+    # side and the merged side) and broadcast it into the join: the
+    # corpus banding stays map-side and only matched pairs reach the
+    # distinct.
+    nb = _pin(D.minhash_banded(new_sig, "doc_id", n_hashes=8, bands=4))
     a, b = nb.alias("a"), bb.unionByName(nb).alias("b")
     return (
-        a.join(
+        F.broadcast(a)
+        .join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
