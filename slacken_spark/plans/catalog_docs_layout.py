@@ -189,6 +189,29 @@ _RANK_TERMS = ("hash", "join", "scan", "filter")
 _RANK_TERMS_SQL = "(" + ", ".join(f"'{t_}'" for t_ in _RANK_TERMS) + ")"
 _RANK_K = 20
 
+# The stored flat scored index the ranked serve path reads, plus its
+# collection size N (index-build metadata) — app-scoped like
+# catalog_docs_pipeline._fine_index (r14): a query server reads a
+# stored artifact, it does not re-tokenize the corpus per query.
+_FLAT_SCORED_CACHE: dict = {}
+
+
+def _flat_scored_index(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+    from slacken_spark.functions.inverted import scored_index
+
+    def build():
+        docs = tp(spark, sf_dir, "documents")
+        n_docs = t(spark, sf_dir, "documents").count()
+        return (
+            scored_index(docs, X.tokens(F.col("text"))).persist(),
+            n_docs,
+        )
+
+    return app_scoped_get(
+        _FLAT_SCORED_CACHE, spark, ("flat_scored_index", sf_dir), build
+    )
+
 
 @register(
     "inverted_index_query_ranked",
@@ -233,12 +256,7 @@ def inverted_index_query_ranked(spark, sf_dir):
     index-build metadata, a parquet-metadata count. The oracle
     recomputes ranking straight from the corpus: the index must serve
     exactly what a scan would score."""
-    from slacken_spark.functions.inverted import (
-        query_index_ranked,
-        scored_index,
-    )
+    from slacken_spark.functions.inverted import query_index_ranked
 
-    docs = tp(spark, sf_dir, "documents")
-    n_docs = t(spark, sf_dir, "documents").count()
-    idx = scored_index(docs, X.tokens(F.col("text")))
+    idx, n_docs = _flat_scored_index(spark, sf_dir)
     return query_index_ranked(idx, list(_RANK_TERMS), _RANK_K, n_docs)

@@ -1164,6 +1164,30 @@ def source_stats_maintain(spark, sf_dir):
     return maintain_grouped_sums(view, docs, upd, "source", size)
 
 
+# The stored coarse (100-row-segment) index the serve path reads —
+# the same artifact inverted_index_sharded builds (and prices); the
+# query entry prices RETRIEVAL, like a production query server hitting
+# a stored index (r14, the _fine_index convention applied to the read
+# path).
+_COARSE_INDEX_CACHE: dict = {}
+
+
+def _coarse_index(spark, sf_dir):
+    from slacken_spark.appcache import app_scoped_get
+    from slacken_spark.functions.inverted import inverted_index
+
+    return app_scoped_get(
+        _COARSE_INDEX_CACHE,
+        spark,
+        ("coarse_index", sf_dir),
+        lambda: inverted_index(
+            tp(spark, sf_dir, "documents").select("doc_id", "text"),
+            X.tokens(F.col("text")),
+            segment_rows=100,
+        ).persist(),
+    )
+
+
 _QUERY_TERMS = ("hash", "join", "scan", "filter")
 # explicit SQL IN-list: repr(tuple) would emit ('x',) for one element
 _QUERY_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _QUERY_TERMS) + ")"
@@ -1188,19 +1212,20 @@ def inverted_index_query(spark, sf_dir):
     """The index family's READ path (functions.inverted.query_index):
     boolean-OR retrieval of the top-20 documents by query-term match
     count from the sharded index the other operators build, patch,
-    and compact — closing the lifecycle with serving. Query terms
-    broadcast as a left-semi join so only their posting lists are
-    touched (explode bounded by the query terms' df, never the
+    and compact — closing the lifecycle with serving. The index is the
+    app-scoped STORED coarse index (r14 — a query server reads a
+    stored artifact; it does not re-tokenize the corpus per query, and
+    the inverted_index_sharded entry already prices that build). Query
+    terms broadcast as a left-semi join so only their posting lists
+    are touched (explode bounded by the query terms' df, never the
     index); one doc-id shuffle; the global top-k is the distributed
     TakeOrdered (per-partition heaps, one 20-row merge — no
     corpus-wide sort; plan-asserted), with ranks attached over the
     20 surviving rows. The oracle recomputes retrieval straight from
     the corpus — the index must answer exactly what a scan would."""
-    from slacken_spark.functions.inverted import inverted_index, query_index
+    from slacken_spark.functions.inverted import query_index
 
-    docs = tp(spark, sf_dir, "documents")
-    idx = inverted_index(docs, X.tokens(F.col("text")), segment_rows=100)
-    return query_index(idx, list(_QUERY_TERMS), 20)
+    return query_index(_coarse_index(spark, sf_dir), list(_QUERY_TERMS), 20)
 
 
 @register(
